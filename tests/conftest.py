@@ -1,0 +1,21 @@
+"""Session-scoped Ray fixture — Ray is initialised ONCE per pytest run."""
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()

@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup (task brief: first-class components
+of a 100 TB training-data pipeline).
+
+Scale shapes (all expressed on Ray Data primitives):
+
+- **exact**: vectorized content-hash per batch → ``groupby(hash)`` →
+  first-per-group. Shuffles only (hash, id) — never full text.
+- **MinHash+LSH**: per-batch shingle→minhash signatures (numpy, one
+  matrix op per batch) → explode to (band, band_hash, doc_id) rows →
+  ``groupby(band, band_hash)`` → candidate pairs per bucket → exact
+  Jaccard verify → min-label propagation for clusters. Each groupby
+  key is a 64-bit bucket hash, so skew is bounded by true duplicate
+  cluster sizes.
+- **SimHash**: 64-bit signature per doc (numpy); near-dup candidates =
+  equal 16-bit bands (4 tables), verified by Hamming distance.
+- **embedding cosine**: normalize once per batch; random-hyperplane
+  LSH buckets → within-bucket pairwise cosine (numpy matmul).
+
+Determinism: all hash seeds fixed; no wall clock, no unseeded RNG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+# ------------------------------------------------------------------ exact
+
+def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    h = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch.column(column).to_pylist()
+    ]
+    return batch.append_column("content_hash", pa.array(h))
+
+
+def first_per_group(group: pa.Table) -> pa.Table:
+    """Keeper = smallest doc_id (deterministic, order-independent)."""
+    return group.sort_by("doc_id").slice(0, 1)
+
+
+# --------------------------------------------------------------- minhash
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _stable_token_hash(tokens: Iterable[str]) -> np.ndarray:
+    """64-bit stable hashes of tokens (blake2b-derived; NOT Python's
+    salted hash())."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+    )
+
+
+class MinHasher:
+    """Per-actor state: the (a, b) permutation parameters.
+
+    ``n_hashes`` minhashes over ``shingle_k``-gram word shingles.
+    signature[i] = min over shingles s of (a_i * h(s) + b_i mod p).
+    """
+
+    def __init__(self, n_hashes: int = 64, shingle_k: int = 1, seed: int = 42,
+                 column: str = "text"):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=n_hashes).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=n_hashes).astype(np.uint64)
+        self.n_hashes = n_hashes
+        self.k = shingle_k
+        self.column = column
+
+    def _shingles(self, text: str) -> list[str]:
+        words = (text or "").lower().split()
+        if self.k == 1:
+            return words
+        return [" ".join(words[i : i + self.k]) for i in range(len(words) - self.k + 1)]
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self._shingles(text)
+        if not sh:
+            return np.full(self.n_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = _stable_token_hash(set(sh))  # (S,)
+        # (n_hashes, S) permuted values; min over shingles — one matmul-ish op
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.stack(
+            [self.signature(t) for t in batch.column(self.column).to_pylist()]
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "minhash": pa.array(list(sigs), pa.list_(pa.uint64(), self.n_hashes)),
+            }
+        )
+
+
+def explode_bands(n_bands: int = 8):
+    """(doc_id, minhash) → (band, band_hash, doc_id) rows for the LSH
+    bucket groupby. band_hash folds the band's rows into one uint64."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        sigs = np.asarray(batch.column("minhash").to_pylist(), dtype=np.uint64)
+        n, n_hashes = sigs.shape
+        rows_per_band = n_hashes // n_bands
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bands = []
+        hashes = []
+        docs = []
+        for b in range(n_bands):
+            chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            # fold rows into one bucket key (xor-shift mix, vectorized)
+            folded = np.zeros(n, dtype=np.uint64)
+            for c in range(rows_per_band):
+                folded = (folded * np.uint64(1099511628211)) ^ chunk[:, c]
+            bands.append(np.full(n, b, dtype=np.int32))
+            hashes.append(folded)
+            docs.append(doc_ids)
+        return pa.table(
+            {
+                "band": np.concatenate(bands),
+                "band_hash": np.concatenate(hashes),
+                "doc_id": np.concatenate(docs),
+            }
+        )
+
+    return _explode
+
+
+def bucket_pairs(group: pa.Table, max_bucket: int = 200) -> pa.Table:
+    """Candidate pairs within one LSH bucket (doc_a < doc_b).
+
+    ``max_bucket`` caps quadratic blowup on degenerate buckets (e.g.
+    empty-text signatures); capped buckets emit the cap's pairs only —
+    logged upstream as a documented bound, not silent truncation
+    (callers see n_capped in cluster stats).
+    """
+    ids = sorted(group.column("doc_id").to_pylist())[:max_bucket]
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table(
+        {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+    )
+
+
+def jaccard(text_a: str, text_b: str, k: int = 1) -> float:
+    def sh(t):
+        w = (t or "").lower().split()
+        return set(w if k == 1 else (" ".join(w[i : i + k]) for i in range(len(w) - k + 1)))
+
+    sa, sb = sh(text_a), sh(text_b)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+# --------------------------------------------------------------- simhash
+
+class SimHasher:
+    """64-bit SimHash over word features (public Charikar idiom)."""
+
+    def __init__(self, column: str = "text"):
+        self.column = column
+        self._bit_cols = np.arange(64, dtype=np.uint64)
+
+    def signature(self, text: str) -> int:
+        words = (text or "").lower().split()
+        if not words:
+            return 0
+        h = _stable_token_hash(words)  # (W,) uint64, weight = occurrence
+        bits = ((h[:, None] >> self._bit_cols[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                sig |= np.uint64(1) << np.uint64(i)
+        return int(sig)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.array(
+            [self.signature(t) for t in batch.column(self.column).to_pylist()],
+            dtype=np.uint64,
+        )
+        # 4 × 16-bit bands for candidate bucketing
+        out = {"doc_id": batch.column("doc_id"), "simhash": sigs}
+        for b in range(4):
+            out[f"band{b}"] = ((sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+        return pa.table(out)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+
+
+# --------------------------------------------------- embedding near-dup
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures for cosine LSH (per-actor planes)."""
+
+    def __init__(self, dim: int = 64, n_bits: int = 16, seed: int = 42,
+                 column: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, n_bits).astype(np.float32)
+        self.column = column
+        self._weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column(self.column).to_pylist(), dtype=np.float32)
+        proj = mat @ self.planes  # (n, bits) — one matmul per batch
+        bits = (proj > 0).astype(np.int64)
+        bucket = bits @ self._weights
+        norms = np.linalg.norm(mat, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "bucket": bucket,
+                "embedding": batch.column(self.column),
+                "norm": norms.astype(np.float64),
+            }
+        )
+
+
+def cosine_pairs_in_bucket(group: pa.Table, threshold: float = 0.95) -> pa.Table:
+    mat = np.asarray(group.column("embedding").to_pylist(), dtype=np.float64)
+    ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    unit = mat / norms
+    sims = unit @ unit.T  # one matmul per bucket
+    ia, ib = np.triu_indices(len(ids), k=1)
+    mask = sims[ia, ib] >= threshold
+    return pa.table(
+        {
+            "vec_a": pa.array(np.minimum(ids[ia[mask]], ids[ib[mask]]), pa.int64()),
+            "vec_b": pa.array(np.maximum(ids[ia[mask]], ids[ib[mask]]), pa.int64()),
+            "cosine": pa.array(np.round(sims[ia, ib][mask], 6)),
+        }
+    )

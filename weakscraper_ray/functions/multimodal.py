@@ -1,0 +1,126 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary).
+
+The decode/resample libraries are NOT in this container, so the codec
+step is STUBBED (deterministic fake, clearly marked) — but the
+Ray-side plumbing is real and tested: Arrow schema with ``binary``
+payload + typed metadata struct, small-batch actor-pool stages sized
+for large rows, and feature outputs that downstream stages consume.
+
+At 100 TB these stages run with small ``batch_size`` (large payload ×
+concurrency must fit worker heaps — SURVEY.md §4.2 memory row) and
+``batch_format="pyarrow"`` (binary round-trips zero-copy through
+Arrow; pandas would object-box it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+#: typed metadata carried beside the opaque payload
+MEDIA_META_TYPE = pa.struct(
+    [
+        ("media_type", pa.string()),   # "image" | "audio" | "video"
+        ("format", pa.string()),       # "png", "wav", ...
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def make_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(256 + int(rng.randint(0, 1024))) for _ in range(n)]
+    meta = [
+        {
+            "media_type": ("image", "audio", "video")[i % 3],
+            "format": ("png", "wav", "mp4")[i % 3],
+            "width": 64 * (1 + i % 4),
+            "height": 64 * (1 + i % 3),
+            "duration_ms": 1000 * (i % 30),
+        }
+        for i in range(n)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(meta, MEDIA_META_TYPE),
+        }
+    )
+
+
+def _decode_stub(payload: bytes, meta: dict) -> np.ndarray:
+    """STUB: stands in for a real image/audio decoder (PIL/ffmpeg are
+    not installed in this container). Deterministic in the payload:
+    derives a fake pixel/sample array from a blake2 digest. Replace
+    with the real decoder on a production cluster."""
+    digest = hashlib.blake2b(payload, digest_size=32).digest()
+    arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    return arr / 255.0
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: decode (stubbed) → fixed-size feature vector.
+
+    Real structure: per-actor init state, per-batch loop over binary
+    payloads, Arrow list<float> feature output. Use batch_size<=64 for
+    multi-MB payloads.
+    """
+
+    def __init__(self, feature_dim: int = 32):
+        self.dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        feats = np.zeros((len(payloads), self.dim), dtype=np.float32)
+        for i, (p, m) in enumerate(zip(payloads, metas)):
+            raw = _decode_stub(p, m)
+            reps = int(np.ceil(self.dim / raw.shape[0]))
+            feats[i] = np.tile(raw, reps)[: self.dim]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "media_type": pa.array([m["media_type"] for m in metas]),
+                "feature": pa.array(list(feats), pa.list_(pa.float32(), self.dim)),
+                "payload_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage shape for video frame sampling: emits one row
+    per sampled frame (flat_map-style fan-out inside map_batches).
+    Frame decode itself is the same stub."""
+
+    def __init__(self, fps_divisor: int = 10):
+        self.fps_divisor = fps_divisor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids, frame_idx, feats = [], [], []
+        for mid, p, m in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("meta").to_pylist(),
+        ):
+            if m["media_type"] != "video":
+                continue
+            n_frames = max(1, (m["duration_ms"] // 1000) // self.fps_divisor + 1)
+            for f in range(n_frames):
+                media_ids.append(mid)
+                frame_idx.append(f)
+                feats.append(_decode_stub(p + f.to_bytes(4, "little"), m))
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "frame_feature": pa.array(
+                    [list(f) for f in feats], pa.list_(pa.float32(), 32)
+                ),
+            }
+        )

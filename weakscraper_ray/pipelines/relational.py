@@ -1,0 +1,694 @@
+"""Relational + training-data operators over the testdata tables
+(SURVEY.md §2.5 R1–R10 + the dedup/similarity/text families), each as
+a ``queries()`` entry with a DuckDB ``oracle_sql()`` twin where the
+semantics are SQL-expressible.
+
+Conventions (driver contract, ``__ray_entry__.py``):
+- every callable takes ``sf_dir`` and returns a Dataset / DataFrame /
+  Table; aggregate column names match the SQL aliases exactly;
+- money sums rounded to 2 decimals, averages to 4, scores to 4–6, so
+  the order-insensitive value-hash is stable across summation orders;
+- Ray-side implementations follow the scale rules: column-pruned
+  reads, vectorized batch bodies, partial aggregation before groupbys,
+  broadcast small sides (ray.put) instead of shuffle joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    return ray.data.read_parquet(_p(sf_dir, table), columns=columns)
+
+
+# =====================================================================
+# R5-style aggregation: TPC-H Q1 shape with in-batch partial aggregation
+# =====================================================================
+
+def _q1_partial(batch: pa.Table) -> pa.Table:
+    disc_price = pc.multiply(
+        batch.column("l_extendedprice"), pc.subtract(1.0, batch.column("l_discount"))
+    )
+    t = batch.append_column("disc_price", disc_price)
+    return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+         ("disc_price", "sum"), ("l_quantity", "count")]
+    )
+
+
+def _q1_finalize(batch: pa.Table) -> pa.Table:
+    sum_qty = batch.column("sum(l_quantity_sum)")
+    sum_base = batch.column("sum(l_extendedprice_sum)")
+    sum_disc = batch.column("sum(disc_price_sum)")
+    n = batch.column("sum(l_quantity_count)")
+    return pa.table(
+        {
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pc.round(sum_qty, 2),
+            "sum_base_price": pc.round(sum_base, 2),
+            "sum_disc_price": pc.round(sum_disc, 2),
+            "avg_qty": pc.round(pc.divide(sum_qty, pc.cast(n, pa.float64())), 4),
+            "count_order": pc.cast(n, pa.int64()),
+        }
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    """Pre-aggregate per batch (pyarrow group_by) → small groupby →
+    finalize. The shuffle moves one row per (flag, status) per batch."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    partials = ds.map_batches(_q1_partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum"), Sum("l_extendedprice_sum"),
+        Sum("disc_price_sum"), Sum("l_quantity_count"),
+    )
+    return agg.map_batches(_q1_finalize, batch_format="pyarrow")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4)               AS avg_qty,
+       cast(count(*) AS BIGINT)                           AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# =====================================================================
+# R1/R2: filter + projection (vectorized predicate inside map_batches)
+# =====================================================================
+
+def q_filter_project(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click")).select(
+            ["event_id", "user_id", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+"""
+
+
+# =====================================================================
+# R7: broadcast lookup join (small dims shipped once, no shuffle join)
+# =====================================================================
+
+class _NationRevenue:
+    """Actor: holds the broadcast custkey→nation-name lookup; per batch
+    merges + partially aggregates, so the groupby sees tiny partials."""
+
+    def __init__(self, lookup_ref):
+        lk = ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+        self.lookup = lk  # pd.Series custkey -> n_name
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_name"] = df["o_custkey"].map(self.lookup)
+        part = df.groupby("n_name", as_index=False).agg(
+            rev=("o_totalprice", "sum"), n=("o_orderkey", "count")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def q_broadcast_join(sf_dir: str):
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    lookup = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    ).set_index("c_custkey")["n_name"]
+    ref = ray.put(lookup)
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _NationRevenue,
+        fn_constructor_kwargs=dict(lookup_ref=ref),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    agg = partials.groupby("n_name").aggregate(Sum("rev"), Sum("n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "total_revenue": pc.round(t.column("sum(rev)"), 2),
+                "n_orders": pc.cast(t.column("sum(n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BROADCAST_JOIN = """
+SELECT n.n_name,
+       round(sum(o.o_totalprice), 2) AS total_revenue,
+       cast(count(*) AS BIGINT)      AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# =====================================================================
+# R9: sort / top-k (deterministic tie-break)
+# =====================================================================
+
+def q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# =====================================================================
+# R5: groupby aggregate with partial combine
+# =====================================================================
+
+def q_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    partials = ds.map_batches(
+        lambda t: t.group_by("event_type").aggregate([("value", "sum"), ("value", "count")]),
+        batch_format="pyarrow",
+    )
+    agg = partials.groupby("event_type").aggregate(Sum("value_sum"), Sum("value_count"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": pc.cast(t.column("sum(value_count)"), pa.int64()),
+                "sum_value": pc.round(t.column("sum(value_sum)"), 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# =====================================================================
+# R8-adjacent: distinct
+# =====================================================================
+
+def q_distinct_lang_source(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return (
+        ds.groupby(["lang", "source"])
+        .aggregate(Count())
+        .select_columns(["lang", "source"])
+    )
+
+
+SQL_DISTINCT = "SELECT DISTINCT lang, source FROM documents"
+
+
+# =====================================================================
+# R10: union
+# =====================================================================
+
+def q_union_orders(sf_dir: str):
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ds = _read(sf_dir, "orders", cols)
+    open_orders = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "O")),
+        batch_format="pyarrow",
+    )
+    big_finished = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t.column("o_orderstatus"), "F"),
+                pc.greater(t.column("o_totalprice"), 200000.0),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return open_orders.union(big_finished)
+
+
+SQL_UNION = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0
+"""
+
+
+# =====================================================================
+# Dedup (exact): hash → groupby(hash) → first per group
+# =====================================================================
+
+def q_dedup_exact(sf_dir: str):
+    from ..functions.dedup import content_hash_batch, first_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+    # shuffle carries (hash, doc_id) only — drop the payload first
+    slim = hashed.select_columns(["doc_id", "content_hash"])
+    from ray.data.aggregate import Count, Min
+
+    agg = slim.groupby("content_hash").aggregate(
+        Min("doc_id"), Count(alias_name="n_copies")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("min(doc_id)"), pa.int64()),
+                "n_copies": pc.cast(t.column("n_copies"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT cast(min(doc_id) AS BIGINT) AS doc_id,
+       cast(count(*) AS BIGINT)    AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# =====================================================================
+# Windowed running aggregate (groupby + per-group ordered cumsum)
+# =====================================================================
+
+def _running(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values(["ts", "event_id"], kind="mergesort")
+    g["running_value"] = g["value"].cumsum().round(2)
+    return g[["event_id", "user_id", "running_value"]]
+
+
+def q_running_sum(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(_running, batch_format="pandas")
+
+
+SQL_RUNNING = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+           AS running_value
+FROM events
+"""
+
+
+# =====================================================================
+# Text family (oracle-backed members)
+# =====================================================================
+
+def q_token_count(sf_dir: str):
+    from ..functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       cast(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           AS n_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    from ..functions.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+# =====================================================================
+# R6-style semi/anti joins via broadcast key sets
+# =====================================================================
+
+def _rich_customers(sf_dir: str) -> set:
+    t = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
+    mask = pc.greater(t.column("c_acctbal"), 5000.0)
+    return set(t.filter(mask).column("c_custkey").to_pylist())
+
+
+def q_semi_join(sf_dir: str):
+    keys = ray.put(_rich_customers(sf_dir))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys)
+        mask = pc.is_in(batch.column("o_custkey"), value_set=pa.array(list(ks), pa.int64()))
+        return batch.filter(mask)
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+"""
+
+
+def q_anti_join(sf_dir: str):
+    keys = ray.put(_rich_customers(sf_dir))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys)
+        mask = pc.invert(
+            pc.is_in(batch.column("o_custkey"), value_set=pa.array(list(ks), pa.int64()))
+        )
+        return batch.filter(mask)
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+SQL_ANTI_JOIN = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+"""
+
+
+# =====================================================================
+# Similarity search: brute-force cosine top-k (oracle via DuckDB
+# list_cosine_similarity) + LSH-bucketed scale path (rows-only)
+# =====================================================================
+
+_KNN_QUERIES = 4
+_KNN_K = 10
+
+
+def q_knn_cosine(sf_dir: str):
+    from ..functions.similarity import knn_brute_force
+
+    qt = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qmask = pc.less(qt.column("vec_id"), _KNN_QUERIES)
+    qsel = qt.filter(qmask)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute_force(
+        ds,
+        qsel.column("vec_id").to_pylist(),
+        qsel.column("embedding").to_pylist(),
+        k=_KNN_K,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t.column("query_id"),
+                "vec_id": t.column("vec_id"),
+                "score": pc.round(t.column("score"), 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_KNN = f"""
+SELECT query_id, vec_id, score FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(q.embedding, e.embedding), 4) AS score,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, e.embedding), 4) DESC,
+                    e.vec_id ASC
+         ) AS rn
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < {_KNN_QUERIES}
+) WHERE rn <= {_KNN_K}
+"""
+
+
+def q_knn_lsh(sf_dir: str):
+    """Scale path: hyperplane-LSH bucketing; each query scores only its
+    bucket (rows-only check — bucket recall is approximate)."""
+    from ..functions.dedup import HyperplaneLSH
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs=dict(n_bits=8),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def _bucket_knn(group: pd.DataFrame) -> pd.DataFrame:
+        mat = np.asarray(group["embedding"].to_list(), dtype=np.float64)
+        ids = group["vec_id"].to_numpy()
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = unit @ unit.T
+        rows = []
+        for qi in range(len(ids)):
+            order = np.argsort(-sims[qi])[: _KNN_K]
+            for vi in order:
+                rows.append((ids[qi], ids[vi], round(float(sims[qi, vi]), 4)))
+        return pd.DataFrame(rows, columns=["query_id", "vec_id", "score"])
+
+    return bucketed.groupby("bucket").map_groups(_bucket_knn, batch_format="pandas")
+
+
+# =====================================================================
+# Near-dup families (rows-only: semantics not SQL-expressible)
+# =====================================================================
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs verified by exact Jaccard.
+
+    shingle→minhash per batch → band explode → bucket groupby →
+    candidate pairs → broadcast-text verify (documents is the small
+    side here; at 100 TB the verify joins text back by doc_id range).
+    """
+    from ..functions.dedup import MinHasher, bucket_pairs, explode_bands, jaccard
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(n_hashes=64, shingle_k=1),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    bands = sigs.map_batches(explode_bands(n_bands=16), batch_format="pyarrow")
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # dedup candidate pairs surfaced by multiple bands
+    from ray.data.aggregate import Count
+
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+    texts_ref = ray.put(
+        dict(
+            zip(
+                pq.read_table(_p(sf_dir, "documents")).column("doc_id").to_pylist(),
+                pq.read_table(_p(sf_dir, "documents")).column("text").to_pylist(),
+            )
+        )
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        j = [round(jaccard(texts[x], texts[y]), 4) for x, y in zip(a, b)]
+        t = batch.append_column("jaccard", pa.array(j, pa.float64()))
+        return t.filter(pc.greater_equal(t.column("jaccard"), 0.5)).select(
+            ["doc_a", "doc_b", "jaccard"]
+        )
+
+    return uniq.map_batches(_verify, batch_format="pyarrow")
+
+
+def q_dedup_simhash(sf_dir: str):
+    """64-bit SimHash signatures + banded near-dup pairs (Hamming ≤ 8)."""
+    from ..functions.dedup import SimHasher, hamming64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+
+    def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["doc_id"].to_numpy()
+        s = group["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        if len(ia) == 0:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"]).astype(
+                {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+            )
+        d = hamming64(s[ia], s[ib])
+        keep = d <= 8
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+                "doc_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+                "hamming": d[keep],
+            }
+        )
+
+    pairs = sigs.groupby("band0").map_groups(_band_pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
+    from ..functions.dedup import HyperplaneLSH, cosine_pairs_in_bucket
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs=dict(n_bits=8),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return bucketed.groupby("bucket").map_groups(
+        lambda g: cosine_pairs_in_bucket(g, threshold=0.9), batch_format="pyarrow"
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from ..functions.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+def q_quality(sf_dir: str):
+    from ..functions.text import QualityScore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=2)
+
+
+def q_rolling_fingerprint(sf_dir: str):
+    from ..functions.text import rolling_fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(rolling_fingerprint_batch, batch_format="pyarrow")
+
+
+# =====================================================================
+# Extraction pipelines (rows-only: not SQL-expressible)
+# =====================================================================
+
+_SF_TO_SIZE = {"0.001": "tiny", "0.01": "small", "0.1": "small"}
+
+
+def _size_for(sf_dir: str) -> str:
+    for sf, size in _SF_TO_SIZE.items():
+        if sf_dir.rstrip("/").endswith(f"sf{sf}"):
+            return size
+    return "tiny"
+
+
+def q_extract_transcripts(sf_dir: str):
+    """Flagship: template extraction over the deterministic transcripts
+    table sized to match the sf tier (spans dropped for the driver's
+    generic converter; full schema covered in tests)."""
+    from .extraction import run_flagship
+
+    ds = run_flagship(size=_size_for(sf_dir))
+    return ds.drop_columns(["spans"])
+
+
+def q_learned_extract(sf_dir: str):
+    """Learner path: skeleton templates learned from rendered samples,
+    then applied — exercised at tiny scale (see learner tests)."""
+    from .learning import learned_extraction
+
+    return learned_extraction(size="tiny")
+
+
+def q_multimodal_features(sf_dir: str):
+    """Media featurize (stubbed decode, real Ray plumbing)."""
+    from ..functions.multimodal import MediaFeaturizer, make_media_table
+
+    tbl = make_media_table(200)
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(
+        MediaFeaturizer, batch_format="pyarrow", batch_size=32, concurrency=2
+    )
+    return out.drop_columns(["feature"])
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "broadcast_join": q_broadcast_join,
+    "topk_orders": q_topk_orders,
+    "events_by_type": q_events_by_type,
+    "distinct_lang_source": q_distinct_lang_source,
+    "union_orders": q_union_orders,
+    "dedup_exact": q_dedup_exact,
+    "running_sum": q_running_sum,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "knn_cosine": q_knn_cosine,
+    "knn_lsh": q_knn_lsh,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "extract_transcripts": q_extract_transcripts,
+    "learned_extract": q_learned_extract,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "filter_project": SQL_FILTER_PROJECT,
+    "broadcast_join": SQL_BROADCAST_JOIN,
+    "topk_orders": SQL_TOPK,
+    "events_by_type": SQL_EVENTS_BY_TYPE,
+    "distinct_lang_source": SQL_DISTINCT,
+    "union_orders": SQL_UNION,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "running_sum": SQL_RUNNING,
+    "token_count": SQL_TOKEN_COUNT,
+    "fingerprint": SQL_FINGERPRINT,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "knn_cosine": SQL_KNN,
+}
