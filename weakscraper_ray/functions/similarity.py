@@ -76,7 +76,9 @@ def knn_brute_force(ds, query_ids, query_matrix, k: int = 10, batch_size: int = 
         fn_constructor_kwargs=dict(queries_ref=ref, k=k),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or 4,
+        # autoscaling pool: never pin a pool to the whole cluster — a
+        # fixed pool equal to num_cpus starves the read stage
+        concurrency=concurrency or (1, 4),
         num_cpus=1,
     )
     return partials.groupby("query_id").map_groups(

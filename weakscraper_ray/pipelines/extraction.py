@@ -72,7 +72,7 @@ def extraction_pipeline(
         templates = default_templates()
     if concurrency is None:
         ncpu = _pool_size()
-        concurrency = (min(2, ncpu), ncpu)
+        concurrency = (1, max(2, ncpu - 2))
     out = ds.map_batches(
         Extractor,
         fn_constructor_kwargs=dict(

@@ -52,14 +52,19 @@ def _q1_finalize(batch: pa.Table) -> pa.Table:
     sum_base = batch.column("sum(l_extendedprice_sum)")
     sum_disc = batch.column("sum(disc_price_sum)")
     n = batch.column("sum(l_quantity_count)")
+    def _cents(col, scale=100):
+        # scaled-integer output: exact under any summation order, so the
+        # driver's value-hash is stable (floats differ in the last ulp)
+        return pc.cast(pc.round(pc.multiply(col, float(scale)), 0), pa.int64())
+
     return pa.table(
         {
             "l_returnflag": batch.column("l_returnflag"),
             "l_linestatus": batch.column("l_linestatus"),
-            "sum_qty": pc.round(sum_qty, 2),
-            "sum_base_price": pc.round(sum_base, 2),
-            "sum_disc_price": pc.round(sum_disc, 2),
-            "avg_qty": pc.round(pc.divide(sum_qty, pc.cast(n, pa.float64())), 4),
+            "sum_qty": _cents(sum_qty, 1),
+            "sum_base_price_cents": _cents(sum_base),
+            "sum_disc_price_cents": _cents(sum_disc),
+            "avg_qty_e4": _cents(pc.divide(sum_qty, pc.cast(n, pa.float64())), 10000),
             "count_order": pc.cast(n, pa.int64()),
         }
     )
@@ -84,11 +89,11 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
-       round(sum(l_quantity) / count(*), 4)               AS avg_qty,
-       cast(count(*) AS BIGINT)                           AS count_order
+       cast(round(sum(l_quantity), 0) AS BIGINT)                            AS sum_qty,
+       cast(round(sum(l_extendedprice) * 100, 0) AS BIGINT)                 AS sum_base_price_cents,
+       cast(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_disc_price_cents,
+       cast(round(sum(l_quantity) / count(*) * 10000, 0) AS BIGINT)         AS avg_qty_e4,
+       cast(count(*) AS BIGINT)                                             AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
@@ -147,14 +152,16 @@ def q_broadcast_join(sf_dir: str):
         _NationRevenue,
         fn_constructor_kwargs=dict(lookup_ref=ref),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     agg = partials.groupby("n_name").aggregate(Sum("rev"), Sum("n"))
     return agg.map_batches(
         lambda t: pa.table(
             {
                 "n_name": t.column("n_name"),
-                "total_revenue": pc.round(t.column("sum(rev)"), 2),
+                "total_revenue_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("sum(rev)"), 100.0), 0), pa.int64()
+                ),
                 "n_orders": pc.cast(t.column("sum(n)"), pa.int64()),
             }
         ),
@@ -164,7 +171,7 @@ def q_broadcast_join(sf_dir: str):
 
 SQL_BROADCAST_JOIN = """
 SELECT n.n_name,
-       round(sum(o.o_totalprice), 2) AS total_revenue,
+       cast(round(sum(o.o_totalprice) * 100, 0) AS BIGINT) AS total_revenue_cents,
        cast(count(*) AS BIGINT)      AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -206,7 +213,10 @@ def q_events_by_type(sf_dir: str):
             {
                 "event_type": t.column("event_type"),
                 "n_events": pc.cast(t.column("sum(value_count)"), pa.int64()),
-                "sum_value": pc.round(t.column("sum(value_sum)"), 2),
+                "sum_value_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("sum(value_sum)"), 100.0), 0),
+                    pa.int64(),
+                ),
             }
         ),
         batch_format="pyarrow",
@@ -216,7 +226,7 @@ def q_events_by_type(sf_dir: str):
 SQL_EVENTS_BY_TYPE = """
 SELECT event_type,
        cast(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2)     AS sum_value
+       cast(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type
 """
 
@@ -310,8 +320,8 @@ FROM documents GROUP BY md5(text)
 
 def _running(group: pd.DataFrame) -> pd.DataFrame:
     g = group.sort_values(["ts", "event_id"], kind="mergesort")
-    g["running_value"] = g["value"].cumsum().round(2)
-    return g[["event_id", "user_id", "running_value"]]
+    g["running_value_cents"] = (g["value"].cumsum() * 100).round(0).astype("int64")
+    return g[["event_id", "user_id", "running_value_cents"]]
 
 
 def q_running_sum(sf_dir: str):
@@ -321,8 +331,8 @@ def q_running_sum(sf_dir: str):
 
 SQL_RUNNING = """
 SELECT event_id, user_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
-           AS running_value
+       cast(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) * 100, 0) AS BIGINT)
+           AS running_value_cents
 FROM events
 """
 
@@ -432,7 +442,9 @@ def q_knn_cosine(sf_dir: str):
             {
                 "query_id": t.column("query_id"),
                 "vec_id": t.column("vec_id"),
-                "score": pc.round(t.column("score"), 4),
+                "score_e4": pc.cast(
+                    pc.round(pc.multiply(t.column("score"), 10000.0), 0), pa.int64()
+                ),
             }
         ),
         batch_format="pyarrow",
@@ -440,12 +452,13 @@ def q_knn_cosine(sf_dir: str):
 
 
 SQL_KNN = f"""
-SELECT query_id, vec_id, score FROM (
+SELECT query_id, vec_id, score_e4 FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         round(list_cosine_similarity(q.embedding, e.embedding), 4) AS score,
+         cast(round(list_cosine_similarity(q.embedding, e.embedding) * 10000, 0) AS BIGINT)
+             AS score_e4,
          row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY round(list_cosine_similarity(q.embedding, e.embedding), 4) DESC,
+           ORDER BY round(list_cosine_similarity(q.embedding, e.embedding) * 10000, 0) DESC,
                     e.vec_id ASC
          ) AS rn
   FROM embeddings q CROSS JOIN embeddings e
@@ -464,7 +477,7 @@ def q_knn_lsh(sf_dir: str):
         HyperplaneLSH,
         fn_constructor_kwargs=dict(n_bits=8),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     def _bucket_knn(group: pd.DataFrame) -> pd.DataFrame:
@@ -500,7 +513,7 @@ def q_dedup_minhash(sf_dir: str):
         MinHasher,
         fn_constructor_kwargs=dict(n_hashes=64, shingle_k=1),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     bands = sigs.map_batches(explode_bands(n_bands=16), batch_format="pyarrow")
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
@@ -538,7 +551,7 @@ def q_dedup_simhash(sf_dir: str):
     from ..functions.dedup import SimHasher, hamming64
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 2))
 
     def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group["doc_id"].to_numpy()
@@ -565,18 +578,23 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets.
+
+    Production threshold would be ~0.95; the testdata embeddings are
+    random (max pairwise cosine ≈0.51 at sf0.01), so the demo threshold
+    is 0.35 with few LSH bits — same operator shape, non-degenerate
+    output."""
     from ..functions.dedup import HyperplaneLSH, cosine_pairs_in_bucket
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     bucketed = ds.map_batches(
         HyperplaneLSH,
-        fn_constructor_kwargs=dict(n_bits=8),
+        fn_constructor_kwargs=dict(n_bits=4),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return bucketed.groupby("bucket").map_groups(
-        lambda g: cosine_pairs_in_bucket(g, threshold=0.9), batch_format="pyarrow"
+        lambda g: cosine_pairs_in_bucket(g, threshold=0.35), batch_format="pyarrow"
     )
 
 
@@ -584,14 +602,14 @@ def q_lang_id(sf_dir: str):
     from ..functions.text import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
 
 
 def q_quality(sf_dir: str):
     from ..functions.text import QualityScore
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2))
 
 
 def q_rolling_fingerprint(sf_dir: str):
@@ -640,7 +658,7 @@ def q_multimodal_features(sf_dir: str):
     tbl = make_media_table(200)
     ds = ray.data.from_arrow(tbl)
     out = ds.map_batches(
-        MediaFeaturizer, batch_format="pyarrow", batch_size=32, concurrency=2
+        MediaFeaturizer, batch_format="pyarrow", batch_size=32, concurrency=(1, 2)
     )
     return out.drop_columns(["feature"])
 

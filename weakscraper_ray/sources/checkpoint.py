@@ -1,0 +1,168 @@
+"""Resumable partitioned output + per-partition lineage/metrics
+manifest (SURVEY.md §4.3; BASELINE.json "per-partition checkpoints
+recording lineage and extraction metrics ... resumes from the last
+committed partition").
+
+Layout:
+
+    out/part={partition_id}/data.parquet
+    out/_manifest/{partition_id}.json
+
+Commit protocol: write data to a temp file → fsync → atomic rename →
+write manifest (the manifest's existence IS the commit point). A rerun
+calls :func:`committed_partitions` and prunes finished partitions
+BEFORE the extract stage, so committed work is neither recomputed nor
+rewritten. Metrics roll-up (R5) reads only the tiny manifests.
+
+Partition key: ``shard = hash(conv_id) % n_shards`` — the same key the
+pipeline's ordering groupby uses, so one output partition holds whole
+conversations (no cross-partition turn splits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def shard_of(conv_id: str, n_shards: int) -> int:
+    digest = hashlib.blake2b(conv_id.encode(), digest_size=8).digest()
+    return int.from_bytes(digest, "little") % n_shards
+
+
+def add_shard_column(n_shards: int):
+    """Vectorized-enough shard derivation (hash per distinct conv only)."""
+
+    def _add(batch: pa.Table) -> pa.Table:
+        convs = batch.column("conv_id").to_pylist()
+        cache: dict[str, int] = {}
+        shards = [
+            cache.get(c) if c in cache else cache.setdefault(c, shard_of(c, n_shards))
+            for c in convs
+        ]
+        return batch.append_column("shard", pa.array(shards, pa.int32()))
+
+    return _add
+
+
+def committed_partitions(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for f in os.listdir(mdir):
+        if f.endswith(".json"):
+            out.add(int(f[: -len(".json")]))
+    return out
+
+
+def prune_committed(ds, out_dir: str, n_shards: int):
+    """R6 resume anti-join: drop rows whose shard already committed.
+
+    The committed set is tiny → broadcast as a plain Python set inside
+    the filter batch fn (no shuffle)."""
+    done = committed_partitions(out_dir)
+    if not done:
+        return ds.map_batches(add_shard_column(n_shards), batch_format="pyarrow")
+    done_arr = pa.array(sorted(done), pa.int32())
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("shard"), value_set=done_arr))
+        return batch.filter(mask)
+
+    return ds.map_batches(add_shard_column(n_shards), batch_format="pyarrow").map_batches(
+        _filter, batch_format="pyarrow"
+    )
+
+
+def _write_one_partition(group: pd.DataFrame, out_dir: str) -> pd.DataFrame:
+    """Runs inside groupby(shard).map_groups — writes one partition
+    atomically and returns its manifest row."""
+    shard = int(group["shard"].iloc[0])
+    pdir = os.path.join(out_dir, f"part={shard}")
+    os.makedirs(pdir, exist_ok=True)
+    data = group.drop(columns=["shard"]).sort_values(["conv_id", "turn_idx"])
+    tbl = pa.Table.from_pandas(data, preserve_index=False)
+
+    tmp = os.path.join(pdir, ".data.parquet.tmp")
+    final = os.path.join(pdir, "data.parquet")
+    pq.write_table(tbl, tmp)
+    with open(tmp, "rb") as fh:
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+
+    content_hash = hashlib.md5(
+        "\x1e".join(
+            f"{c}\x1f{t}" for c, t in zip(data["conv_id"], data["turn_idx"])
+        ).encode()
+    ).hexdigest()
+    manifest = {
+        "partition_id": shard,
+        "rows": int(len(data)),
+        "conversations": int(data["conv_id"].nunique()),
+        "nodes_matched": int(data.get("nodes_matched", pd.Series(dtype=int)).sum()),
+        "boilerplate_bytes_stripped": int(
+            data.get("boilerplate_bytes_stripped", pd.Series(dtype=int)).sum()
+        ),
+        "errors": int((data.get("status", pd.Series(dtype=str)) == "error").sum()),
+        "key_hash": content_hash,
+    }
+    mdir = os.path.join(out_dir, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    mtmp = os.path.join(mdir, f".{shard}.json.tmp")
+    with open(mtmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(mtmp, os.path.join(mdir, f"{shard}.json"))
+    return pd.DataFrame([manifest])
+
+
+def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True):
+    """Checkpointed sink: shard by conv-hash → one atomic partition +
+    manifest per shard. Returns the manifest rows (small DataFrame).
+
+    Streaming-friendly: the groupby is the pipeline's existing
+    conv-keyed shuffle; each group writes its own partition in the
+    worker, so no driver materialization of data.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if resume:
+        ds = prune_committed(ds, out_dir, n_shards)
+    else:
+        ds = ds.map_batches(add_shard_column(n_shards), batch_format="pyarrow")
+    manifests = ds.groupby("shard").map_groups(
+        lambda g: _write_one_partition(g, out_dir), batch_format="pandas"
+    )
+    return manifests.to_pandas()
+
+
+def metrics_rollup(out_dir: str) -> dict:
+    """R5 roll-up from manifests only (never rereads data)."""
+    mdir = os.path.join(out_dir, "_manifest")
+    total = {
+        "partitions": 0,
+        "rows": 0,
+        "conversations": 0,
+        "nodes_matched": 0,
+        "boilerplate_bytes_stripped": 0,
+        "errors": 0,
+    }
+    if not os.path.isdir(mdir):
+        return total
+    for f in sorted(os.listdir(mdir)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, f)) as fh:
+            m = json.load(fh)
+        total["partitions"] += 1
+        for k in ("rows", "conversations", "nodes_matched",
+                  "boilerplate_bytes_stripped", "errors"):
+            total[k] += m.get(k, 0)
+    return total
