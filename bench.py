@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract + SURVEY.md §6 protocol).
+
+Plain run: one JSON line
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+--scaling: runs the headline pipeline in fresh subprocesses at 8 and
+32 CPUs on the SAME input (page cache warmed) and reports both
+throughputs + efficiency = T_lo/(T_hi * (hi/lo)); this is the
+sandbox stand-in for the N vs 4N two-cluster-size criterion
+(BASELINE.md; no real multi-node cluster is available here).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32). bench.py OWNS its Ray session (init+shutdown); library
+code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_SIZE = os.environ.get("GRAFT_BENCH_SIZE", "bench")  # transcripts preset
+
+
+def _headline(num_cpus: int) -> tuple[float, int]:
+    """Flagship extraction pipeline over the bench transcripts table:
+    read → actor-pool extract → salted ordering restore → count.
+    Returns (seconds, rows)."""
+    from weakscraper_ray.pipelines import run_flagship
+    from weakscraper_ray.transcripts import ensure_generated
+
+    input_dir = ensure_generated(BENCH_SIZE)  # cached across runs
+    t0 = time.perf_counter()
+    ds = run_flagship(input_dir, batch_size=512)
+    rows = ds.count()
+    dt = time.perf_counter() - t0
+    return dt, rows
+
+
+def _run_queries(sf_dir: str) -> dict[str, float]:
+    """Time the representative operator families over the sf tables."""
+    from weakscraper_ray.pipelines import relational as R
+
+    names = [
+        "pricing_summary", "broadcast_join", "dedup_exact",
+        "dedup_minhash", "knn_cosine", "quality_score", "token_count",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = R.QUERIES[name](sf_dir)
+        # consume: aggregates are tiny; count() drives full execution
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warm page cache + generator cache so we measure compute, not cold IO
+    from weakscraper_ray.transcripts import ensure_generated
+
+    ensure_generated(BENCH_SIZE)
+
+    headline_sec, rows = _headline(NUM_CPUS)
+    queries = _run_queries(SF_DIR)
+
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_pipeline_sec",
+                "value": round(headline_sec, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "rows": rows,
+                "turns_per_sec": round(rows / headline_sec, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm generation/page cache in a throwaway low-cost pass
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "turns_per_sec_8": r_lo["turns_per_sec"],
+                "turns_per_sec_32": r_hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "rows": r_hi["rows"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

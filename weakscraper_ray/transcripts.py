@@ -98,36 +98,61 @@ def _mutate_html(html: str, rng: random.Random) -> str:
     return "<div class='unrelated'><p>totally different page</p></div>"
 
 
-def generate(
+ROW_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("template_id", pa.int32()),
+    ]
+)
+
+EXPECTED_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("template_id", pa.int32()),
+        ("extracted_text", pa.string()),
+        ("fields", pa.large_string()),
+        ("error_kind", pa.string()),
+    ]
+)
+
+
+def _generate_chunk(
     out_dir: str,
-    size: str = "tiny",
-    seed: int = 42,
-    html_frac: float = 0.5,
-    error_frac: float = 0.08,
-    hot_frac: float = 0.01,
-    hot_mult: int = 100,
+    chunk_idx: int,
+    conv_lo: int,
+    conv_hi: int,
+    seed: int,
+    html_frac: float,
+    error_frac: float,
+    hot_frac: float,
+    hot_mult: int,
+    mean_turns: int,
 ) -> dict:
-    """Write ``part-*.parquet`` shards + ``expected.parquet`` under
-    ``out_dir``. Returns summary stats. Deterministic in (size, seed)."""
+    """Generate one file shard (convs [lo, hi)); rng seeded by
+    (seed, chunk_idx) so output is deterministic regardless of how
+    chunks are scheduled. Rows are shuffled WITHIN the shard so the
+    ordering-restore stage always has real work."""
     import os
 
-    cfg = SIZES[size]
-    rng = random.Random(seed)
+    rng = random.Random((seed << 20) ^ chunk_idx)
     templates = _compiled()
-    os.makedirs(out_dir, exist_ok=True)
-
     rows: list[dict] = []
     expected: list[dict] = []
-    conv_seq = 0
-    for ci in range(cfg["n_convs"]):
+    for ci in range(conv_lo, conv_hi):
         conv_id = f"conv-{ci:08d}"
-        n_turns = max(2, int(rng.expovariate(1.0 / cfg["mean_turns"])) + 2)
+        n_turns = max(2, int(rng.expovariate(1.0 / mean_turns)) + 2)
         if rng.random() < hot_frac:
             n_turns *= hot_mult
         for ti in range(n_turns):
             role = ("user", "assistant", "tool")[ti % 3]
             tool = f"tool-{rng.randint(0, 5)}" if role == "tool" else ""
-            ts = EPOCH + _dt.timedelta(seconds=conv_seq * 3600 + ti * 7)
+            ts = EPOCH + _dt.timedelta(seconds=ci * 3600 + ti * 7)
             if rng.random() < html_frac:
                 tid = rng.randint(0, len(TEMPLATES) - 1)
                 page = render(TEMPLATES[tid], rng)
@@ -164,55 +189,82 @@ def generate(
                 dict(conv_id=conv_id, turn_idx=ti, role=role, text=text,
                      tool=tool, ts=ts, template_id=tid)
             )
-        conv_seq += 1
-
-    # deterministic shuffle so ordering restore is exercised
-    rng.shuffle(rows)
-
-    schema = pa.schema(
-        [
-            ("conv_id", pa.string()),
-            ("turn_idx", pa.int32()),
-            ("role", pa.string()),
-            ("text", pa.string()),
-            ("tool", pa.string()),
-            ("ts", pa.timestamp("us")),
-            ("template_id", pa.int32()),
-        ]
+    rng.shuffle(rows)  # deterministic within-shard shuffle
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=ROW_SCHEMA),
+        f"{out_dir}/part-{chunk_idx:04d}.parquet",
     )
-    n_files = cfg["n_files"]
-    per = (len(rows) + n_files - 1) // n_files
-    for f in range(n_files):
-        chunk = rows[f * per : (f + 1) * per]
-        if not chunk:
-            continue
-        tbl = pa.Table.from_pylist(chunk, schema=schema)
-        pq.write_table(tbl, os.path.join(out_dir, f"part-{f:04d}.parquet"))
-
-    etbl = pa.Table.from_pylist(
-        expected,
-        schema=pa.schema(
-            [
-                ("conv_id", pa.string()),
-                ("turn_idx", pa.int32()),
-                ("template_id", pa.int32()),
-                ("extracted_text", pa.string()),
-                ("fields", pa.large_string()),
-                ("error_kind", pa.string()),
-            ]
-        ),
+    pq.write_table(
+        pa.Table.from_pylist(expected, schema=EXPECTED_SCHEMA),
+        f"{out_dir}/.expected-{chunk_idx:04d}.parquet",
     )
-    pq.write_table(etbl, os.path.join(out_dir, "expected.parquet"))
     n_err = sum(1 for e in expected if e["error_kind"] not in ("", "not_html"))
-    return dict(rows=len(rows), html_rows=sum(1 for r in rows if r["template_id"] >= 0),
-                error_rows=n_err, files=n_files)
+    return dict(
+        rows=len(rows),
+        html_rows=sum(1 for r in rows if r["template_id"] >= 0),
+        error_rows=n_err,
+    )
+
+
+def generate(
+    out_dir: str,
+    size: str = "tiny",
+    seed: int = 42,
+    html_frac: float = 0.5,
+    error_frac: float = 0.08,
+    hot_frac: float = 0.01,
+    hot_mult: int = 100,
+) -> dict:
+    """Write ``part-*.parquet`` shards + ``expected.parquet`` under
+    ``out_dir``. Deterministic in (size, seed) — chunk rngs are
+    independent, so serial and Ray-parallel generation give identical
+    bytes. Large presets fan out one Ray task per file shard when a Ray
+    session exists (generation is itself a small data pipeline)."""
+    import os
+
+    cfg = SIZES[size]
+    os.makedirs(out_dir, exist_ok=True)
+    n_files = cfg["n_files"]
+    n_convs = cfg["n_convs"]
+    per = (n_convs + n_files - 1) // n_files
+    args = [
+        (out_dir, f, f * per, min((f + 1) * per, n_convs), seed,
+         html_frac, error_frac, hot_frac, hot_mult, cfg["mean_turns"])
+        for f in range(n_files)
+        if f * per < n_convs
+    ]
+
+    import ray
+
+    if ray.is_initialized() and n_convs >= 5000:
+        task = ray.remote(num_cpus=1)(_generate_chunk)
+        stats = ray.get([task.remote(*a) for a in args])
+    else:
+        stats = [_generate_chunk(*a) for a in args]
+
+    # merge per-chunk expected files into one oracle twin
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith(".expected-")
+    )
+    merged = pa.concat_tables(
+        [pq.read_table(os.path.join(out_dir, p)) for p in parts]
+    )
+    pq.write_table(merged, os.path.join(out_dir, "expected.parquet"))
+    for p in parts:
+        os.remove(os.path.join(out_dir, p))
+
+    total = dict(rows=0, html_rows=0, error_rows=0, files=len(args))
+    for s in stats:
+        for k in ("rows", "html_rows", "error_rows"):
+            total[k] += s[k]
+    return total
 
 
 def ensure_generated(size: str, seed: int = 42, root: str = "/tmp/ws_transcripts") -> str:
     """Idempotent cached generation keyed by (size, seed)."""
     import os
 
-    out = os.path.join(root, f"{size}-seed{seed}")
+    out = os.path.join(root, f"v2-{size}-seed{seed}")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
         generate(out, size=size, seed=seed)
