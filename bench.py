@@ -38,7 +38,7 @@ def _headline(num_cpus: int) -> tuple[float, int]:
 
     input_dir = ensure_generated(BENCH_SIZE)  # cached across runs
     t0 = time.perf_counter()
-    ds = run_flagship(input_dir, batch_size=512)
+    ds = run_flagship(input_dir)
     rows = ds.count()
     dt = time.perf_counter() - t0
     return dt, rows

@@ -1,0 +1,34 @@
+"""Engine execution defaults for Ray Data's DataContext.
+
+Called (idempotently) by the pipeline entry points — never touches the
+Ray session itself. HASH_SHUFFLE makes keyed groupbys a real
+hash-partition exchange instead of a global sort-based shuffle:
+measured 3.7× faster on the ordering-restore groupby at bench scale
+(11.7s vs 43.3s at 32 CPUs) and it scales with CPUs instead of
+degrading. The aggregator-actor counts MUST be sized to the session:
+the defaults (200 partitions / 64 aggregator actors) deadlock a small
+local session whose CPUs are already reserved by map-stage actor
+pools (observed on the 4-CPU test session).
+"""
+
+from __future__ import annotations
+
+
+def configure_context() -> None:
+    import ray
+    from ray.data import DataContext
+
+    try:
+        from ray.data.context import ShuffleStrategy
+    except ImportError:  # pragma: no cover - older Ray
+        return
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    # a few aggregator actors per shuffle, bounded so map-stage actor
+    # pools always retain CPUs to make progress
+    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
+    ctx.default_hash_shuffle_parallelism = max(8, ncpu * 4)

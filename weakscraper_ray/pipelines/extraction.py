@@ -15,6 +15,7 @@ from typing import Callable
 import ray
 import ray.data
 
+from ..context import configure_context
 from ..stages.extract import Extractor
 from ..stages.ordering import restore_order
 from ..transcripts import TEMPLATES, ensure_generated
@@ -63,16 +64,22 @@ def extraction_pipeline(
     templates: dict[int, str] | None = None,
     functions: dict[str, Callable] | None = None,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 512,
+    batch_size: int = 1024,
     restore_ordering: bool = True,
     keep_text: bool = False,
 ):
     """Transcripts Dataset → extracted Dataset (still lazy)."""
+    configure_context()
     if templates is None:
         templates = default_templates()
     if concurrency is None:
+        # pool max leaves CPU headroom for read/shuffle stages; pool min
+        # at ~1/2 so the pool ramps immediately (autoscaling from 1
+        # costs ~10s of warm-up at bench scale — measured) while hash-
+        # shuffle aggregator actors can still schedule on small sessions
         ncpu = _pool_size()
-        concurrency = (1, max(2, ncpu - 2))
+        high = max(2, ncpu - 2)
+        concurrency = (max(1, min(high, ncpu // 2)), high)
     out = ds.map_batches(
         Extractor,
         fn_constructor_kwargs=dict(

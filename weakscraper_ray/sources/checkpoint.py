@@ -140,7 +140,25 @@ def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True)
     manifests = ds.groupby("shard").map_groups(
         lambda g: _write_one_partition(g, out_dir), batch_format="pandas"
     )
-    return manifests.to_pandas()
+    # Pin the sort-based shuffle for this groupby: the resume filter can
+    # empty the stream entirely, and the hash-shuffle aggregator crashes
+    # sorting schema-less empty blocks (Ray 2.49). The hot-path ordering
+    # groupby keeps HASH_SHUFFLE (context.py).
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = getattr(ctx, "shuffle_strategy", None)
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        return manifests.to_pandas()
+    finally:
+        if prev is not None:
+            ctx.shuffle_strategy = prev
 
 
 def metrics_rollup(out_dir: str) -> dict:
