@@ -28,7 +28,11 @@ def configure_context() -> None:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:  # pragma: no cover
         ncpu = 8
-    # a few aggregator actors per shuffle, bounded so map-stage actor
-    # pools always retain CPUs to make progress
-    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
-    ctx.default_hash_shuffle_parallelism = max(8, ncpu * 4)
+    # Controlled sweep at bench scale (2.15M rows, 32 CPUs, idle box):
+    #   aggregators=16 partitions=32  →  7.6s
+    #   aggregators=16 partitions=64  → 13.1s
+    #   aggregators=64 partitions=200 → 66.0s   (Ray defaults)
+    # Cost scales with partition count (per-partition finalize sort +
+    # small-block overhead): keep partitions ≈ CPUs, aggregators ≈ CPUs/2.
+    ctx.max_hash_shuffle_aggregators = max(4, ncpu // 2)
+    ctx.default_hash_shuffle_parallelism = max(8, ncpu)

@@ -33,7 +33,12 @@ def read_transcripts(path: str, with_route: bool = True):
 
     A generated table directory also holds the ``expected.parquet``
     oracle twin — only ``part-*.parquet`` shards are data.
+
+    configure_context() must run BEFORE read_parquet: a Dataset
+    snapshots its DataContext at creation, so execution settings set
+    later are ignored by this dataset's plan.
     """
+    configure_context()
     import glob
     import os
 
@@ -73,13 +78,13 @@ def extraction_pipeline(
     if templates is None:
         templates = default_templates()
     if concurrency is None:
-        # pool max leaves CPU headroom for read/shuffle stages; pool min
-        # at ~1/2 so the pool ramps immediately (autoscaling from 1
-        # costs ~10s of warm-up at bench scale — measured) while hash-
-        # shuffle aggregator actors can still schedule on small sessions
+        # Measured at bench scale (2.15M rows): pool max = ncpu-4 leaves
+        # headroom for read tasks + hash-shuffle aggregators (a pool at
+        # full ncpu serializes the stages); pool min = 3/4·ncpu ramps the
+        # pool immediately (autoscaling from 1 costs ~10s of warm-up).
         ncpu = _pool_size()
-        high = max(2, ncpu - 2)
-        concurrency = (max(1, min(high, ncpu // 2)), high)
+        high = max(2, ncpu - max(2, ncpu // 8))
+        concurrency = (max(1, min(high, ncpu * 3 // 4)), high)
     out = ds.map_batches(
         Extractor,
         fn_constructor_kwargs=dict(

@@ -716,3 +716,205 @@ ORACLE_SQL = {
     "anti_join": SQL_ANTI_JOIN,
     "knn_cosine": SQL_KNN,
 }
+
+
+# =====================================================================
+# Windowed aggregate: tumbling 1-hour windows (streaming-shaped, ray
+# guide pattern: event-time windows as keyed groupby over bucketed ts)
+# =====================================================================
+
+def q_window_tumbling(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())  # epoch micros
+        hour = pc.divide(us, 3_600_000_000)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_hour": pc.cast(hour, pa.int64()),
+                "value": batch.column("value"),
+            }
+        )
+        return t.group_by(["event_type", "window_hour"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = ds.map_batches(_bucket, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "window_hour"]).aggregate(
+        Sum("value_sum"), Sum("value_count")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_hour": t.column("window_hour"),
+                "n_events": pc.cast(t.column("sum(value_count)"), pa.int64()),
+                "sum_value_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("sum(value_sum)"), 100.0), 0),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WINDOW = """
+SELECT event_type,
+       cast(floor(epoch(ts) / 3600) AS BIGINT)            AS window_hour,
+       cast(count(*) AS BIGINT)                           AS n_events,
+       cast(round(sum(value) * 100, 0) AS BIGINT)         AS sum_value_cents
+FROM events GROUP BY event_type, cast(floor(epoch(ts) / 3600) AS BIGINT)
+"""
+
+
+# =====================================================================
+# As-of join: each click gets the user's most recent view at-or-before
+# its timestamp (pd.merge_asof per user group — ray guide pattern)
+# =====================================================================
+
+def q_asof_join(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def _asof(group: pd.DataFrame) -> pd.DataFrame:
+        clicks = group[group["event_type"] == "click"].sort_values(["ts", "event_id"])
+        views = (
+            group[group["event_type"] == "view"]
+            .groupby("ts", as_index=False)["value"].max()  # unique ts per side
+            .sort_values("ts")
+        )
+        if clicks.empty or views.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "view_value_cents"]
+            ).astype({"event_id": "int64", "user_id": "int64", "view_value_cents": "int64"})
+        m = pd.merge_asof(
+            clicks, views, on="ts", direction="backward", suffixes=("", "_view")
+        )
+        m = m.dropna(subset=["value_view"])
+        m["view_value_cents"] = (m["value_view"] * 100).round(0).astype("int64")
+        return m[["event_id", "user_id", "view_value_cents"]]
+
+    return ds.groupby("user_id").map_groups(_asof, batch_format="pandas")
+
+
+SQL_ASOF = """
+SELECT c.event_id, c.user_id,
+       cast(round(v.value * 100, 0) AS BIGINT) AS view_value_cents
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (
+    SELECT user_id, ts, max(value) AS value FROM events
+    WHERE event_type = 'view' GROUP BY user_id, ts
+) v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+# =====================================================================
+# Sessionization: per-user session count with a 30-minute gap rule
+# =====================================================================
+
+def q_sessionize(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        n = int(1 + (gaps > 1800).sum())
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [n]}
+        )
+
+    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+SELECT user_id,
+       cast(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+    SELECT user_id,
+           epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+)
+GROUP BY user_id
+"""
+
+
+# =====================================================================
+# Large-large join: Ray Data hash-partitioned Dataset.join
+# (both sides big — contrast with the broadcast join above)
+# =====================================================================
+
+def q_hash_join(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=32,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(1.0, batch.column("l_discount")),
+        )
+        t = pa.table(
+            {"o_orderpriority": batch.column("o_orderpriority"), "rev": rev}
+        )
+        return t.group_by("o_orderpriority").aggregate(
+            [("rev", "sum"), ("rev", "count")]
+        )
+
+    partials = joined.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("o_orderpriority").aggregate(
+        Sum("rev_sum"), Sum("rev_count")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("sum(rev_sum)"), 100.0), 0),
+                    pa.int64(),
+                ),
+                "n_items": pc.cast(t.column("sum(rev_count)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_HASH_JOIN = """
+SELECT o.o_orderpriority,
+       cast(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100, 0) AS BIGINT)
+           AS revenue_cents,
+       cast(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+QUERIES.update(
+    {
+        "window_tumbling": q_window_tumbling,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "hash_join": q_hash_join,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "window_tumbling": SQL_WINDOW,
+        "asof_join": SQL_ASOF,
+        "sessionize": SQL_SESSIONIZE,
+        "hash_join": SQL_HASH_JOIN,
+    }
+)

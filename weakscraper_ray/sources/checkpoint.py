@@ -137,28 +137,22 @@ def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True)
         ds = prune_committed(ds, out_dir, n_shards)
     else:
         ds = ds.map_batches(add_shard_column(n_shards), batch_format="pyarrow")
-    manifests = ds.groupby("shard").map_groups(
-        lambda g: _write_one_partition(g, out_dir), batch_format="pandas"
-    )
     # Pin the sort-based shuffle for this groupby: the resume filter can
-    # empty the stream entirely, and the hash-shuffle aggregator crashes
-    # sorting schema-less empty blocks (Ray 2.49). The hot-path ordering
-    # groupby keeps HASH_SHUFFLE (context.py).
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    prev = getattr(ctx, "shuffle_strategy", None)
+    # empty the stream entirely, and Ray 2.49's hash-shuffle aggregator
+    # crashes sorting schema-less empty blocks. Each Dataset SNAPSHOTS
+    # its DataContext at creation, so the override must go on the
+    # dataset's own context (the global one is ignored at exec time).
+    # The hot-path ordering groupby keeps HASH_SHUFFLE (context.py).
     try:
         from ray.data.context import ShuffleStrategy
 
-        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+        ds.context.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     except ImportError:  # pragma: no cover
         pass
-    try:
-        return manifests.to_pandas()
-    finally:
-        if prev is not None:
-            ctx.shuffle_strategy = prev
+    manifests = ds.groupby("shard").map_groups(
+        lambda g: _write_one_partition(g, out_dir), batch_format="pandas"
+    )
+    return manifests.to_pandas()
 
 
 def metrics_rollup(out_dir: str) -> dict:

@@ -97,7 +97,7 @@ def restore_order(
         try:
             import ray
 
-            n_shards = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
+            n_shards = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
         except Exception:  # pragma: no cover
             n_shards = 64
     salted = ds.map_batches(
