@@ -852,10 +852,13 @@ def q_hash_join(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    # partitions sized to the session: a fixed 32 needs 32 aggregator
+    # actors and deadlocks small CPU sessions
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=32,
+        num_partitions=max(2, ncpu // 2),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
