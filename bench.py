@@ -29,10 +29,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_SIZE = os.environ.get("GRAFT_BENCH_SIZE", "bench")  # transcripts preset
 
 
-def _headline(num_cpus: int) -> tuple[float, int]:
+def _headline(num_cpus: int) -> tuple[float, float, int]:
     """Flagship extraction pipeline over the bench transcripts table:
-    read → actor-pool extract → salted ordering restore → count.
-    Returns (seconds, rows)."""
+    read → actor-pool extract → ordering restore → count. Times BOTH
+    ordering paths: the mandated salted-hash shuffle (headline) and the
+    partition-aware no-exchange path (valid because the input layout
+    co-locates conversations per file — the engine's designed layout).
+    Returns (shuffle_sec, partitioned_sec, rows)."""
     from weakscraper_ray.pipelines import run_flagship
     from weakscraper_ray.transcripts import ensure_generated
 
@@ -45,7 +48,10 @@ def _headline(num_cpus: int) -> tuple[float, int]:
     ds = run_flagship(input_dir)
     rows = ds.count()
     dt = time.perf_counter() - t0
-    return dt, rows
+    t0 = time.perf_counter()
+    run_flagship(input_dir, ordering_mode="partitioned").count()
+    dt_part = time.perf_counter() - t0
+    return dt, dt_part, rows
 
 
 def _run_queries(sf_dir: str) -> dict[str, float]:
@@ -87,7 +93,7 @@ def main() -> None:
 
     ensure_generated(BENCH_SIZE)
 
-    headline_sec, rows = _headline(NUM_CPUS)
+    headline_sec, part_sec, rows = _headline(NUM_CPUS)
     queries = _run_queries(SF_DIR)
 
     print(
@@ -101,6 +107,8 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "rows": rows,
                 "turns_per_sec": round(rows / headline_sec, 1),
+                "partition_aware_sec": round(part_sec, 3),
+                "partition_aware_turns_per_sec": round(rows / part_sec, 1),
             }
         )
     )
@@ -130,6 +138,8 @@ def scaling() -> None:
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    p_lo, p_hi = r_lo["partition_aware_sec"], r_hi["partition_aware_sec"]
+    eff_part = (p_lo / p_hi) / (hi / lo)
     print(
         json.dumps(
             {
@@ -138,6 +148,9 @@ def scaling() -> None:
                 "turns_per_sec_8": r_lo["turns_per_sec"],
                 "turns_per_sec_32": r_hi["turns_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "partition_aware_sec_8": p_lo,
+                "partition_aware_sec_32": p_hi,
+                "partition_aware_scaling_efficiency": round(eff_part, 3),
                 "rows": r_hi["rows"],
             }
         )

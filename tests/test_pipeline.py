@@ -92,3 +92,34 @@ def test_no_route_column_fallback(tiny_dir, ray_session):
         ds, concurrency=2, batch_size=64, restore_ordering=False
     ).to_pandas()
     assert (out["status"] == "ok").sum() > 0
+
+
+def test_partition_aware_ordering_equivalent(tiny_dir, ray_session):
+    """ordering_mode='partitioned' (no exchange; valid because the
+    generator co-locates each conversation in one file) must produce
+    the same per-turn rows as the shuffle path."""
+    from weakscraper_ray.pipelines import read_transcripts, extraction_pipeline
+
+    a = (
+        extraction_pipeline(read_transcripts(tiny_dir), concurrency=2,
+                            batch_size=64, ordering_mode="partitioned")
+        .drop_columns(["spans"]).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        extraction_pipeline(read_transcripts(tiny_dir), concurrency=2,
+                            batch_size=64, ordering_mode="shuffle")
+        .drop_columns(["spans"]).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert a[["conv_id", "turn_idx", "extracted_text", "fields"]].equals(
+        b[["conv_id", "turn_idx", "extracted_text", "fields"]]
+    )
+    # and each output batch of the partitioned path is internally sorted
+    ds = extraction_pipeline(read_transcripts(tiny_dir), concurrency=2,
+                             batch_size=64, ordering_mode="partitioned")
+    for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        df = batch.to_pandas()
+        assert df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[
+            ["conv_id", "turn_idx"]
+        ].equals(df.reset_index(drop=True)[["conv_id", "turn_idx"]])

@@ -34,5 +34,8 @@ def configure_context() -> None:
     #   aggregators=64 partitions=200 → 66.0s   (Ray defaults)
     # Cost scales with partition count (per-partition finalize sort +
     # small-block overhead): keep partitions ≈ CPUs, aggregators ≈ CPUs/2.
-    ctx.max_hash_shuffle_aggregators = max(4, ncpu // 2)
-    ctx.default_hash_shuffle_parallelism = max(8, ncpu)
+    # fused-pipeline sweep (extract pool + shuffle sharing one box):
+    #   32 CPUs: aggregators=6 partitions=12 → 18.4s total (best);
+    #   16/32 → 32.5s. Under contention FEWER aggregators win.
+    ctx.max_hash_shuffle_aggregators = max(3, ncpu // 5)
+    ctx.default_hash_shuffle_parallelism = max(8, (ncpu * 3) // 8)

@@ -17,7 +17,7 @@ import ray.data
 
 from ..context import configure_context
 from ..stages.extract import Extractor
-from ..stages.ordering import restore_order
+from ..stages.ordering import restore_order, restore_order_partitioned
 from ..transcripts import TEMPLATES, ensure_generated
 
 #: mandated input schema (BASELINE.json input_hint) + routing column
@@ -71,6 +71,7 @@ def extraction_pipeline(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
     restore_ordering: bool = True,
+    ordering_mode: str = "shuffle",
     keep_text: bool = False,
 ):
     """Transcripts Dataset → extracted Dataset (still lazy)."""
@@ -96,7 +97,12 @@ def extraction_pipeline(
         num_cpus=1,
     )
     if restore_ordering:
-        out = restore_order(out)
+        if ordering_mode == "partitioned":
+            # input layout co-locates conversations per block — no
+            # exchange needed (see restore_order_partitioned docstring)
+            out = restore_order_partitioned(out)
+        else:
+            out = restore_order(out)
     return out
 
 

@@ -85,9 +85,13 @@ class Extractor:
         route_column: str = "template_id",
         keep_text: bool = False,
     ):
-        self.templates: dict[int, Template] = {
-            tid: Template(src, functions) for tid, src in sorted(templates.items())
-        }
+        from ..state import TemplateRegistry
+
+        # lazy compile-on-first-use per worker (SURVEY.md ST3): an
+        # actor only pays for the templates its rows actually route to
+        self.registry = TemplateRegistry(
+            {tid: src for tid, src in sorted(templates.items())}, functions
+        )
         self.route_column = route_column
         self.keep_text = keep_text
 
@@ -97,10 +101,12 @@ class Extractor:
         fields_json, spans, nodes_matched, boilerplate_bytes)."""
         if text is None or "<" not in text or ">" not in text:
             return (-1, "skipped", "not_html", "", "{}", [], 0, 0)
-        if tid is not None and tid in self.templates:
-            candidates = ((tid, self.templates[tid]),)
+        if tid is not None and tid in self.registry:
+            candidates = ((tid, self.registry.get(tid)),)
         else:
-            candidates = tuple(self.templates.items())
+            candidates = tuple(
+                (k, self.registry.get(k)) for k in self.registry.keys()
+            )
         last_err: TemplateMismatch | None = None
         for cand_id, tmpl in candidates:
             try:
