@@ -84,7 +84,10 @@ def extraction_pipeline(
         # full ncpu serializes the stages); pool min = 3/4·ncpu ramps the
         # pool immediately (autoscaling from 1 costs ~10s of warm-up).
         ncpu = _pool_size()
-        high = max(2, ncpu - max(2, ncpu // 8))
+        if restore_ordering and ordering_mode != "partitioned":
+            high = max(2, ncpu - max(2, ncpu // 8))  # headroom for shuffle
+        else:
+            high = max(2, ncpu - 1)  # no downstream exchange to feed
         concurrency = (max(1, min(high, ncpu * 3 // 4)), high)
     out = ds.map_batches(
         Extractor,
