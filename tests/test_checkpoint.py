@@ -22,10 +22,8 @@ def extracted(ray_session):
     from weakscraper_ray.pipelines import run_flagship
 
     tiny = ensure_generated("tiny")
-    ds = run_flagship(tiny, concurrency=2, batch_size=64, restore_ordering=False)
-    # spans (list<struct>) goes through pandas poorly in map_groups; the
-    # checkpointed artifact keeps scalar columns
-    return ds.drop_columns(["spans"])
+    # spans (list<struct>) kept: the sink is Arrow-native end to end
+    return run_flagship(tiny, concurrency=2, batch_size=64, restore_ordering=False)
 
 
 def test_write_resume_skips_committed(extracted, tmp_path):
@@ -87,8 +85,13 @@ def test_manifest_contents(extracted, tmp_path):
         m = json.load(fh)
     assert {"partition_id", "rows", "conversations", "nodes_matched",
             "boilerplate_bytes_stripped", "errors", "key_hash"} <= set(m)
-    df = pq.read_table(f"{out}/part={first}/data.parquet").to_pandas()
+    tbl = pq.read_table(f"{out}/part={first}/data.parquet")
+    df = tbl.to_pandas()
     assert len(df) == m["rows"]
     assert df["nodes_matched"].sum() == m["nodes_matched"]
     # whole conversations land in one shard
     assert df.groupby("conv_id")["turn_idx"].count().sum() == len(df)
+    # nested spans column survived the checkpointed write intact
+    assert "spans" in tbl.column_names
+    import pyarrow as pa
+    assert pa.types.is_list(tbl.schema.field("spans").type)

@@ -81,36 +81,49 @@ def prune_committed(ds, out_dir: str, n_shards: int):
     )
 
 
-def _write_one_partition(group: pd.DataFrame, out_dir: str) -> pd.DataFrame:
-    """Runs inside groupby(shard).map_groups — writes one partition
-    atomically and returns its manifest row."""
-    shard = int(group["shard"].iloc[0])
+def _write_one_partition(group: pa.Table, out_dir: str) -> pa.Table:
+    """Runs inside groupby(shard).map_groups (Arrow in / Arrow out, so
+    nested columns like ``spans`` survive intact) — writes one
+    partition atomically and returns its manifest row."""
+    shard = int(group.column("shard")[0].as_py())
     pdir = os.path.join(out_dir, f"part={shard}")
     os.makedirs(pdir, exist_ok=True)
-    data = group.drop(columns=["shard"]).sort_values(["conv_id", "turn_idx"])
-    tbl = pa.Table.from_pandas(data, preserve_index=False)
+    data = group.drop_columns(["shard"]).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
 
     tmp = os.path.join(pdir, ".data.parquet.tmp")
     final = os.path.join(pdir, "data.parquet")
-    pq.write_table(tbl, tmp)
+    pq.write_table(data, tmp)
     with open(tmp, "rb") as fh:
         os.fsync(fh.fileno())
     os.replace(tmp, final)
 
+    convs = data.column("conv_id")
+    turns = data.column("turn_idx")
     content_hash = hashlib.md5(
         "\x1e".join(
-            f"{c}\x1f{t}" for c, t in zip(data["conv_id"], data["turn_idx"])
+            f"{c}\x1f{t}" for c, t in zip(convs.to_pylist(), turns.to_pylist())
         ).encode()
     ).hexdigest()
+
+    def _sum(col: str) -> int:
+        if col not in data.column_names:
+            return 0
+        return int(pc.sum(data.column(col)).as_py() or 0)
+
+    n_errors = 0
+    if "status" in data.column_names:
+        n_errors = int(
+            pc.sum(pc.equal(data.column("status"), "error")).as_py() or 0
+        )
     manifest = {
         "partition_id": shard,
-        "rows": int(len(data)),
-        "conversations": int(data["conv_id"].nunique()),
-        "nodes_matched": int(data.get("nodes_matched", pd.Series(dtype=int)).sum()),
-        "boilerplate_bytes_stripped": int(
-            data.get("boilerplate_bytes_stripped", pd.Series(dtype=int)).sum()
-        ),
-        "errors": int((data.get("status", pd.Series(dtype=str)) == "error").sum()),
+        "rows": data.num_rows,
+        "conversations": len(pc.unique(convs)),
+        "nodes_matched": _sum("nodes_matched"),
+        "boilerplate_bytes_stripped": _sum("boilerplate_bytes_stripped"),
+        "errors": n_errors,
         "key_hash": content_hash,
     }
     mdir = os.path.join(out_dir, "_manifest")
@@ -121,7 +134,7 @@ def _write_one_partition(group: pd.DataFrame, out_dir: str) -> pd.DataFrame:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(mtmp, os.path.join(mdir, f"{shard}.json"))
-    return pd.DataFrame([manifest])
+    return pa.Table.from_pylist([manifest])
 
 
 def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True):
@@ -150,7 +163,7 @@ def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True)
     except ImportError:  # pragma: no cover
         pass
     manifests = ds.groupby("shard").map_groups(
-        lambda g: _write_one_partition(g, out_dir), batch_format="pandas"
+        lambda g: _write_one_partition(g, out_dir), batch_format="pyarrow"
     )
     return manifests.to_pandas()
 
