@@ -76,3 +76,64 @@ def test_text_content_and_bytes():
 def test_serialize_roundtrip():
     html = '<div id="a"><p>x</p><br/><span class="b">y</span></div>'
     assert serialize(parse(html)) == html
+
+
+# ------------------------------------------------- fast-parser equivalence
+
+def test_fast_parser_equivalence_corpus():
+    """parse_fast must produce the IDENTICAL DOM to the stdlib-based
+    reference parser on the conformance corpus + rendered pages."""
+    import random
+
+    from weakscraper_ray.dom import parse_fast, parse_stdlib
+    from weakscraper_ray.render import render
+    from weakscraper_ray.transcripts import TEMPLATES, _mutate_html
+
+    cases = [
+        "<div id='a'><p>Hello</p><p>World</p></div>",
+        "<p>  Hello \n\t  big   world  </p>",
+        "<div> \n <p>x</p> \t </div>",
+        "<DIV CLASS='x' hidden><P>y</P></DIV>",
+        "<div><br><img src='u'><p>after</p></div>",
+        "<!DOCTYPE html><!-- c --><html><body>x</body></html>",
+        "<p>a &amp; b &lt;tag&gt; &#65;</p>",
+        "<div><wp-nugget wp-name='x'/>tail</div>",
+        "<div><p>x</p></span></div>",
+        "<div><p>a<p>b",                          # unclosed tags
+        "<script>if (a < b) { track(); }</script><p>x</p>",
+        "<style>.x > .y { color: red }</style>",
+        "<a href=/bare attr2 = 'q'>t</a>",        # unquoted + spaced attrs
+        "< notatag",
+        "",
+        "plain text only",
+    ]
+    rng = random.Random(77)
+    for tid in range(len(TEMPLATES)):
+        for _ in range(10):
+            page = render(TEMPLATES[tid], rng).html
+            cases.append(page)
+            cases.append(_mutate_html(page, rng))
+        cases.append(TEMPLATES[tid])
+    for html in cases:
+        assert parse_fast(html) == parse_stdlib(html), html[:120]
+
+
+def test_fast_parser_is_default_and_faster():
+    import time
+
+    from weakscraper_ray.dom import parse, parse_fast, parse_stdlib
+
+    assert parse is parse_fast
+    page = ("<div class='a'><h1>T</h1>" + "<p>some text here</p>" * 50
+            + "<ul>" + "<li><a href='/x'>l</a></li>" * 30 + "</ul></div>")
+    for fn in (parse_fast, parse_stdlib):
+        fn(page)  # warm
+    t0 = time.perf_counter()
+    for _ in range(200):
+        parse_stdlib(page)
+    t_std = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(200):
+        parse_fast(page)
+    t_fast = time.perf_counter() - t0
+    assert t_fast < t_std  # strictly faster on a typical page
