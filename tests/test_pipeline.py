@@ -123,3 +123,33 @@ def test_partition_aware_ordering_equivalent(tiny_dir, ray_session):
         assert df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[
             ["conv_id", "turn_idx"]
         ].equals(df.reset_index(drop=True)[["conv_id", "turn_idx"]])
+
+
+def test_user_functions_through_ray(tiny_dir, ray_session):
+    """wp-function user post-processors (SURVEY.md D5 / §2.8) ship to
+    the actor pool via fn_constructor_kwargs and run per capture."""
+    import json
+
+    from weakscraper_ray.pipelines import read_transcripts, extraction_pipeline
+
+    def shout(v):
+        return v.upper()
+
+    templates = {
+        0: "<html><body><wp-ignore/><article>"
+           "<h1 wp-name='title' wp-function='shout'></h1><wp-ignore/>"
+           "</article><wp-ignore/></body></html>",
+    }
+    out = extraction_pipeline(
+        read_transcripts(tiny_dir),
+        templates=templates,
+        functions={"shout": shout},
+        concurrency=2,
+        batch_size=64,
+        restore_ordering=False,
+    ).to_pandas()
+    ok = out[(out["status"] == "ok") & (out["template_id"] == 0)]
+    assert len(ok) > 0
+    for f in ok["fields"].head(10):
+        title = json.loads(f)["title"]
+        assert title == title.upper()

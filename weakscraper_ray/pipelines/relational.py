@@ -921,3 +921,16 @@ ORACLE_SQL.update(
         "hash_join": SQL_HASH_JOIN,
     }
 )
+
+
+# =====================================================================
+# R9: deterministic seeded sampling (learner-style; rows-only check —
+# the sampled row SET is seed-stable but not SQL-expressible)
+# =====================================================================
+
+def q_sample(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return ds.random_sample(0.1, seed=42)
+
+
+QUERIES["sample_events"] = q_sample

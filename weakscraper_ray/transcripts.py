@@ -80,7 +80,7 @@ _LOREM = (
 SIZES = {
     "tiny": dict(n_convs=10, mean_turns=10, n_files=2),
     "small": dict(n_convs=1000, mean_turns=20, n_files=8),
-    "bench": dict(n_convs=50_000, mean_turns=20, n_files=128),
+    "bench": dict(n_convs=150_000, mean_turns=20, n_files=256),
 }
 
 
@@ -264,7 +264,7 @@ def ensure_generated(size: str, seed: int = 42, root: str = "/tmp/ws_transcripts
     """Idempotent cached generation keyed by (size, seed)."""
     import os
 
-    out = os.path.join(root, f"v3-{size}-seed{seed}")
+    out = os.path.join(root, f"v4-{size}-seed{seed}")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
         generate(out, size=size, seed=seed)
