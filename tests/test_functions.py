@@ -185,3 +185,55 @@ def test_template_registry_lazy(tmp_path):
     assert reg.compiled_count == 1
     reg.get("a")  # cached, not recompiled
     assert reg.compiled_count == 1
+
+
+# --------------------------------------------------------- heuristic
+
+def test_heuristic_main_content():
+    from weakscraper_ray.heuristic import extract_main_content
+
+    html = """
+    <html><body>
+      <nav><a href='/'>Home</a><a href='/a'>About</a><a href='/c'>Contact</a></nav>
+      <div class='content'>
+        <p>This is the real article body with quite a lot of meaningful
+           prose text that should clearly dominate the density score.</p>
+        <p>Another long paragraph of genuine content keeps the density
+           high and the link ratio low for this container element.</p>
+      </div>
+      <footer>copyright links <a href='/t'>terms</a></footer>
+    </body></html>
+    """
+    text, boiler = extract_main_content(html)
+    assert "real article body" in text
+    assert "Home" not in text and "copyright" not in text
+    assert boiler > 0
+
+
+def test_heuristic_empty_and_linkfarm():
+    from weakscraper_ray.heuristic import extract_main_content
+
+    assert extract_main_content("")[0] == ""
+    linkfarm = "<div>" + "".join(f"<a href='/{i}'>link {i}</a>" for i in range(30)) + "</div>"
+    text, _ = extract_main_content(linkfarm)
+    assert text == ""  # link-dominated page has no main content
+
+
+# ------------------------------------------------------------ layout
+
+def test_pdf_layout_stub():
+    from weakscraper_ray.functions.layout import (
+        PdfLayoutParser,
+        make_pdf_table,
+        reading_order,
+    )
+
+    tbl = make_pdf_table(8)
+    blocks = PdfLayoutParser()(tbl)
+    assert blocks.num_rows > 8
+    assert set(blocks.column("kind").to_pylist()) <= {"heading", "paragraph", "caption"}
+    # deterministic
+    assert blocks.equals(PdfLayoutParser()(tbl))
+    df = blocks.to_pandas()
+    one = reading_order(df[df.doc_id == 0])
+    assert list(one["reading_idx"]) == list(range(len(one)))

@@ -1,0 +1,102 @@
+"""PDF / layout parsing stage (north_rule: "PDF/layout parse").
+
+No PDF library ships in this container, so the page decode is STUBBED
+behind a clearly-marked deterministic fake — but the Ray-side plumbing
+is real and tested: binary payload column in, one row per text block
+out with page number + bbox + reading-order index, small-batch
+actor-pool stage shape, Arrow struct metadata.
+
+On a production cluster, replace :func:`_decode_pdf_stub` with a real
+parser (e.g. pdfminer/pypdf + a layout model) — the stage contract
+(schema in / schema out) does not change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+#: output block schema: one row per layout text block
+BLOCK_FIELDS = [
+    ("doc_id", pa.int64()),
+    ("page", pa.int32()),
+    ("block_idx", pa.int32()),
+    ("kind", pa.string()),          # "heading" | "paragraph" | "caption"
+    ("text", pa.string()),
+    ("x0", pa.float32()), ("y0", pa.float32()),
+    ("x1", pa.float32()), ("y1", pa.float32()),
+]
+
+
+def make_pdf_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake PDF table (payload = seeded bytes)."""
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(512 + int(rng.randint(0, 2048))) for _ in range(n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_pages": pa.array(
+                [1 + int(rng.randint(0, 4)) for _ in range(n)], pa.int32()
+            ),
+        }
+    )
+
+
+_WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _decode_pdf_stub(payload: bytes, n_pages: int):
+    """STUB for a real PDF parser: deterministic in the payload bytes.
+    Yields (page, block_idx, kind, text, bbox)."""
+    digest = hashlib.blake2b(payload, digest_size=32).digest()
+    for page in range(n_pages):
+        n_blocks = 1 + digest[page % 32] % 4
+        for b in range(n_blocks):
+            h = digest[(page * 7 + b * 3) % 32]
+            kind = ("heading", "paragraph", "paragraph", "caption")[h % 4]
+            words = [_WORDS[digest[(page + b + i) % 32] % 10] for i in range(3 + h % 8)]
+            y = 720.0 - 60.0 * b
+            yield page, b, kind, " ".join(words), (72.0, y - 40.0, 540.0, y)
+
+
+class PdfLayoutParser:
+    """Actor-pool stage: binary PDFs → layout text blocks.
+
+    Use ``batch_size<=64`` for real multi-MB PDFs (SURVEY.md §4.2
+    memory row); decode state (fonts, models) belongs in ``__init__``.
+    """
+
+    def __init__(self):
+        self.decode = _decode_pdf_stub  # swap for a real parser
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name, _ in BLOCK_FIELDS}
+        for doc_id, payload, n_pages in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("n_pages").to_pylist(),
+        ):
+            for page, b, kind, text, (x0, y0, x1, y1) in self.decode(payload, n_pages):
+                cols["doc_id"].append(doc_id)
+                cols["page"].append(page)
+                cols["block_idx"].append(b)
+                cols["kind"].append(kind)
+                cols["text"].append(text)
+                cols["x0"].append(x0)
+                cols["y0"].append(y0)
+                cols["x1"].append(x1)
+                cols["y1"].append(y1)
+        return pa.table(
+            {name: pa.array(cols[name], typ) for name, typ in BLOCK_FIELDS}
+        )
+
+
+def reading_order(group):
+    """Per-(doc, page) reading-order restore: top-to-bottom then
+    left-to-right by bbox (pandas group fn for groupby.map_groups)."""
+    g = group.sort_values(["page", "y1", "x0"], ascending=[True, False, True])
+    g["reading_idx"] = range(len(g))
+    return g

@@ -73,6 +73,7 @@ def extraction_pipeline(
     restore_ordering: bool = True,
     ordering_mode: str = "shuffle",
     keep_text: bool = False,
+    heuristic_fallback: bool = False,
 ):
     """Transcripts Dataset → extracted Dataset (still lazy)."""
     configure_context()
@@ -92,7 +93,8 @@ def extraction_pipeline(
     out = ds.map_batches(
         Extractor,
         fn_constructor_kwargs=dict(
-            templates=templates, functions=functions, keep_text=keep_text
+            templates=templates, functions=functions, keep_text=keep_text,
+            heuristic_fallback=heuristic_fallback,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

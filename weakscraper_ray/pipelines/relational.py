@@ -934,3 +934,49 @@ def q_sample(sf_dir: str):
 
 
 QUERIES["sample_events"] = q_sample
+
+
+# =====================================================================
+# DOM-heuristic extraction + PDF layout parse (north_rule families;
+# rows-only — not SQL-expressible)
+# =====================================================================
+
+def q_heuristic_extract(sf_dir: str):
+    """Template-less extraction: text-density DOM heuristic as the
+    fallback for pages whose template mismatches (mutated rows) — the
+    north_rule's 'DOM heuristics' member, end to end on Ray."""
+    from .extraction import extraction_pipeline, read_transcripts
+    from ..transcripts import ensure_generated
+
+    input_dir = ensure_generated(_size_for(sf_dir))
+    ds = read_transcripts(input_dir)
+    out = extraction_pipeline(
+        ds,
+        restore_ordering=False,
+        heuristic_fallback=True,
+    )
+    return out.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), "heuristic")).select(
+            ["conv_id", "turn_idx", "error_kind", "extracted_text",
+             "boilerplate_bytes_stripped"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_pdf_layout(sf_dir: str):
+    """Stubbed-decode PDF layout parse: binary docs → text blocks with
+    page/bbox → per-(doc,page) reading-order restore."""
+    from ..functions.layout import PdfLayoutParser, make_pdf_table, reading_order
+
+    ds = ray.data.from_arrow(make_pdf_table(500))
+    blocks = ds.map_batches(
+        PdfLayoutParser, batch_format="pyarrow", batch_size=32, concurrency=(1, 2)
+    )
+    return blocks.groupby(["doc_id", "page"]).map_groups(
+        reading_order, batch_format="pandas"
+    )
+
+
+QUERIES["heuristic_extract"] = q_heuristic_extract
+QUERIES["pdf_layout"] = q_pdf_layout

@@ -84,6 +84,7 @@ class Extractor:
         functions: dict[str, Callable] | None = None,
         route_column: str = "template_id",
         keep_text: bool = False,
+        heuristic_fallback: bool = False,
     ):
         from ..state import TemplateRegistry
 
@@ -94,6 +95,7 @@ class Extractor:
         )
         self.route_column = route_column
         self.keep_text = keep_text
+        self.heuristic_fallback = heuristic_fallback
 
     # -- per-row core ---------------------------------------------------
     def _extract_one(self, text: str, tid: int | None):
@@ -128,6 +130,18 @@ class Extractor:
                 m.boilerplate_bytes,
             )
         kind = last_err.kind if last_err is not None else "no_template"
+        if self.heuristic_fallback:
+            # template-less / mismatched page → text-density DOM
+            # heuristic (SURVEY.md C4 fallback, north_rule "DOM
+            # heuristics"); classification kept in error_kind
+            from ..heuristic import extract_main_content
+
+            text_out, boiler = extract_main_content(text)
+            if text_out:
+                return (
+                    tid if tid is not None else -1,
+                    "heuristic", kind, text_out, "{}", [], 0, boiler,
+                )
         return (
             tid if tid is not None else -1,
             "error", kind, "", "{}", [], 0, 0,
