@@ -84,3 +84,61 @@ def knn_brute_force(ds, query_ids, query_matrix, k: int = 10, batch_size: int = 
     return partials.groupby("query_id").map_groups(
         lambda g: global_topk(g, k), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+def kmeans_centroids(sample: np.ndarray, k: int = 16, iters: int = 10,
+                     seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side SAMPLE (the classic
+    IVF training step — the sample is small; training never touches the
+    full dataset)."""
+    rng = np.random.RandomState(seed)
+    pick = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cents = sample[pick].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+class IvfAssigner:
+    """Actor stage: assign each vector to its nearest centroid (the IVF
+    inverted-list key). Centroids broadcast once per actor."""
+
+    def __init__(self, centroids_ref, column: str = "embedding"):
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.cents = np.asarray(c, dtype=np.float64)
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column(self.column).to_pylist(), dtype=np.float64)
+        d = ((mat[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "list_id": pa.array(d.argmin(axis=1).astype(np.int64)),
+                "embedding": batch.column(self.column),
+            }
+        )
+
+
+def ivf_topk_in_list(group: pd.DataFrame, query_unit: np.ndarray,
+                     query_ids: np.ndarray, k: int = 10) -> pd.DataFrame:
+    """Within one inverted list: score members against every query that
+    probes this list (single-probe demo: every query scores only its
+    own nearest list's members)."""
+    mat = np.asarray(group["embedding"].to_list(), dtype=np.float64)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = query_unit @ unit.T
+    ids = group["vec_id"].to_numpy()
+    rows = []
+    for qi in range(len(query_ids)):
+        order = np.argsort(-sims[qi])[:k]
+        for vi in order:
+            rows.append((int(query_ids[qi]), int(ids[vi]), round(float(sims[qi, vi]), 4)))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "score"])

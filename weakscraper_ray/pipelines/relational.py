@@ -980,3 +980,47 @@ def q_pdf_layout(sf_dir: str):
 
 QUERIES["heuristic_extract"] = q_heuristic_extract
 QUERIES["pdf_layout"] = q_pdf_layout
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN scale path: k-means centroids trained on a driver-side
+    sample → vectors bucketed into inverted lists (actor stage,
+    broadcast centroids) → each query scores only its nearest list's
+    members. Rows-only (approximate by design)."""
+    from ..functions.similarity import IvfAssigner, ivf_topk_in_list, kmeans_centroids
+
+    qt = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sample = np.asarray(qt.column("embedding").to_pylist()[:256], dtype=np.float64)
+    cents = kmeans_centroids(sample, k=8)
+    cents_ref = ray.put(cents)
+
+    qmask = pc.less(qt.column("vec_id"), _KNN_QUERIES)
+    qsel = qt.filter(qmask)
+    qmat = np.asarray(qsel.column("embedding").to_pylist(), dtype=np.float64)
+    qunit = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray(qsel.column("vec_id").to_pylist())
+    # single-probe: which list each query would search
+    qd = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    qlist = qd.argmin(axis=1)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs=dict(centroids_ref=cents_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+    def _per_list(group: pd.DataFrame) -> pd.DataFrame:
+        lid = int(group["list_id"].iloc[0])
+        probing = qlist == lid
+        if not probing.any():
+            return pd.DataFrame(columns=["query_id", "vec_id", "score"]).astype(
+                {"query_id": "int64", "vec_id": "int64", "score": "float64"}
+            )
+        return ivf_topk_in_list(group, qunit[probing], qids[probing], k=_KNN_K)
+
+    return assigned.groupby("list_id").map_groups(_per_list, batch_format="pandas")
+
+
+QUERIES["knn_ivf"] = q_knn_ivf
