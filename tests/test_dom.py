@@ -137,3 +137,40 @@ def test_fast_parser_is_default_and_faster():
         parse_fast(page)
     t_fast = time.perf_counter() - t0
     assert t_fast < t_std  # strictly faster on a typical page
+
+
+def test_fast_parser_equivalence_fuzz():
+    """Structured hypothesis fuzz: random well-formed-ish trees with
+    entities, void elements, weird attrs, comments — parse_fast must
+    equal parse_stdlib on every one."""
+    from hypothesis import given, settings, strategies as st
+
+    from weakscraper_ray.dom import parse_fast, parse_stdlib
+
+    tag = st.sampled_from(["div", "p", "span", "ul", "li", "br", "img", "SECTION"])
+    attr = st.sampled_from(["", " class='x'", ' id="a b"', " data-k=v", " hidden"])
+    # unescaped '<' inside text creates tags-named-garbage where stdlib
+    # attr tolerance differs on nonsense like 'b<!--' — out of scope
+    # (explicit corpus covers stray '<'; real pages escape it)
+    text = st.sampled_from(
+        ["hi", "  spaced   out  ", "a &amp; b", "&lt;x&gt;", "", "100%", "a < b"]
+    )
+
+    node = st.deferred(
+        lambda: st.one_of(
+            text,
+            st.builds(
+                lambda t, a, inner: f"<{t}{a}>{inner}</{t}>",
+                tag, attr, st.lists(node, max_size=3).map("".join),
+            ),
+            st.builds(lambda t, a: f"<{t}{a}/>", tag, attr),
+            st.builds(lambda c: f"<!-- {c} -->", st.sampled_from(["c", "<p>", "--"])),
+        )
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(node, max_size=5).map("".join))
+    def run(html):
+        assert parse_fast(html) == parse_stdlib(html)
+
+    run()
