@@ -1,0 +1,82 @@
+"""CLI entry point: run the extraction pipeline over a transcripts
+Parquet directory.
+
+    python -m weakscraper_ray extract --input DIR --out DIR \
+        [--templates-dir DIR] [--learn] [--heuristic] [--no-resume] \
+        [--num-cpus N] [--shards N]
+
+Owns its Ray session (guarded init — the library never calls
+ray.init); writes the checkpointed resumable layout and prints the
+manifest roll-up as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="weakscraper_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="template extraction over transcripts parquet")
+    ex.add_argument("--input", required=True, help="transcripts parquet dir/file")
+    ex.add_argument("--out", required=True, help="checkpointed output dir")
+    ex.add_argument("--templates-dir", help="dir of <name>.html wp-* templates")
+    ex.add_argument("--learn", action="store_true",
+                    help="learn skeleton templates from the input instead")
+    ex.add_argument("--heuristic", action="store_true",
+                    help="text-density fallback for template-less pages")
+    ex.add_argument("--num-cpus", type=int, default=None)
+    ex.add_argument("--shards", type=int, default=64)
+    ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument("--batch-size", type=int, default=1024)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        from .pipelines.extraction import extraction_pipeline, read_transcripts
+        from .sources import metrics_rollup, write_partitioned
+
+        ds = read_transcripts(args.input)
+        templates = None
+        if args.templates_dir:
+            from .state import load_template_dir
+
+            named = load_template_dir(args.templates_dir)
+            templates = dict(enumerate(named[k] for k in sorted(named)))
+        elif args.learn:
+            from .pipelines.learning import learn_templates
+
+            templates = learn_templates(read_transcripts(args.input))
+
+        out = extraction_pipeline(
+            ds,
+            templates=templates,
+            batch_size=args.batch_size,
+            restore_ordering=False,  # the sink's shard groupby sorts per partition
+            heuristic_fallback=args.heuristic,
+        )
+        write_partitioned(
+            out, args.out, n_shards=args.shards, resume=not args.no_resume
+        )
+        print(json.dumps(metrics_rollup(args.out)))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
