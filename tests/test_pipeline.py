@@ -153,3 +153,32 @@ def test_user_functions_through_ray(tiny_dir, ray_session):
     for f in ok["fields"].head(10):
         title = json.loads(f)["title"]
         assert title == title.upper()
+
+
+def test_per_turn_equality_small_scale(ray_session):
+    """Per-turn text equality at 'small' scale (≈20k turns, 1k convs,
+    hot conversations, 8 shuffled files): the full pipeline including
+    salted ordering restore reproduces the expected twin exactly."""
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines import run_flagship
+
+    small = ensure_generated("small")
+    got = (
+        run_flagship(small, batch_size=1024)
+        .drop_columns(["spans"])
+        .to_pandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    exp = (
+        pq.read_table(f"{small}/expected.parquet")
+        .to_pandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    assert len(got) == len(exp) > 15000
+    assert (got["extracted_text"] == exp["extracted_text"]).all()
+    assert (got["fields"] == exp["fields"]).all()
+    err = exp["error_kind"].isin(["", "not_html"]) == False  # noqa: E712
+    assert (got.loc[err, "error_kind"] == exp.loc[err, "error_kind"]).all()
