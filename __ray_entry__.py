@@ -35,7 +35,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query."""
+    """DuckDB twins: static SQL for the relational family plus
+    deterministic expected-twin parquets (built here, single-threaded)
+    for the extraction family — see weakscraper_ray/oracles.py."""
     from weakscraper_ray.pipelines import relational
 
-    return relational.ORACLE_SQL
+    return relational.build_oracle_sql()

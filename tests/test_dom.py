@@ -103,6 +103,12 @@ def test_fast_parser_equivalence_corpus():
         "<script>if (a < b) { track(); }</script><p>x</p>",
         "<style>.x > .y { color: red }</style>",
         "<a href=/bare attr2 = 'q'>t</a>",        # unquoted + spaced attrs
+        '<a title="x>y">t</a>',                   # '>' inside quoted value
+        "<a title='x>y' b=c>t</a>",
+        '<a title= "x > y" hidden>t</a>',
+        "<a title=don't>t</a>",                   # quote inside unquoted value
+        '<div data-x="a>b" data-y=\'c>d\'><p>in</p></div>',
+        '<img src="a>b"/>',
         "< notatag",
         "",
         "plain text only",
@@ -148,7 +154,10 @@ def test_fast_parser_equivalence_fuzz():
     from weakscraper_ray.dom import parse_fast, parse_stdlib
 
     tag = st.sampled_from(["div", "p", "span", "ul", "li", "br", "img", "SECTION"])
-    attr = st.sampled_from(["", " class='x'", ' id="a b"', " data-k=v", " hidden"])
+    attr = st.sampled_from(
+        ["", " class='x'", ' id="a b"', " data-k=v", " hidden",
+         ' title="x>y"', " alt='a > b'"]  # '>' inside quoted values
+    )
     # unescaped '<' inside text creates tags-named-garbage where stdlib
     # attr tolerance differs on nonsense like 'b<!--' — out of scope
     # (explicit corpus covers stray '<'; real pages escape it)

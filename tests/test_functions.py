@@ -78,8 +78,8 @@ def test_lang_id_heuristic():
 def test_quality_score_ranges():
     qs = QualityScore()
     out = qs(_docs(["The quick brown fox jumps over the lazy dog.", "!!!", ""]))
-    scores = out.column("quality_score").to_pylist()
-    assert all(0.0 <= s <= 1.0 for s in scores)
+    scores = out.column("quality_score_e6").to_pylist()
+    assert all(0 <= s <= 1_000_000 for s in scores)
     assert scores[0] > scores[1]
 
 

@@ -52,11 +52,16 @@ def main(argv: list[str] | None = None) -> int:
 
         ds = read_transcripts(args.input)
         templates = None
+        route_column: str | None = "template_id"
         if args.templates_dir:
             from .state import load_template_dir
 
             named = load_template_dir(args.templates_dir)
             templates = dict(enumerate(named[k] for k in sorted(named)))
+            # external templates don't share the input's template-id
+            # space: disable routing so every row gets first-match-wins
+            # across all supplied templates (ADVICE r1)
+            route_column = None
         elif args.learn:
             from .pipelines.learning import learn_templates
 
@@ -68,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
             batch_size=args.batch_size,
             restore_ordering=False,  # the sink's shard groupby sorts per partition
             heuristic_fallback=args.heuristic,
+            route_column=route_column,
         )
         write_partitioned(
             out, args.out, n_shards=args.shards, resume=not args.no_resume

@@ -146,7 +146,13 @@ _TOKEN = re.compile(
     r"<!--.*?-->"              # comment
     r"|<![^>]*>"               # doctype / other decls
     r"|</[a-zA-Z][^>]*>"       # end tag
-    r"|<[a-zA-Z][^>]*>"        # start tag (possibly self-closing)
+    # start tag (possibly self-closing); quote-aware like the stdlib
+    # tokenizer: a quoted attribute VALUE (quote right after '=') may
+    # contain '>', e.g. <a title="x>y"> — the quoted alternatives are
+    # tried before the generic [^>] so the tag doesn't truncate there.
+    # A quote NOT opening a value (e.g. don't in an unquoted value)
+    # falls through to [^>], again matching stdlib tolerance.
+    r"|<[a-zA-Z](?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*>"
     r"|[^<]+"                  # text run
     r"|<",                     # stray '<'
     re.S,

@@ -168,12 +168,24 @@ def jaccard(text_a: str, text_b: str, k: int = 1) -> float:
 
 # --------------------------------------------------------------- simhash
 
+#: SimHash banding: 4 blocks of 16 bits. By pigeonhole, any signature
+#: pair with Hamming distance <= SIMHASH_MAX_HAMMING (= n_bands - 1)
+#: agrees on at least one whole band, so banded candidate generation
+#: has EXACT recall at that threshold (the public Manku/Google
+#: near-dup design) — which is what lets the DuckDB all-pairs oracle
+#: match the distributed result bit-for-bit.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 64 // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
+
+
 class SimHasher:
     """64-bit SimHash over word features (public Charikar idiom)."""
 
     def __init__(self, column: str = "text"):
         self.column = column
         self._bit_cols = np.arange(64, dtype=np.uint64)
+        self._powers = np.uint64(1) << self._bit_cols
 
     def signature(self, text: str) -> int:
         words = (text or "").lower().split()
@@ -182,29 +194,52 @@ class SimHasher:
         h = _stable_token_hash(words)  # (W,) uint64, weight = occurrence
         bits = ((h[:, None] >> self._bit_cols[None, :]) & np.uint64(1)).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for i in range(64):
-            if v[i] > 0:
-                sig |= np.uint64(1) << np.uint64(i)
-        return int(sig)
+        # sum of distinct powers of two == the bitwise OR, vectorized
+        return int(self._powers[v > 0].sum(dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = np.array(
             [self.signature(t) for t in batch.column(self.column).to_pylist()],
             dtype=np.uint64,
         )
-        # 4 × 16-bit bands for candidate bucketing
-        out = {"doc_id": batch.column("doc_id"), "simhash": sigs}
-        for b in range(4):
-            out[f"band{b}"] = ((sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
-                np.int64
-            )
-        return pa.table(out)
+        return pa.table({"doc_id": batch.column("doc_id"), "simhash": sigs})
+
+
+def explode_simhash_bands(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) → one row per band: (band, band_val, doc_id,
+    simhash) for the LSH bucket groupby. The full signature rides along
+    (8 bytes/row) so in-bucket Hamming verification needs no rejoin."""
+    sigs = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(sigs)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    mask = np.uint64((1 << SIMHASH_BAND_BITS) - 1)
+    bands, vals, docs, sig_out = [], [], [], []
+    for b in range(SIMHASH_BANDS):
+        bands.append(np.full(n, b, dtype=np.int32))
+        vals.append(((sigs >> np.uint64(SIMHASH_BAND_BITS * b)) & mask).astype(np.int64))
+        docs.append(doc_ids)
+        sig_out.append(sigs)
+    return pa.table(
+        {
+            "band": np.concatenate(bands),
+            "band_val": np.concatenate(vals),
+            "doc_id": np.concatenate(docs),
+            "simhash": np.concatenate(sig_out),
+        }
+    )
+
+
+#: bytewise popcount lookup (numpy 1.x has no bitwise_count)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a, b)
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+    """Vectorized Hamming distance between uint64 arrays (bytewise
+    table lookup; no per-element Python)."""
+    x = np.bitwise_xor(np.ascontiguousarray(a), np.ascontiguousarray(b))
+    return (
+        _POPCOUNT8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+    )
 
 
 # --------------------------------------------------- embedding near-dup

@@ -40,11 +40,19 @@ class BruteForceTopK:
         unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = self.qunit @ unit.T  # (Q, n) one matmul per batch
         k = min(self.k, sims.shape[1])
-        # local top-k per query (argpartition = O(n))
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        # local top-k per query under the SAME ordering the global
+        # reducer uses — (rounded score desc, vec_id asc) — so a vector
+        # tied after rounding can't be cut at the batch boundary and
+        # then win globally (ADVICE r1). argpartition pre-selects a
+        # small candidate margin, the exact ordering ranks within it.
+        margin = min(sims.shape[1], k + 8)
+        part = np.argpartition(-sims, margin - 1, axis=1)[:, :margin]
         rows_q, rows_v, rows_s = [], [], []
         for qi in range(sims.shape[0]):
-            sel = part[qi]
+            cand = part[qi]
+            rounded = np.round(sims[qi, cand], 4)
+            order = np.lexsort((ids[cand], -rounded))[:k]
+            sel = cand[order]
             rows_q.append(np.full(k, self.query_ids[qi]))
             rows_v.append(ids[sel])
             rows_s.append(sims[qi, sel])

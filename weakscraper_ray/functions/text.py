@@ -53,34 +53,50 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
 
 
-_MOD = (1 << 61) - 1
-_BASE = 1_000_003
+#: polynomial-hash base, modulus 2^64 (uint64 wraparound IS the mod)
+_ROLL_BASE = 1_000_003
+
+_ROLL_WINDOW = 16
+#: BASE^(window-1-t) mod 2^64 for t in [0, window) — position weights
+_ROLL_POWS = np.array(
+    [pow(_ROLL_BASE, _ROLL_WINDOW - 1 - t, 1 << 64) for t in range(_ROLL_WINDOW)],
+    dtype=np.uint64,
+)
 
 
-def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
+def rolling_fingerprint_batch(batch: pa.Table, window: int = _ROLL_WINDOW) -> pa.Table:
     """(doc_id, min_rolling_hash): min of rolling polynomial hashes over
     byte windows — a winnowing-style content fingerprint robust to
-    appends (public Rabin-Karp/winnowing idiom), numpy-vectorized."""
+    appends (public Rabin-Karp/winnowing idiom).
+
+    Vectorized per document: one ``sliding_window_view`` × power-vector
+    multiply-accumulate in uint64 (wraparound == arithmetic mod 2^64),
+    then a single ``min``. Equivalent to the interpreted rolling
+    recurrence (oracles._rolling_ref) because both evaluate the same
+    degree-(window-1) polynomial in the 2^64 ring.
+    """
+    if window == _ROLL_WINDOW:
+        pows = _ROLL_POWS
+    else:
+        pows = np.array(
+            [pow(_ROLL_BASE, window - 1 - t, 1 << 64) for t in range(window)],
+            dtype=np.uint64,
+        )
     out = np.zeros(len(batch), dtype=np.uint64)
     texts = batch.column("text").to_pylist()
-    pow_w = pow(_BASE, window - 1, _MOD)
-    for i, t in enumerate(texts):
-        data = t.encode("utf-8") if t else b""
-        if len(data) < window:
-            h = 0
-            for b in data:
-                h = (h * _BASE + b) % _MOD
-            out[i] = h
-            continue
-        h = 0
-        for b in data[:window]:
-            h = (h * _BASE + b) % _MOD
-        best = h
-        for j in range(window, len(data)):
-            h = ((h - data[j - window] * pow_w) * _BASE + data[j]) % _MOD
-            if h < best:
-                best = h
-        out[i] = best
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if len(data) < window:
+                h = np.uint64(0)
+                base = np.uint64(_ROLL_BASE)
+                for b in data:  # < 16 bytes: negligible
+                    h = h * base + np.uint64(b)
+                out[i] = h
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(data, window)
+            hashes = (win.astype(np.uint64) * pows).sum(axis=1, dtype=np.uint64)
+            out[i] = hashes.min()
     return pa.table({"doc_id": batch.column("doc_id"), "min_rolling_hash": out})
 
 
@@ -126,7 +142,13 @@ class LangId:
 class QualityScore:
     """Length / punctuation / stopword-ratio quality features + a single
     [0,1] score (public C4/Gopher-style heuristic shape), vectorized
-    with Arrow kernels; regexes compiled once per actor."""
+    with Arrow kernels; regexes compiled once per actor.
+
+    Raw counts are emitted as integers and the score as a scaled
+    integer (``floor(x*1e6 + 0.5)``) so the DuckDB oracle — which
+    mirrors every double-precision operation in the same order — hashes
+    identically (IEEE ops on identical operands are bit-exact).
+    """
 
     def __init__(self):
         self.stop = self.__class__._ALL_STOP
@@ -141,22 +163,21 @@ class QualityScore:
         n_alpha_words = pc.cast(
             pc.count_substring_regex(text, r"[A-Za-z]{2,}"), pa.int64()
         )
+        # stopword count needs exact-token membership (regex \b would
+        # also hit punctuation-adjacent words); one tokenize per row
+        n_stop = np.fromiter(
+            (
+                sum(1 for w in t.lower().split() if w in self.stop) if t else 0
+                for t in text.to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        )
         nt = np.maximum(n_tokens.to_numpy(zero_copy_only=False), 1)
         nc = np.maximum(n_chars.to_numpy(zero_copy_only=False), 1)
         punct_ratio = n_punct.to_numpy(zero_copy_only=False) / nc
         alpha_ratio = n_alpha_words.to_numpy(zero_copy_only=False) / nt
-        # stopword ratio needs tokenization; cheap python set lookup
-        stop_ratio = np.array(
-            [
-                (
-                    sum(1 for w in t.lower().split() if w in self.stop) / max(1, len(t.split()))
-                    if t
-                    else 0.0
-                )
-                for t in text.to_pylist()
-            ]
-        )
-        mean_tok_len = nc / nt
+        stop_ratio = n_stop / nt
         score = (
             np.clip(nt / 50.0, 0, 1) * 0.3
             + np.clip(alpha_ratio, 0, 1) * 0.3
@@ -168,9 +189,11 @@ class QualityScore:
                 "doc_id": batch.column("doc_id"),
                 "n_chars": n_chars,
                 "n_tokens": n_tokens,
-                "punct_ratio": pa.array(np.round(punct_ratio, 6)),
-                "stop_ratio": pa.array(np.round(stop_ratio, 6)),
-                "mean_token_len": pa.array(np.round(mean_tok_len, 4)),
-                "quality_score": pa.array(np.round(score, 6)),
+                "n_punct": n_punct,
+                "n_alpha_words": n_alpha_words,
+                "n_stop": pa.array(n_stop, pa.int64()),
+                "quality_score_e6": pa.array(
+                    np.floor(score * 1_000_000 + 0.5).astype(np.int64), pa.int64()
+                ),
             }
         )

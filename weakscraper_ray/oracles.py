@@ -1,0 +1,305 @@
+"""Pure-Python expected-twin builders for the driver's DuckDB oracle.
+
+The extraction-family queries (template extract, learned extract,
+heuristic extract, rolling fingerprint, stubbed multimodal / PDF
+stages) are not SQL-expressible, but they ARE deterministic. For each
+one this module computes the expected result with an INDEPENDENT,
+single-threaded pure-Python implementation (the same role the
+reference library's own fixture tests play — SURVEY.md §5.1) and
+writes it to a parquet "twin". The driver's oracle SQL is then just
+``SELECT ... FROM read_parquet('<twin>')``, which upgrades these
+queries from the weak rows-only check to the full
+rows+schema+value-hash gate.
+
+What makes each twin a real oracle rather than a tautology:
+
+- ``transcripts`` twin: written by the generator at render time from
+  the KNOWN template fills (weakscraper_ray/transcripts.py) — the Ray
+  pipeline must reproduce it through parse→match→extract.
+- ``learned``/``heuristic`` twins: recompute the whole pipeline
+  single-threaded with plain loops — no Ray, no batching, no actor
+  pools — so they verify the distributed plumbing (routing, ordering,
+  batch boundaries) against straight-line execution.
+- ``rolling`` twin: an interpreted byte-at-a-time Rabin-Karp loop,
+  independent of the engine's vectorized sliding-window matmul.
+- ``simhash`` twin: only the per-doc signatures (shared math); the
+  banding/pairing logic the engine distributes is re-derived by the
+  SQL itself (cross join + bit_count(xor(...))).
+
+Twins are cached under ``/tmp/ws_oracle`` keyed by an explicit
+version tag — bump the tag when the engine semantics change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ORACLE_ROOT = "/tmp/ws_oracle"
+
+_M64 = 1 << 64
+
+
+def _cached(name: str, version: str, build) -> str:
+    """Build-once parquet twin; returns the absolute path."""
+    os.makedirs(ORACLE_ROOT, exist_ok=True)
+    path = os.path.join(ORACLE_ROOT, f"{name}-{version}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(build(), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+# ------------------------------------------------------------ transcripts
+
+def transcripts_twin(size: str) -> str:
+    """The generator's expected.parquet (computed at render time from
+    the known template fills — weakscraper_ray/transcripts.py)."""
+    from .transcripts import ensure_generated
+
+    return os.path.join(ensure_generated(size), "expected.parquet")
+
+
+def _read_transcript_rows(size: str) -> pa.Table:
+    import glob
+
+    from .transcripts import ensure_generated
+
+    d = ensure_generated(size)
+    shards = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    return pa.concat_tables([pq.read_table(s) for s in shards])
+
+
+def _is_html(text: str) -> bool:
+    return text is not None and "<" in text and ">" in text
+
+
+# ---------------------------------------------------------- learned twin
+
+LEARNED_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("template_id", pa.int32()),
+        ("status", pa.string()),
+        ("error_kind", pa.string()),
+        ("extracted_text", pa.string()),
+        ("fields", pa.large_string()),
+    ]
+)
+
+
+def learn_reference_templates(size: str, k: int = 5) -> dict[int, str]:
+    """Single-threaded mirror of pipelines.learning.learn_templates:
+    per template_id, the k rows with smallest (conv_id, turn_idx),
+    pages sorted by text, learned with the pure-Python learner."""
+    from .learner import learn
+
+    t = _read_transcript_rows(size)
+    rows = [
+        r for r in t.select(["conv_id", "turn_idx", "template_id", "text"]).to_pylist()
+        if r["template_id"] >= 0
+    ]
+    rows.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+    by_tid: dict[int, list[str]] = {}
+    for r in rows:
+        lst = by_tid.setdefault(int(r["template_id"]), [])
+        if len(lst) < k:
+            lst.append(r["text"])
+    return {tid: learn(sorted(pages)[:k]) for tid, pages in sorted(by_tid.items())}
+
+
+def learned_twin(size: str = "tiny", k: int = 5, version: str = "v1") -> str:
+    def build() -> pa.Table:
+        from .exceptions import TemplateMismatch
+        from .template import Template
+
+        compiled = {
+            tid: Template(src)
+            for tid, src in learn_reference_templates(size, k).items()
+        }
+        out = []
+        for r in _read_transcript_rows(size).to_pylist():
+            tid = int(r["template_id"])
+            text = r["text"]
+            if not _is_html(text):
+                out.append(
+                    dict(conv_id=r["conv_id"], turn_idx=r["turn_idx"],
+                         template_id=-1, status="skipped", error_kind="not_html",
+                         extracted_text="", fields="{}")
+                )
+                continue
+            try:
+                m = compiled[tid].match(text)
+                out.append(
+                    dict(conv_id=r["conv_id"], turn_idx=r["turn_idx"],
+                         template_id=tid, status="ok", error_kind="",
+                         extracted_text=m.extracted_text,
+                         fields=json.dumps(m.fields, sort_keys=True))
+                )
+            except TemplateMismatch as e:
+                out.append(
+                    dict(conv_id=r["conv_id"], turn_idx=r["turn_idx"],
+                         template_id=tid, status="error", error_kind=e.kind,
+                         extracted_text="", fields="{}")
+                )
+        return pa.Table.from_pylist(out, schema=LEARNED_SCHEMA)
+
+    return _cached(f"learned-{size}-k{k}", version, build)
+
+
+# --------------------------------------------------------- heuristic twin
+
+HEURISTIC_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("error_kind", pa.string()),
+        ("extracted_text", pa.string()),
+        ("boilerplate_bytes_stripped", pa.int64()),
+    ]
+)
+
+
+def heuristic_twin(size: str = "small", version: str = "v1") -> str:
+    """Rows where the routed template mismatches AND the text-density
+    heuristic recovers non-empty main content (mirrors
+    Extractor._extract_one with heuristic_fallback=True, status ==
+    'heuristic')."""
+
+    def build() -> pa.Table:
+        from .exceptions import TemplateMismatch
+        from .heuristic import extract_main_content
+        from .template import Template
+        from .transcripts import TEMPLATES
+
+        compiled = [Template(t) for t in TEMPLATES]
+        out = []
+        for r in _read_transcript_rows(size).to_pylist():
+            tid = int(r["template_id"])
+            text = r["text"]
+            if tid < 0 or not _is_html(text):
+                continue
+            try:
+                compiled[tid].match(text)
+                continue  # template matched: no fallback
+            except TemplateMismatch as e:
+                kind = e.kind
+            extracted, boiler = extract_main_content(text)
+            if not extracted:
+                continue  # stays status="error"
+            out.append(
+                dict(conv_id=r["conv_id"], turn_idx=r["turn_idx"],
+                     error_kind=kind, extracted_text=extracted,
+                     boilerplate_bytes_stripped=boiler)
+            )
+        return pa.Table.from_pylist(out, schema=HEURISTIC_SCHEMA)
+
+    return _cached(f"heuristic-{size}", version, build)
+
+
+# ------------------------------------------------- rolling fingerprint twin
+
+def _rolling_ref(data: bytes, window: int, base: int) -> int:
+    """Interpreted Rabin-Karp reference (mod 2^64), independent of the
+    engine's vectorized sliding-window implementation."""
+    if len(data) < window:
+        h = 0
+        for b in data:
+            h = (h * base + b) % _M64
+        return h
+    h = 0
+    for b in data[:window]:
+        h = (h * base + b) % _M64
+    best = h
+    pow_w = pow(base, window - 1, _M64)
+    for j in range(window, len(data)):
+        h = ((h - data[j - window] * pow_w) * base + data[j]) % _M64
+        if h < best:
+            best = h
+    return best
+
+
+def rolling_twin(sf_dir: str, window: int = 16, version: str = "v2") -> str:
+    from .functions.text import _ROLL_BASE
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        hashes = [
+            _rolling_ref((x or "").encode("utf-8"), window, _ROLL_BASE)
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "min_rolling_hash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    return _cached(f"rolling-{tag}-w{window}", version, build)
+
+
+# ------------------------------------------------------ simhash signature twin
+
+def simhash_twin(sf_dir: str, version: str = "v1") -> str:
+    """Per-doc 64-bit SimHash signatures as signed BIGINT. Only the
+    signature math is shared with the engine; the SQL re-derives all
+    pairs with bit_count(xor(...)) — independently of the engine's
+    banded LSH candidate generation."""
+    from .functions.dedup import SimHasher
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        sh = SimHasher()
+        sigs = np.array(
+            [sh.signature(x) for x in t.column("text").to_pylist()], dtype=np.uint64
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "sig": pa.array(sigs.view(np.int64), pa.int64()),
+            }
+        )
+
+    return _cached(f"simhash-{tag}", version, build)
+
+
+# ------------------------------------------------- stubbed-decode stage twins
+
+def multimodal_twin(n: int = 200, version: str = "v1") -> str:
+    def build() -> pa.Table:
+        from .functions.multimodal import MediaFeaturizer, make_media_table
+
+        out = MediaFeaturizer()(make_media_table(n))
+        return out.drop_columns(["feature"])
+
+    return _cached(f"multimodal-n{n}", version, build)
+
+
+def pdf_layout_twin(n: int = 500, version: str = "v1") -> str:
+    def build() -> pa.Table:
+        import pandas as pd
+
+        from .functions.layout import PdfLayoutParser, make_pdf_table
+
+        blocks = PdfLayoutParser()(make_pdf_table(n)).to_pandas()
+        blocks = blocks.sort_values(
+            ["doc_id", "page", "y1", "x0"], ascending=[True, True, False, True]
+        )
+        blocks["reading_idx"] = blocks.groupby(["doc_id", "page"]).cumcount()
+        return pa.Table.from_pandas(blocks, preserve_index=False)
+
+    return _cached(f"pdf-layout-n{n}", version, build)

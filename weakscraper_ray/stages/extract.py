@@ -82,7 +82,7 @@ class Extractor:
         self,
         templates: dict[int, str],
         functions: dict[str, Callable] | None = None,
-        route_column: str = "template_id",
+        route_column: str | None = "template_id",
         keep_text: bool = False,
         heuristic_fallback: bool = False,
     ):
@@ -170,9 +170,13 @@ class Extractor:
                 fields[i], spans[i], nodes[i], boiler[i],
             ) = self._extract_one(texts[i], tids[i])
 
+        # drop the payload (unless keep_text), the route column, and any
+        # pre-existing template_id column (the output re-emits it — an
+        # unrouted run over routed input must not duplicate the field)
+        drop = {"text", self.route_column, "template_id"}
         keep = [
             c for c in batch.column_names
-            if c not in ("text", self.route_column) or (c == "text" and self.keep_text)
+            if c not in drop or (c == "text" and self.keep_text)
         ]
         out = batch.select(keep)
         out = out.append_column("template_id", pa.array(out_tid, pa.int32()))
