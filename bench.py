@@ -27,6 +27,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_SIZE = os.environ.get("GRAFT_BENCH_SIZE", "bench")  # transcripts preset
+#: skip the per-query timings (scaling mode only needs the headline)
+HEADLINE_ONLY = os.environ.get("GRAFT_HEADLINE_ONLY", "") == "1"
+#: dump ds.stats() of the headline run to stderr for stage-level tuning
+DUMP_STATS = os.environ.get("GRAFT_DUMP_STATS", "") == "1"
 
 
 def _headline(num_cpus: int) -> tuple[float, float, int]:
@@ -48,6 +52,8 @@ def _headline(num_cpus: int) -> tuple[float, float, int]:
     ds = run_flagship(input_dir)
     rows = ds.count()
     dt = time.perf_counter() - t0
+    if DUMP_STATS:
+        print(ds.stats(), file=sys.stderr)
     t0 = time.perf_counter()
     run_flagship(input_dir, ordering_mode="partitioned").count()
     dt_part = time.perf_counter() - t0
@@ -94,7 +100,7 @@ def main() -> None:
     ensure_generated(BENCH_SIZE)
 
     headline_sec, part_sec, rows = _headline(NUM_CPUS)
-    queries = _run_queries(SF_DIR)
+    queries = {} if HEADLINE_ONLY else _run_queries(SF_DIR)
 
     print(
         json.dumps(
@@ -119,7 +125,7 @@ def scaling() -> None:
     lo, hi = 8, 32
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

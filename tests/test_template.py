@@ -333,3 +333,43 @@ def test_kitchen_sink():
     # spans all index correctly into extracted_text
     for name, start, end in r.spans:
         assert 0 <= start <= end <= len(r.extracted_text)
+
+
+# ---------------------------------------------------- nested-results mode
+
+def test_nested_results_shape():
+    """Template(..., nested=True): descendants' captures nest under
+    their named ancestor's key (reconstructed reference shape) instead
+    of flattening into the top-level dict."""
+    tpl = """
+    <div wp-name='card'>
+      <h1 wp-name='title'></h1>
+      <p>By: <wp-nugget wp-name='author'/></p>
+    </div>
+    """
+    page = "<div><h1>Hello</h1><p>By: ada</p></div>"
+    flat = Template(tpl).match(page).fields
+    assert flat == {"card": "Hello\nBy: ada", "title": "Hello", "author": "ada"}
+    nested = Template(tpl, nested=True).match(page).fields
+    assert nested == {
+        "card": {"title": "Hello", "author": "ada", "content": "Hello\nBy: ada"}
+    }
+    # extracted_text is mode-independent
+    assert (
+        Template(tpl).match(page).extracted_text
+        == Template(tpl, nested=True).match(page).extracted_text
+    )
+
+
+def test_nested_results_leaf_and_list():
+    tpl = """
+    <section wp-name='s'>
+      <ul><li wp-list wp-name='items'><wp-nugget wp-name='v'/></li></ul>
+    </section>
+    """
+    page = "<section><ul><li>a</li><li>b</li></ul></section>"
+    nested = Template(tpl, nested=True).match(page).fields
+    assert nested["s"]["items"] == [{"v": "a"}, {"v": "b"}]
+    # a named node with no named descendants stays a plain text capture
+    plain = Template("<p wp-name='x'></p>", nested=True).match("<p>t</p>").fields
+    assert plain == {"x": "t"}

@@ -16,8 +16,12 @@ from .template import MatchResult, Template
 
 
 class WeakScraper:
-    def __init__(self, template_string: str, functions: dict[str, Callable] | None = None):
-        self.template = Template(template_string, functions)
+    def __init__(self, template_string: str, functions: dict[str, Callable] | None = None,
+                 nested: bool = False):
+        """``nested=True`` returns results keyed by the template's
+        wp-name hierarchy (the reconstructed reference shape) instead
+        of the engine's default flat dict — see template.py docstring."""
+        self.template = Template(template_string, functions, nested=nested)
 
     def scrap(self, html_string: str) -> dict:
         """One document in, one results dict out (mismatch raises)."""

@@ -168,14 +168,17 @@ _RAWTEXT_CLOSE = {
 }
 
 
-def _parse_attrs(body: str) -> tuple[dict, int]:
+def _parse_attrs(body: str, start: int = 0, stop: int | None = None) -> tuple[dict, int]:
     """Returns (attrs, consumed_end) — consumed_end marks how far the
     last attribute reached, so the caller can tell whether a trailing
     '/' belongs to an unquoted value or marks self-closing (mirrors
-    stdlib attrfind_tolerant behavior)."""
+    stdlib attrfind_tolerant behavior). Scans ``body[start:stop]``
+    in place (no slice allocation — this runs once per tag)."""
     attrs: dict[str, str] = {}
-    end = 0
-    for m in _ATTR.finditer(body):
+    end = start
+    if stop is None:
+        stop = len(body)
+    for m in _ATTR.finditer(body, start, stop):
         name = m.group(1).lower()
         value = m.group(2)
         if value is None:
@@ -194,6 +197,15 @@ from html import unescape as _unescape  # noqa: E402  (tiny, hot import)
 
 _TAG_NAME_END = re.compile(r"[\s/]")
 
+#: memo of decoded tag tokens: tok -> (name, attr_items, self_closing).
+#: Real pages repeat the same start/end tag byte strings constantly
+#: (<p>, </div>, <div class='content'>, ...) — decoding each distinct
+#: token once replaces the name-lower + attr-regex work with one dict
+#: hit. Bounded; unique-attr tags (random hrefs) just stop inserting.
+_TAG_CACHE: dict[str, tuple] = {}
+_END_CACHE: dict[str, str] = {}
+_TAG_CACHE_MAX = 100_000
+
 
 def parse_fast(html: str) -> dict:
     root: dict = {"nodetype": "root", "children": []}
@@ -208,7 +220,20 @@ def parse_fast(html: str) -> dict:
         text_buf.clear()
         if "&" in raw:
             raw = _unescape(raw)
-        content = " ".join(raw.split())
+        # fast path: already normalized (C-level scans, no allocation —
+        # most rendered text is single-spaced with no edge whitespace)
+        if (
+            raw
+            and raw[0] != " "
+            and raw[-1] != " "
+            and "  " not in raw
+            and "\n" not in raw
+            and "\t" not in raw
+            and "\r" not in raw
+        ):
+            content = raw
+        else:
+            content = " ".join(raw.split())
         if content:
             children.append({"nodetype": "text", "content": content})
 
@@ -227,7 +252,11 @@ def parse_fast(html: str) -> dict:
         if c2 == "/":  # end tag
             if text_buf:
                 flush()
-            name = tok[2:-1].strip().lower()
+            name = _END_CACHE.get(tok)
+            if name is None:
+                name = tok[2:-1].strip().lower()
+                if len(_END_CACHE) < _TAG_CACHE_MAX:
+                    _END_CACHE[tok] = name
             if name in VOID_ELEMENTS:
                 continue
             for i in range(len(stack) - 1, 0, -1):
@@ -236,20 +265,27 @@ def parse_fast(html: str) -> dict:
                     children = stack[-1]["children"]
                     break
             continue
-        # start tag
+        # start tag — decode via the token memo, else scan in place
         if text_buf:
             flush()
-        body = tok[1:-1]
-        sep = _TAG_NAME_END.search(body)
-        if sep is None:
-            name = body.lower()
-            attrs: dict[str, str] = {}
-            self_closing = False
+        cached = _TAG_CACHE.get(tok)
+        if cached is not None:
+            name, items, self_closing = cached
+            attrs = dict(items)
         else:
-            name = body[: sep.start()].lower()
-            rest = body[sep.start():]
-            attrs, consumed = _parse_attrs(rest)
-            self_closing = rest[consumed:].rstrip().endswith("/")
+            tok_end = len(tok) - 1
+            sep = _TAG_NAME_END.search(tok, 1, tok_end)
+            if sep is None:
+                name = tok[1:tok_end].lower()
+                attrs = {}
+                self_closing = False
+            else:
+                name = tok[1 : sep.start()].lower()
+                attrs, consumed = _parse_attrs(tok, sep.start(), tok_end)
+                tail = tok[consumed:tok_end]
+                self_closing = tail.rstrip().endswith("/") if tail else False
+            if len(_TAG_CACHE) < _TAG_CACHE_MAX:
+                _TAG_CACHE[tok] = (name, tuple(attrs.items()), self_closing)
         node = {"nodetype": "tag", "name": name, "attrs": attrs, "children": []}
         children.append(node)
         if self_closing or name in VOID_ELEMENTS:
@@ -298,10 +334,15 @@ def _collect_text(node: dict, out: list[str]) -> None:
 
 def text_bytes(node: dict) -> int:
     """UTF-8 byte length of all text content under ``node`` (used for
-    ``boilerplate_bytes_stripped`` accounting, SURVEY.md §2.2 C4)."""
+    ``boilerplate_bytes_stripped`` accounting, SURVEY.md §2.2 C4).
+    ASCII fast path avoids allocating an encoded copy per fragment —
+    this runs on every wildcard-skipped sibling in the matcher."""
     parts: list[str] = []
     _collect_text(node, parts)
-    return sum(len(p.encode("utf-8")) for p in parts)
+    total = 0
+    for p in parts:
+        total += len(p) if p.isascii() else len(p.encode("utf-8"))
+    return total
 
 
 def serialize(node: dict) -> str:

@@ -40,8 +40,13 @@ reference is empty):
   node's children (capture-content leaf);
 - a ``wp-name`` tag node WITH children matches children normally and
   additionally captures the node's full ``text_content``;
-- results are a FLAT dict except ``wp-list`` items, which each get
-  their own nested dict;
+- results are a FLAT dict by default, except ``wp-list`` items, which
+  each get their own nested dict. ``Template(..., nested=True)``
+  switches to the reconstructed reference shape (SURVEY.md §1.1
+  "Results: nested dict keyed by wp-name values"): a named tag node
+  with named descendants yields ``results[k] = {**child_captures,
+  "content": matched_text}`` — child captures nest under their
+  ancestor's key instead of landing in the top-level dict;
 - ``extracted_text`` is the "\\n"-join, in document order, of every
   HTML text fragment that was *matched or captured* (boilerplate —
   wildcard-skips and ignored content — is excluded);
@@ -201,10 +206,11 @@ class _TagTemplate:
         "name", "attrs", "children", "wildcard",
         "name_key", "name_attrs_key", "recursive", "leaf",
         "function", "function_attrs", "is_list", "is_optional",
-        "ignore_content", "ignore_attrs",
+        "ignore_content", "ignore_attrs", "nested",
     )
 
-    def __init__(self, raw: dict, functions: dict[str, Callable]):
+    def __init__(self, raw: dict, functions: dict[str, Callable],
+                 nested: bool = False):
         attrs = dict(raw["attrs"])
         self.name = raw["name"]
         self.name_key = attrs.pop("wp-name", None)
@@ -228,7 +234,10 @@ class _TagTemplate:
             raise TemplateError("wp-list requires wp-name")
         if self.recursive and not self.name_key:
             raise TemplateError("wp-recursive requires wp-name")
-        self.children, self.wildcard = _compile_children(raw["children"], functions)
+        self.nested = nested
+        self.children, self.wildcard = _compile_children(
+            raw["children"], functions, nested
+        )
 
     # -- matching -------------------------------------------------------
     def match(self, hnode: dict, ctx: _Ctx) -> None:
@@ -276,6 +285,25 @@ class _TagTemplate:
                 start = end = ctx.cur
             ctx.spans.append((key, start, end))
             ctx.results[key] = self.function(value) if self.function else value
+        elif self.nested and self.name_key and not self.is_list:
+            # nested-results mode (reconstructed reference shape):
+            # descendants' captures collect in a CHILD dict under this
+            # node's key instead of the enclosing scope's dict
+            start_pos = ctx.cur
+            k0 = len(ctx.kept)
+            sub = ctx.fork()
+            _match_children(self.children, hnode["children"], sub, self.wildcard)
+            ctx.merge(sub, results=False)
+            value = "\n".join(ctx.kept[k0:])
+            if len(ctx.kept) > k0 and start_pos > 0:
+                start_pos += 1
+            ctx.spans.append((self.name_key, start_pos, ctx.cur))
+            captured: Any = dict(sub.results) if sub.results else value
+            if sub.results:
+                captured.setdefault("content", value)
+            ctx.results[self.name_key] = (
+                self.function(captured) if self.function else captured
+            )
         else:
             start_pos = ctx.cur
             k0 = len(ctx.kept)
@@ -301,7 +329,7 @@ class _TagTemplate:
 
 
 def _compile_children(
-    raw_children: list[dict], functions: dict[str, Callable]
+    raw_children: list[dict], functions: dict[str, Callable], nested: bool = False
 ) -> tuple[list, bool]:
     """Group text/<wp-nugget> runs, detect <wp-ignore> wildcard mode,
     compile tag children recursively."""
@@ -325,7 +353,7 @@ def _compile_children(
             flush_run()
         else:
             flush_run()
-            compiled.append(_TagTemplate(c, functions))
+            compiled.append(_TagTemplate(c, functions, nested))
     flush_run()
     return compiled, wildcard
 
@@ -449,10 +477,13 @@ class Template:
     are pure and reusable across rows.
     """
 
-    def __init__(self, template_html: str, functions: dict[str, Callable] | None = None):
+    def __init__(self, template_html: str, functions: dict[str, Callable] | None = None,
+                 nested: bool = False):
         self.functions = functions or {}
         raw = parse(template_html)
-        self.children, self.wildcard = _compile_children(raw["children"], self.functions)
+        self.children, self.wildcard = _compile_children(
+            raw["children"], self.functions, nested
+        )
 
     def match_tree(self, page_root: dict) -> MatchResult:
         ctx = _Ctx()
