@@ -158,6 +158,16 @@ class _TextsAndNuggets:
         self.literal_text = " ".join(literal)
         self.regex = re.compile("".join(pattern_parts), re.S) if self.nuggets else None
 
+    def probe(self, hnode: dict) -> bool:
+        """Cheap can-this-possibly-match check (no exception, no ctx
+        fork) — lets the wildcard scan skip non-candidates without the
+        cost of a raised TemplateMismatch per skipped sibling."""
+        if hnode["nodetype"] != "text":
+            return False
+        if self.regex is None:
+            return hnode["content"] == self.literal_text
+        return True
+
     def match(self, hnode: dict, ctx: _Ctx) -> None:
         if hnode["nodetype"] != "text":
             raise NodetypeMismatch(
@@ -238,6 +248,12 @@ class _TagTemplate:
         self.children, self.wildcard = _compile_children(
             raw["children"], functions, nested
         )
+
+    def probe(self, hnode: dict) -> bool:
+        """Cheap top-level mismatch filter (see _TextsAndNuggets.probe)."""
+        if hnode["nodetype"] != "tag" or hnode["name"] != self.name:
+            return False
+        return self.ignore_attrs or hnode["attrs"] == self.attrs
 
     # -- matching -------------------------------------------------------
     def match(self, hnode: dict, ctx: _Ctx) -> None:
@@ -374,11 +390,16 @@ def _match_children(
                 pos = hi
                 first = None
                 while pos < n:
+                    h = hchildren[pos]
+                    if not tc.probe(h):  # cheap skip: no fork, no raise
+                        scan.boilerplate += text_bytes(h)
+                        pos += 1
+                        continue
                     sub = scan.fork()
                     try:
-                        tc.match(hchildren[pos], sub)
+                        tc.match(h, sub)
                     except TemplateMismatch:
-                        scan.boilerplate += text_bytes(hchildren[pos])
+                        scan.boilerplate += text_bytes(h)
                         pos += 1
                         continue
                     first = (pos, sub)
@@ -392,6 +413,8 @@ def _match_children(
                 hi = pos + 1
             # greedy consume consecutive occurrences
             while hi < n:
+                if not tc.probe(hchildren[hi]):
+                    break
                 sub = ctx.fork()
                 try:
                     tc.match(hchildren[hi], sub)
@@ -406,11 +429,16 @@ def _match_children(
                 pos = hi
                 hit = None
                 while pos < n:
+                    h = hchildren[pos]
+                    if not tc.probe(h):
+                        scan.boilerplate += text_bytes(h)
+                        pos += 1
+                        continue
                     sub = scan.fork()
                     try:
-                        tc.match(hchildren[pos], sub)
+                        tc.match(h, sub)
                     except TemplateMismatch:
-                        scan.boilerplate += text_bytes(hchildren[pos])
+                        scan.boilerplate += text_bytes(h)
                         pos += 1
                         continue
                     hit = (pos, sub)
@@ -436,11 +464,16 @@ def _match_children(
                 scan = ctx.fork()
                 pos = hi
                 while pos < n:
+                    h = hchildren[pos]
+                    if not tc.probe(h):
+                        scan.boilerplate += text_bytes(h)
+                        pos += 1
+                        continue
                     sub = scan.fork()
                     try:
-                        tc.match(hchildren[pos], sub)
+                        tc.match(h, sub)
                     except TemplateMismatch:
-                        scan.boilerplate += text_bytes(hchildren[pos])
+                        scan.boilerplate += text_bytes(h)
                         pos += 1
                         continue
                     ctx.merge(scan, results=False)
