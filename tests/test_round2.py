@@ -174,3 +174,23 @@ def test_external_templates_first_match_wins(ray_session):
     assert set(ok_routed.index) == set(ok_unrouted.index)
     joined = ok_routed.join(ok_unrouted, lsuffix="_r", rsuffix="_u")
     assert (joined["extracted_text_r"] == joined["extracted_text_u"]).all()
+
+
+def test_nested_fields_through_pipeline(ray_session):
+    """nested=True flows registry → Extractor → fields JSON: captures
+    keyed by the template's wp-name hierarchy end-to-end on Ray."""
+    import json
+
+    from weakscraper_ray.pipelines.extraction import (
+        extraction_pipeline,
+        read_transcripts,
+    )
+    from weakscraper_ray.transcripts import ensure_generated
+
+    ds = read_transcripts(ensure_generated("tiny"))
+    out = extraction_pipeline(ds, restore_ordering=False, nested=True).to_pandas()
+    ok = out[(out["status"] == "ok") & (out["template_id"] == 0)]
+    assert len(ok) > 0
+    f = json.loads(ok.iloc[0]["fields"])
+    # template 0 nests paras/body captures under 'body'
+    assert isinstance(f["body"], dict) and "content" in f["body"]

@@ -75,12 +75,15 @@ def extraction_pipeline(
     keep_text: bool = False,
     heuristic_fallback: bool = False,
     route_column: str | None = "template_id",
+    nested: bool = False,
 ):
     """Transcripts Dataset → extracted Dataset (still lazy).
 
     ``route_column=None`` disables template routing entirely (every row
     tries all templates, first-match-wins) — required when externally
     supplied templates don't share the input's template-id space.
+    ``nested=True`` switches the ``fields`` JSON to the reconstructed
+    reference result shape (captures nested by wp-name hierarchy).
     """
     configure_context()
     if templates is None:
@@ -101,6 +104,7 @@ def extraction_pipeline(
         fn_constructor_kwargs=dict(
             templates=templates, functions=functions, keep_text=keep_text,
             heuristic_fallback=heuristic_fallback, route_column=route_column,
+            nested=nested,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -85,13 +85,15 @@ class Extractor:
         route_column: str | None = "template_id",
         keep_text: bool = False,
         heuristic_fallback: bool = False,
+        nested: bool = False,
     ):
         from ..state import TemplateRegistry
 
         # lazy compile-on-first-use per worker (SURVEY.md ST3): an
         # actor only pays for the templates its rows actually route to
         self.registry = TemplateRegistry(
-            {tid: src for tid, src in sorted(templates.items())}, functions
+            {tid: src for tid, src in sorted(templates.items())}, functions,
+            nested=nested,
         )
         self.route_column = route_column
         self.keep_text = keep_text

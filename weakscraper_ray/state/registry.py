@@ -34,9 +34,11 @@ class TemplateRegistry:
         self,
         sources: dict,
         functions: dict[str, Callable] | None = None,
+        nested: bool = False,
     ):
         self._sources = dict(sources)
         self._functions = functions or {}
+        self._nested = nested
         self._compiled: dict = {}
 
     def __contains__(self, key) -> bool:
@@ -49,7 +51,8 @@ class TemplateRegistry:
         """Compile on first use; cached for the worker's lifetime."""
         tmpl = self._compiled.get(key)
         if tmpl is None:
-            tmpl = Template(self._sources[key], self._functions)
+            tmpl = Template(self._sources[key], self._functions,
+                            nested=self._nested)
             self._compiled[key] = tmpl
         return tmpl
 
