@@ -147,6 +147,15 @@ def scaling() -> None:
     def best(runs: list[dict], key: str) -> dict:
         return min(runs, key=lambda r: r[key])
 
+    def median_eff(key: str) -> float:
+        # per-round paired ratio, then median: robust to one noisy run
+        # on either side (ratio-of-bests is biased when noise is
+        # asymmetric between the two sizes)
+        ratios = sorted(
+            (l[key] / h[key]) / (hi / lo) for l, h in zip(lo_runs, hi_runs)
+        )
+        return ratios[len(ratios) // 2]
+
     r_lo, r_hi = best(lo_runs, "value"), best(hi_runs, "value")
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
@@ -161,9 +170,13 @@ def scaling() -> None:
                 "turns_per_sec_8": r_lo["turns_per_sec"],
                 "turns_per_sec_32": r_hi["turns_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_median": round(median_eff("value"), 3),
                 "partition_aware_sec_8": p_lo,
                 "partition_aware_sec_32": p_hi,
                 "partition_aware_scaling_efficiency": round(eff_part, 3),
+                "partition_aware_scaling_efficiency_median": round(
+                    median_eff("partition_aware_sec"), 3
+                ),
                 "rows": r_hi["rows"],
             }
         )

@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="learn skeleton templates from the input instead")
     ex.add_argument("--heuristic", action="store_true",
                     help="text-density fallback for template-less pages")
+    ex.add_argument("--nested", action="store_true",
+                    help="reference-shaped nested result dicts in the fields column")
     ex.add_argument("--num-cpus", type=int, default=None)
     ex.add_argument("--shards", type=int, default=64)
     ex.add_argument("--no-resume", action="store_true")
@@ -74,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
             restore_ordering=False,  # the sink's shard groupby sorts per partition
             heuristic_fallback=args.heuristic,
             route_column=route_column,
+            nested=args.nested,
         )
         write_partitioned(
             out, args.out, n_shards=args.shards, resume=not args.no_resume
