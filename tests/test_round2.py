@@ -194,3 +194,43 @@ def test_nested_fields_through_pipeline(ray_session):
     f = json.loads(ok.iloc[0]["fields"])
     # template 0 nests paras/body captures under 'body'
     assert isinstance(f["body"], dict) and "content" in f["body"]
+
+
+def test_manifest_records_input_lineage(tmp_path, ray_session):
+    """write_partitioned records which source files fed each partition
+    (north-star: per-partition checkpoints recording lineage)."""
+    import json
+    import os
+
+    from weakscraper_ray.pipelines.extraction import (
+        extraction_pipeline,
+        read_transcripts,
+    )
+    from weakscraper_ray.sources.checkpoint import write_partitioned
+    from weakscraper_ray.transcripts import ensure_generated
+
+    src = ensure_generated("tiny")
+    ds = read_transcripts(src, include_paths=True)
+    out = extraction_pipeline(ds, restore_ordering=False)
+    out_dir = str(tmp_path / "ckpt")
+    write_partitioned(out, out_dir, n_shards=4)
+
+    mdir = os.path.join(out_dir, "_manifest")
+    manifests = [
+        json.load(open(os.path.join(mdir, f)))
+        for f in os.listdir(mdir)
+        if f.endswith(".json") and not f.startswith("_")
+    ]
+    all_inputs = set()
+    for m in manifests:
+        assert m["inputs"], "every partition must record its source files"
+        all_inputs.update(m["inputs"])
+    src_files = {f for f in os.listdir(src) if f.startswith("part-")}
+    assert all_inputs == src_files
+    # the path column must NOT leak into the data files
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(
+        os.path.join(out_dir, f"part={manifests[0]['partition_id']}", "data.parquet")
+    )
+    assert "path" not in sample.column_names

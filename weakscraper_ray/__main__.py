@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="text-density fallback for template-less pages")
     ex.add_argument("--nested", action="store_true",
                     help="reference-shaped nested result dicts in the fields column")
+    ex.add_argument("--no-lineage", action="store_true",
+                    help="skip per-partition input-file lineage in manifests")
     ex.add_argument("--num-cpus", type=int, default=None)
     ex.add_argument("--shards", type=int, default=64)
     ex.add_argument("--no-resume", action="store_true")
@@ -52,7 +54,7 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.extraction import extraction_pipeline, read_transcripts
         from .sources import metrics_rollup, write_partitioned
 
-        ds = read_transcripts(args.input)
+        ds = read_transcripts(args.input, include_paths=not args.no_lineage)
         templates = None
         route_column: str | None = "template_id"
         if args.templates_dir:

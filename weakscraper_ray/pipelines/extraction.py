@@ -28,11 +28,16 @@ def default_templates() -> dict[int, str]:
     return dict(enumerate(TEMPLATES))
 
 
-def read_transcripts(path: str, with_route: bool = True):
+def read_transcripts(path: str, with_route: bool = True,
+                     include_paths: bool = False):
     """Column-pruned parquet read of a transcripts table.
 
     A generated table directory also holds the ``expected.parquet``
     oracle twin — only ``part-*.parquet`` shards are data.
+
+    ``include_paths=True`` adds each row's source-file ``path`` column
+    (Ray read_parquet's include_paths) so the checkpointed sink can
+    record per-partition input lineage in its manifest.
 
     configure_context() must run BEFORE read_parquet: a Dataset
     snapshots its DataContext at creation, so execution settings set
@@ -54,7 +59,7 @@ def read_transcripts(path: str, with_route: bool = True):
 
     schema_names = pads.dataset(paths).schema.names
     cols = [c for c in cols if c in schema_names]
-    return ray.data.read_parquet(paths, columns=cols)
+    return ray.data.read_parquet(paths, columns=cols, include_paths=include_paths)
 
 
 def _pool_size() -> int:

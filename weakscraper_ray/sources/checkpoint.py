@@ -118,7 +118,16 @@ def _write_one_partition(group: pa.Table, out_dir: str) -> pa.Table:
     shard = int(group.column("shard")[0].as_py())
     pdir = os.path.join(out_dir, f"part={shard}")
     os.makedirs(pdir, exist_ok=True)
-    data = group.drop_columns(["shard"]).sort_by(
+    drop = ["shard"]
+    inputs: list[str] = []
+    if "path" in group.column_names:
+        # input lineage: which source files fed this partition (the
+        # `path` column comes from read_transcripts(include_paths=True))
+        inputs = sorted(
+            {os.path.basename(p) for p in pc.unique(group.column("path")).to_pylist()}
+        )
+        drop.append("path")
+    data = group.drop_columns(drop).sort_by(
         [("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
 
@@ -155,6 +164,7 @@ def _write_one_partition(group: pa.Table, out_dir: str) -> pa.Table:
         "boilerplate_bytes_stripped": _sum("boilerplate_bytes_stripped"),
         "errors": n_errors,
         "key_hash": content_hash,
+        "inputs": inputs,
     }
     mdir = os.path.join(out_dir, "_manifest")
     os.makedirs(mdir, exist_ok=True)
