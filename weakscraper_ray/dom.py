@@ -142,19 +142,18 @@ def parse_stdlib(html: str) -> dict:
 # go through ``parse``, so the per-turn contract stays self-consistent.
 # --------------------------------------------------------------------
 
-_TOKEN = re.compile(
+#: tag-shaped tokens only, matched ANCHORED at a '<' the scanner found
+#: with str.find — text runs never touch the regex engine.
+#: Quote-aware like the stdlib tokenizer: a quoted attribute VALUE
+#: (quote right after '=') may contain '>', e.g. <a title="x>y"> — the
+#: quoted alternatives are tried before the generic [^>] so the tag
+#: doesn't truncate there. A quote NOT opening a value (e.g. don't in
+#: an unquoted value) falls through to [^>], matching stdlib tolerance.
+_TAGTOK = re.compile(
     r"<!--.*?-->"              # comment
     r"|<![^>]*>"               # doctype / other decls
     r"|</[a-zA-Z][^>]*>"       # end tag
-    # start tag (possibly self-closing); quote-aware like the stdlib
-    # tokenizer: a quoted attribute VALUE (quote right after '=') may
-    # contain '>', e.g. <a title="x>y"> — the quoted alternatives are
-    # tried before the generic [^>] so the tag doesn't truncate there.
-    # A quote NOT opening a value (e.g. don't in an unquoted value)
-    # falls through to [^>], again matching stdlib tolerance.
-    r"|<[a-zA-Z](?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*>"
-    r"|[^<]+"                  # text run
-    r"|<",                     # stray '<'
+    r"|<[a-zA-Z](?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*>",  # start tag
     re.S,
 )
 
@@ -212,8 +211,9 @@ def parse_fast(html: str) -> dict:
     stack: list[dict] = [root]
     children = root["children"]  # hot alias to stack[-1]["children"]
     text_buf: list[str] = []
-    skip_to = 0  # resume point after a raw-text (script/style) jump
     n = len(html)
+    find = html.find
+    tagtok_match = _TAGTOK.match
 
     def flush() -> None:
         raw = "".join(text_buf)
@@ -237,13 +237,24 @@ def parse_fast(html: str) -> dict:
         if content:
             children.append({"nodetype": "text", "content": content})
 
-    for m in _TOKEN.finditer(html):
-        if m.start() < skip_to:
+    # find-driven scan: text runs located with C-level str.find (no
+    # regex match objects for ~half the tokens); tag tokens matched
+    # anchored at the '<'
+    pos = 0
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            text_buf.append(html[pos:])
+            break
+        if lt > pos:
+            text_buf.append(html[pos:lt])
+        m = tagtok_match(html, lt)
+        if m is None:  # stray '<' — treated as text, keep scanning
+            text_buf.append("<")
+            pos = lt + 1
             continue
         tok = m.group(0)
-        if tok[0] != "<" or len(tok) == 1:  # text run or stray '<'
-            text_buf.append(tok)
-            continue
+        pos = m.end()
         c2 = tok[1]
         if c2 == "!":  # comment / doctype
             if text_buf:
@@ -292,14 +303,13 @@ def parse_fast(html: str) -> dict:
             continue
         if name in _RAWTEXT_CLOSE:
             # raw-text element: content runs to the matching close tag
-            pos = m.end()
             closer = _RAWTEXT_CLOSE[name].search(html, pos)
             end = closer.start() if closer else n
             content = " ".join(html[pos:end].split())
             if content:
                 node["children"].append({"nodetype": "text", "content": content})
-            gt = html.find(">", end)
-            skip_to = (gt + 1) if gt != -1 else n
+            gt = find(">", end)
+            pos = (gt + 1) if gt != -1 else n
             continue
         stack.append(node)
         children = node["children"]
