@@ -28,14 +28,24 @@ def configure_context() -> None:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:  # pragma: no cover
         ncpu = 8
-    # Controlled sweep at bench scale (2.15M rows, 32 CPUs, idle box):
+    # Round-1 sweep (isolated groupby, 2.15M rows, 32 CPUs, idle box):
     #   aggregators=16 partitions=32  →  7.6s
     #   aggregators=16 partitions=64  → 13.1s
     #   aggregators=64 partitions=200 → 66.0s   (Ray defaults)
-    # Cost scales with partition count (per-partition finalize sort +
-    # small-block overhead): keep partitions ≈ CPUs, aggregators ≈ CPUs/2.
-    # fused-pipeline sweep (extract pool + shuffle sharing one box):
-    #   32 CPUs: aggregators=6 partitions=12 → 18.4s total (best);
-    #   16/32 → 32.5s. Under contention FEWER aggregators win.
-    ctx.max_hash_shuffle_aggregators = max(3, ncpu // 5)
-    ctx.default_hash_shuffle_parallelism = max(8, (ncpu * 3) // 8)
+    # Round-2 fused-pipeline sweep (6.24M-row headline, extract pool +
+    # shuffle sharing the box — re-run after the tokenizer speedup
+    # shifted the extract/exchange balance):
+    #   32 CPUs: agg=8 part=16 → 21.4s (best); 6/12 → 24.5s;
+    #            8/24 → 22.8s; 10/20 → 21.5s
+    #    8 CPUs: agg∈{2,3,4} part∈{4,8} all ≈ 54.5-54.8s (insensitive);
+    #            2/8 → 66s (too few aggregators for 8 sinks)
+    # → aggregators ≈ CPUs/4, partitions ≈ CPUs/2, floors 3/8.
+    # Override per run with GRAFT_SHUFFLE_AGGREGATORS / _PARTITIONS.
+    import os
+
+    ctx.max_hash_shuffle_aggregators = int(
+        os.environ.get("GRAFT_SHUFFLE_AGGREGATORS", max(3, ncpu // 4))
+    )
+    ctx.default_hash_shuffle_parallelism = int(
+        os.environ.get("GRAFT_SHUFFLE_PARTITIONS", max(8, ncpu // 2))
+    )
