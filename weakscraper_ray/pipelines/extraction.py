@@ -62,6 +62,67 @@ def read_transcripts(path: str, with_route: bool = True,
     return ray.data.read_parquet(paths, columns=cols, include_paths=include_paths)
 
 
+def read_transcripts_json(path: str, with_route: bool = True):
+    """JSONL transcripts source — same logical table as the parquet
+    reader (another input format for the same pipeline). Contract:
+    one JSON object per line with the input_hint columns; ``ts`` as an
+    ISO ``YYYY-MM-DD HH:MM:SS`` string (JSON has no timestamp type).
+    The normalizer casts to the canonical arrow schema so every
+    downstream stage is format-agnostic.
+    """
+    configure_context()
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if os.path.isdir(path):
+        shards = sorted(glob.glob(os.path.join(path, "*.jsonl")))
+        paths: list[str] | str = shards if shards else path
+    else:
+        paths = path
+    ds = ray.data.read_json(paths)
+    cols = list(TRANSCRIPT_COLUMNS) + (["template_id"] if with_route else [])
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        out: dict = {}
+        for c in cols:
+            if c not in batch.column_names:
+                continue
+            col = batch.column(c)
+            if c == "ts" and pa.types.is_string(col.type):
+                col = pc.strptime(col, format="%Y-%m-%d %H:%M:%S", unit="us")
+            elif c in ("turn_idx", "template_id"):
+                col = pc.cast(col, pa.int32())
+            out[c] = col
+        return pa.table(out)
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+def parquet_dir_to_jsonl(src_dir: str, out_dir: str) -> int:
+    """Utility: convert a generated transcripts dir to JSONL shards
+    (test/demo helper for the JSON source; driver-side, small data)."""
+    import glob
+    import json as _json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for shard in sorted(glob.glob(os.path.join(src_dir, "part-*.parquet"))):
+        rows = _pq.read_table(shard).to_pylist()
+        name = os.path.basename(shard).replace(".parquet", ".jsonl")
+        with open(os.path.join(out_dir, name), "w") as fh:
+            for r in rows:
+                r["ts"] = r["ts"].strftime("%Y-%m-%d %H:%M:%S")
+                fh.write(_json.dumps(r) + "\n")
+                n += 1
+    return n
+
+
 def _pool_size() -> int:
     try:
         return max(2, int(ray.cluster_resources().get("CPU", 8)))

@@ -921,6 +921,196 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_NEARDUP_THRESHOLD}
 
 
 # =====================================================================
+# Grouped top-k (window-rank shape): top 3 orders by price per priority
+# =====================================================================
+
+def q_grouped_topk(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def _top3(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(3)
+
+    return ds.groupby("o_orderpriority").map_groups(_top3, batch_format="pandas")
+
+
+SQL_GROUPED_TOPK = """
+SELECT o_orderkey, o_totalprice, o_orderpriority FROM (
+  SELECT o_orderkey, o_totalprice, o_orderpriority,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# =====================================================================
+# TPC-H Q3 shape: segment filter → two broadcast semi-joins → partial
+# revenue aggregate per order → global top-k
+# =====================================================================
+
+_Q3_CUTOFF = "1998-01-01"
+
+
+def q_top_shipping(sf_dir: str):
+    import datetime as _dt
+
+    cutoff = _dt.datetime(1998, 1, 1)
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    building = set(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey").to_pylist()
+    )
+    orders = pq.read_table(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    omask = pc.and_(
+        pc.is_in(orders.column("o_custkey"),
+                 value_set=pa.array(sorted(building), pa.int64())),
+        pc.less(orders.column("o_orderdate"), cutoff),
+    )
+    osel = orders.filter(omask)
+    # mid-size broadcast: qualifying orders' key → orderdate (the small
+    # side of the lineitem join; at 100 TB this becomes a hash join)
+    odate = dict(
+        zip(
+            osel.column("o_orderkey").to_pylist(),
+            [d.strftime("%Y-%m-%d") for d in osel.column("o_orderdate").to_pylist()],
+        )
+    )
+    ref = ray.put(odate)
+
+    class _Partial:
+        def __init__(self, odate_ref):
+            d = ray.get(odate_ref) if isinstance(odate_ref, ray.ObjectRef) else odate_ref
+            self.keys = pa.array(sorted(d), pa.int64())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.is_in(batch.column("l_orderkey"), value_set=self.keys),
+                pc.greater(
+                    batch.column("l_shipdate"),
+                    pa.scalar(_dt.datetime(1998, 1, 1)),
+                ),
+            )
+            t = batch.filter(m)
+            rev = pc.multiply(
+                t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))
+            )
+            g = pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev})
+            return g.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _Partial, fn_constructor_kwargs=dict(odate_ref=ref),
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+    agg = partials.groupby("l_orderkey").aggregate(Sum("rev_sum"))
+
+    def _final(batch: pa.Table) -> pa.Table:
+        dates = [odate[k] for k in batch.column("l_orderkey").to_pylist()]
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("sum(rev_sum)"), 100.0), 0),
+                    pa.int64(),
+                ),
+                "o_orderdate": pa.array(dates, pa.string()),
+            }
+        )
+
+    out = agg.map_batches(_final, batch_format="pyarrow")
+    return out.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_SHIPPING = f"""
+SELECT l.l_orderkey,
+       cast(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100, 0) AS BIGINT)
+           AS revenue_cents,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '{_Q3_CUTOFF}'
+  AND l.l_shipdate  > DATE '{_Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+# =====================================================================
+# Scalar regex extraction (R2 normalizer family): first long word
+# =====================================================================
+
+def q_regex_extract(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("text"), r"(?P<w>[a-z]{6,})")
+        word = pc.fill_null(pc.struct_field(hit, "w"), "")
+        return pa.table({"doc_id": batch.column("doc_id"), "first_long_word": word})
+
+    return ds.map_batches(_extract, batch_format="pyarrow")
+
+
+SQL_REGEX_EXTRACT = """
+SELECT doc_id, coalesce(regexp_extract(text, '([a-z]{6,})', 1), '') AS first_long_word
+FROM documents
+"""
+
+
+# =====================================================================
+# Date histogram: events per calendar day (date-function family)
+# =====================================================================
+
+def q_date_histogram(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), "%Y-%m-%d")
+        t = pa.table({"day": day, "value": batch.column("value")})
+        return t.group_by("day").aggregate([("value", "sum"), ("value", "count")])
+
+    partials = ds.map_batches(_bucket, batch_format="pyarrow")
+    agg = partials.groupby("day").aggregate(Sum("value_sum"), Sum("value_count"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "day": t.column("day"),
+                "n_events": pc.cast(t.column("sum(value_count)"), pa.int64()),
+                "sum_value_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("sum(value_sum)"), 100.0), 0),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DATE_HISTOGRAM = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+# =====================================================================
 # R9: deterministic hash-based sampling (SQL-expressible twin of the
 # seeded random_sample below)
 # =====================================================================
@@ -1006,6 +1196,10 @@ def q_multimodal_features(sf_dir: str):
 QUERIES = {
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "sample_hash": q_sample_hash,
+    "grouped_topk": q_grouped_topk,
+    "top_shipping": q_top_shipping,
+    "regex_extract": q_regex_extract,
+    "date_histogram": q_date_histogram,
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
     "broadcast_join": q_broadcast_join,
@@ -1050,6 +1244,10 @@ ORACLE_SQL = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "embedding_neardup_exact": SQL_NEARDUP_EXACT,
     "sample_hash": SQL_SAMPLE_HASH,
+    "grouped_topk": SQL_GROUPED_TOPK,
+    "top_shipping": SQL_TOP_SHIPPING,
+    "regex_extract": SQL_REGEX_EXTRACT,
+    "date_histogram": SQL_DATE_HISTOGRAM,
 }
 
 #: driver sf tier for the oracle comparison (the twins the dynamic
