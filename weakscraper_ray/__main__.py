@@ -38,7 +38,36 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--no-resume", action="store_true")
     ex.add_argument("--batch-size", type=int, default=1024)
 
+    q = sub.add_parser("query", help="run a named pipeline from the query registry")
+    q.add_argument("name", nargs="?", help="query name (omit to list all)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20, help="rows to print")
+    q.add_argument("--num-cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "query":
+        from .pipelines import relational as R
+
+        if not args.name:
+            oracled = set(R.build_oracle_sql())
+            for n in sorted(R.QUERIES):
+                print(f"{n:28s} {'oracle' if n in oracled else 'rows-only'}")
+            return 0
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
+        try:
+            res = R.QUERIES[args.name](args.sf_dir)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            print(df.head(args.limit).to_string(index=False))
+            print(f"[{len(df)} rows]")
+            return 0
+        finally:
+            ray.shutdown()
 
     import ray
 

@@ -1164,6 +1164,45 @@ def q_extract_transcripts(sf_dir: str):
     )
 
 
+def q_extract_error_stats(sf_dir: str):
+    """R5 over the flagship itself: per-(template, error-kind) row
+    counts, aggregated with per-batch partials — a driver-green
+    aggregate ON the extraction pipeline's own output (the twin
+    carries no matcher metrics, so counts are the comparable part;
+    nodes/boilerplate roll-ups are covered by the manifest tests)."""
+    from ray.data.aggregate import Sum
+
+    from .extraction import run_flagship
+
+    ds = run_flagship(size=_size_for(sf_dir))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "template_id": batch.column("template_id"),
+                "error_kind": batch.column("error_kind"),
+            }
+        )
+        return t.group_by(["template_id", "error_kind"]).aggregate(
+            [("error_kind", "count")]
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby(["template_id", "error_kind"]).aggregate(
+        Sum("error_kind_count")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "template_id": t.column("template_id"),
+                "error_kind": t.column("error_kind"),
+                "n_rows": pc.cast(t.column("sum(error_kind_count)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_learned_extract(sf_dir: str):
     """Learner path: skeleton templates learned from rendered samples,
     then applied — exercised at tiny scale (see learner tests). Output
@@ -1200,6 +1239,7 @@ QUERIES = {
     "top_shipping": q_top_shipping,
     "regex_extract": q_regex_extract,
     "date_histogram": q_date_histogram,
+    "extract_error_stats": q_extract_error_stats,
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
     "broadcast_join": q_broadcast_join,
@@ -1273,6 +1313,10 @@ def build_oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     out["extract_transcripts"] = (
         "SELECT conv_id, turn_idx, template_id, error_kind, extracted_text, "
         f"fields FROM read_parquet('{t_extract}')"
+    )
+    out["extract_error_stats"] = (
+        "SELECT template_id, error_kind, cast(count(*) AS BIGINT) AS n_rows "
+        f"FROM read_parquet('{t_extract}') GROUP BY template_id, error_kind"
     )
     out["learned_extract"] = f"SELECT * FROM read_parquet('{oracles.learned_twin()}')"
     out["heuristic_extract"] = (
