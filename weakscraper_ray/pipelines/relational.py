@@ -1111,6 +1111,36 @@ FROM events GROUP BY strftime(ts, '%Y-%m-%d')
 
 
 # =====================================================================
+# Semi-structured: JSON property extraction from the events.props
+# column (json_extract family — training pipelines carry JSON blobs)
+# =====================================================================
+
+def q_json_props(sf_dir: str):
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch.column("props").to_pylist():
+            try:
+                v = _json.loads(p).get("k") if p else None
+            except (ValueError, AttributeError):
+                v = None
+            ks.append(v)
+        return pa.table(
+            {"event_id": batch.column("event_id"), "k": pa.array(ks, pa.int64())}
+        )
+
+    return ds.map_batches(_extract, batch_format="pyarrow")
+
+
+SQL_JSON_PROPS = """
+SELECT event_id, cast(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+# =====================================================================
 # R9: deterministic hash-based sampling (SQL-expressible twin of the
 # seeded random_sample below)
 # =====================================================================
@@ -1237,6 +1267,7 @@ QUERIES = {
     "sample_hash": q_sample_hash,
     "grouped_topk": q_grouped_topk,
     "top_shipping": q_top_shipping,
+    "json_props": q_json_props,
     "regex_extract": q_regex_extract,
     "date_histogram": q_date_histogram,
     "extract_error_stats": q_extract_error_stats,
@@ -1286,6 +1317,7 @@ ORACLE_SQL = {
     "sample_hash": SQL_SAMPLE_HASH,
     "grouped_topk": SQL_GROUPED_TOPK,
     "top_shipping": SQL_TOP_SHIPPING,
+    "json_props": SQL_JSON_PROPS,
     "regex_extract": SQL_REGEX_EXTRACT,
     "date_histogram": SQL_DATE_HISTOGRAM,
 }
