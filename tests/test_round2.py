@@ -48,7 +48,7 @@ def test_knn_lsh_recall(ray_session, exact_knn):
         hits += len(exact & approx)
         total += len(exact)
     recall = hits / total
-    assert recall >= 0.3, f"knn_lsh recall@10 regressed: {recall:.2f}"
+    assert recall >= 0.5, f"knn_lsh recall@10 regressed: {recall:.2f}"
 
 
 def test_knn_ivf_recall(ray_session, exact_knn):
@@ -65,7 +65,7 @@ def test_knn_ivf_recall(ray_session, exact_knn):
         hits += len(exact & approx)
         total += len(exact)
     recall = hits / total
-    assert recall >= 0.3, f"knn_ivf recall@10 regressed: {recall:.2f}"
+    assert recall >= 0.4, f"knn_ivf recall@10 regressed: {recall:.2f}"
 
 
 # ------------------------------------------------- stub contract invariants
@@ -264,3 +264,18 @@ def test_jsonl_source_equals_parquet_source(tmp_path, ray_session):
     for col in ["conv_id", "turn_idx", "template_id", "status", "error_kind",
                 "extracted_text", "fields"]:
         assert (a[col] == b[col]).all(), col
+
+
+def test_embedding_neardup_lsh_recall(ray_session):
+    """Multi-table LSH near-dup: perfect precision (pairs are
+    cosine-verified in-bucket) and a measured recall floor vs the
+    exact all-pairs variant."""
+    from weakscraper_ray.pipelines import relational as R
+
+    lsh = set(map(tuple, R.QUERIES["embedding_neardup"](SF_DIR)
+                  .to_pandas()[["vec_a", "vec_b"]].values.tolist()))
+    exact = set(map(tuple, R.QUERIES["embedding_neardup_exact"](SF_DIR)
+                    .to_pandas()[["vec_a", "vec_b"]].values.tolist()))
+    assert lsh <= exact, "LSH must never emit a below-threshold pair"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.45, f"embedding_neardup recall regressed: {recall:.2f}"

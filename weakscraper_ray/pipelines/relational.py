@@ -744,23 +744,43 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets.
+    """Embedding-cosine near-dup pairs via MULTI-TABLE hyperplane LSH
+    (union of per-table bucket pair sets, deduped): recall
+    1-(1-p^bits)^tables instead of a single table's p^bits, at perfect
+    precision (pairs are cosine-verified in-bucket).
 
     Production threshold would be ~0.95; the testdata embeddings are
     random (max pairwise cosine ≈0.51 at sf0.01), so the demo threshold
-    is 0.35 with few LSH bits — same operator shape, non-degenerate
-    output."""
-    from ..functions.dedup import HyperplaneLSH, cosine_pairs_in_bucket
+    is 0.35 — same operator shape, non-degenerate output. Recall floor
+    vs the exact all-pairs variant asserted in tests/test_round2.py."""
+    import pandas as _pd
+
+    from ..functions.dedup import cosine_pairs_in_bucket
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs=dict(n_bits=4),
+        _MultiTableLSH,
+        fn_constructor_kwargs=dict(n_bits=4, n_tables=8),
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
-    return bucketed.groupby("bucket").map_groups(
-        lambda g: cosine_pairs_in_bucket(g, threshold=0.35), batch_format="pyarrow"
+    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
+        lambda g: cosine_pairs_in_bucket(g, threshold=_NEARDUP_THRESHOLD),
+        batch_format="pyarrow",
+    )
+    # the same pair can surface from several tables
+    from ray.data.aggregate import Min
+
+    agg = pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_a": t.column("vec_a"),
+                "vec_b": t.column("vec_b"),
+                "cosine": t.column("min(cosine)"),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -1638,11 +1658,16 @@ QUERIES["heuristic_extract"] = q_heuristic_extract
 QUERIES["pdf_layout"] = q_pdf_layout
 
 
+_IVF_NPROBE = 2
+
+
 def q_knn_ivf(sf_dir: str):
-    """IVF ANN scale path: k-means centroids trained on a driver-side
-    sample → vectors bucketed into inverted lists (actor stage,
-    broadcast centroids) → each query scores only its nearest list's
-    members. Rows-only (approximate by design)."""
+    """IVF ANN scale path: k-means centroids trained on a distributed
+    seeded sample → vectors bucketed into inverted lists (actor stage,
+    broadcast centroids) → each query scores its ``_IVF_NPROBE``
+    nearest lists' members → per-query global top-k reduce over the
+    probed partials. Rows-only (approximate by design; recall floor
+    asserted vs knn_cosine in tests/test_round2.py)."""
     from ..functions.similarity import IvfAssigner, ivf_topk_in_list, kmeans_centroids
 
     # k-means training sample: a seeded DISTRIBUTED random sample (no
@@ -1664,9 +1689,9 @@ def q_knn_ivf(sf_dir: str):
     qmat = np.asarray(qsel.column("embedding").to_pylist(), dtype=np.float64)
     qunit = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     qids = np.asarray(qsel.column("vec_id").to_pylist())
-    # single-probe: which list each query would search
+    # multi-probe: the _IVF_NPROBE nearest lists each query searches
     qd = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    qlist = qd.argmin(axis=1)
+    qprobe = np.argsort(qd, axis=1)[:, :_IVF_NPROBE]
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     assigned = ds.map_batches(
@@ -1678,14 +1703,22 @@ def q_knn_ivf(sf_dir: str):
 
     def _per_list(group: pd.DataFrame) -> pd.DataFrame:
         lid = int(group["list_id"].iloc[0])
-        probing = qlist == lid
+        probing = (qprobe == lid).any(axis=1)
         if not probing.any():
             return pd.DataFrame(columns=["query_id", "vec_id", "score"]).astype(
                 {"query_id": "int64", "vec_id": "int64", "score": "float64"}
             )
         return ivf_topk_in_list(group, qunit[probing], qids[probing], k=_KNN_K)
 
-    return assigned.groupby("list_id").map_groups(_per_list, batch_format="pandas")
+    partials = assigned.groupby("list_id").map_groups(_per_list, batch_format="pandas")
+
+    def _reduce(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(_KNN_K)
+
+    return partials.groupby("query_id").map_groups(_reduce, batch_format="pandas")
 
 
 QUERIES["knn_ivf"] = q_knn_ivf
