@@ -334,12 +334,18 @@ def text_content(node: dict, sep: str = "\n") -> str:
 
 
 def _collect_text(node: dict, out: list[str]) -> None:
-    nt = node["nodetype"]
-    if nt == "text":
-        out.append(node["content"])
-        return
-    for child in node.get("children", ()):
-        _collect_text(child, out)
+    # iterative DFS (explicit stack): this runs for every captured node
+    # and every wildcard-skipped sibling, so call overhead matters
+    stack = [node]
+    pop = stack.pop
+    while stack:
+        nd = pop()
+        if nd["nodetype"] == "text":
+            out.append(nd["content"])
+            continue
+        ch = nd.get("children")
+        if ch:
+            stack.extend(reversed(ch))
 
 
 def text_bytes(node: dict) -> int:

@@ -100,6 +100,33 @@ def rolling_fingerprint_batch(batch: pa.Table, window: int = _ROLL_WINDOW) -> pa
     return pa.table({"doc_id": batch.column("doc_id"), "min_rolling_hash": out})
 
 
+def chunk_batch(batch: pa.Table, window: int = 50, stride: int = 40) -> pa.Table:
+    """Document chunking (flat-map: 1 doc → N overlapping chunks):
+    fixed word windows with overlap ``window - stride`` — the training
+    pipeline shape for embedding/pretraining corpus prep. Chunk count
+    per doc = ceil(n_words / stride); trailing chunks may be short.
+    Emits (doc_id, chunk_idx, chunk_text, n_words)."""
+    doc_ids, idxs, chunks, sizes = [], [], [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        words = (text or "").split()
+        for i, s in enumerate(range(0, max(len(words), 1), stride)):
+            piece = words[s : s + window]
+            doc_ids.append(doc_id)
+            idxs.append(i)
+            chunks.append(" ".join(piece))
+            sizes.append(len(piece))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "chunk_text": pa.array(chunks, pa.string()),
+            "n_words": pa.array(sizes, pa.int64()),
+        }
+    )
+
+
 class LangId:
     """Stopword/char-n-gram language heuristic; tables built per actor.
 

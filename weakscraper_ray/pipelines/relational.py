@@ -1131,6 +1131,34 @@ FROM events GROUP BY strftime(ts, '%Y-%m-%d')
 
 
 # =====================================================================
+# Document chunking (flat-map: 1 doc → N overlapping word windows) —
+# the corpus-prep shape for embedding/pretraining pipelines
+# =====================================================================
+
+def q_chunk_documents(sf_dir: str):
+    from ..functions.text import chunk_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+SQL_CHUNKS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), e AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(cast(ceil(len(ws) / 40.0) AS BIGINT), 1))) AS i
+  FROM w
+)
+SELECT doc_id,
+       cast(i AS BIGINT) AS chunk_idx,
+       array_to_string(ws[i*40+1 : i*40+50], ' ') AS chunk_text,
+       cast(len(ws[i*40+1 : i*40+50]) AS BIGINT) AS n_words
+FROM e
+"""
+
+
+# =====================================================================
 # Semi-structured: JSON property extraction from the events.props
 # column (json_extract family — training pipelines carry JSON blobs)
 # =====================================================================
@@ -1288,6 +1316,7 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "top_shipping": q_top_shipping,
     "json_props": q_json_props,
+    "chunk_documents": q_chunk_documents,
     "regex_extract": q_regex_extract,
     "date_histogram": q_date_histogram,
     "extract_error_stats": q_extract_error_stats,
@@ -1338,6 +1367,7 @@ ORACLE_SQL = {
     "grouped_topk": SQL_GROUPED_TOPK,
     "top_shipping": SQL_TOP_SHIPPING,
     "json_props": SQL_JSON_PROPS,
+    "chunk_documents": SQL_CHUNKS,
     "regex_extract": SQL_REGEX_EXTRACT,
     "date_histogram": SQL_DATE_HISTOGRAM,
 }
