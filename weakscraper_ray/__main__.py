@@ -84,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
         from .sources import metrics_rollup, write_partitioned
 
         ds = read_transcripts(args.input, include_paths=not args.no_lineage)
+        if not args.no_resume:
+            # prune committed shards BEFORE extraction: a resume skips
+            # the expensive parse+match work, not just the writes
+            from .sources.checkpoint import prune_committed
+
+            ds = prune_committed(ds, args.out, args.shards)
         templates = None
         route_column: str | None = "template_id"
         if args.templates_dir:
@@ -110,7 +116,8 @@ def main(argv: list[str] | None = None) -> int:
             nested=args.nested,
         )
         write_partitioned(
-            out, args.out, n_shards=args.shards, resume=not args.no_resume
+            out, args.out, n_shards=args.shards, resume=not args.no_resume,
+            has_shard=not args.no_resume,
         )
         print(json.dumps(metrics_rollup(args.out)))
         return 0

@@ -92,23 +92,28 @@ def check_sharding(out_dir: str, n_shards: int) -> None:
     os.replace(tmp, meta_path)
 
 
-def prune_committed(ds, out_dir: str, n_shards: int):
+def prune_committed(ds, out_dir: str, n_shards: int, has_shard: bool = False):
     """R6 resume anti-join: drop rows whose shard already committed.
 
     The committed set is tiny → broadcast as a plain Python set inside
-    the filter batch fn (no shuffle)."""
+    the filter batch fn (no shuffle). Call this on the RAW input,
+    BEFORE the extract stage, so a resume skips the expensive work —
+    not just the writes (the CLI wires it that way); the sink calls it
+    again (idempotent, ``has_shard=True``) for crash-safety between
+    the two points."""
+    check_sharding(out_dir, n_shards)
+    if not has_shard:
+        ds = ds.map_batches(add_shard_column(n_shards), batch_format="pyarrow")
     done = committed_partitions(out_dir)
     if not done:
-        return ds.map_batches(add_shard_column(n_shards), batch_format="pyarrow")
+        return ds
     done_arr = pa.array(sorted(done), pa.int32())
 
     def _filter(batch: pa.Table) -> pa.Table:
         mask = pc.invert(pc.is_in(batch.column("shard"), value_set=done_arr))
         return batch.filter(mask)
 
-    return ds.map_batches(add_shard_column(n_shards), batch_format="pyarrow").map_batches(
-        _filter, batch_format="pyarrow"
-    )
+    return ds.map_batches(_filter, batch_format="pyarrow")
 
 
 def _write_one_partition(group: pa.Table, out_dir: str) -> pa.Table:
@@ -177,19 +182,21 @@ def _write_one_partition(group: pa.Table, out_dir: str) -> pa.Table:
     return pa.Table.from_pylist([manifest])
 
 
-def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True):
+def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True,
+                      has_shard: bool = False):
     """Checkpointed sink: shard by conv-hash → one atomic partition +
     manifest per shard. Returns the manifest rows (small DataFrame).
 
     Streaming-friendly: the groupby is the pipeline's existing
     conv-keyed shuffle; each group writes its own partition in the
-    worker, so no driver materialization of data.
+    worker, so no driver materialization of data. ``has_shard=True``
+    when the caller already ran prune_committed upstream (pre-extract).
     """
     os.makedirs(out_dir, exist_ok=True)
     check_sharding(out_dir, n_shards)
     if resume:
-        ds = prune_committed(ds, out_dir, n_shards)
-    else:
+        ds = prune_committed(ds, out_dir, n_shards, has_shard=has_shard)
+    elif not has_shard:
         ds = ds.map_batches(add_shard_column(n_shards), batch_format="pyarrow")
     # Pin the sort-based shuffle for this groupby: the resume filter can
     # empty the stream entirely, and Ray 2.49's hash-shuffle aggregator
