@@ -279,3 +279,37 @@ def test_embedding_neardup_lsh_recall(ray_session):
     assert lsh <= exact, "LSH must never emit a below-threshold pair"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.45, f"embedding_neardup recall regressed: {recall:.2f}"
+
+
+def test_preextract_prune_skips_committed(tmp_path, ray_session):
+    """Resume correctness AND economy: committed shards are pruned from
+    the RAW input (before extraction); a partially-committed checkpoint
+    leaves exactly the uncommitted shards' rows flowing downstream."""
+    import os
+
+    from weakscraper_ray.pipelines.extraction import (
+        extraction_pipeline,
+        read_transcripts,
+    )
+    from weakscraper_ray.sources.checkpoint import (
+        prune_committed,
+        write_partitioned,
+    )
+    from weakscraper_ray.transcripts import ensure_generated
+
+    src = ensure_generated("tiny")
+    out_dir = str(tmp_path / "ckpt")
+    n_shards = 4
+    total = read_transcripts(src).count()
+    write_partitioned(
+        extraction_pipeline(read_transcripts(src), restore_ordering=False),
+        out_dir, n_shards=n_shards,
+    )
+    # fully committed → nothing survives the pre-extract prune
+    assert prune_committed(read_transcripts(src), out_dir, n_shards).count() == 0
+    # drop one shard's manifest (simulates a crash before its commit)
+    mdir = os.path.join(out_dir, "_manifest")
+    victim = sorted(f for f in os.listdir(mdir) if not f.startswith("_"))[0]
+    os.remove(os.path.join(mdir, victim))
+    remaining = prune_committed(read_transcripts(src), out_dir, n_shards).count()
+    assert 0 < remaining < total
