@@ -1281,6 +1281,59 @@ def q_extract_error_stats(sf_dir: str):
     )
 
 
+def q_conv_stats(sf_dir: str):
+    """Conversation-level aggregates over the mandated transcripts
+    table (turns, HTML-bearing turns, time span) — per-batch partials
+    before the conv groupby, so the shuffle moves one row per conv per
+    batch. Oracle reads the same part-*.parquet shards via DuckDB."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..transcripts import ensure_generated
+    from .extraction import read_transcripts
+
+    ds = read_transcripts(ensure_generated(_size_for(sf_dir)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "is_html": pc.cast(
+                    pc.greater_equal(batch.column("template_id"), 0), pa.int64()
+                ),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            }
+        )
+        return t.group_by("conv_id").aggregate(
+            [("is_html", "sum"), ("is_html", "count"),
+             ("ts_us", "min"), ("ts_us", "max")]
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("conv_id").aggregate(
+        Sum("is_html_sum"), Sum("is_html_count"),
+        Min("ts_us_min"), Max("ts_us_max"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "n_turns": pc.cast(t.column("sum(is_html_count)"), pa.int64()),
+                "n_html_turns": pc.cast(t.column("sum(is_html_sum)"), pa.int64()),
+                "span_seconds": pc.cast(
+                    pc.divide(
+                        pc.subtract(
+                            t.column("max(ts_us_max)"), t.column("min(ts_us_min)")
+                        ),
+                        1_000_000,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_learned_extract(sf_dir: str):
     """Learner path: skeleton templates learned from rendered samples,
     then applied — exercised at tiny scale (see learner tests). Output
@@ -1320,6 +1373,7 @@ QUERIES = {
     "regex_extract": q_regex_extract,
     "date_histogram": q_date_histogram,
     "extract_error_stats": q_extract_error_stats,
+    "conv_stats": q_conv_stats,
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
     "broadcast_join": q_broadcast_join,
@@ -1400,6 +1454,20 @@ def build_oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
         "SELECT template_id, error_kind, cast(count(*) AS BIGINT) AS n_rows "
         f"FROM read_parquet('{t_extract}') GROUP BY template_id, error_kind"
     )
+    from .extraction import read_transcripts as _rt  # noqa: F401 (path only)
+    from ..transcripts import ensure_generated as _eg
+
+    shards_glob = f"{_eg(size)}/part-*.parquet"
+    out["conv_stats"] = f"""
+SELECT conv_id,
+       cast(count(*) AS BIGINT) AS n_turns,
+       cast(sum(CASE WHEN template_id >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_html_turns,
+       cast((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+           AS span_seconds
+FROM read_parquet('{shards_glob}')
+GROUP BY conv_id
+"""
     out["learned_extract"] = f"SELECT * FROM read_parquet('{oracles.learned_twin()}')"
     out["heuristic_extract"] = (
         f"SELECT * FROM read_parquet('{oracles.heuristic_twin(size)}')"
