@@ -124,6 +124,49 @@ def test_fast_parser_equivalence_corpus():
         assert parse_fast(html) == parse_stdlib(html), html[:120]
 
 
+def test_fast_parser_nonascii_whitespace_normalized():
+    """ADVICE r2: the flush() fast path must not skip normalization for
+    text whose whitespace is not in the plain-ASCII \\t\\n\\r/space set —
+    notably U+00A0 from &nbsp;, \\x0b, \\x0c, \\x1c-\\x1f, U+2028."""
+    from weakscraper_ray.dom import parse_fast, parse_stdlib
+
+    cases = [
+        "<p>x&nbsp;y</p>",
+        "<p>a\x0bb</p>",
+        "<p>a\x0cb</p>",
+        "<p>a\x1cb\x1dc\x1ed\x1fe</p>",
+        "<p>x y</p>",
+        "<p>x y</p>",
+        "<p>x　y</p>",
+        "<p>x\x85y</p>",
+        "<p>caf\xe9\xa0au\xa0lait</p>",
+        "<p>&nbsp;lead</p>",
+        "<p>trail&nbsp;</p>",
+    ]
+    for html in cases:
+        fast, std = parse_fast(html), parse_stdlib(html)
+        assert fast == std, (html, fast, std)
+    # the canonical ADVICE example, value-asserted
+    assert (
+        parse_fast("<p>x&nbsp;y</p>")["children"][0]["children"][0]["content"]
+        == "x y"
+    )
+
+
+def test_tagtok_linear_on_truncated_tags():
+    """ADVICE r2: an unterminated start tag full of ="x" units must fail
+    in linear time (the old ambiguous alternation backtracked
+    exponentially — 3.5 s at 24 units, doubling per unit)."""
+    import time
+
+    from weakscraper_ray.dom import parse_fast
+
+    bomb = "<a " + '="x"' * 60  # no closing '>' anywhere
+    t0 = time.perf_counter()
+    parse_fast(bomb + " trailing text")
+    assert time.perf_counter() - t0 < 0.5  # old regex: heat death
+
+
 def test_fast_parser_is_default_and_faster():
     import time
 

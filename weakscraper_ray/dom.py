@@ -145,15 +145,20 @@ def parse_stdlib(html: str) -> dict:
 #: tag-shaped tokens only, matched ANCHORED at a '<' the scanner found
 #: with str.find — text runs never touch the regex engine.
 #: Quote-aware like the stdlib tokenizer: a quoted attribute VALUE
-#: (quote right after '=') may contain '>', e.g. <a title="x>y"> — the
-#: quoted alternatives are tried before the generic [^>] so the tag
-#: doesn't truncate there. A quote NOT opening a value (e.g. don't in
-#: an unquoted value) falls through to [^>], matching stdlib tolerance.
+#: (quote right after '=') may contain '>', e.g. <a title="x>y">.
+#: The start-tag alternation is UNAMBIGUOUS — each unit is selected by
+#: its first character(s): '=' + quote → the whole quoted value; '='
+#: not followed by a quote → just the '='; anything else non-'>'/'='
+#: → one char. Disjoint branches make failure LINEAR: a truncated page
+#: ending in an unterminated '="...' simply fails the tag match (the
+#: '<' is emitted as text, like stdlib's incomplete-tag handling at
+#: close()), instead of the exponential backtracking an ambiguous
+#: `(?:="..."|[^>])*` exhibits (each `="x"` unit doubling the search).
 _TAGTOK = re.compile(
     r"<!--.*?-->"              # comment
     r"|<![^>]*>"               # doctype / other decls
     r"|</[a-zA-Z][^>]*>"       # end tag
-    r"|<[a-zA-Z](?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*>",  # start tag
+    r"|<[a-zA-Z](?:=\s*\"[^\"]*\"|=\s*'[^']*'|=(?!\s*[\"'])|[^>=])*>",  # start tag
     re.S,
 )
 
@@ -221,15 +226,26 @@ def parse_fast(html: str) -> dict:
         if "&" in raw:
             raw = _unescape(raw)
         # fast path: already normalized (C-level scans, no allocation —
-        # most rendered text is single-spaced with no edge whitespace)
+        # most rendered text is single-spaced with no edge whitespace).
+        # Guard must cover EVERY char str.split treats as whitespace:
+        # ASCII \x09-\x0d and \x1c-\x1f plus space; isascii() excludes
+        # the Unicode ones (\x85, \xa0 from &nbsp;,  , ...), which
+        # fall through to the full normalization below.
         if (
             raw
             and raw[0] != " "
             and raw[-1] != " "
+            and raw.isascii()
             and "  " not in raw
             and "\n" not in raw
             and "\t" not in raw
             and "\r" not in raw
+            and "\x0b" not in raw
+            and "\x0c" not in raw
+            and "\x1c" not in raw
+            and "\x1d" not in raw
+            and "\x1e" not in raw
+            and "\x1f" not in raw
         ):
             content = raw
         else:
