@@ -18,6 +18,16 @@ import pyarrow as pa
 import ray
 
 
+def round_e4_away(x: np.ndarray) -> np.ndarray:
+    """``round(x * 10000)`` with ties HALF AWAY FROM ZERO — the exact
+    semantics of DuckDB's ``round()`` in the knn oracle's ``ORDER BY``.
+    ``np.round``/``pandas.round`` are half-to-even, which silently
+    diverges on exact .5 ties (ADVICE r2); copysign+floor matches the
+    oracle for negative cosines too."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(x) * 10000.0 + 0.5), x)
+
+
 class BruteForceTopK:
     """Actor-pool stage: per-batch cosine vs a broadcast query matrix.
 
@@ -39,19 +49,23 @@ class BruteForceTopK:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = self.qunit @ unit.T  # (Q, n) one matmul per batch
-        k = min(self.k, sims.shape[1])
+        n = sims.shape[1]
+        k = min(self.k, n)
         # local top-k per query under the SAME ordering the global
         # reducer uses — (rounded score desc, vec_id asc) — so a vector
         # tied after rounding can't be cut at the batch boundary and
-        # then win globally (ADVICE r1). argpartition pre-selects a
-        # small candidate margin, the exact ordering ranks within it.
-        margin = min(sims.shape[1], k + 8)
-        part = np.argpartition(-sims, margin - 1, axis=1)[:, :margin]
+        # then win globally (ADVICE r1). The candidate set is EVERY
+        # vector whose rounded score >= the k-th largest rounded score
+        # in the row (ADVICE r2: a fixed +8 margin could still drop a
+        # smaller-vec_id tie when >8 vectors share the boundary value);
+        # rounding is monotone, so this set provably contains the top-k
+        # under the (rounded desc, vec_id asc) order.
+        rounded = round_e4_away(sims)
+        kth = np.partition(rounded, n - k, axis=1)[:, n - k]
         rows_q, rows_v, rows_s = [], [], []
         for qi in range(sims.shape[0]):
-            cand = part[qi]
-            rounded = np.round(sims[qi, cand], 4)
-            order = np.lexsort((ids[cand], -rounded))[:k]
+            cand = np.nonzero(rounded[qi] >= kth[qi])[0]
+            order = np.lexsort((ids[cand], -rounded[qi, cand]))[:k]
             sel = cand[order]
             rows_q.append(np.full(k, self.query_ids[qi]))
             rows_v.append(ids[sel])
@@ -67,9 +81,10 @@ class BruteForceTopK:
 
 def global_topk(group: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     """Reduce partial top-ks: rank by (rounded score desc, vec_id asc)
-    for deterministic tie-breaks that match a SQL oracle."""
+    for deterministic tie-breaks that match a SQL oracle (half-away
+    rounding, same as the oracle's ``round()`` — see round_e4_away)."""
     g = group.copy()
-    g["score"] = g["score"].round(4)
+    g["score"] = round_e4_away(g["score"].to_numpy()) / 10000.0
     g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
     return g.head(k)
 
@@ -144,9 +159,10 @@ def ivf_topk_in_list(group: pd.DataFrame, query_unit: np.ndarray,
     unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     sims = query_unit @ unit.T
     ids = group["vec_id"].to_numpy()
+    rounded = round_e4_away(sims) / 10000.0
     rows = []
     for qi in range(len(query_ids)):
         order = np.argsort(-sims[qi])[:k]
         for vi in order:
-            rows.append((int(query_ids[qi]), int(ids[vi]), round(float(sims[qi, vi]), 4)))
+            rows.append((int(query_ids[qi]), int(ids[vi]), float(rounded[qi, vi])))
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "score"])

@@ -24,6 +24,27 @@ import ray
 import ray.data
 
 
+def _i64_away(col, scale: float = 100.0):
+    """``cast(round(col * scale) AS BIGINT)`` with ties rounded HALF
+    AWAY FROM ZERO — the exact semantics of DuckDB's ``round()``, which
+    every money/score oracle twin in this module uses. ``pc.round``'s
+    default is half-to-even, and the sf data really hits exact .5 cent
+    ties (ADVICE r2: 10 order groups at sf0.01, 129 at sf0.1), so the
+    default would diverge from the oracle whenever a tie surfaces."""
+    return pc.cast(
+        pc.round(pc.multiply(col, float(scale)), 0,
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def _i64_away_np(arr, scale: float = 100.0):
+    """numpy/pandas twin of :func:`_i64_away` (np.round/pandas.round are
+    half-to-even too)."""
+    scaled = np.asarray(arr, dtype=np.float64) * scale
+    return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype("int64")
+
+
 def _p(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
@@ -58,7 +79,7 @@ def _q1_finalize(batch: pa.Table) -> pa.Table:
     def _cents(col, scale=100):
         # scaled-integer output: exact under any summation order, so the
         # driver's value-hash is stable (floats differ in the last ulp)
-        return pc.cast(pc.round(pc.multiply(col, float(scale)), 0), pa.int64())
+        return _i64_away(col, scale)
 
     return pa.table(
         {
@@ -176,9 +197,7 @@ def q_broadcast_join(sf_dir: str):
         lambda t: pa.table(
             {
                 "n_name": t.column("n_name"),
-                "total_revenue_cents": pc.cast(
-                    pc.round(pc.multiply(t.column("sum(rev)"), 100.0), 0), pa.int64()
-                ),
+                "total_revenue_cents": _i64_away(t.column("sum(rev)")),
                 "n_orders": pc.cast(t.column("sum(n)"), pa.int64()),
             }
         ),
@@ -230,10 +249,7 @@ def q_events_by_type(sf_dir: str):
             {
                 "event_type": t.column("event_type"),
                 "n_events": pc.cast(t.column("sum(value_count)"), pa.int64()),
-                "sum_value_cents": pc.cast(
-                    pc.round(pc.multiply(t.column("sum(value_sum)"), 100.0), 0),
-                    pa.int64(),
-                ),
+                "sum_value_cents": _i64_away(t.column("sum(value_sum)")),
             }
         ),
         batch_format="pyarrow",
@@ -337,7 +353,7 @@ FROM documents GROUP BY md5(text)
 
 def _running(group: pd.DataFrame) -> pd.DataFrame:
     g = group.sort_values(["ts", "event_id"], kind="mergesort")
-    g["running_value_cents"] = (g["value"].cumsum() * 100).round(0).astype("int64")
+    g["running_value_cents"] = _i64_away_np(g["value"].cumsum().to_numpy())
     return g[["event_id", "user_id", "running_value_cents"]]
 
 
@@ -473,9 +489,7 @@ def q_knn_cosine(sf_dir: str):
             {
                 "query_id": t.column("query_id"),
                 "vec_id": t.column("vec_id"),
-                "score_e4": pc.cast(
-                    pc.round(pc.multiply(t.column("score"), 10000.0), 0), pa.int64()
-                ),
+                "score_e4": _i64_away(t.column("score"), 10000.0),
             }
         ),
         batch_format="pyarrow",
@@ -557,10 +571,13 @@ def q_knn_lsh(sf_dir: str):
         sims = unit @ unit.T
         k = min(_KNN_K, len(ids))
         rows = []
+        from ..functions.similarity import round_e4_away
+
+        rounded = round_e4_away(sims) / 10000.0
         for qi in range(len(ids)):
             order = np.argsort(-sims[qi])[:k]
             for vi in order:
-                rows.append((ids[qi], ids[vi], round(float(sims[qi, vi]), 4)))
+                rows.append((ids[qi], ids[vi], float(rounded[qi, vi])))
         return pd.DataFrame(rows, columns=["query_id", "vec_id", "score"])
 
     partials = bucketed.groupby(["table", "bucket"]).map_groups(
@@ -611,7 +628,14 @@ class _JaccardVerify:
             batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
         ):
             sa, sb = self._sh(x), self._sh(y)
-            keep.append(3 * len(sa & sb) >= len(sa) + len(sb))
+            # (sa or sb): a pair of <3-word docs has two empty shingle
+            # sets, making the integer condition vacuously true (0>=0);
+            # such docs carry no shingle evidence, so drop the pair —
+            # mirrored by the len(a.s)+len(b.s) > 0 clause in the SQL
+            # twin (ADVICE r2).
+            keep.append(
+                bool(sa or sb) and 3 * len(sa & sb) >= len(sa) + len(sb)
+            )
         return batch.filter(pa.array(keep)).select(["doc_a", "doc_b"])
 
 
@@ -681,12 +705,13 @@ WITH sh AS (
                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
          ) AS s
   FROM (SELECT doc_id,
-               regexp_split_to_array(trim(lower(text)), '\s+') AS w
+               regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
         FROM documents)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)
+WHERE len(a.s) + len(b.s) > 0
+  AND 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)
 """
 
 
@@ -1041,10 +1066,7 @@ def q_top_shipping(sf_dir: str):
         return pa.table(
             {
                 "l_orderkey": batch.column("l_orderkey"),
-                "revenue_cents": pc.cast(
-                    pc.round(pc.multiply(batch.column("sum(rev_sum)"), 100.0), 0),
-                    pa.int64(),
-                ),
+                "revenue_cents": _i64_away(batch.column("sum(rev_sum)")),
                 "o_orderdate": pa.array(dates, pa.string()),
             }
         )
@@ -1112,10 +1134,7 @@ def q_date_histogram(sf_dir: str):
             {
                 "day": t.column("day"),
                 "n_events": pc.cast(t.column("sum(value_count)"), pa.int64()),
-                "sum_value_cents": pc.cast(
-                    pc.round(pc.multiply(t.column("sum(value_sum)"), 100.0), 0),
-                    pa.int64(),
-                ),
+                "sum_value_cents": _i64_away(t.column("sum(value_sum)")),
             }
         ),
         batch_format="pyarrow",
@@ -1526,10 +1545,7 @@ def q_window_tumbling(sf_dir: str):
                 "event_type": t.column("event_type"),
                 "window_hour": t.column("window_hour"),
                 "n_events": pc.cast(t.column("sum(value_count)"), pa.int64()),
-                "sum_value_cents": pc.cast(
-                    pc.round(pc.multiply(t.column("sum(value_sum)"), 100.0), 0),
-                    pa.int64(),
-                ),
+                "sum_value_cents": _i64_away(t.column("sum(value_sum)")),
             }
         ),
         batch_format="pyarrow",
@@ -1568,7 +1584,7 @@ def q_asof_join(sf_dir: str):
             clicks, views, on="ts", direction="backward", suffixes=("", "_view")
         )
         m = m.dropna(subset=["value_view"])
-        m["view_value_cents"] = (m["value_view"] * 100).round(0).astype("int64")
+        m["view_value_cents"] = _i64_away_np(m["value_view"].to_numpy())
         return m[["event_id", "user_id", "view_value_cents"]]
 
     return ds.groupby("user_id").map_groups(_asof, batch_format="pandas")
@@ -1657,10 +1673,7 @@ def q_hash_join(sf_dir: str):
         lambda t: pa.table(
             {
                 "o_orderpriority": t.column("o_orderpriority"),
-                "revenue_cents": pc.cast(
-                    pc.round(pc.multiply(t.column("sum(rev_sum)"), 100.0), 0),
-                    pa.int64(),
-                ),
+                "revenue_cents": _i64_away(t.column("sum(rev_sum)")),
                 "n_items": pc.cast(t.column("sum(rev_count)"), pa.int64()),
             }
         ),
