@@ -154,6 +154,113 @@ def bucket_pairs(group: pa.Table, max_bucket: int = 200) -> pa.Table:
     )
 
 
+# ------------------------------------------------- pairs -> clusters
+
+def union_find_labels(edges: Iterable[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find over a BOUNDED edge set: node -> min doc_id
+    of its connected component. The exact twin the distributed
+    propagation is tested against (and the fast path when the verified
+    pair set is known small)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the representative is the min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def _hash_to_min_round(group: pa.Table) -> pa.Table:
+    """One hash-to-min step for one node's neighborhood C(u) (Rastogi
+    et al., "Finding Connected Components in MapReduce in Logarithmic
+    Rounds" — public algorithm): send m = min(C(u) ∪ {u}) to every
+    member, and send every member to m. Expressed as new (u, v) rows;
+    per-node labels are monotonically non-increasing, so the sum of
+    per-node minima is a valid fixpoint detector."""
+    u = int(group.column("u")[0].as_py())
+    vs = np.unique(group.column("v").to_numpy(zero_copy_only=False))
+    m = min(u, int(vs[0]))  # vs sorted by np.unique
+    members = np.union1d(vs, np.array([u], dtype=vs.dtype))
+    # (member, m) for all members  +  (m, member) for all members
+    out_u = np.concatenate([members, np.full(len(members), m, dtype=members.dtype)])
+    out_v = np.concatenate([np.full(len(members), m, dtype=members.dtype), members])
+    return pa.table(
+        {"u": pa.array(out_u, pa.int64()), "v": pa.array(out_v, pa.int64())}
+    )
+
+
+def cluster_pairs(pairs_ds, max_iters: int = 32):
+    """Distributed connected components over verified duplicate pairs:
+    (doc_a, doc_b) Dataset → (doc_id, cluster_id, is_keeper) Dataset,
+    cluster_id = min doc_id in the component, keeper = that doc.
+
+    Pure groupby/map_groups iterations (hash-to-min, O(log n) rounds) —
+    no Dataset.join (Ray 2.49 joins spawn per-join aggregator pools
+    that deadlock small sessions) and no driver materialization of the
+    edge set; the driver sees only one Sum/Count pair per round for the
+    fixpoint check. Each round's rows are bounded by sum of component
+    sizes (duplicate clusters), not corpus size.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    # both orientations; self-loops arise naturally from the first round
+    def _orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        return pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [a.combine_chunks().cast(pa.int64()),
+                     b.combine_chunks().cast(pa.int64())]
+                ),
+                "v": pa.concat_arrays(
+                    [b.combine_chunks().cast(pa.int64()),
+                     a.combine_chunks().cast(pa.int64())]
+                ),
+            }
+        )
+
+    rows = pairs_ds.map_batches(_orient, batch_format="pyarrow")
+    prev_sig = None
+    for _ in range(max_iters):
+        rows = rows.groupby("u").map_groups(
+            _hash_to_min_round, batch_format="pyarrow"
+        ).materialize()
+        labels = rows.groupby("u").aggregate(Min("v"))
+        agg = labels.aggregate(Sum("min(v)"), Count())
+        sig = (agg["sum(min(v))"], agg["count()"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = rows.groupby("u").aggregate(Min("v"))
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        doc = batch.column("u")
+        lab = batch.column("min(v)")
+        return pa.table(
+            {
+                "doc_id": doc,
+                "cluster_id": lab,
+                "is_keeper": pa.compute.cast(
+                    pa.compute.equal(doc, lab), pa.int64()
+                ),
+            }
+        )
+
+    return labels.map_batches(_finalize, batch_format="pyarrow")
+
+
 def jaccard(text_a: str, text_b: str, k: int = 1) -> float:
     def sh(t):
         w = (t or "").lower().split()

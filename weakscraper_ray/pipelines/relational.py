@@ -697,8 +697,10 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
-SQL_DEDUP_MINHASH = r"""
-WITH sh AS (
+#: shared CTE fragment: 3-gram shingle sets + the verified pair set —
+#: composed into both the pair oracle and the clusters oracle so the
+#: two can never drift apart.
+_SQL_MINHASH_CTES = r"""sh AS (
   SELECT doc_id,
          list_distinct(
            list_transform(range(1, len(w) - 1),
@@ -707,11 +709,43 @@ WITH sh AS (
   FROM (SELECT doc_id,
                regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
         FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.s) + len(b.s) > 0
+    AND 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)
+)"""
+
+SQL_DEDUP_MINHASH = f"WITH {_SQL_MINHASH_CTES}\nSELECT doc_a, doc_b FROM pairs"
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Verified near-dup pairs → connected components (the operator
+    promised at functions/dedup.py — every production near-dup pipeline
+    ends in "keep one doc per duplicate cluster", not a pair list).
+    Emits (doc_id, cluster_id, is_keeper) with cluster_id = min doc_id
+    of the component; distributed hash-to-min label propagation, see
+    :func:`weakscraper_ray.functions.dedup.cluster_pairs`."""
+    from ..functions.dedup import cluster_pairs
+
+    return cluster_pairs(q_dedup_minhash(sf_dir))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(a.s) + len(b.s) > 0
-  AND 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)
+SELECT u AS doc_id, min(v) AS cluster_id,
+       cast(CASE WHEN u = min(v) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM reach GROUP BY u
 """
 
 
@@ -1409,6 +1443,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "embedding_neardup": q_embedding_neardup,
     "lang_id": q_lang_id,
@@ -1435,6 +1470,7 @@ ORACLE_SQL = {
     "anti_join": SQL_ANTI_JOIN,
     "knn_cosine": SQL_KNN,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "embedding_neardup_exact": SQL_NEARDUP_EXACT,
     "sample_hash": SQL_SAMPLE_HASH,
     "grouped_topk": SQL_GROUPED_TOPK,
