@@ -48,6 +48,56 @@ def test_cluster_pairs_matches_union_find(pairs, ray_session):
         assert got[node] == (label, int(node == label)), node
 
 
+# ------------------------------------------------- text -> embedding
+
+def test_text_encoder_contract():
+    """The stub-contract encoder must satisfy what any real encoder
+    must: deterministic across instantiations, unit-norm float32
+    fixed_size_list<dim> output keyed by vec_id."""
+    from weakscraper_ray.functions.embed import TextEncoder
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 7], pa.int64()),
+            "text": ["alpha beta gamma", "alpha beta gamma", "totally different words"],
+        }
+    )
+    out1 = TextEncoder(dim=64)(batch)
+    out2 = TextEncoder(dim=64)(batch)  # fresh "model load" → same result
+    assert out1.equals(out2)
+    assert out1.column("vec_id").to_pylist() == [3, 1, 7]
+    typ = out1.column("embedding").type
+    assert pa.types.is_fixed_size_list(typ) and typ.list_size == 64
+    assert typ.value_type == pa.float32()
+    emb = np.asarray(out1.column("embedding").to_pylist(), dtype=np.float64)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+    # same text → same embedding; different text → different
+    assert np.allclose(emb[0], emb[1])
+    assert not np.allclose(emb[0], emb[2])
+
+
+def test_fixed_list_to_numpy_layouts():
+    from weakscraper_ray.functions.embed import fixed_list_to_numpy
+
+    want = np.arange(12, dtype=np.float32).reshape(4, 3)
+    fixed = pa.FixedSizeListArray.from_arrays(
+        pa.array(want.reshape(-1), pa.float32()), 3
+    )
+    np.testing.assert_array_equal(fixed_list_to_numpy(fixed), want)
+    # sliced view keeps the right window
+    np.testing.assert_array_equal(fixed_list_to_numpy(fixed.slice(1, 2)), want[1:3])
+    # uniform list<float> (the testdata layout)
+    plain = pa.array([list(r) for r in want], pa.list_(pa.float32()))
+    np.testing.assert_array_equal(fixed_list_to_numpy(plain), want)
+    np.testing.assert_array_equal(fixed_list_to_numpy(plain.slice(2)), want[2:])
+    chunked = pa.chunked_array([plain.slice(0, 2), plain.slice(2)])
+    np.testing.assert_array_equal(fixed_list_to_numpy(chunked), want)
+    got64 = fixed_list_to_numpy(plain, dtype=np.float64)
+    assert got64.dtype == np.float64
+    with pytest.raises(ValueError):
+        fixed_list_to_numpy(pa.array([[1.0], [1.0, 2.0]], pa.list_(pa.float32())))
+
+
 def test_union_find_labels_basic():
     from weakscraper_ray.functions.dedup import union_find_labels
 

@@ -362,7 +362,9 @@ class HyperplaneLSH:
         self._weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column(self.column).to_pylist(), dtype=np.float32)
+        from .embed import fixed_list_to_numpy
+
+        mat = fixed_list_to_numpy(batch.column(self.column), dtype=np.float32)
         proj = mat @ self.planes  # (n, bits) — one matmul per batch
         bits = (proj > 0).astype(np.int64)
         bucket = bits @ self._weights
@@ -378,7 +380,9 @@ class HyperplaneLSH:
 
 
 def cosine_pairs_in_bucket(group: pa.Table, threshold: float = 0.95) -> pa.Table:
-    mat = np.asarray(group.column("embedding").to_pylist(), dtype=np.float64)
+    from .embed import fixed_list_to_numpy
+
+    mat = fixed_list_to_numpy(group.column("embedding"), dtype=np.float64)
     ids = group.column("vec_id").to_numpy(zero_copy_only=False)
     norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     unit = mat / norms

@@ -45,7 +45,9 @@ class BruteForceTopK:
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column(self.column).to_pylist(), dtype=np.float64)
+        from .embed import fixed_list_to_numpy
+
+        mat = fixed_list_to_numpy(batch.column(self.column), dtype=np.float64)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = self.qunit @ unit.T  # (Q, n) one matmul per batch
@@ -139,7 +141,9 @@ class IvfAssigner:
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column(self.column).to_pylist(), dtype=np.float64)
+        from .embed import fixed_list_to_numpy
+
+        mat = fixed_list_to_numpy(batch.column(self.column), dtype=np.float64)
         d = ((mat[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
         return pa.table(
             {

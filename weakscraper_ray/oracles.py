@@ -277,6 +277,40 @@ def simhash_twin(sf_dir: str, version: str = "v1") -> str:
     return _cached(f"simhash-{tag}", version, build)
 
 
+# ------------------------------------------------ text-embedding twin
+
+def embeddings_twin(sf_dir: str, dim: int = 64, version: str = "v1") -> str:
+    """Per-doc embeddings from the stub-contract TextEncoder, computed
+    SINGLE-THREADED one document at a time (no batching, no actors).
+    Only the encoder math is shared; the knn SQL over this twin
+    re-derives the whole top-k independently, so the oracle verifies
+    the distributed encode+ANN plumbing (batch boundaries, broadcast,
+    partial top-k reduce) against straight-line execution."""
+    from .functions.embed import _load_model, encode_text
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        model = _load_model(dim, seed=42)
+        rows = [
+            encode_text([x], model)[0] for x in t.column("text").to_pylist()
+        ]
+        emb = np.stack(rows)
+        return pa.table(
+            {
+                "vec_id": t.column("doc_id").combine_chunks().cast(pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.reshape(-1), pa.float32()), dim
+                ),
+            }
+        )
+
+    return _cached(f"embed-{tag}-d{dim}", version, build)
+
+
 # ------------------------------------------------- stubbed-decode stage twins
 
 def multimodal_twin(n: int = 200, version: str = "v1") -> str:

@@ -512,6 +512,62 @@ SELECT query_id, vec_id, score_e4 FROM (
 """
 
 
+def q_embed_knn(sf_dir: str):
+    """documents → TextEncoder (stub-contract actor stage) →
+    brute-force cosine top-k: the full chain a real similarity pipeline
+    runs, starting from raw text instead of a pre-baked embeddings
+    table (VERDICT r2 #5). Queries = the _KNN_QUERIES lowest doc_ids,
+    encoded driver-side (small side, broadcast by knn_brute_force)."""
+    from ..functions.embed import TextEncoder, _load_model, encode_text
+    from ..functions.similarity import knn_brute_force
+
+    qt = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    qsel = qt.filter(pc.less(qt.column("doc_id"), _KNN_QUERIES))
+    model = _load_model(dim=64, seed=42)
+    qemb = encode_text(qsel.column("text").to_pylist(), model)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    enc = ds.map_batches(
+        TextEncoder,
+        fn_constructor_kwargs=dict(dim=64),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    out = knn_brute_force(
+        enc, qsel.column("doc_id").to_pylist(), qemb, k=_KNN_K
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t.column("query_id"),
+                "vec_id": t.column("vec_id"),
+                "score_e4": _i64_away(t.column("score"), 10000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_embed_knn(sf_dir: str) -> str:
+    from .. import oracles
+
+    twin = oracles.embeddings_twin(sf_dir)
+    return f"""
+SELECT query_id, vec_id, score_e4 FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         cast(round(list_cosine_similarity(q.embedding, e.embedding) * 10000, 0) AS BIGINT)
+             AS score_e4,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, e.embedding) * 10000, 0) DESC,
+                    e.vec_id ASC
+         ) AS rn
+  FROM read_parquet('{twin}') q CROSS JOIN read_parquet('{twin}') e
+  WHERE q.vec_id < {_KNN_QUERIES}
+) WHERE rn <= {_KNN_K}
+"""
+
+
 class _MultiTableLSH:
     """Classic multi-table hyperplane LSH: L independent plane sets,
     each row exploded to (table, bucket, vec_id, embedding) — union of
@@ -528,7 +584,9 @@ class _MultiTableLSH:
         self._weights = 1 << np.arange(n_bits, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column(self.column).to_pylist(), dtype=np.float32)
+        from ..functions.embed import fixed_list_to_numpy
+
+        mat = fixed_list_to_numpy(batch.column(self.column), dtype=np.float32)
         n = len(mat)
         tables, buckets = [], []
         for t, planes in enumerate(self.planes):
@@ -962,7 +1020,9 @@ class _ExactCosinePairs:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        from ..functions.embed import fixed_list_to_numpy
+
+        mat = fixed_list_to_numpy(batch.column("embedding"), dtype=np.float64)
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = unit @ self.unit.T  # (batch, all)
@@ -976,8 +1036,10 @@ class _ExactCosinePairs:
 
 
 def q_embedding_neardup_exact(sf_dir: str):
+    from ..functions.embed import fixed_list_to_numpy
+
     t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    mat = fixed_list_to_numpy(t.column("embedding"), dtype=np.float64)
     unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put(
         {"ids": np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64),
@@ -1441,6 +1503,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "knn_cosine": q_knn_cosine,
+    "embed_knn": q_embed_knn,
     "knn_lsh": q_knn_lsh,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -1497,6 +1560,7 @@ def build_oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out["lang_id"] = _sql_lang_id()
     out["quality_score"] = _sql_quality()
+    out["embed_knn"] = _sql_embed_knn(sf_dir)
 
     # extraction family: expected twins
     size = _size_for(sf_dir)
