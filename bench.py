@@ -33,13 +33,19 @@ HEADLINE_ONLY = os.environ.get("GRAFT_HEADLINE_ONLY", "") == "1"
 DUMP_STATS = os.environ.get("GRAFT_DUMP_STATS", "") == "1"
 
 
-def _headline(num_cpus: int) -> tuple[float, float, int]:
+def _headline(num_cpus: int) -> tuple[float, float, float, int]:
     """Flagship extraction pipeline over the bench transcripts table:
-    read → actor-pool extract → ordering restore → count. Times BOTH
-    ordering paths: the mandated salted-hash shuffle (headline) and the
+    read → actor-pool extract → ordering restore → count. Times THREE
+    paths: the mandated salted-hash shuffle (headline), the
     partition-aware no-exchange path (valid because the input layout
-    co-locates conversations per file — the engine's designed layout).
-    Returns (shuffle_sec, partitioned_sec, rows)."""
+    co-locates conversations per file — the engine's designed layout),
+    and extract-only (no ordering restore at all). The extract-only
+    run is the CONTROL for the scaling criterion: it has no exchange,
+    so its 8→32 efficiency is the pure hardware ceiling of the
+    CPU-bound parse+match on this box; pipeline efficiency ≈ control
+    efficiency means the exchange adds no scaling penalty (VERDICT r2
+    #1a). Returns (shuffle_sec, partitioned_sec, extract_only_sec,
+    rows)."""
     from weakscraper_ray.pipelines import run_flagship
     from weakscraper_ray.transcripts import ensure_generated
 
@@ -57,7 +63,10 @@ def _headline(num_cpus: int) -> tuple[float, float, int]:
     t0 = time.perf_counter()
     run_flagship(input_dir, ordering_mode="partitioned").count()
     dt_part = time.perf_counter() - t0
-    return dt, dt_part, rows
+    t0 = time.perf_counter()
+    run_flagship(input_dir, restore_ordering=False).count()
+    dt_extract = time.perf_counter() - t0
+    return dt, dt_part, dt_extract, rows
 
 
 def _run_queries(sf_dir: str) -> dict[str, float]:
@@ -99,7 +108,7 @@ def main() -> None:
 
     ensure_generated(BENCH_SIZE)
 
-    headline_sec, part_sec, rows = _headline(NUM_CPUS)
+    headline_sec, part_sec, extract_sec, rows = _headline(NUM_CPUS)
     queries = {} if HEADLINE_ONLY else _run_queries(SF_DIR)
 
     print(
@@ -115,6 +124,8 @@ def main() -> None:
                 "turns_per_sec": round(rows / headline_sec, 1),
                 "partition_aware_sec": round(part_sec, 3),
                 "partition_aware_turns_per_sec": round(rows / part_sec, 1),
+                "extract_only_sec": round(extract_sec, 3),
+                "extract_only_turns_per_sec": round(rows / extract_sec, 1),
             }
         )
     )
@@ -162,6 +173,9 @@ def scaling() -> None:
     p_lo = best(lo_runs, "partition_aware_sec")["partition_aware_sec"]
     p_hi = best(hi_runs, "partition_aware_sec")["partition_aware_sec"]
     eff_part = (p_lo / p_hi) / (hi / lo)
+    x_lo = best(lo_runs, "extract_only_sec")["extract_only_sec"]
+    x_hi = best(hi_runs, "extract_only_sec")["extract_only_sec"]
+    eff_extract = (x_lo / x_hi) / (hi / lo)
     print(
         json.dumps(
             {
@@ -177,6 +191,16 @@ def scaling() -> None:
                 "partition_aware_scaling_efficiency_median": round(
                     median_eff("partition_aware_sec"), 3
                 ),
+                # CONTROL: no-exchange extract-only efficiency = the
+                # hardware ceiling of CPU-bound python on this box; the
+                # exchange is exonerated when pipeline eff ≈ this
+                "extract_only_sec_8": x_lo,
+                "extract_only_sec_32": x_hi,
+                "extract_only_scaling_efficiency": round(eff_extract, 3),
+                "extract_only_scaling_efficiency_median": round(
+                    median_eff("extract_only_sec"), 3
+                ),
+                "exchange_efficiency_penalty": round(eff_extract - eff, 3),
                 "rows": r_hi["rows"],
             }
         )

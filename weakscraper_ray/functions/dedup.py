@@ -61,20 +61,29 @@ def _stable_token_hash(tokens: Iterable[str]) -> np.ndarray:
 
 
 class MinHasher:
-    """Per-actor state: the (a, b) permutation parameters.
+    """Per-actor state: the (a, b) permutation parameters + a
+    shingle→hash memo.
 
     ``n_hashes`` minhashes over ``shingle_k``-gram word shingles.
     signature[i] = min over shingles s of (a_i * h(s) + b_i mod p).
+
+    The memo exploits corpus vocabulary overlap: a shingle's blake2b
+    hash is computed once per ACTOR, not once per document — duplicate-
+    heavy corpora (the whole point of minhash) repeat shingles
+    constantly. Bounded: stops inserting at ``memo_max`` (hashing just
+    degrades to uncached for the long tail, no eviction churn).
     """
 
     def __init__(self, n_hashes: int = 64, shingle_k: int = 1, seed: int = 42,
-                 column: str = "text"):
+                 column: str = "text", memo_max: int = 2_000_000):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, (1 << 61) - 1, size=n_hashes).astype(np.uint64)
         self.b = rng.randint(0, (1 << 61) - 1, size=n_hashes).astype(np.uint64)
         self.n_hashes = n_hashes
         self.k = shingle_k
         self.column = column
+        self._memo: dict[str, int] = {}
+        self._memo_max = memo_max
 
     def _shingles(self, text: str) -> list[str]:
         words = (text or "").lower().split()
@@ -86,7 +95,21 @@ class MinHasher:
         sh = self._shingles(text)
         if not sh:
             return np.full(self.n_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
-        h = _stable_token_hash(set(sh))  # (S,)
+        memo = self._memo
+        get = memo.get
+        hs = []
+        append = hs.append
+        room = len(memo) < self._memo_max
+        for t in set(sh):
+            v = get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                )
+                if room:
+                    memo[t] = v
+            append(v)
+        h = np.array(hs, dtype=np.uint64)  # (S,)
         # (n_hashes, S) permuted values; min over shingles — one matmul-ish op
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
@@ -101,6 +124,25 @@ class MinHasher:
                 "minhash": pa.array(list(sigs), pa.list_(pa.uint64(), self.n_hashes)),
             }
         )
+
+
+#: worker-process-persistent MinHasher instances keyed by params — lets
+#: the signature stage run as plain TASKS (no actor-pool spawn latency,
+#: full cluster width) while keeping per-worker state (permutation
+#:  params + shingle-hash memo) alive across batches, since Ray reuses
+#: worker processes.
+_MINHASHERS: dict[tuple, "MinHasher"] = {}
+
+
+def minhash_batch(batch: pa.Table, n_hashes: int = 64, shingle_k: int = 1,
+                  seed: int = 42, column: str = "text") -> pa.Table:
+    key = (n_hashes, shingle_k, seed, column)
+    mh = _MINHASHERS.get(key)
+    if mh is None:
+        mh = _MINHASHERS[key] = MinHasher(
+            n_hashes=n_hashes, shingle_k=shingle_k, seed=seed, column=column
+        )
+    return mh(batch)
 
 
 def explode_bands(n_bands: int = 8):

@@ -708,6 +708,23 @@ class _JaccardVerify:
         return batch.filter(pa.array(keep)).select(["doc_a", "doc_b"])
 
 
+#: worker-persistent verifier (same task-not-actor rationale as
+#: functions.dedup._MINHASHERS: the pair set is small, so actor-pool
+#: spawn latency outweighed the verify compute). One live broadcast at
+#: a time per worker; keyed by the ObjectRef so a new query's broadcast
+#: replaces the old one.
+_VERIFIERS: dict[str, "_JaccardVerify"] = {}
+
+
+def _jaccard_verify_batch(batch: pa.Table, texts_ref=None) -> pa.Table:
+    key = texts_ref.hex() if hasattr(texts_ref, "hex") else str(id(texts_ref))
+    v = _VERIFIERS.get(key)
+    if v is None:
+        _VERIFIERS.clear()
+        v = _VERIFIERS[key] = _JaccardVerify(texts_ref)
+    return v(batch)
+
+
 #: above this many candidate pairs the verify stage switches from the
 #: bounded-broadcast path to the fully-distributed shuffle join — the
 #: broadcast bound is data-dependent (LSH precision), not a constant,
@@ -832,11 +849,18 @@ def q_dedup_minhash(sf_dir: str, broadcast_max_pairs: int = _MINHASH_BROADCAST_M
     # 3-gram word shingles: unigram shingles degenerate on short
     # shared-vocabulary docs (every doc becomes a candidate pair —
     # measured 1.9M candidates over 5k docs at sf0.1)
+    # signature stage as plain TASKS, not an actor pool: VERDICT r2 #7
+    # profiling showed pool spawn + the (1,2) width cap — not hashing —
+    # dominated the 5 s timing; per-worker state (params + shingle-hash
+    # memo) persists via functions.dedup._MINHASHERS since Ray reuses
+    # worker processes
+    from functools import partial
+
+    from ..functions.dedup import minhash_batch
+
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(n_hashes=64, shingle_k=3),
+        partial(minhash_batch, n_hashes=64, shingle_k=3),
         batch_format="pyarrow",
-        concurrency=(1, 2),
     )
     bands = sigs.map_batches(explode_bands(n_bands=16), batch_format="pyarrow")
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
@@ -872,11 +896,11 @@ def q_dedup_minhash(sf_dir: str, broadcast_max_pairs: int = _MINHASH_BROADCAST_M
     )
     texts = {r["doc_id"]: r["text"] for r in pruned.take_all()}
 
+    from functools import partial
+
     return uniq.map_batches(
-        _JaccardVerify,
-        fn_constructor_kwargs=dict(texts_ref=ray.put(texts)),
+        partial(_jaccard_verify_batch, texts_ref=ray.put(texts)),
         batch_format="pyarrow",
-        concurrency=(1, 2),
     )
 
 
@@ -929,6 +953,48 @@ reach(u, v) AS (
 SELECT u AS doc_id, min(v) AS cluster_id,
        cast(CASE WHEN u = min(v) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
 FROM reach GROUP BY u
+"""
+
+
+def q_dedup_keep(sf_dir: str):
+    """The end-product of the near-dup pipeline: the corpus with every
+    non-keeper removed (one doc kept per duplicate cluster). Non-keeper
+    ids are bounded by the duplicate set — broadcast anti-join filter,
+    same R6 pattern as the resume prune; the corpus itself streams."""
+    clusters = q_dedup_clusters(sf_dir)
+    nonkeep = clusters.map_batches(
+        lambda t: t.filter(pc.equal(t.column("is_keeper"), 0)).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    drop_arr = pa.array(
+        sorted(r["doc_id"] for r in nonkeep.take_all()), pa.int64()
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t.column("doc_id"), value_set=drop_arr))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_KEEP = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+drops AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)
+)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
@@ -1701,6 +1767,7 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep": q_dedup_keep,
     "dedup_simhash": q_dedup_simhash,
     "embedding_neardup": q_embedding_neardup,
     "lang_id": q_lang_id,
@@ -1728,6 +1795,7 @@ ORACLE_SQL = {
     "knn_cosine": SQL_KNN,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_keep": SQL_DEDUP_KEEP,
     "embedding_neardup_exact": SQL_NEARDUP_EXACT,
     "sample_hash": SQL_SAMPLE_HASH,
     "grouped_topk": SQL_GROUPED_TOPK,
