@@ -241,10 +241,14 @@ def _hash_to_min_round(group: pa.Table) -> pa.Table:
     )
 
 
-def cluster_pairs(pairs_ds, max_iters: int = 32):
+def cluster_pairs(pairs_ds, max_iters: int = 32,
+                  a_col: str = "doc_a", b_col: str = "doc_b",
+                  id_col: str = "doc_id"):
     """Distributed connected components over verified duplicate pairs:
-    (doc_a, doc_b) Dataset → (doc_id, cluster_id, is_keeper) Dataset,
-    cluster_id = min doc_id in the component, keeper = that doc.
+    (a_col, b_col) Dataset → (id_col, cluster_id, is_keeper) Dataset,
+    cluster_id = min id in the component, keeper = that doc. Column
+    names are parameters so the same operator serves text pairs
+    (doc_a/doc_b) and embedding pairs (vec_a/vec_b).
 
     Pure groupby/map_groups iterations (hash-to-min, O(log n) rounds) —
     no Dataset.join (Ray 2.49 joins spawn per-join aggregator pools
@@ -258,8 +262,8 @@ def cluster_pairs(pairs_ds, max_iters: int = 32):
 
     # both orientations; self-loops arise naturally from the first round
     def _orient(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a")
-        b = batch.column("doc_b")
+        a = batch.column(a_col)
+        b = batch.column(b_col)
         return pa.table(
             {
                 "u": pa.concat_arrays(
@@ -292,7 +296,7 @@ def cluster_pairs(pairs_ds, max_iters: int = 32):
         lab = batch.column("min(v)")
         return pa.table(
             {
-                "doc_id": doc,
+                id_col: doc,
                 "cluster_id": lab,
                 "is_keeper": pa.compute.cast(
                     pa.compute.equal(doc, lab), pa.int64()

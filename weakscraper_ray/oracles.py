@@ -323,6 +323,31 @@ def multimodal_twin(n: int = 200, version: str = "v1") -> str:
     return _cached(f"multimodal-n{n}", version, build)
 
 
+def frame_sample_twin(n: int = 200, version: str = "v1") -> str:
+    """Serial run of the FrameSampler stage (plumbing twin, same
+    pattern as multimodal_twin) with the same scaled-int feature
+    checksum the query emits."""
+
+    def build() -> pa.Table:
+        from .functions.embed import fixed_list_to_numpy
+        from .functions.multimodal import FrameSampler, make_media_table
+
+        out = FrameSampler()(make_media_table(n))
+        feats = fixed_list_to_numpy(out.column("frame_feature"), dtype=np.float64)
+        s = feats.sum(axis=1)
+        return pa.table(
+            {
+                "media_id": out.column("media_id"),
+                "frame_idx": out.column("frame_idx").cast(pa.int64()),
+                "feature_sum_e6": pa.array(
+                    np.copysign(np.floor(np.abs(s * 1e6) + 0.5), s).astype("int64")
+                ),
+            }
+        )
+
+    return _cached(f"frame-sample-n{n}", version, build)
+
+
 def pdf_layout_twin(n: int = 500, version: str = "v1") -> str:
     def build() -> pa.Table:
         import pandas as pd

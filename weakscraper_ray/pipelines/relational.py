@@ -1321,6 +1321,40 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_NEARDUP_THRESHOLD}
 """
 
 
+def q_embedding_neardup_clusters(sf_dir: str):
+    """Embedding near-dup pairs → connected components: the generic
+    cluster_pairs operator over the exact-cosine pair set (one operator
+    serves both the text and embedding dedup families)."""
+    from ..functions.dedup import cluster_pairs
+
+    return cluster_pairs(
+        q_embedding_neardup_exact(sf_dir),
+        a_col="vec_a", b_col="vec_b", id_col="vec_id",
+    )
+
+
+SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_NEARDUP_THRESHOLD}
+),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS vec_id, min(v) AS cluster_id,
+       cast(CASE WHEN u = min(v) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM reach GROUP BY u
+"""
+
+
 # =====================================================================
 # Grouped top-k (window-rank shape): top 3 orders by price per priority
 # =====================================================================
@@ -1734,6 +1768,33 @@ def q_multimodal_features(sf_dir: str):
     return out.drop_columns(["feature"])
 
 
+def q_frame_sample(sf_dir: str):
+    """Video frame sampling (1→N fan-out inside map_batches; decode
+    stubbed, plumbing real). Float frame features are reduced to a
+    deterministic scaled-int checksum so the driver's value-hash
+    compares them exactly."""
+    from ..functions.embed import fixed_list_to_numpy
+    from ..functions.multimodal import FrameSampler, make_media_table
+
+    ds = ray.data.from_arrow(make_media_table(200))
+    out = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=(1, 2)
+    )
+
+    def _checksum(t: pa.Table) -> pa.Table:
+        feats = fixed_list_to_numpy(t.column("frame_feature"), dtype=np.float64)
+        s = feats.sum(axis=1)  # fixed order within a row → deterministic
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "frame_idx": pc.cast(t.column("frame_idx"), pa.int64()),
+                "feature_sum_e6": _i64_away(pa.array(s), 1e6),
+            }
+        )
+
+    return out.map_batches(_checksum, batch_format="pyarrow")
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1770,12 +1831,14 @@ QUERIES = {
     "dedup_keep": q_dedup_keep,
     "dedup_simhash": q_dedup_simhash,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_clusters": q_embedding_neardup_clusters,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "rolling_fingerprint": q_rolling_fingerprint,
     "extract_transcripts": q_extract_transcripts,
     "learned_extract": q_learned_extract,
     "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
 }
 
 ORACLE_SQL = {
@@ -1797,6 +1860,7 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep": SQL_DEDUP_KEEP,
     "embedding_neardup_exact": SQL_NEARDUP_EXACT,
+    "embedding_neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "sample_hash": SQL_SAMPLE_HASH,
     "grouped_topk": SQL_GROUPED_TOPK,
     "top_shipping": SQL_TOP_SHIPPING,
@@ -1868,6 +1932,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
 """
     out["multimodal_features"] = (
         f"SELECT * FROM read_parquet('{oracles.multimodal_twin()}')"
+    )
+    out["frame_sample"] = (
+        f"SELECT * FROM read_parquet('{oracles.frame_sample_twin()}')"
     )
     out["pdf_layout"] = f"SELECT * FROM read_parquet('{oracles.pdf_layout_twin()}')"
     return out
