@@ -1659,6 +1659,97 @@ def q_extract_transcripts(sf_dir: str):
     )
 
 
+def q_training_prep(sf_dir: str):
+    """Composite training-data prep chain — the pipelines composed the
+    way a real corpus build runs them: flagship extract → keep ok rows
+    → token-count floor → exact dedup on extracted_text (keeper = min
+    (conv_id, turn_idx)) → (conv_id, turn_idx, n_tokens). Full SQL
+    oracle over the generator's expected twin, so the driver verifies
+    the CHAIN, not just each stage.
+
+    Dedup is a vectorized Min AGGREGATE, not per-group map_groups
+    (mostly-unique texts make groups singletons — per-group pandas
+    overhead × 18k groups measured minutes): keeper row encoded as a
+    composite sort key ``conv_id \\x1f zfill(turn_idx) \\x1f n_tokens``
+    whose lexicographic min equals the (conv_id, turn_idx) tuple min
+    (the separator sorts below every id character), split back after
+    the aggregate. The shuffle carries (hash, key) only — the text
+    never rides the exchange."""
+    import hashlib
+
+    from .extraction import run_flagship
+
+    ds = run_flagship(size=_size_for(sf_dir))
+
+    def _ok_tokens(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(batch.column("extracted_text"), r"\S+"),
+            pa.int64(),
+        )
+        key = pc.binary_join_element_wise(
+            batch.column("conv_id"),
+            pc.utf8_lpad(pc.cast(batch.column("turn_idx"), pa.string()), 10, "0"),
+            pc.cast(n_tok, pa.string()),
+            "\x1f",
+        )
+        t = pa.table(
+            {
+                # md5 replaces the payload before the shuffle
+                "text_hash": pa.array(
+                    [
+                        hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                        for x in batch.column("extracted_text").to_pylist()
+                    ]
+                ),
+                "key": key,
+            }
+        )
+        mask = pc.and_(
+            pc.equal(batch.column("error_kind"), ""), pc.greater_equal(n_tok, 5)
+        )
+        return t.filter(mask)
+
+    from ray.data.aggregate import Min
+
+    filt = ds.map_batches(_ok_tokens, batch_format="pyarrow")
+    agg = filt.groupby("text_hash").aggregate(Min("key"))
+
+    def _split(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("min(key)"), "\x1f")
+        return pa.table(
+            {
+                "conv_id": pc.list_element(parts, 0),
+                "turn_idx": pc.cast(
+                    pc.list_element(parts, 1), pa.int32()
+                ),
+                "n_tokens": pc.cast(pc.list_element(parts, 2), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_split, batch_format="pyarrow")
+
+
+def _sql_training_prep(sf_dir: str) -> str:
+    from .. import oracles
+
+    twin = oracles.transcripts_twin(_size_for(sf_dir))
+    return rf"""
+WITH ok AS (
+  SELECT conv_id, turn_idx, extracted_text,
+         len(regexp_extract_all(extracted_text, '\S+')) AS n_tokens
+  FROM read_parquet('{twin}')
+  WHERE error_kind = ''
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY extracted_text ORDER BY conv_id, turn_idx
+  ) AS rn
+  FROM ok WHERE n_tokens >= 5
+)
+SELECT conv_id, turn_idx, cast(n_tokens AS BIGINT) AS n_tokens
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_extract_error_stats(sf_dir: str):
     """R5 over the flagship itself: per-(template, error-kind) row
     counts, aggregated with per-batch partials — a driver-green
@@ -1844,6 +1935,7 @@ QUERIES = {
     "quality_score": q_quality,
     "rolling_fingerprint": q_rolling_fingerprint,
     "extract_transcripts": q_extract_transcripts,
+    "training_prep": q_training_prep,
     "learned_extract": q_learned_extract,
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
@@ -1895,6 +1987,7 @@ def build_oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     out["lang_id"] = _sql_lang_id()
     out["quality_score"] = _sql_quality()
     out["embed_knn"] = _sql_embed_knn(sf_dir)
+    out["training_prep"] = _sql_training_prep(sf_dir)
 
     # extraction family: expected twins
     size = _size_for(sf_dir)
