@@ -145,6 +145,27 @@ def test_fixed_list_to_numpy_layouts():
         fixed_list_to_numpy(pa.array([[1.0], [1.0, 2.0]], pa.list_(pa.float32())))
 
 
+def test_cluster_pairs_random_graph(ray_session):
+    """Stress the distributed components operator on a seeded random
+    graph (many components, long chains, high-degree hubs) against the
+    exact union-find twin."""
+    import random
+
+    from weakscraper_ray.functions.dedup import union_find_labels
+
+    rng = random.Random(7)
+    nodes = list(range(0, 4000, 3))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(1500)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    want = union_find_labels(pairs)
+    got = _labels_via_ray(pairs, ray_session)
+    assert set(got) == set(want)
+    for node, label in want.items():
+        assert got[node] == (label, int(node == label)), node
+
+
 def test_union_find_labels_basic():
     from weakscraper_ray.functions.dedup import union_find_labels
 

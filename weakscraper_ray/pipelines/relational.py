@@ -1134,6 +1134,12 @@ def q_embedding_neardup(sf_dir: str):
     )
     uniq = pairs.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="n"))
     uniq = uniq.select_columns(["vec_a", "vec_b"]).materialize()  # bounded
+    import logging
+
+    logging.getLogger("weakscraper_ray.dedup").info(
+        "embedding_neardup: %d candidate pairs — broadcast verify path",
+        uniq.count(),
+    )
 
     cand: set[int] = set()
     for row in uniq.take_all():
