@@ -48,6 +48,54 @@ def test_cluster_pairs_matches_union_find(pairs, ray_session):
         assert got[node] == (label, int(node == label)), node
 
 
+# -------------------------------------------------------- CLI smoke
+
+def test_cli_extract_smoke(tmp_path):
+    """End-to-end CLI drive in a fresh process: extract a tiny
+    transcripts table to a checkpointed sink, then resume (second run
+    must recompute nothing and report the same roll-up)."""
+    import json
+    import subprocess
+    import sys
+
+    from weakscraper_ray.transcripts import ensure_generated
+
+    src = ensure_generated("tiny")
+    out = tmp_path / "out"
+    cmd = [
+        sys.executable, "-m", "weakscraper_ray", "extract",
+        "--input", src, "--out", str(out),
+        "--num-cpus", "4", "--shards", "4",
+    ]
+    r1 = subprocess.run(
+        cmd, capture_output=True, text=True, cwd="/root/repo", timeout=300
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    roll1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert roll1["partitions"] == 4 and roll1["rows"] > 0
+
+    r2 = subprocess.run(
+        cmd, capture_output=True, text=True, cwd="/root/repo", timeout=300
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    roll2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert roll2 == roll1  # resume: same manifests, nothing rewritten
+
+
+def test_cli_query_list(tmp_path):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "weakscraper_ray", "query"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    assert any(l.startswith("dedup_clusters") and "oracle" in l for l in lines)
+    assert any(l.startswith("knn_lsh") and "rows-only" in l for l in lines)
+
+
 # ----------------------------------------------- sample_events invariants
 
 def test_sample_events_deterministic_and_sized(ray_session):
