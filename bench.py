@@ -75,7 +75,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
 
     names = [
         "pricing_summary", "broadcast_join", "dedup_exact",
-        "dedup_minhash", "knn_cosine", "quality_score", "token_count",
+        "dedup_minhash", "dedup_clusters", "embed_knn",
+        "knn_cosine", "quality_score", "token_count",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -8,7 +8,10 @@ import pytest
 
 # ------------------------------------------------- pairs -> clusters
 
-def _labels_via_ray(pairs, ray_session):
+def _labels_via_ray(pairs, ray_session, driver_max_edges=0):
+    """driver_max_edges=0 forces the DISTRIBUTED hash-to-min path (the
+    default driver union-find path is the union_find_labels twin
+    itself, so testing it against itself would be vacuous)."""
     import ray.data
 
     from weakscraper_ray.functions.dedup import cluster_pairs
@@ -19,7 +22,9 @@ def _labels_via_ray(pairs, ray_session):
             "doc_b": pa.array([b for _, b in pairs], pa.int64()),
         }
     )
-    out = cluster_pairs(ray.data.from_arrow(t)).to_pandas()
+    out = cluster_pairs(
+        ray.data.from_arrow(t), driver_max_edges=driver_max_edges
+    ).to_pandas()
     assert set(out.columns) == {"doc_id", "cluster_id", "is_keeper"}
     return {
         int(r.doc_id): (int(r.cluster_id), int(r.is_keeper))
@@ -42,10 +47,11 @@ def test_cluster_pairs_matches_union_find(pairs, ray_session):
     from weakscraper_ray.functions.dedup import union_find_labels
 
     want = union_find_labels(pairs)
-    got = _labels_via_ray(pairs, ray_session)
-    assert set(got) == set(want)
-    for node, label in want.items():
-        assert got[node] == (label, int(node == label)), node
+    for dme in (0, 10**9):  # distributed path AND driver fast path
+        got = _labels_via_ray(pairs, ray_session, driver_max_edges=dme)
+        assert set(got) == set(want)
+        for node, label in want.items():
+            assert got[node] == (label, int(node == label)), (dme, node)
 
 
 # -------------------------------------------------------- CLI smoke
