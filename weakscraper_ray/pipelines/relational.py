@@ -1638,6 +1638,89 @@ WHERE substr(md5(cast(event_id AS VARCHAR)), 1, 1) = '0'
 
 
 # =====================================================================
+# Percentile aggregate: exact discrete quantiles per group (few groups,
+# many rows → per-group vectorized sort; at true scale swap in a
+# distributed quantile sketch and pre-aggregate per batch)
+# =====================================================================
+
+def q_quantiles_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _q(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group["value"].to_numpy(dtype=np.float64))
+        n = len(v)
+        # type-1 discrete quantile: element at ceil(q*n)-1 — probed to
+        # be DuckDB quantile_disc's convention (picks an element, no
+        # interpolation ulp risk; same float64 product both sides)
+        pick = lambda q: v[max(0, int(np.ceil(q * n)) - 1)]
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n": np.array([n], dtype=np.int64),
+                "p50_cents": _i64_away_np([pick(0.5)]),
+                "p90_cents": _i64_away_np([pick(0.9)]),
+                "p99_cents": _i64_away_np([pick(0.99)]),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(_q, batch_format="pandas")
+
+
+SQL_QUANTILES = """
+SELECT event_type,
+       cast(count(*) AS BIGINT)                         AS n,
+       cast(round(quantile_disc(value, 0.5) * 100, 0) AS BIGINT)  AS p50_cents,
+       cast(round(quantile_disc(value, 0.9) * 100, 0) AS BIGINT)  AS p90_cents,
+       cast(round(quantile_disc(value, 0.99) * 100, 0) AS BIGINT) AS p99_cents
+FROM events GROUP BY event_type
+"""
+
+
+# =====================================================================
+# Window-frame aggregate: per-user moving average over the last 5
+# events (running_sum covers the cumulative frame; this is the bounded
+# ROWS BETWEEN frame)
+# =====================================================================
+
+def q_moving_avg(sf_dir: str):
+    """Integer-exact construction: the testdata values are 2-decimal
+    money, and 116 window averages at sf0.01 land EXACTLY on .5 cents
+    — a float avg would diverge from the oracle on summation order
+    (the ADVICE r2 rounding lesson). Both sides therefore compute
+    round(window_sum_cents * 100 / count): the window sum of integer
+    cents is exact in float64 under ANY order, and a single IEEE
+    division of identical operands is exactly rounded, so the two
+    sides are bit-identical before the half-away rounding."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = _i64_away_np(g["value"].to_numpy()).astype(np.float64)
+        s = pd.Series(cents)
+        csum = s.rolling(window=5, min_periods=1).sum().to_numpy()
+        cnt = s.rolling(window=5, min_periods=1).count().to_numpy()
+        g["ma5_e2"] = _i64_away_np(csum * 100.0 / cnt, scale=1.0)
+        return g[["event_id", "user_id", "ma5_e2"]]
+
+    return ds.groupby("user_id").map_groups(_roll, batch_format="pandas")
+
+
+SQL_MOVING_AVG = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         cast(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       cast(round(sum(cents) OVER w * 100.0 / count(*) OVER w, 0) AS BIGINT)
+           AS ma5_e2
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+# =====================================================================
 # Extraction pipelines (rows-only: not SQL-expressible)
 # =====================================================================
 
@@ -1924,6 +2007,8 @@ QUERIES = {
     "union_orders": q_union_orders,
     "dedup_exact": q_dedup_exact,
     "running_sum": q_running_sum,
+    "quantiles_by_type": q_quantiles_by_type,
+    "moving_avg": q_moving_avg,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "semi_join": q_semi_join,
@@ -1957,6 +2042,8 @@ ORACLE_SQL = {
     "union_orders": SQL_UNION,
     "dedup_exact": SQL_DEDUP_EXACT,
     "running_sum": SQL_RUNNING,
+    "quantiles_by_type": SQL_QUANTILES,
+    "moving_avg": SQL_MOVING_AVG,
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "semi_join": SQL_SEMI_JOIN,
