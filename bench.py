@@ -134,7 +134,8 @@ def main() -> None:
 
 
 def scaling() -> None:
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
