@@ -1638,6 +1638,115 @@ WHERE substr(md5(cast(event_id AS VARCHAR)), 1, 1) = '0'
 
 
 # =====================================================================
+# Range join: non-equi join of a fact column into interval bands —
+# expressed as a BROADCAST band join (sorted edges shipped once,
+# np.searchsorted per batch), the scale idiom for small-side interval
+# joins; the oracle re-derives it as a true non-equi VALUES join.
+# =====================================================================
+
+#: (lo, hi, label) — hi exclusive; last band open-ended
+_VALUE_BANDS = (
+    (0.0, 10.0, "micro"),
+    (10.0, 50.0, "small"),
+    (50.0, 100.0, "mid"),
+    (100.0, 500.0, "large"),
+    (500.0, float("inf"), "jumbo"),
+)
+
+
+def q_range_join_bands(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    edges = np.array([b[0] for b in _VALUE_BANDS][1:], dtype=np.float64)
+    labels = np.array([b[2] for b in _VALUE_BANDS])
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _band(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, v, side="right")
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "band": pa.array(labels[idx]),
+                "value": batch.column("value"),
+            }
+        )
+        return t.group_by(["event_type", "band"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+
+    partials = ds.map_batches(_band, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "band"]).aggregate(
+        Sum("value_count"), Sum("value_sum")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "band": t.column("band"),
+                "n_events": pc.cast(t.column("sum(value_count)"), pa.int64()),
+                "sum_value_cents": _i64_away(t.column("sum(value_sum)")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH bands(lo, hi, band) AS (
+  VALUES (0.0, 10.0, 'micro'), (10.0, 50.0, 'small'),
+         (50.0, 100.0, 'mid'), (100.0, 500.0, 'large'),
+         (500.0, 1e308, 'jumbo')
+)
+SELECT e.event_type, b.band,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(round(sum(e.value) * 100, 0) AS BIGINT) AS sum_value_cents
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY e.event_type, b.band
+"""
+
+
+# =====================================================================
+# Distinct-count aggregate: exact count(distinct) per group via a
+# two-level groupby (dedup the pair set, then count) — the shuffle
+# carries distinct (type, user) pairs, pre-deduped per batch
+# =====================================================================
+
+def q_distinct_users_by_type(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _dedup_batch(batch: pa.Table) -> pa.Table:
+        # per-batch partial dedup before the shuffle
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(_dedup_batch, batch_format="pyarrow")
+    distinct = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n")
+    )
+    counts = distinct.select_columns(["event_type"]).groupby(
+        "event_type"
+    ).aggregate(Count(alias_name="n_users"))
+    return counts.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# =====================================================================
 # Percentile aggregate: exact discrete quantiles per group (few groups,
 # many rows → per-group vectorized sort; at true scale swap in a
 # distributed quantile sketch and pre-aggregate per batch)
@@ -2009,6 +2118,8 @@ QUERIES = {
     "running_sum": q_running_sum,
     "quantiles_by_type": q_quantiles_by_type,
     "moving_avg": q_moving_avg,
+    "range_join_bands": q_range_join_bands,
+    "distinct_users_by_type": q_distinct_users_by_type,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "semi_join": q_semi_join,
@@ -2044,6 +2155,8 @@ ORACLE_SQL = {
     "running_sum": SQL_RUNNING,
     "quantiles_by_type": SQL_QUANTILES,
     "moving_avg": SQL_MOVING_AVG,
+    "range_join_bands": SQL_RANGE_JOIN,
+    "distinct_users_by_type": SQL_DISTINCT_USERS,
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "semi_join": SQL_SEMI_JOIN,
