@@ -54,18 +54,26 @@ def _headline(num_cpus: int) -> tuple[float, float, float, int]:
     # import cost once so the timing measures compute + shuffle, not
     # cold-start (a real long-running job amortizes this entirely)
     run_flagship(ensure_generated("tiny")).count()
-    t0 = time.perf_counter()
-    ds = run_flagship(input_dir)
-    rows = ds.count()
-    dt = time.perf_counter() - t0
-    if DUMP_STATS:
-        print(ds.stats(), file=sys.stderr)
-    t0 = time.perf_counter()
-    run_flagship(input_dir, ordering_mode="partitioned").count()
-    dt_part = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run_flagship(input_dir, restore_ordering=False).count()
-    dt_extract = time.perf_counter() - t0
+    # best-of-N: the shared box shows ±20-60% transient load spikes
+    # (hypervisor neighbors); a single-shot headline regularly lands on
+    # one. Interleaved variants per rep, best per variant.
+    reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "2"))
+    dt = dt_part = dt_extract = float("inf")
+    rows = 0
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        ds = run_flagship(input_dir)
+        rows = ds.count()
+        dt_i = time.perf_counter() - t0
+        if DUMP_STATS and rep == 0:
+            print(ds.stats(), file=sys.stderr)
+        dt = min(dt, dt_i)
+        t0 = time.perf_counter()
+        run_flagship(input_dir, ordering_mode="partitioned").count()
+        dt_part = min(dt_part, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_flagship(input_dir, restore_ordering=False).count()
+        dt_extract = min(dt_extract, time.perf_counter() - t0)
     return dt, dt_part, dt_extract, rows
 
 
@@ -76,7 +84,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
     names = [
         "pricing_summary", "broadcast_join", "dedup_exact",
         "dedup_minhash", "dedup_clusters", "embed_knn",
-        "knn_cosine", "quality_score", "token_count",
+        "knn_cosine", "quality_score", "token_count", "training_prep",
     ]
     out: dict[str, float] = {}
     for name in names:
@@ -138,7 +146,11 @@ def scaling() -> None:
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+        # reps=1: the scaling protocol's own interleaved best-of-N
+        # across rounds is the noise control; per-subprocess reps would
+        # double wall time for no extra signal
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_HEADLINE_ONLY="1", GRAFT_HEADLINE_REPS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
