@@ -54,6 +54,38 @@ def test_cluster_pairs_matches_union_find(pairs, ray_session):
             assert got[node] == (label, int(node == label)), (dme, node)
 
 
+# ------------------------------------------------- rounding contract
+
+def test_half_away_rounding_matches_duckdb():
+    """The ADVICE r2 theme, pinned: every scaled-int rounding helper
+    must agree with DuckDB round() on EXACT .5 ties (half away from
+    zero), where pc.round/np.round/pandas default to half-to-even."""
+    import duckdb
+    import pyarrow as pa
+
+    from weakscraper_ray.functions.similarity import round_e4_away
+    from weakscraper_ray.pipelines.relational import _i64_away, _i64_away_np
+
+    vals = [0.005, 0.015, 0.025, -0.005, -0.015, 143026.585,
+            1.0, 0.0, -2.345, 7.125, -7.125, 0.004999, 2.675]
+    con = duckdb.connect()
+    want = [
+        int(con.execute(f"SELECT cast(round({v!r} * 100, 0) AS BIGINT)").fetchone()[0])
+        for v in vals
+    ]
+    got_pc = _i64_away(pa.array(vals, pa.float64())).to_pylist()
+    got_np = _i64_away_np(np.array(vals)).tolist()
+    assert got_pc == want
+    assert got_np == want
+
+    want_e4 = [
+        int(con.execute(f"SELECT cast(round({v!r} * 10000, 0) AS BIGINT)").fetchone()[0])
+        for v in vals
+    ]
+    got_e4 = round_e4_away(np.array(vals)).astype("int64").tolist()
+    assert got_e4 == want_e4
+
+
 # -------------------------------------------------------- CLI smoke
 
 def test_cli_extract_smoke(tmp_path):
