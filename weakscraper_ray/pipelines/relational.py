@@ -1638,6 +1638,90 @@ WHERE substr(md5(cast(event_id AS VARCHAR)), 1, 1) = '0'
 
 
 # =====================================================================
+# Heavy hitters: bounded-memory candidate generation (per-batch
+# Misra-Gries summary over pre-aggregated counts) + exact recount of
+# the bounded candidate set — exact output, sketch-bounded memory.
+# Finds the hot conversations the flagship's salting exists for.
+# =====================================================================
+
+_HH_K = 256          # counters per batch summary (memory bound)
+_HH_THRESHOLD = 1000  # report convs with >= this many turns
+
+
+def q_heavy_hitter_convs(sf_dir: str):
+    """Conversations with >= _HH_THRESHOLD turns, exactly.
+
+    Stage 1 (bounded memory regardless of key cardinality): per batch,
+    aggregate counts exactly, then keep the Misra-Gries survivor set —
+    keys whose batch count exceeds the (K+1)-th largest (guarantee: a
+    key with global count > n/(K+1) must exceed its share in some
+    batch, so the union of survivors is a candidate SUPERSET; the
+    threshold is far above n/(K+1) here). Stage 2: broadcast the
+    bounded candidate set, exact recount via partial-agg groupby,
+    filter by threshold — output is exact, so the SQL twin is a plain
+    GROUP BY ... HAVING."""
+    import glob as _glob
+
+    from ray.data.aggregate import Sum
+
+    from ..transcripts import ensure_generated
+
+    shards = ensure_generated(_size_for(sf_dir))
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{shards}/part-*.parquet")), columns=["conv_id"]
+    )
+
+    def _mg_survivors(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch.column("conv_id").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        if len(keys) > _HH_K:
+            t = np.partition(counts, len(counts) - (_HH_K + 1))[
+                len(counts) - (_HH_K + 1)
+            ]
+            keep = counts > t
+            keys = keys[keep]
+        return pa.table({"conv_id": pa.array(keys, pa.string())})
+
+    cand_ds = ds.map_batches(_mg_survivors, batch_format="pyarrow")
+    candidates = {r["conv_id"] for r in cand_ds.take_all()}  # bounded: K×batches
+    cand_arr = pa.array(sorted(candidates), pa.string())
+
+    def _count_cands(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch.column("conv_id"), value_set=cand_arr))
+        return t.group_by("conv_id").aggregate([("conv_id", "count")])
+
+    partials = ds.map_batches(_count_cands, batch_format="pyarrow")
+    agg = partials.groupby("conv_id").aggregate(Sum("conv_id_count"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "n_turns": pc.cast(t.column("sum(conv_id_count)"), pa.int64()),
+            }
+        ).filter(
+            pc.greater_equal(
+                pc.cast(t.column("sum(conv_id_count)"), pa.int64()),
+                _HH_THRESHOLD,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_heavy_hitters(sf_dir: str) -> str:
+    from ..transcripts import ensure_generated
+
+    shards = ensure_generated(_size_for(sf_dir))
+    return f"""
+SELECT conv_id, cast(count(*) AS BIGINT) AS n_turns
+FROM read_parquet('{shards}/part-*.parquet')
+GROUP BY conv_id HAVING count(*) >= {_HH_THRESHOLD}
+"""
+
+
+# =====================================================================
 # Range join: non-equi join of a fact column into interval bands —
 # expressed as a BROADCAST band join (sorted edges shipped once,
 # np.searchsorted per batch), the scale idiom for small-side interval
@@ -2120,6 +2204,7 @@ QUERIES = {
     "moving_avg": q_moving_avg,
     "range_join_bands": q_range_join_bands,
     "distinct_users_by_type": q_distinct_users_by_type,
+    "heavy_hitter_convs": q_heavy_hitter_convs,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "semi_join": q_semi_join,
@@ -2194,6 +2279,7 @@ def build_oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     out["quality_score"] = _sql_quality()
     out["embed_knn"] = _sql_embed_knn(sf_dir)
     out["training_prep"] = _sql_training_prep(sf_dir)
+    out["heavy_hitter_convs"] = _sql_heavy_hitters(sf_dir)
 
     # extraction family: expected twins
     size = _size_for(sf_dir)
