@@ -54,6 +54,50 @@ def test_cluster_pairs_matches_union_find(pairs, ray_session):
             assert got[node] == (label, int(node == label)), (dme, node)
 
 
+# ------------------------------------------------------ HLL sketch
+
+def test_approx_distinct_within_error(ray_session):
+    """HLL estimate must land within 5% of the exact distinct count
+    (4096 registers → ~1.6% standard error; 5% ≈ 3σ) and be
+    deterministic run to run."""
+    import duckdb
+
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.01"
+    t1 = R.QUERIES["approx_distinct_users"](sf)
+    t2 = R.QUERIES["approx_distinct_users"](sf)
+    est = t1.column("approx_distinct_users")[0].as_py()
+    assert est == t2.column("approx_distinct_users")[0].as_py()
+    exact = duckdb.connect().execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_hll_merge_equals_single_pass():
+    """Merging per-batch registers must equal one-shot registers over
+    the concatenated input (associativity of elementwise max)."""
+    import pyarrow as pa
+
+    from weakscraper_ray.functions.sketch import (
+        hll_estimate, hll_merge, hll_partial,
+    )
+
+    ids = [f"user-{i % 700}" for i in range(5000)]
+    whole = hll_partial(pa.table({"u": ids}), "u")
+    parts = [
+        hll_partial(pa.table({"u": ids[i : i + 1000]}), "u")
+        for i in range(0, 5000, 1000)
+    ]
+    merged = hll_merge(
+        [np.asarray(p.column("regs")[0].as_py(), dtype=np.uint8) for p in parts]
+    )
+    one = np.asarray(whole.column("regs")[0].as_py(), dtype=np.uint8)
+    assert (merged == one).all()
+    assert abs(hll_estimate(one) - 700) / 700 < 0.05
+
+
 # ------------------------------------------------- rounding contract
 
 def test_half_away_rounding_matches_duckdb():

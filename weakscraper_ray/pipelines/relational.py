@@ -1830,6 +1830,29 @@ FROM events GROUP BY event_type
 """
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog cardinality of user_id (rows-only: DuckDB's
+    approx_count_distinct uses a different sketch, so no hash oracle —
+    the relative-error invariant vs the exact count is asserted in
+    tests/test_round3.py). Scale shape: each batch reduces to one 4 KB
+    register row; the merge payload is #batches × 4 KB regardless of
+    cardinality."""
+    from functools import partial as _partial
+
+    from ..functions.sketch import hll_estimate, hll_merge, hll_partial
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    partials = ds.map_batches(
+        _partial(hll_partial, column="user_id"), batch_format="pyarrow"
+    )
+    regs = hll_merge(
+        [np.asarray(r["regs"], dtype=np.uint8) for r in partials.take_all()]
+    )
+    return pa.table(
+        {"approx_distinct_users": pa.array([int(round(hll_estimate(regs)))], pa.int64())}
+    )
+
+
 # =====================================================================
 # Percentile aggregate: exact discrete quantiles per group (few groups,
 # many rows → per-group vectorized sort; at true scale swap in a
@@ -2205,6 +2228,7 @@ QUERIES = {
     "range_join_bands": q_range_join_bands,
     "distinct_users_by_type": q_distinct_users_by_type,
     "heavy_hitter_convs": q_heavy_hitter_convs,
+    "approx_distinct_users": q_approx_distinct_users,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "semi_join": q_semi_join,
