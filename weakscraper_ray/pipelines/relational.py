@@ -1830,6 +1830,56 @@ FROM events GROUP BY event_type
 """
 
 
+def q_left_join(sf_dir: str):
+    """Broadcast LEFT OUTER join: orders against the high-balance
+    customer dim (filtered so real non-matches exist). The dim ships
+    once; the probe is a vectorized searchsorted against the sorted
+    key array (no per-row dict loop). Unmatched rows coalesce to '' on
+    BOTH sides so the null representation can't diverge between
+    pandas NaN and SQL NULL in the driver's value-hash."""
+    cust = pq.read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    cust = cust.filter(pc.greater(cust.column("c_acctbal"), 5000.0))
+    keys = np.asarray(cust.column("c_custkey").to_pylist(), dtype=np.int64)
+    names = np.asarray(cust.column("c_name").to_pylist(), dtype=object)
+    order = np.argsort(keys)
+    ref = ray.put({"keys": keys[order], "names": names[order]})
+
+    class _Probe:
+        def __init__(self, dim_ref):
+            d = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+            self.keys = d["keys"]
+            self.names = d["names"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            probe = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, probe)
+            pos_c = np.clip(pos, 0, len(self.keys) - 1)
+            hit = self.keys[pos_c] == probe
+            out = np.where(hit, self.names[pos_c], "")
+            return pa.table(
+                {
+                    "o_orderkey": batch.column("o_orderkey"),
+                    "c_name": pa.array(out, pa.string()),
+                }
+            )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return ds.map_batches(
+        _Probe, fn_constructor_kwargs=dict(dim_ref=ref),
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+
+
+SQL_LEFT_JOIN = """
+SELECT o.o_orderkey, coalesce(c.c_name, '') AS c_name
+FROM orders o
+LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+       ON o.o_custkey = c.c_custkey
+"""
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog cardinality of user_id (rows-only: DuckDB's
     approx_count_distinct uses a different sketch, so no hash oracle —
@@ -2229,6 +2279,7 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "heavy_hitter_convs": q_heavy_hitter_convs,
     "approx_distinct_users": q_approx_distinct_users,
+    "left_join": q_left_join,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "semi_join": q_semi_join,
@@ -2266,6 +2317,7 @@ ORACLE_SQL = {
     "moving_avg": SQL_MOVING_AVG,
     "range_join_bands": SQL_RANGE_JOIN,
     "distinct_users_by_type": SQL_DISTINCT_USERS,
+    "left_join": SQL_LEFT_JOIN,
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "semi_join": SQL_SEMI_JOIN,
