@@ -18,13 +18,22 @@ CASES = sorted(
 )
 
 
+#: registry for the wp-function/-attrs cases (D5/D6): passed to every
+#: case — templates that don't reference a function never resolve it
+DEMO_FUNCTIONS = {
+    "to_int": int,
+    "upper": str.upper,
+    "count_attrs": lambda d: len(d),
+}
+
+
 @pytest.mark.parametrize("case", CASES)
 def test_conformance_case(case):
     d = os.path.join(ROOT, case)
     template = open(os.path.join(d, "template.html")).read()
     page = open(os.path.join(d, "page.html")).read()
     expected = json.load(open(os.path.join(d, "expected.json")))
-    scraper = WeakScraper(template)
+    scraper = WeakScraper(template, DEMO_FUNCTIONS)
     if "error_kind" in expected and len(expected) == 1 and case.startswith("err-"):
         with pytest.raises(TemplateMismatch) as ei:
             scraper.scrap(page)
