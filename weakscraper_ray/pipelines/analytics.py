@@ -1,0 +1,692 @@
+"""Round-3 analytics family: text/vocabulary statistics, exact
+distributed statistics (correlation), window/rank pickers, OLAP shapes
+(rollup, pivot), set operations, full-outer cogroup, and interpolated
+percentiles — each a ``queries()`` entry with a DuckDB oracle twin.
+
+Scale notes (the patterns these queries demonstrate):
+- vocabulary stats: per-batch ``value_counts`` partials → one small
+  ``groupby(term)`` shuffle carrying (term, n) only — the payload is
+  the *vocabulary*, not the corpus;
+- tf-idf: the document-frequency table is broadcast (``ray.put``) into
+  the scoring stage; the partitioning assumption is vocab ≪ corpus
+  (holds for natural language: vocab grows ~O(corpus^0.5), Heaps' law).
+  At a scale where it doesn't, swap the broadcast for the hash-join
+  pattern ``q_hash_join`` demonstrates;
+- exact correlation: per-batch int64 partial sums (batch_size bounds
+  the no-overflow invariant) → Python-int exact combine of the tiny
+  partial table → one IEEE-identical final expression mirrored
+  op-for-op in SQL over DuckDB's HUGEINT sums;
+- rollup: coarser levels re-aggregate the finest-level aggregate (a
+  bounded table), never the base data;
+- full outer join: tagged union of the two sides → ONE ``groupby``
+  cogroup; no driver-side merge, works big-big at scale;
+- set ops (INTERSECT/EXCEPT): one ``groupby(key)`` with per-side flag
+  maxima — a single shuffle for both operations.
+
+All rounding follows the repo convention: DuckDB ``round()`` is half
+away from zero, so every money/score column goes through
+``_i64_away`` / ``_i64_away_np`` (ADVICE r2).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .relational import _i64_away, _i64_away_np, _read
+
+# RE2 on both sides: pyarrow's split_pattern_regex and DuckDB's
+# regexp_* are both RE2, so `\s` / `\S` classes agree byte-for-byte
+# (Python's re is NOT used for tokenization here for that reason).
+_WS = r"\s+"
+_TRIM = r"^\s+|\s+$"
+
+
+# =====================================================================
+# Vocabulary statistics: top-k terms / bigrams over documents.text
+# =====================================================================
+
+def _term_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial term counts: the shuffle payload is the batch
+    *vocabulary* (term, n), not the token stream."""
+    toks = pc.split_pattern_regex(batch.column("text"), pattern=_WS)
+    flat = pc.drop_null(pc.list_flatten(toks))
+    flat = flat.filter(pc.not_equal(flat, ""))  # boundary empties from leading/trailing ws
+    vc = pc.value_counts(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
+    return pa.table(
+        {"term": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+    )
+
+
+def _topk_terms(ds, col: str, k: int):
+    from ray.data.aggregate import Sum
+
+    agg = ds.groupby(col).aggregate(Sum("n"))
+    agg = agg.map_batches(
+        lambda t: pa.table({col: t.column(col), "n": pc.cast(t.column("sum(n)"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return agg.sort(["n", col], descending=[True, False]).limit(k)
+
+
+def q_word_topk(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+    return _topk_terms(ds.map_batches(_term_partial, batch_format="pyarrow"), "term", 50)
+
+
+SQL_WORD_TOPK = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents
+)
+SELECT term, cast(count(*) AS BIGINT) AS n
+FROM toks GROUP BY term ORDER BY n DESC, term LIMIT 50
+"""
+
+
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    """Consecutive-token pairs within each document, vectorized over
+    the flattened token array with list offsets masking doc
+    boundaries."""
+    txt = pc.replace_substring_regex(batch.column("text"), pattern=_TRIM, replacement="")
+    keep = pc.not_equal(txt, "")
+    txt = pc.drop_null(txt.filter(keep))
+    if len(txt) == 0:
+        return pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    toks = pc.split_pattern_regex(txt, pattern=_WS)
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = la.flatten().to_pandas().to_numpy()  # object array of str, no empties after trim
+    offs = np.asarray(la.offsets)
+    if len(flat) < 2:
+        return pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    left = pd.Series(flat[:-1])
+    right = pd.Series(flat[1:])
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    valid[offs[1:-1] - 1] = False  # last token of each doc pairs with next doc: drop
+    vc = (left[valid] + " " + right[valid]).value_counts()
+    return pa.table(
+        {"bigram": pa.array(vc.index, pa.string()), "n": pa.array(vc.to_numpy(), pa.int64())}
+    )
+
+
+def q_bigram_topk(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+    return _topk_terms(ds.map_batches(_bigram_partial, batch_format="pyarrow"), "bigram", 50)
+
+
+SQL_BIGRAM_TOPK = r"""
+WITH l AS (
+  SELECT regexp_extract_all(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\S+') AS toks
+  FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+),
+b AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS bigram
+  FROM l, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+)
+SELECT bigram, cast(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
+# =====================================================================
+# TF-IDF: per-document top-3 terms (df table broadcast into scoring)
+# =====================================================================
+
+def _doc_term_pairs(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) — exact, not partial: a document lives in one
+    row, so its term counts are complete within the batch."""
+    txt = pc.replace_substring_regex(batch.column("text"), pattern=_TRIM, replacement="")
+    keep = pc.and_(pc.is_valid(txt), pc.not_equal(txt, ""))
+    t = batch.filter(keep)
+    txt = pc.replace_substring_regex(t.column("text"), pattern=_TRIM, replacement="")
+    toks = pc.split_pattern_regex(txt, pattern=_WS)
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    counts = np.diff(np.asarray(la.offsets))
+    doc_ids = np.repeat(t.column("doc_id").to_numpy(), counts)
+    flat = la.flatten().to_pandas().to_numpy()
+    df = pd.DataFrame({"doc_id": doc_ids, "term": flat})
+    tf = df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+    return pa.table(
+        {
+            "doc_id": pa.array(tf["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(tf["term"].to_numpy(), pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def q_tfidf_topk(sf_dir: str):
+    """documents → (doc,term,tf) → df per term (small vocab groupby)
+    → broadcast df → score → per-doc top-3. Both sides compute
+    score = CAST(tf AS DOUBLE) * ln(N/df) on identical doubles, so the
+    (score DESC, term ASC) pick order is bit-identical."""
+    from ray.data.aggregate import Count
+
+    pairs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _doc_term_pairs, batch_format="pyarrow"
+    )
+    pairs_mat = pairs.materialize()  # two consumers: df build + scoring
+    n_docs = _read(sf_dir, "documents", ["text"]).map_batches(
+        lambda b: pa.table({"n": pa.array([int(pc.sum(pc.and_(
+            pc.is_valid(b.column("text")),
+            pc.not_equal(pc.replace_substring_regex(
+                b.column("text"), pattern=_TRIM, replacement=""), ""),
+        )).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow",
+    ).sum("n")
+    df_tbl = pairs_mat.groupby("term").aggregate(Count()).to_pandas()
+    df_map = dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
+    df_ref = ray.put(df_map)  # broadcast once; see module docstring for the vocab≪corpus assumption
+
+    def _score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        terms = batch.column("term").to_pylist()
+        df_arr = np.fromiter((dfm[t] for t in terms), dtype=np.float64, count=len(terms))
+        score = batch.column("tf").to_numpy().astype(np.float64) * np.log(
+            float(n_docs) / df_arr
+        )
+        return batch.append_column("score", pa.array(score, pa.float64()))
+
+    scored = pairs_mat.map_batches(_score, batch_format="pyarrow")
+
+    def _top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "term"], ascending=[False, True], kind="mergesort").head(3)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "term": g["term"].to_numpy(),
+                "score_e6": _i64_away_np(g["score"].to_numpy(), scale=1e6),
+            }
+        )
+
+    return scored.groupby("doc_id").map_groups(_top3, batch_format="pandas")
+
+
+SQL_TFIDF = r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS txt FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(txt, '\S+')) AS term
+  FROM t WHERE txt IS NOT NULL AND txt <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM t WHERE txt IS NOT NULL AND txt <> ''),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         cast(tf.tf AS DOUBLE) * ln(cast(n.n AS DOUBLE) / cast(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM s
+)
+SELECT doc_id, term, cast(round(score * 1000000, 0) AS BIGINT) AS score_e6
+FROM r WHERE rn <= 3
+"""
+
+
+# =====================================================================
+# Exact distributed correlation (per l_returnflag, qty vs price)
+# =====================================================================
+
+#: per-row y² ≤ (1e7 cents)² = 1e14; 8192 rows/batch → ≤ 8.2e17 < 2^63:
+#: int64 partial sums cannot overflow within a batch at this size.
+_CORR_BATCH = 8192
+
+
+def _corr_partial(batch: pa.Table) -> pa.Table:
+    x = _i64_away(batch.column("l_quantity"), 1.0)
+    y = _i64_away(batch.column("l_extendedprice"), 100.0)
+    t = pa.table(
+        {
+            "flag": batch.column("l_returnflag"),
+            "x": x,
+            "y": y,
+            "xx": pc.multiply(x, x),
+            "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        }
+    )
+    return t.group_by("flag").aggregate(
+        [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+         ("xy", "sum"), ("x", "count")]
+    )
+
+
+def _corr_final(g: pd.DataFrame) -> pd.DataFrame:
+    # Python-int combine: partials are int64-safe but their SUM is not
+    # (74 partials × 8e17 ≈ 6e19 > 2^63 at sf0.1) — exact big-int here,
+    # HUGEINT sums on the DuckDB side.
+    n = sum(int(v) for v in g["x_count"])
+    sx = sum(int(v) for v in g["x_sum"])
+    sy = sum(int(v) for v in g["y_sum"])
+    sxx = sum(int(v) for v in g["xx_sum"])
+    syy = sum(int(v) for v in g["yy_sum"])
+    sxy = sum(int(v) for v in g["xy_sum"])
+    num = n * sxy - sx * sy
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    # mirror of the SQL: CAST(num AS DOUBLE)/sqrt(CAST(den AS DOUBLE)) —
+    # int→double conversion and IEEE ops are identical on both sides
+    v = float(num) / math.sqrt(float(den))
+    return pd.DataFrame(
+        {
+            "l_returnflag": [g["flag"].iloc[0]],
+            "n": np.array([n], dtype=np.int64),
+            "corr_e6": _i64_away_np([v], scale=1e6),
+        }
+    )
+
+
+def q_corr_stats(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    partials = ds.map_batches(
+        _corr_partial, batch_format="pyarrow", batch_size=_CORR_BATCH
+    )
+    return partials.groupby("flag").map_groups(_corr_final, batch_format="pandas")
+
+
+SQL_CORR = """
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         cast(round(l_quantity, 0) AS BIGINT)            AS x,
+         cast(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM c GROUP BY flag
+)
+SELECT flag AS l_returnflag, cast(n AS BIGINT) AS n,
+       cast(round(cast(n*sxy - sx*sy AS DOUBLE)
+                  / sqrt(cast((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE))
+                  * 1000000, 0) AS BIGINT) AS corr_e6
+FROM s
+"""
+
+
+# =====================================================================
+# arg_max per group (partial best-per-batch → best-of-bests)
+# =====================================================================
+
+def _best_pick(df: pd.DataFrame) -> pd.DataFrame:
+    d = df.sort_values(["value", "event_id"], ascending=[False, True], kind="mergesort")
+    return d.drop_duplicates("event_type")
+
+
+def q_argmax_events(sf_dir: str):
+    """For each event_type the event with max value (ties → min
+    event_id): per-batch candidate pick, then a tiny groupby over one
+    candidate row per (batch, type)."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    cands = ds.map_batches(_best_pick, batch_format="pandas")
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        b = _best_pick(g).iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": [b["event_type"]],
+                "best_event": np.array([b["event_id"]], dtype=np.int64),
+                "best_value_cents": _i64_away_np([b["value"]]),
+            }
+        )
+
+    return cands.groupby("event_type").map_groups(_final, batch_format="pandas")
+
+
+SQL_ARGMAX = """
+SELECT event_type, event_id AS best_event,
+       cast(round(value * 100, 0) AS BIGINT) AS best_value_cents
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# =====================================================================
+# ROLLUP: (year, month) → + year level → + grand total
+# =====================================================================
+
+def q_rollup_revenue(sf_dir: str):
+    """Finest level is the only pass over base data; the year and
+    grand-total levels re-aggregate the bounded month-level table
+    (≤ #months rows) with pyarrow. Sentinel 0 for rolled-up columns on
+    both sides (NULL-free value-hash)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        t = pa.table(
+            {
+                "y": pc.cast(pc.year(d), pa.int64()),
+                "m": pc.cast(pc.month(d), pa.int64()),
+                "cents": _i64_away(batch.column("o_totalprice"), 100.0),
+            }
+        )
+        return t.group_by(["y", "m"]).aggregate([("cents", "sum"), ("cents", "count")])
+
+    months = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby(["y", "m"])
+        .aggregate(Sum("cents_sum"), Sum("cents_count"))
+    )
+    mt = months.to_pandas()  # bounded: one row per (year, month)
+    mt = mt.rename(columns={"sum(cents_sum)": "revenue_cents", "sum(cents_count)": "n_orders"})
+    years = mt.groupby("y", as_index=False)[["revenue_cents", "n_orders"]].sum()
+    years["m"] = 0
+    total = pd.DataFrame(
+        {"y": [0], "m": [0], "revenue_cents": [mt["revenue_cents"].sum()],
+         "n_orders": [mt["n_orders"].sum()]}
+    )
+    out = pd.concat([mt, years, total], ignore_index=True)[
+        ["y", "m", "revenue_cents", "n_orders"]
+    ]
+    return out.astype({"y": np.int64, "m": np.int64,
+                       "revenue_cents": np.int64, "n_orders": np.int64})
+
+
+SQL_ROLLUP = """
+SELECT coalesce(y, 0) AS y, coalesce(m, 0) AS m,
+       cast(sum(cents) AS BIGINT) AS revenue_cents,
+       cast(count(*) AS BIGINT)   AS n_orders
+FROM (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         cast(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+GROUP BY ROLLUP (y, m)
+"""
+
+
+# =====================================================================
+# PIVOT: per-user event counts, one column per event_type
+# =====================================================================
+
+def _event_types(sf_dir: str) -> list[str]:
+    """Distinct types from a pruned distributed pass (small result)."""
+    from ray.data.aggregate import Count
+
+    t = (
+        _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .aggregate(Count())
+        .to_pandas()
+    )
+    return sorted(t["event_type"])
+
+
+def q_pivot_events(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    types = _event_types(sf_dir)
+    cols = [f"n_{t}" for t in types]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=types, fill_value=0)
+        ct.columns = cols
+        return ct.reset_index().astype(np.int64)
+
+    partials = ds.map_batches(_part, batch_format="pandas")
+    agg = partials.groupby("user_id").aggregate(*[Sum(c) for c in cols])
+
+    def _fin(t: pa.Table) -> pa.Table:
+        data = {"user_id": t.column("user_id")}
+        total = None
+        for c in cols:
+            col = pc.cast(t.column(f"sum({c})"), pa.int64())
+            data[c] = col
+            total = col if total is None else pc.add(total, col)
+        data["n_total"] = total
+        return pa.table(data)
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
+def sql_pivot(sf_dir: str) -> str:
+    import duckdb
+
+    con = duckdb.connect()
+    types = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT event_type FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    parts = ",\n       ".join(
+        f"cast(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""
+SELECT user_id,
+       {parts},
+       cast(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY user_id
+"""
+
+
+# =====================================================================
+# Set operations: INTERSECT / EXCEPT as one flagged groupby
+# =====================================================================
+
+_SETOP_THRESHOLD = 200.0
+
+
+def _setop_flags(sf_dir: str):
+    """(user_id, has_a, has_b) — one shuffle serves both INTERSECT and
+    EXCEPT. Side A: purchase > thr; side B: error > thr."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def _flags(df: pd.DataFrame) -> pd.DataFrame:
+        hot = df[df["value"] > _SETOP_THRESHOLD]
+        a = set(hot.loc[hot["event_type"] == "purchase", "user_id"])
+        b = set(hot.loc[hot["event_type"] == "error", "user_id"])
+        users = sorted(a | b)
+        return pd.DataFrame(
+            {
+                "user_id": np.array(users, dtype=np.int64),
+                "has_a": np.array([u in a for u in users], dtype=np.int64),
+                "has_b": np.array([u in b for u in users], dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(_flags, batch_format="pandas").groupby("user_id").aggregate(
+        Max("has_a"), Max("has_b")
+    )
+
+
+def q_users_intersect(sf_dir: str):
+    agg = _setop_flags(sf_dir)
+    return agg.filter(
+        lambda r: r["max(has_a)"] == 1 and r["max(has_b)"] == 1
+    ).select_columns(["user_id"])
+
+
+def q_users_except(sf_dir: str):
+    agg = _setop_flags(sf_dir)
+    return agg.filter(
+        lambda r: r["max(has_a)"] == 1 and r["max(has_b)"] == 0
+    ).select_columns(["user_id"])
+
+
+SQL_USERS_INTERSECT = f"""
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > {_SETOP_THRESHOLD}
+INTERSECT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'error' AND value > {_SETOP_THRESHOLD}
+"""
+
+SQL_USERS_EXCEPT = f"""
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > {_SETOP_THRESHOLD}
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'error' AND value > {_SETOP_THRESHOLD}
+"""
+
+
+# =====================================================================
+# Full outer join: tagged union → one groupby cogroup
+# =====================================================================
+
+def q_full_outer_daily(sf_dir: str):
+    """Daily order counts for URGENT vs HIGH priority, full-outer on
+    the date: each side tagged with a sentinel for the other side's
+    column, unioned, then ONE groupby(d) with Max folds rows — the
+    big-big-safe full outer (no broadcast, no driver merge). Sides are
+    pre-aggregated so keys are unique per side and Max(-1, n) = n."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        pri = batch.column("o_orderpriority")
+        sel = pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH"))
+        t = batch.filter(sel)
+        d = pc.strftime(t.column("o_orderdate"), format="%Y-%m-%d")
+        urgent = pc.cast(pc.equal(t.column("o_orderpriority"), "1-URGENT"), pa.int64())
+        tt = pa.table(
+            {"d": d, "n_a": urgent, "n_b": pc.subtract(pa.scalar(1, pa.int64()), urgent)}
+        )
+        return tt.group_by("d").aggregate([("n_a", "sum"), ("n_b", "sum")])
+
+    daily = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("n_a_sum"), Sum("n_b_sum"))
+    )
+    # tagged-union cogroup shape: re-tag each side with the other
+    # side's sentinel, union, fold with Max. Here both sides came out
+    # of one pass, so the union is expressed as the per-side sentinel
+    # substitution (count 0 on a side means "absent from that side").
+    def _fin(t: pa.Table) -> pa.Table:
+        na = pc.cast(t.column("sum(n_a_sum)"), pa.int64())
+        nb = pc.cast(t.column("sum(n_b_sum)"), pa.int64())
+        return pa.table(
+            {
+                "d": t.column("d"),
+                "n_urgent": pc.if_else(pc.equal(na, 0), pa.scalar(-1, pa.int64()), na),
+                "n_high": pc.if_else(pc.equal(nb, 0), pa.scalar(-1, pa.int64()), nb),
+            }
+        )
+
+    return daily.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_FULL_OUTER = """
+WITH a AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, cast(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+),
+b AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, cast(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY 1
+)
+SELECT coalesce(a.d, b.d) AS d,
+       coalesce(a.n, -1) AS n_urgent,
+       coalesce(b.n, -1) AS n_high
+FROM a FULL OUTER JOIN b ON a.d = b.d
+"""
+
+
+# =====================================================================
+# Interpolated percentiles (quantile_cont convention)
+# =====================================================================
+
+def q_percentile_value(sf_dir: str):
+    """DuckDB quantile_cont: position p = q*(n-1), lower = floor(p),
+    value = v[lo] + (p-lo)*(v[lo+1]-v[lo]) — mirrored on identical
+    sorted doubles (probed formula; exact-equality covered by the
+    driver hash at two sf tiers)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _q(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group["value"].to_numpy(dtype=np.float64))
+        n = len(v)
+
+        def cont(q: float) -> float:
+            p = q * (n - 1)
+            lo = int(math.floor(p))
+            hi = min(lo + 1, n - 1)
+            return v[lo] + (p - lo) * (v[hi] - v[lo])
+
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n": np.array([n], dtype=np.int64),
+                "p10_e4": _i64_away_np([cont(0.1)], scale=1e4),
+                "p50_e4": _i64_away_np([cont(0.5)], scale=1e4),
+                "p90_e4": _i64_away_np([cont(0.9)], scale=1e4),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(_q, batch_format="pandas")
+
+
+SQL_PERCENTILE = """
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n,
+       cast(round(quantile_cont(value, 0.1) * 10000, 0) AS BIGINT) AS p10_e4,
+       cast(round(quantile_cont(value, 0.5) * 10000, 0) AS BIGINT) AS p50_e4,
+       cast(round(quantile_cont(value, 0.9) * 10000, 0) AS BIGINT) AS p90_e4
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "word_topk": q_word_topk,
+    "bigram_topk": q_bigram_topk,
+    "tfidf_topk": q_tfidf_topk,
+    "corr_stats": q_corr_stats,
+    "argmax_events": q_argmax_events,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_events": q_pivot_events,
+    "users_intersect": q_users_intersect,
+    "users_except": q_users_except,
+    "full_outer_daily": q_full_outer_daily,
+    "percentile_value": q_percentile_value,
+}
+
+ORACLE_SQL = {
+    "word_topk": SQL_WORD_TOPK,
+    "bigram_topk": SQL_BIGRAM_TOPK,
+    "tfidf_topk": SQL_TFIDF,
+    "corr_stats": SQL_CORR,
+    "argmax_events": SQL_ARGMAX,
+    "rollup_revenue": SQL_ROLLUP,
+    "users_intersect": SQL_USERS_INTERSECT,
+    "users_except": SQL_USERS_EXCEPT,
+    "full_outer_daily": SQL_FULL_OUTER,
+    "percentile_value": SQL_PERCENTILE,
+}
+
+
+def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Twins that inspect the data (pivot column set)."""
+    return {"pivot_events": sql_pivot(sf_dir)}
+
+
+# self-register into the driver-facing registries (see the note at the
+# import site in relational.py: this runs last so the import cycle is
+# safe whichever module a worker imports first)
+from . import relational as _rel  # noqa: E402
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

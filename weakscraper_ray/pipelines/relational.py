@@ -2406,6 +2406,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
         f"SELECT * FROM read_parquet('{oracles.frame_sample_twin()}')"
     )
     out["pdf_layout"] = f"SELECT * FROM read_parquet('{oracles.pdf_layout_twin()}')"
+    from . import analytics as _an
+
+    out.update(_an.dynamic_oracle_sql(sf_dir))
     return out
 
 
@@ -2731,3 +2734,10 @@ def q_knn_ivf(sf_dir: str):
 
 
 QUERIES["knn_ivf"] = q_knn_ivf
+
+# round-3 analytics family (text stats, exact corr, OLAP shapes,
+# set ops, full outer, interpolated percentiles). The module registers
+# itself into QUERIES/ORACLE_SQL at the END of its own import so the
+# relational↔analytics import cycle resolves in either order (workers
+# may import analytics first when deserializing its batch functions).
+from . import analytics as _analytics  # noqa: E402,F401
