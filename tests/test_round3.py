@@ -301,3 +301,81 @@ def test_union_find_labels_basic():
 
     lab = union_find_labels([(4, 2), (2, 9), (7, 8)])
     assert lab == {4: 2, 2: 2, 9: 2, 7: 7, 8: 7}
+
+
+# --------------------------------------- bloom / quantile histogram
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    from weakscraper_ray.functions import sketch
+
+    rng = np.random.RandomState(7)
+    members = rng.choice(10_000_000, size=50_000, replace=False).astype(np.int64)
+    bits = sketch.bloom_merge(
+        [sketch.bloom_partial(members[:20_000]), sketch.bloom_partial(members[20_000:])]
+    )
+    # no false negatives, ever
+    assert sketch.bloom_contains(bits, members).all()
+    # FP rate within 3x the theoretical (1 - e^{-kn/m})^k bound
+    non = np.setdiff1d(
+        rng.choice(100_000_000, size=100_000, replace=False).astype(np.int64) + 10_000_000,
+        members,
+    )
+    fp = sketch.bloom_contains(bits, non).mean()
+    k, n, m = sketch.BLOOM_K, len(members), sketch.BLOOM_BITS
+    bound = (1 - np.exp(-k * n / m)) ** k
+    assert fp <= 3 * bound, (fp, bound)
+
+
+def test_bloom_merge_equals_single_pass():
+    from weakscraper_ray.functions import sketch
+
+    keys = np.arange(1000, dtype=np.int64) * 7919
+    whole = sketch.bloom_partial(keys)
+    merged = sketch.bloom_merge(
+        [sketch.bloom_partial(keys[i::4]) for i in range(4)]
+    )
+    assert np.array_equal(whole, merged)
+
+
+def test_qh_quantile_error_bound_and_merge():
+    from weakscraper_ray.functions import sketch
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate(
+        [rng.lognormal(3.0, 1.5, 20_000), rng.uniform(0, 500, 10_000)]
+    )
+    whole = sketch.qh_partial(vals)
+    merged = sketch.qh_merge([sketch.qh_partial(p) for p in np.array_split(vals, 7)])
+    # merge associativity: bin counts identical however the data is split
+    assert np.array_equal(whole, merged)
+    v = np.sort(vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = v[max(0, int(np.ceil(q * len(v))) - 1)]
+        approx = sketch.qh_quantile(whole, q)
+        # upper bin edge: within one multiplicative bin width above exact
+        assert exact <= approx <= exact * (1 + sketch.QH_REL_ERR) * (1 + 1e-12), (
+            q, exact, approx,
+        )
+
+
+def test_approx_quantiles_query_matches_exact_within_bound(ray_session):
+    import duckdb
+
+    from weakscraper_ray.functions.sketch import QH_REL_ERR
+    from weakscraper_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.01"
+    df = relational.QUERIES["approx_quantiles_value"](sf).to_pandas()
+    exact = {
+        r[0]: r[1:]
+        for r in duckdb.connect().execute(
+            "SELECT event_type, quantile_disc(value,0.5), quantile_disc(value,0.9),"
+            " quantile_disc(value,0.99) FROM"
+            f" read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    assert len(df) == len(exact)
+    for r in df.itertuples():
+        e50, e90, e99 = exact[r.event_type]
+        for got, want in ((r.p50_approx, e50), (r.p90_approx, e90), (r.p99_approx, e99)):
+            assert want <= got <= want * (1 + QH_REL_ERR) * (1 + 1e-12)

@@ -650,8 +650,113 @@ FROM events GROUP BY event_type
 """
 
 
+# =====================================================================
+# Bloom-prefiltered semi-join (sketch-based scale path for R6/R7)
+# =====================================================================
+
+_BLOOM_PSIZE = 48
+
+
+def q_semi_join_bloom(sf_dir: str):
+    """lineitem ⋉ part(p_size ≥ 48) with a Bloom prefilter: the build
+    side reduces to a 128 KiB bit array (per-batch partials OR-merged,
+    driver payload = #batches × 128 KiB), broadcast once; the probe
+    side drops definite non-members vectorized, and only the ~1%-FP
+    survivor stream is verified exactly. Here the exact verify is a
+    broadcast key set (build side is small); at a scale where it
+    isn't, the survivors go through the shuffle semi-join that
+    ``hash_join`` demonstrates — the bloom stage still prunes ~94% of
+    probe rows before that exchange."""
+    from ..functions import sketch
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_size"]).filter(
+        expr=f"p_size >= {_BLOOM_PSIZE}"
+    )
+
+    def _bloom_batch(batch: pa.Table) -> pa.Table:
+        bits = sketch.bloom_partial(batch.column("p_partkey").to_numpy())
+        return pa.table({"bits": pa.array([bits], pa.list_(pa.uint8(), len(bits)))})
+
+    partials = part.map_batches(_bloom_batch, batch_format="pyarrow").take_all()
+    bits = sketch.bloom_merge(
+        [np.asarray(row["bits"], dtype=np.uint8) for row in partials]
+    )
+    keys = part.select_columns(["p_partkey"]).to_pandas()["p_partkey"].to_numpy()
+    bits_ref = ray.put(bits)
+    keys_ref = ray.put(np.sort(keys))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        pk = batch.column("l_partkey").to_numpy()
+        maybe = sketch.bloom_contains(b, pk)
+        survivors = batch.filter(pa.array(maybe))
+        ks = ray.get(keys_ref)
+        exact = np.isin(survivors.column("l_partkey").to_numpy(), ks, assume_unique=False)
+        return survivors.filter(pa.array(exact))
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_linenumber"])
+    return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+SQL_SEMI_JOIN_BLOOM = f"""
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= {_BLOOM_PSIZE})
+"""
+
+
+# =====================================================================
+# Approximate quantiles via the mergeable log-binned histogram
+# (rows-only: approximate by design; error bound asserted in tests)
+# =====================================================================
+
+def q_approx_quantiles(sf_dir: str):
+    from ..functions import sketch
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    n_bins = sketch.QH_BINS + 1
+
+    def _part(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for t, g in df.groupby("event_type", sort=False):
+            rows.append((t, sketch.qh_partial(g["value"].to_numpy())))
+        flat = (
+            np.concatenate([r[1] for r in rows])
+            if rows
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "counts": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, pa.int64()), n_bins
+                ),
+            }
+        )
+
+    def _fin(g: pd.DataFrame) -> pd.DataFrame:
+        counts = sketch.qh_merge([np.asarray(c, dtype=np.int64) for c in g["counts"]])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": np.array([counts.sum()], dtype=np.int64),
+                "p50_approx": [sketch.qh_quantile(counts, 0.5)],
+                "p90_approx": [sketch.qh_quantile(counts, 0.9)],
+                "p99_approx": [sketch.qh_quantile(counts, 0.99)],
+            }
+        )
+
+    return (
+        ds.map_batches(_part, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_fin, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "word_topk": q_word_topk,
+    "semi_join_bloom": q_semi_join_bloom,
+    "approx_quantiles_value": q_approx_quantiles,
     "bigram_topk": q_bigram_topk,
     "tfidf_topk": q_tfidf_topk,
     "corr_stats": q_corr_stats,
@@ -666,6 +771,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "word_topk": SQL_WORD_TOPK,
+    "semi_join_bloom": SQL_SEMI_JOIN_BLOOM,
     "bigram_topk": SQL_BIGRAM_TOPK,
     "tfidf_topk": SQL_TFIDF,
     "corr_stats": SQL_CORR,
