@@ -379,3 +379,35 @@ def test_approx_quantiles_query_matches_exact_within_bound(ray_session):
         e50, e90, e99 = exact[r.event_type]
         for got, want in ((r.p50_approx, e50), (r.p90_approx, e90), (r.p99_approx, e99)):
             assert want <= got <= want * (1 + QH_REL_ERR) * (1 + 1e-12)
+
+
+def test_csv_source_equals_parquet_source(tmp_path, ray_session):
+    """The CSV transcripts source feeds the identical pipeline and
+    yields byte-identical extraction results to the parquet source
+    (third input format; quoted multi-line HTML survives the CSV
+    round-trip)."""
+    from weakscraper_ray.pipelines.extraction import (
+        extraction_pipeline,
+        parquet_dir_to_csv,
+        read_transcripts,
+        read_transcripts_csv,
+    )
+    from weakscraper_ray.transcripts import ensure_generated
+
+    src = ensure_generated("tiny")
+    cdir = str(tmp_path / "csv")
+    n = parquet_dir_to_csv(src, cdir)
+    assert n > 0
+
+    key = ["conv_id", "turn_idx"]
+    a = (
+        extraction_pipeline(read_transcripts(src), restore_ordering=False)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        extraction_pipeline(read_transcripts_csv(cdir), restore_ordering=False)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    for col in ["conv_id", "turn_idx", "template_id", "status", "error_kind",
+                "extracted_text", "fields"]:
+        assert (a[col] == b[col]).all(), col

@@ -123,6 +123,88 @@ def parquet_dir_to_jsonl(src_dir: str, out_dir: str) -> int:
     return n
 
 
+def read_transcripts_csv(path: str, with_route: bool = True):
+    """CSV transcripts source — third input format for the same
+    logical table (parquet / JSONL / CSV all normalize to one arrow
+    schema, so the extraction pipeline is format-agnostic). Arrow's
+    CSV reader handles quoted multi-line HTML text; ``ts`` arrives as
+    an ISO string and is cast like the JSONL path."""
+    configure_context()
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyarrow import csv as pacsv
+
+    if os.path.isdir(path):
+        shards = sorted(glob.glob(os.path.join(path, "*.csv")))
+        paths: list[str] | str = shards if shards else path
+    else:
+        paths = path
+    cols = list(TRANSCRIPT_COLUMNS) + (["template_id"] if with_route else [])
+    # pin column types: CSV carries none, and letting the reader infer
+    # per-shard risks schema drift between shards (e.g. an all-empty
+    # text column inferred as null)
+    ds = ray.data.read_csv(
+        paths,
+        # HTML text fields contain quoted newlines; the streaming CSV
+        # reader rejects them unless newlines_in_values is on
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(
+            column_types={
+                "conv_id": pa.string(),
+                "turn_idx": pa.int32(),
+                "template_id": pa.int32(),
+                "ts": pa.string(),
+                "role": pa.string(),
+                "text": pa.string(),
+            }
+        ),
+    )
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        out: dict = {}
+        for c in cols:
+            if c not in batch.column_names:
+                continue
+            col = batch.column(c)
+            if c == "ts" and pa.types.is_string(col.type):
+                # Arrow strftime("%S") emits fractional seconds on us
+                # timestamps; a cast parses ISO strings either way
+                col = col.cast(pa.timestamp("us"))
+            elif c == "text":
+                # CSV cannot distinguish NULL from empty string; the
+                # generator writes no NULL texts, so "" round-trips
+                col = pc.if_else(pc.is_valid(col), col, pa.scalar("", pa.string()))
+            out[c] = col
+        return pa.table(out)
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+def parquet_dir_to_csv(src_dir: str, out_dir: str) -> int:
+    """Utility: convert a generated transcripts dir to CSV shards
+    (test/demo helper for the CSV source; driver-side, small data)."""
+    import glob
+    import os
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+    from pyarrow import csv as _pacsv
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for shard in sorted(glob.glob(os.path.join(src_dir, "part-*.parquet"))):
+        t = _pq.read_table(shard)
+        ts = _pc.strftime(t.column("ts"), format="%Y-%m-%d %H:%M:%S")
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", ts)
+        name = os.path.basename(shard).replace(".parquet", ".csv")
+        _pacsv.write_csv(t, os.path.join(out_dir, name))
+        n += t.num_rows
+    return n
+
+
 def _pool_size() -> int:
     try:
         return max(2, int(ray.cluster_resources().get("CPU", 8)))
