@@ -411,3 +411,34 @@ def test_csv_source_equals_parquet_source(tmp_path, ray_session):
     for col in ["conv_id", "turn_idx", "template_id", "status", "error_kind",
                 "extracted_text", "fields"]:
         assert (a[col] == b[col]).all(), col
+
+
+def test_decontaminate_invariants(ray_session):
+    """Decontamination: no benchmark doc appears in the output, every
+    reported doc has >= 1 leaked n-gram, and the result is
+    deterministic across runs (content-hash split, no RNG)."""
+    from weakscraper_ray.functions.contamination import is_benchmark_doc
+    from weakscraper_ray.pipelines.relational import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    a = QUERIES["decontaminate"](sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0
+    assert (a.n_overlap >= 1).all()
+    assert not a.doc_id.map(is_benchmark_doc).any()
+    b = QUERIES["decontaminate"](sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_split_assign_partitions_corpus(ray_session):
+    """The train/val/test split is a partition: split sizes sum to the
+    corpus size and every split is non-empty at sf0.01."""
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines.relational import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    df = QUERIES["split_assign"](sf).to_pandas()
+    total = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert sorted(df.split) == ["test", "train", "val"]
+    assert df.n_docs.sum() == total
+    assert (df.n_docs > 0).all()

@@ -1638,6 +1638,139 @@ WHERE substr(md5(cast(event_id AS VARCHAR)), 1, 1) = '0'
 
 
 # =====================================================================
+# Test-set decontamination: the op every pretraining pipeline runs
+# before training (drop corpus docs that leak evaluation data).  The
+# benchmark membership rule, tokenizer and n-gram width are mirrored
+# op-for-op in the SQL twin; see functions/contamination.py for the
+# scale shape (small benchmark broadcast once, corpus streams).
+# =====================================================================
+
+def q_decontaminate(sf_dir: str):
+    """Corpus documents sharing >= 1 distinct word 5-gram with the
+    held-out benchmark subset (docs whose md5(doc_id) starts with
+    '0'), with the count of distinct leaked 5-grams per document.
+
+    Stage 1 (small side): benchmark docs → per-batch distinct 5-grams
+    → driver union (logged) → one ``ray.put`` broadcast.
+    Stage 2 (100 TB side): single streaming ``map_batches`` over the
+    corpus — set-intersect per doc, no shuffle, nothing materialized.
+    """
+    import logging
+    from functools import partial
+
+    from ..functions.contamination import (
+        DEFAULT_N,
+        benchmark_grams_batch,
+        contamination_batch,
+        split_benchmark_batch,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        partial(split_benchmark_batch, keep_benchmark=True),
+        batch_format="pyarrow",
+    ).map_batches(partial(benchmark_grams_batch, n=DEFAULT_N),
+                  batch_format="pyarrow")
+    grams: set[str] = set()
+    for r in bench.take_all():  # bounded: benchmark side is MB-scale
+        grams.add(r["gram"])
+    logging.getLogger("weakscraper_ray.contamination").info(
+        "decontaminate: %d distinct benchmark %d-grams broadcast",
+        len(grams), DEFAULT_N,
+    )
+    grams_ref = ray.put(frozenset(grams))
+
+    corpus = docs.map_batches(
+        partial(split_benchmark_batch, keep_benchmark=False),
+        batch_format="pyarrow",
+    )
+    return corpus.map_batches(
+        partial(contamination_batch, grams_ref=grams_ref, n=DEFAULT_N),
+        batch_format="pyarrow",
+    )
+
+
+#: same tokenizer as the MinHash CTE; range(1, len(w)-3) ⇔ 5-gram
+#: windows i..i+4 (DuckDB range is end-exclusive, arrays 1-indexed)
+SQL_DECONTAMINATE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w,
+         substr(md5(cast(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_bench,
+         unnest(list_distinct(list_transform(
+             range(1, len(w) - 3),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                  w[i+3] || ' ' || w[i+4]))) AS g
+  FROM tok
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE is_bench
+)
+SELECT c.doc_id, cast(count(DISTINCT c.g) AS BIGINT) AS n_overlap
+FROM grams c JOIN bench b USING (g)
+WHERE NOT c.is_bench
+GROUP BY c.doc_id
+"""
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split by content hash of the doc
+    id (the split op of a training-data pipeline: no RNG, stable across
+    runs and resumes), summarized per split.  val = md5 first hex '0',
+    test = '1', train = the rest (14/16).
+
+    Shape: per-batch split assignment + per-batch partial aggregate,
+    then a 3-key groupby — the shuffle carries three rows per batch.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        splits = []
+        for d in batch.column("doc_id").to_pylist():
+            c = hashlib.md5(str(d).encode()).hexdigest()[0]
+            splits.append("val" if c == "0" else "test" if c == "1" else "train")
+        t = pa.table(
+            {
+                "split": pa.array(splits, pa.string()),
+                "chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+            }
+        )
+        return t.group_by("split").aggregate(
+            [("chars", "count"), ("chars", "sum")]
+        )
+
+    agg = ds.map_batches(_assign, batch_format="pyarrow").groupby("split").aggregate(
+        Sum("chars_count", alias_name="n_docs"),
+        Sum("chars_sum", alias_name="chars_total"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "split": t.column("split"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "chars_total": t.column("chars_total").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT CASE substr(md5(cast(doc_id AS VARCHAR)), 1, 1)
+         WHEN '0' THEN 'val' WHEN '1' THEN 'test' ELSE 'train' END AS split,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(length(text)) AS BIGINT) AS chars_total
+FROM documents GROUP BY 1
+"""
+
+
+# =====================================================================
 # Heavy hitters: bounded-memory candidate generation (per-batch
 # Misra-Gries summary over pre-aggregated counts) + exact recount of
 # the bounded candidate set — exact output, sketch-bounded memory.
@@ -2301,6 +2434,8 @@ QUERIES = {
     "learned_extract": q_learned_extract,
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
+    "decontaminate": q_decontaminate,
+    "split_assign": q_split_assign,
 }
 
 ORACLE_SQL = {
@@ -2335,6 +2470,8 @@ ORACLE_SQL = {
     "chunk_documents": SQL_CHUNKS,
     "regex_extract": SQL_REGEX_EXTRACT,
     "date_histogram": SQL_DATE_HISTOGRAM,
+    "decontaminate": SQL_DECONTAMINATE,
+    "split_assign": SQL_SPLIT_ASSIGN,
 }
 
 #: driver sf tier for the oracle comparison (the twins the dynamic
