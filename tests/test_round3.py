@@ -442,3 +442,31 @@ def test_split_assign_partitions_corpus(ray_session):
     assert sorted(df.split) == ["test", "train", "val"]
     assert df.n_docs.sum() == total
     assert (df.n_docs > 0).all()
+
+
+def test_cli_extract_csv_format(tmp_path):
+    """CLI --format csv: same roll-up metrics as the parquet run over
+    the same logical table (fresh process each)."""
+    import json
+    import subprocess
+    import sys
+
+    from weakscraper_ray.pipelines.extraction import parquet_dir_to_csv
+    from weakscraper_ray.transcripts import ensure_generated
+
+    src = ensure_generated("tiny")
+    cdir = tmp_path / "csv"
+    parquet_dir_to_csv(src, str(cdir))
+
+    rolls = []
+    for fmt, inp in (("parquet", src), ("csv", str(cdir))):
+        out = tmp_path / f"out_{fmt}"
+        r = subprocess.run(
+            [sys.executable, "-m", "weakscraper_ray", "extract",
+             "--input", str(inp), "--out", str(out), "--format", fmt,
+             "--no-lineage", "--num-cpus", "4", "--shards", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        rolls.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    assert rolls[0] == rolls[1]

@@ -2,8 +2,8 @@
 Parquet directory.
 
     python -m weakscraper_ray extract --input DIR --out DIR \
-        [--templates-dir DIR] [--learn] [--heuristic] [--no-resume] \
-        [--num-cpus N] [--shards N]
+        [--format parquet|jsonl|csv] [--templates-dir DIR] [--learn] \
+        [--heuristic] [--no-resume] [--num-cpus N] [--shards N]
 
 Owns its Ray session (guarded init — the library never calls
 ray.init); writes the checkpointed resumable layout and prints the
@@ -23,6 +23,9 @@ def main(argv: list[str] | None = None) -> int:
 
     ex = sub.add_parser("extract", help="template extraction over transcripts parquet")
     ex.add_argument("--input", required=True, help="transcripts parquet dir/file")
+    ex.add_argument("--format", choices=["parquet", "jsonl", "csv"],
+                    default="parquet",
+                    help="input format (all normalize to one schema)")
     ex.add_argument("--out", required=True, help="checkpointed output dir")
     ex.add_argument("--templates-dir", help="dir of <name>.html wp-* templates")
     ex.add_argument("--learn", action="store_true",
@@ -80,10 +83,25 @@ def main(argv: list[str] | None = None) -> int:
             logging_level="ERROR",
         )
     try:
-        from .pipelines.extraction import extraction_pipeline, read_transcripts
+        from .pipelines.extraction import (
+            extraction_pipeline,
+            read_transcripts,
+            read_transcripts_csv,
+            read_transcripts_json,
+        )
         from .sources import metrics_rollup, write_partitioned
 
-        ds = read_transcripts(args.input, include_paths=not args.no_lineage)
+        if args.format == "jsonl":
+            def _read_input(path):  # lineage is a parquet-reader feature
+                return read_transcripts_json(path)
+        elif args.format == "csv":
+            def _read_input(path):
+                return read_transcripts_csv(path)
+        else:
+            def _read_input(path):
+                return read_transcripts(path, include_paths=not args.no_lineage)
+
+        ds = _read_input(args.input)
         if not args.no_resume:
             # prune committed shards BEFORE extraction: a resume skips
             # the expensive parse+match work, not just the writes
@@ -104,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.learn:
             from .pipelines.learning import learn_templates
 
-            templates = learn_templates(read_transcripts(args.input))
+            templates = learn_templates(_read_input(args.input))
 
         out = extraction_pipeline(
             ds,
