@@ -470,3 +470,22 @@ def test_cli_extract_csv_format(tmp_path):
         assert r.returncode == 0, r.stderr[-2000:]
         rolls.append(json.loads(r.stdout.strip().splitlines()[-1]))
     assert rolls[0] == rolls[1]
+
+
+def test_shuffle_train_permutation_and_determinism(ray_session):
+    """Seeded global shuffle: output is an exact permutation of the
+    input, deterministic for a fixed seed, and not the input order."""
+    import pandas as pd
+
+    from weakscraper_ray.pipelines.relational import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    a = QUERIES["shuffle_train"](sf).to_pandas()
+    b = QUERIES["shuffle_train"](sf).to_pandas()
+    src = pd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id", "lang", "source"])
+    assert sorted(a.doc_id) == sorted(src.doc_id)
+    assert a.equals(b)  # same seed -> same order
+    assert not a.doc_id.reset_index(drop=True).equals(
+        src.doc_id.reset_index(drop=True)
+    )

@@ -224,3 +224,32 @@ class QualityScore:
                 ),
             }
         )
+
+
+def compression_signal_batch(batch: pa.Table) -> pa.Table:
+    """Per-document compressibility signal: utf-8 byte length and its
+    zlib(level=6) compressed length, as exact integers (ratio derivable
+    downstream; emitting bytes instead of a float ratio keeps the
+    oracle comparison rounding-free).
+
+    The published quality rules this feeds (Gopher / FineWeb
+    repetition filters) drop documents whose compressed size is far
+    below raw size — boilerplate-heavy or looping text compresses
+    unusually well.  zlib has no Arrow kernel, so the per-row loop is
+    inherent (same caveat as the md5 fingerprint: do not copy this
+    shape into hotter stages); level is pinned for determinism.
+    """
+    import zlib
+
+    raw, comp = [], []
+    for t in batch.column("text").to_pylist():
+        b = (t or "").encode("utf-8")
+        raw.append(len(b))
+        comp.append(len(zlib.compress(b, 6)))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "raw_bytes": pa.array(raw, pa.int64()),
+            "zlib_bytes": pa.array(comp, pa.int64()),
+        }
+    )

@@ -362,3 +362,31 @@ def pdf_layout_twin(n: int = 500, version: str = "v1") -> str:
         return pa.Table.from_pandas(blocks, preserve_index=False)
 
     return _cached(f"pdf-layout-n{n}", version, build)
+
+
+# ------------------------------------------------ compression-signal twin
+
+def compression_twin(sf_dir: str, version: str = "v1") -> str:
+    """Single-threaded zlib(level=6) compressed size per document.
+    Only the zlib size is shared math with the engine; the SQL twin
+    recomputes raw_bytes independently via octet_length(encode(...))."""
+    import zlib
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        comp = [
+            len(zlib.compress((x or "").encode("utf-8"), 6))
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "zlib_bytes": pa.array(comp, pa.int64()),
+            }
+        )
+
+    return _cached(f"compression-{tag}", version, build)

@@ -1770,6 +1770,33 @@ FROM documents GROUP BY 1
 """
 
 
+def q_compression_signal(sf_dir: str):
+    """Per-document compressibility (raw vs zlib byte sizes) — the
+    repetition-quality signal of published pretraining filter stacks
+    (Gopher / FineWeb drop docs that compress unusually well).  Exact
+    integers, no float ratio, so the oracle comparison is
+    rounding-free; streams in one map_batches pass."""
+    from ..functions.text import compression_signal_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(compression_signal_batch, batch_format="pyarrow")
+
+
+def q_shuffle_train(sf_dir: str):
+    """Seeded global shuffle — the final ordering step of a training
+    pipeline (decorrelate adjacent examples before sharding to
+    trainers).  ``Dataset.random_shuffle(seed)`` is the one all-to-all
+    exchange a training pipeline genuinely wants; the identity SQL
+    twin checks the output is a PERMUTATION of the corpus (the
+    driver's value-hash is row-order-insensitive), and the test suite
+    pins seed-determinism and that the order actually changed."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return ds.random_shuffle(seed=42)
+
+
+SQL_SHUFFLE_TRAIN = "SELECT doc_id, lang, source FROM documents"
+
+
 # =====================================================================
 # Heavy hitters: bounded-memory candidate generation (per-batch
 # Misra-Gries summary over pre-aggregated counts) + exact recount of
@@ -2436,6 +2463,8 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "decontaminate": q_decontaminate,
     "split_assign": q_split_assign,
+    "compression_signal": q_compression_signal,
+    "shuffle_train": q_shuffle_train,
 }
 
 ORACLE_SQL = {
@@ -2472,6 +2501,7 @@ ORACLE_SQL = {
     "date_histogram": SQL_DATE_HISTOGRAM,
     "decontaminate": SQL_DECONTAMINATE,
     "split_assign": SQL_SPLIT_ASSIGN,
+    "shuffle_train": SQL_SHUFFLE_TRAIN,
 }
 
 #: driver sf tier for the oracle comparison (the twins the dynamic
@@ -2493,6 +2523,13 @@ def build_oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     out["embed_knn"] = _sql_embed_knn(sf_dir)
     out["training_prep"] = _sql_training_prep(sf_dir)
     out["heavy_hitter_convs"] = _sql_heavy_hitters(sf_dir)
+    out["compression_signal"] = f"""
+SELECT d.doc_id,
+       cast(octet_length(encode(coalesce(d.text, ''))) AS BIGINT) AS raw_bytes,
+       t.zlib_bytes
+FROM documents d JOIN read_parquet('{oracles.compression_twin(sf_dir)}') t
+  USING (doc_id)
+"""
 
     # extraction family: expected twins
     size = _size_for(sf_dir)
