@@ -85,13 +85,18 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "pricing_summary", "broadcast_join", "dedup_exact",
         "dedup_minhash", "dedup_clusters", "embed_knn",
         "knn_cosine", "quality_score", "token_count", "training_prep",
+        "decontaminate", "shuffle_train",
     ]
     out: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         res = R.QUERIES[name](sf_dir)
-        # consume: aggregates are tiny; count() drives full execution
+        # consume: aggregates are tiny; count() drives full execution —
+        # except after row-preserving ops (random_shuffle) where Ray
+        # answers count() from metadata; materialize those first
         if hasattr(res, "count"):
+            if name == "shuffle_train":
+                res = res.materialize()
             res.count()
         out[name] = round(time.perf_counter() - t0, 3)
     return out

@@ -1791,6 +1791,11 @@ def q_shuffle_train(sf_dir: str):
     driver's value-hash is row-order-insensitive), and the test suite
     pins seed-determinism and that the order actually changed."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    # parquet pandas metadata makes the schema unhashable, which spams
+    # the shuffle reducers with dedup warnings — strip it pre-exchange
+    ds = ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
     return ds.random_shuffle(seed=42)
 
 
