@@ -489,3 +489,22 @@ def test_shuffle_train_permutation_and_determinism(ray_session):
     assert not a.doc_id.reset_index(drop=True).equals(
         src.doc_id.reset_index(drop=True)
     )
+
+
+def test_window_hopping_fanout_and_consistency(ray_session):
+    """Hopping windows: total event count across windows is exactly
+    size/hop x input events, and each tumbling hour's count equals the
+    hopping window that starts on that hour boundary only when no
+    events fall in the following 45 min — so instead assert the
+    stronger global invariant plus per-window bounds."""
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines.relational import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    df = QUERIES["window_hopping"](sf).to_pandas()
+    n_src = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    assert df.n_events.sum() == 4 * n_src
+    assert (df.n_events > 0).all()
+    # window starts are 15-min aligned
+    assert (df.window_start_min % 15 == 0).all()

@@ -2641,6 +2641,75 @@ FROM events GROUP BY event_type, cast(floor(epoch(ts) / 3600) AS BIGINT)
 """
 
 
+#: hopping (sliding) window: 1 h windows every 15 min → each event
+#: lands in exactly size/hop = 4 overlapping windows
+_HOP_US = 900_000_000          # 15 min in epoch micros
+_HOP_FACTOR = 4                # window size = 4 hops
+
+
+def q_window_hopping(sf_dir: str):
+    """Overlapping (hopping) windowed aggregate — the streaming-window
+    shape `window_tumbling` can't express: 1-hour windows advancing
+    every 15 minutes, so each event contributes to 4 windows.
+
+    Composition (no custom operator needed): the per-batch expansion
+    replicates only the (event_type, window, value) triple ×4 — the
+    fan-out happens INSIDE the batch where it's an Arrow concat, and
+    the per-batch partial aggregate collapses it again before the
+    exchange, so the global shuffle still moves one row per
+    (type, window) per batch, not ×4 events."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        q = pc.divide(us, _HOP_US)  # hop index containing the event
+        parts = []
+        for i in range(_HOP_FACTOR):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": batch.column("event_type"),
+                        "window_start_min": pc.multiply(
+                            pc.subtract(q, i), 15
+                        ).cast(pa.int64()),
+                        "value": batch.column("value"),
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        return t.group_by(["event_type", "window_start_min"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = ds.map_batches(_expand, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "window_start_min"]).aggregate(
+        Sum("value_sum"), Sum("value_count")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start_min": t.column("window_start_min"),
+                "n_events": pc.cast(t.column("sum(value_count)"), pa.int64()),
+                "sum_value_cents": _i64_away(t.column("sum(value_sum)")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WINDOW_HOPPING = """
+SELECT event_type,
+       (epoch_us(ts) // 900000000 - u.i) * 15              AS window_start_min,
+       cast(count(*) AS BIGINT)                            AS n_events,
+       cast(round(sum(value) * 100, 0) AS BIGINT)          AS sum_value_cents
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) u
+GROUP BY 1, 2
+"""
+
+
 # =====================================================================
 # As-of join: each click gets the user's most recent view at-or-before
 # its timestamp (pd.merge_asof per user group — ray guide pattern)
@@ -2774,6 +2843,7 @@ GROUP BY o.o_orderpriority
 QUERIES.update(
     {
         "window_tumbling": q_window_tumbling,
+        "window_hopping": q_window_hopping,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "hash_join": q_hash_join,
@@ -2783,6 +2853,7 @@ QUERIES.update(
 ORACLE_SQL.update(
     {
         "window_tumbling": SQL_WINDOW,
+        "window_hopping": SQL_WINDOW_HOPPING,
         "asof_join": SQL_ASOF,
         "sessionize": SQL_SESSIONIZE,
         "hash_join": SQL_HASH_JOIN,
