@@ -508,3 +508,58 @@ def test_window_hopping_fanout_and_consistency(ray_session):
     assert (df.n_events > 0).all()
     # window starts are 15-min aligned
     assert (df.window_start_min % 15 == 0).all()
+
+
+def test_pii_scrub_removes_all_pattern_hits(ray_session):
+    """After scrubbing, no digit runs or email-shaped substrings
+    survive, every row's redaction count is consistent with the
+    scrubbed text, and the synthetic props (integer JSON values)
+    guarantee at least one redaction per row."""
+    import re
+
+    from weakscraper_ray.pipelines.curation import _PII_PAT, QUERIES
+
+    df = QUERIES["pii_scrub"]("/root/testdata/sf0.01").to_pandas()
+    assert (df.n_redactions >= 1).all()
+    pat = re.compile(_PII_PAT)
+    assert not df.props_scrubbed.str.contains(pat).any()
+    # replacing each match with the marker: marker count == n_redactions
+    assert (df.props_scrubbed.str.count("<PII>") == df.n_redactions).all()
+
+
+def test_stratified_sample_exact_k_and_deterministic(ray_session):
+    from weakscraper_ray.pipelines.curation import _STRAT_K, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    a = QUERIES["stratified_sample"](sf).to_pandas()
+    b = QUERIES["stratified_sample"](sf).to_pandas()
+    key = ["lang", "doc_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    sizes = a.groupby("lang").size()
+    assert (sizes == _STRAT_K).all()
+    # sampled ids exist in the source per stratum
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    merged = a.merge(src, on=["lang", "doc_id"], how="left", indicator=True)
+    assert (merged._merge == "both").all()
+
+
+def test_word_diversity_bounds_and_spot_check(ray_session):
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines.curation import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    df = QUERIES["word_diversity"](sf).to_pandas().set_index("doc_id")
+    assert (df.n_distinct <= df.n_words).all()
+    assert (df.n_distinct >= 1).all()
+    assert df.ttr_e6.between(0, 1_000_000).all()
+    src = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    row = src.iloc[7]
+    toks = [w for w in row.text.lower().split() if w]
+    got = df.loc[row.doc_id]
+    assert got.n_words == len(toks)
+    assert got.n_distinct == len(set(toks))

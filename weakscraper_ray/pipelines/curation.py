@@ -1,0 +1,203 @@
+"""Round-3 curation family: the per-document scrub/sample/diversity
+operators a training-data pipeline runs between extraction and
+packing — each a ``queries()`` entry with a DuckDB oracle twin.
+
+- PII-style pattern scrub: vectorized regex redaction + per-row match
+  counts (Arrow RE2 kernels; DuckDB's regexp functions are RE2 too, so
+  one pattern string drives both sides of the oracle).
+- Stratified sampling: exactly-k-per-group deterministic sample by
+  content hash — per-batch partial top-k so the shuffle carries at
+  most k rows per group per batch, never the corpus.
+- Word diversity (type-token ratio): the MassiveText/Gopher
+  "fraction of unique words" repetition filter, computed with one
+  exploded-token hash-dedup per batch (C-level, no per-row Python).
+
+Scale notes: none of these shuffles payload text. ``pii_scrub`` is a
+single streaming ``map_batches`` (no exchange at all);
+``stratified_sample`` exchanges (lang, doc_id, hash) triples already
+cut to k-per-group-per-batch; ``word_diversity`` is per-row local and
+emits four scalars per document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import relational as _rel
+from .relational import _i64_away_np, _read
+
+# =====================================================================
+# PII-style pattern scrub (vectorized regex redaction + audit counts)
+# =====================================================================
+
+#: email-address OR integer-literal alternation. Both Arrow and DuckDB
+#: compile this with RE2, so the oracle equivalence is engine-exact.
+#: (The synthetic corpus has no emails — the alternation still shows
+#: the real multi-pattern shape; the integer branch hits every row's
+#: props JSON.)
+_PII_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d+"
+
+
+def q_pii_scrub(sf_dir: str):
+    """Redact PII-shaped substrings from the events ``props`` JSON and
+    count redactions per row — the audit-trail scrub every pretraining
+    pipeline runs before packing. One streaming ``map_batches`` of
+    pure Arrow RE2 kernels; no shuffle, no Python rows."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "props_scrubbed": pc.replace_substring_regex(
+                    props, pattern=_PII_PAT, replacement="<PII>"
+                ),
+                "n_redactions": pc.cast(
+                    pc.count_substring_regex(props, pattern=_PII_PAT),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+SQL_PII_SCRUB = f"""
+SELECT event_id,
+       regexp_replace(props, '{_PII_PAT}', '<PII>', 'g') AS props_scrubbed,
+       cast(len(regexp_extract_all(props, '{_PII_PAT}')) AS BIGINT)
+           AS n_redactions
+FROM events
+"""
+
+
+# =====================================================================
+# Stratified sample: exactly k docs per lang, deterministic by md5
+# =====================================================================
+
+_STRAT_K = 5
+
+
+def _md5_hex(ids) -> list[str]:
+    # per-row md5 loop — same justified exception as q_sample_hash
+    # (no cryptographic-hash Arrow kernel); runs on id strings only.
+    return [hashlib.md5(str(d).encode()).hexdigest() for d in ids.to_pylist()]
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the k docs with the smallest
+    ``md5(doc_id)`` per language — no RNG, stable across runs/resumes,
+    and exactly k per stratum (unlike a Bernoulli per-row sample).
+
+    Shape: per-batch partial top-k per lang (a batch contributes at
+    most k rows per lang to the exchange, and only (lang, doc_id,
+    hash) triples — never text), then one small ``groupby(lang)``
+    re-selection over the bounded partial set."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = _md5_hex(batch.column("doc_id"))
+        df = (
+            df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+            .groupby("lang", sort=False)
+            .head(_STRAT_K)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", "doc_id"], kind="mergesort").head(_STRAT_K)
+        return g[["lang", "doc_id"]]
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return partials.groupby("lang").map_groups(_final, batch_format="pandas")
+
+
+SQL_STRATIFIED = f"""
+SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents)
+WHERE rn <= {_STRAT_K}
+"""
+
+
+# =====================================================================
+# Word diversity (type-token ratio) — the Gopher repetition filter
+# =====================================================================
+
+def q_word_diversity(sf_dir: str):
+    """Per-document word counts, distinct-word counts and type-token
+    ratio (×1e6, half-away rounded like the DuckDB twin) — the
+    "fraction of unique words" quality filter from the Gopher /
+    MassiveText rules (public: Rae et al. 2021, §A.1.1).
+
+    Vectorized: one Arrow lowercase+split per batch, then a single
+    exploded (row, token) hash-dedup in pandas C code — no per-row
+    Python loop. Local per document; no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=r"\s+"
+        ).combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(toks)), lengths)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        mask = flat != ""  # mirror of SQL `WHERE w <> ''`
+        df = pd.DataFrame({"row": rows[mask], "w": flat[mask]})
+        n_words = df.groupby("row", sort=True).size()
+        n_distinct = df.drop_duplicates().groupby("row", sort=True).size()
+        idx = n_words.index.to_numpy()
+        nw = n_words.to_numpy().astype("int64")
+        nd = n_distinct.to_numpy().astype("int64")
+        # expression order mirrors the SQL exactly: distinct*1e6/total
+        ttr = nd.astype("float64") * 1_000_000.0 / nw
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[idx]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_distinct": pa.array(nd, pa.int64()),
+                "ttr_e6": pa.array(_i64_away_np(ttr, 1.0), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+SQL_WORD_DIVERSITY = r"""
+SELECT doc_id,
+       cast(count(*) AS BIGINT)                        AS n_words,
+       cast(count(DISTINCT w) AS BIGINT)               AS n_distinct,
+       cast(round(cast(count(DISTINCT w) AS DOUBLE) * 1000000 / count(*),
+                  0) AS BIGINT)                        AS ttr_e6
+FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents)
+WHERE w <> ''
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
+    "word_diversity": q_word_diversity,
+}
+
+ORACLE_SQL = {
+    "pii_scrub": SQL_PII_SCRUB,
+    "stratified_sample": SQL_STRATIFIED,
+    "word_diversity": SQL_WORD_DIVERSITY,
+}
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

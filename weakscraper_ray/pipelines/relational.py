@@ -2991,3 +2991,7 @@ QUERIES["knn_ivf"] = q_knn_ivf
 # relational↔analytics import cycle resolves in either order (workers
 # may import analytics first when deserializing its batch functions).
 from . import analytics as _analytics  # noqa: E402,F401
+
+# round-3 curation family (PII-style scrub, stratified sampling,
+# word-diversity/TTR) — same self-registration pattern as analytics.
+from . import curation as _curation  # noqa: E402,F401
