@@ -563,3 +563,34 @@ def test_word_diversity_bounds_and_spot_check(ray_session):
     got = df.loc[row.doc_id]
     assert got.n_words == len(toks)
     assert got.n_distinct == len(set(toks))
+
+
+def test_pack_conversations_order_and_counts(ray_session):
+    """Ordered packing: token count equals n_turns, n_turns agrees
+    with conv_stats, and the sequence respects turn order (re-derive
+    one conversation's expected sequence from the source shards)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines.relational import QUERIES, _size_for
+    from weakscraper_ray.transcripts import ensure_generated
+
+    sf = "/root/testdata/sf0.01"
+    df = QUERIES["pack_conversations"](sf).to_pandas()
+    assert (df.role_seq.str.split(" ").str.len() == df.n_turns).all()
+    cs = QUERIES["conv_stats"](sf).to_pandas()
+    merged = df.merge(cs[["conv_id", "n_turns"]], on="conv_id", suffixes=("", "_cs"))
+    assert len(merged) == len(df)
+    assert (merged.n_turns == merged.n_turns_cs).all()
+    shards = sorted(glob.glob(f"{ensure_generated(_size_for(sf))}/part-*.parquet"))
+    src = pd.concat(
+        [pq.read_table(s, columns=["conv_id", "turn_idx", "role"]).to_pandas()
+         for s in shards]
+    )
+    conv = df.conv_id.iloc[0]
+    expect = " ".join(
+        src[src.conv_id == conv].sort_values("turn_idx").role.tolist()
+    )
+    assert df.set_index("conv_id").loc[conv, "role_seq"] == expect

@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
+import ray.data
 
 from . import relational as _rel
 from .relational import _i64_away_np, _read
@@ -187,10 +189,97 @@ GROUP BY doc_id
 """
 
 
+# =====================================================================
+# Conversation packing: ordered per-conv concatenation (the "assemble
+# turns into one training sequence" op; an ORDER-SENSITIVE aggregate)
+# =====================================================================
+
+_PACK_SHARDS = 64
+
+
+def q_pack_conversations(sf_dir: str):
+    """Concatenate each conversation's roles in turn order into one
+    sequence string — the order-sensitive aggregate behind packing
+    multi-turn transcripts into training examples (DuckDB twin:
+    ``string_agg(... ORDER BY turn_idx)``).
+
+    Shape: shuffle key is the conv-HASH SHARD, not conv_id (the
+    restore_order lesson: per-conversation groups are tiny and UDF
+    overhead dominates); each shard group gets ONE vectorized
+    ``sort_by`` + a C-level pandas groupby-join. The exchange carries
+    (conv_id, turn_idx, role, shard) — no document text.
+
+    Partitioning assumption (documented per SURVEY.md "custom
+    operators"): a conversation must stay WHOLE for ordered packing,
+    so unlike restore_order there is no turn-salt — the skew bound is
+    the max-conversation-length assumption. A pathological conv would
+    inflate one shard group; detect those with heavy_hitter_convs and
+    route them to a dedicated partition."""
+    import glob
+    import os
+
+    from ..context import configure_context
+    from ..stages.ordering import _conv_hash
+    from ..transcripts import ensure_generated
+    from .relational import _size_for
+
+    configure_context()
+    shards_dir = ensure_generated(_size_for(sf_dir))
+    paths = sorted(glob.glob(os.path.join(shards_dir, "part-*.parquet")))
+    ds = ray.data.read_parquet(paths, columns=["conv_id", "turn_idx", "role"])
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        h = _conv_hash(batch.column("conv_id"))
+        return batch.append_column(
+            "shard",
+            pa.array((h % np.uint64(_PACK_SHARDS)).astype(np.int32)),
+        )
+
+    def _pack(group: pa.Table) -> pa.Table:
+        g = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        df = g.to_pandas()
+        out = (
+            df.groupby("conv_id", sort=False)
+            .agg(role_seq=("role", " ".join), n_turns=("role", "size"))
+            .reset_index()
+        )
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return pa.Table.from_pandas(
+            out[["conv_id", "role_seq", "n_turns"]], preserve_index=False
+        )
+
+    return (
+        ds.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_pack, batch_format="pyarrow")
+    )
+
+
+def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Twins whose SQL embeds a generated-data path (same pattern as
+    analytics.dynamic_oracle_sql; called from build_oracle_sql)."""
+    from ..transcripts import ensure_generated
+    from .relational import _size_for
+
+    shards_glob = f"{ensure_generated(_size_for(sf_dir))}/part-*.parquet"
+    return {
+        "pack_conversations": f"""
+SELECT conv_id,
+       string_agg(role, ' ' ORDER BY turn_idx) AS role_seq,
+       cast(count(*) AS BIGINT) AS n_turns
+FROM read_parquet('{shards_glob}')
+GROUP BY conv_id
+"""
+    }
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
     "word_diversity": q_word_diversity,
+    "pack_conversations": q_pack_conversations,
 }
 
 ORACLE_SQL = {

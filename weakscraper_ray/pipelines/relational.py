@@ -2588,6 +2588,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
     from . import analytics as _an
 
     out.update(_an.dynamic_oracle_sql(sf_dir))
+    from . import curation as _cur
+
+    out.update(_cur.dynamic_oracle_sql(sf_dir))
     return out
 
 
