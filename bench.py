@@ -85,7 +85,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "pricing_summary", "broadcast_join", "dedup_exact",
         "dedup_minhash", "dedup_clusters", "embed_knn",
         "knn_cosine", "quality_score", "token_count", "training_prep",
-        "decontaminate", "shuffle_train",
+        "decontaminate", "shuffle_train", "pack_conversations",
+        "pii_scrub", "word_diversity",
     ]
     out: dict[str, float] = {}
     for name in names:
