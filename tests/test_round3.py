@@ -594,3 +594,29 @@ def test_pack_conversations_order_and_counts(ray_session):
         src[src.conv_id == conv].sort_values("turn_idx").role.tolist()
     )
     assert df.set_index("conv_id").loc[conv, "role_seq"] == expect
+
+
+def test_oov_rate_vocab_cut_and_bounds(ray_session):
+    """OOV counts: bounded by word counts, non-vacuous (the corpus
+    vocabulary is larger than the top-K cut), and consistent with an
+    independently computed single-threaded vocabulary."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines.curation import _OOV_VOCAB_K, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    df = QUERIES["oov_rate"](sf).to_pandas()
+    assert (df.n_oov <= df.n_words).all()
+    assert df.n_oov.sum() > 0
+    src = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    counts = Counter(w for t in src.text for w in t.lower().split() if w)
+    vocab = {
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_OOV_VOCAB_K]
+    }
+    row = src.iloc[11]
+    toks = [w for w in row.text.lower().split() if w]
+    got = df.set_index("doc_id").loc[row.doc_id]
+    assert got.n_words == len(toks)
+    assert got.n_oov == sum(1 for w in toks if w not in vocab)

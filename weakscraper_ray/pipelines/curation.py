@@ -190,6 +190,98 @@ GROUP BY doc_id
 
 
 # =====================================================================
+# OOV rate: vocabulary-based quality filter (two-pass: build → score)
+# =====================================================================
+
+_OOV_VOCAB_K = 20
+
+
+def _explode_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, token) arrays for a documents batch — one Arrow
+    lower+split, empty tokens dropped (mirror of SQL ``w <> ''``)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column("text")), pattern=r"\s+"
+    ).combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(len(toks)), lengths)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    mask = flat != ""
+    return rows[mask], flat[mask]
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-document out-of-vocabulary word counts against the corpus'
+    own top-K vocabulary — the OOV/"dictionary word fraction" quality
+    filter (C4/Gopher family). Integer outputs only, so the oracle is
+    exact with no float-rounding mirror.
+
+    Two passes, both scale-shaped:
+    1. vocabulary: per-batch token ``value_counts`` partials → one
+       ``groupby(word)`` exchange carrying (word, n) — the payload is
+       the vocabulary, not the corpus (Heaps' law bound, same
+       assumption as analytics.q_word_topk); the top-K cut
+       (count desc, word asc — deterministic tie-break) runs on the
+       bounded aggregated vocab and is broadcast via ``ray.put``;
+    2. scoring: one streaming ``map_batches`` over documents testing
+       exploded tokens against the broadcast set (C-level ``isin``).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _vocab_partial(batch: pa.Table) -> pa.Table:
+        _, toks = _explode_tokens(batch)
+        t = pa.table({"w": pa.array(toks, pa.string())})
+        return t.group_by("w").aggregate([("w", "count")])
+
+    vocab_tbl = (
+        ds.map_batches(_vocab_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("w_count", alias_name="n"))
+        .sort(["n", "w"], descending=[True, False])
+        .limit(_OOV_VOCAB_K)
+        .take_all()  # K rows only — the bounded vocabulary cut
+    )
+    vocab_ref = ray.put(frozenset(r["w"] for r in vocab_tbl))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        rows, toks = _explode_tokens(batch)
+        oov = ~pd.Series(toks).isin(vocab).to_numpy()
+        n_words = np.bincount(rows, minlength=len(batch))
+        n_oov = np.bincount(rows[oov], minlength=len(batch))
+        keep = n_words > 0  # docs with zero tokens drop (SQL GROUP BY)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "n_words": pa.array(n_words[keep].astype("int64")),
+                "n_oov": pa.array(n_oov[keep].astype("int64")),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+SQL_OOV_RATE = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+    FROM documents),
+toks2 AS (SELECT * FROM toks WHERE w <> ''),
+vocab AS (
+    SELECT w FROM (
+        SELECT w, count(*) AS n FROM toks2 GROUP BY w
+        ORDER BY n DESC, w LIMIT {_OOV_VOCAB_K}))
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_words,
+       cast(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM toks2 t LEFT JOIN vocab v USING (w)
+GROUP BY doc_id
+"""
+
+
+# =====================================================================
 # Conversation packing: ordered per-conv concatenation (the "assemble
 # turns into one training sequence" op; an ORDER-SENSITIVE aggregate)
 # =====================================================================
@@ -280,12 +372,14 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "word_diversity": q_word_diversity,
     "pack_conversations": q_pack_conversations,
+    "oov_rate": q_oov_rate,
 }
 
 ORACLE_SQL = {
     "pii_scrub": SQL_PII_SCRUB,
     "stratified_sample": SQL_STRATIFIED,
     "word_diversity": SQL_WORD_DIVERSITY,
+    "oov_rate": SQL_OOV_RATE,
 }
 
 _rel.QUERIES.update(QUERIES)
