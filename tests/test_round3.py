@@ -620,3 +620,24 @@ def test_oov_rate_vocab_cut_and_bounds(ray_session):
     got = df.set_index("doc_id").loc[row.doc_id]
     assert got.n_words == len(toks)
     assert got.n_oov == sum(1 for w in toks if w not in vocab)
+
+
+def test_dedup_against_index_filters_known_cross_half_dups(ray_session):
+    """The sharded-actor index drops exactly the incoming (odd doc_id)
+    docs whose text hash exists in the corpus (even doc_id) half —
+    recomputed independently single-threaded. sf0.1 is used because
+    sf0.01's documents table has no exact duplicates at all."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines.curation import QUERIES
+
+    sf = "/root/testdata/sf0.1"
+    got = set(QUERIES["dedup_against_index"](sf).to_pandas().doc_id)
+    src = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    h = src.text.fillna("").map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    corpus = set(h[src.doc_id % 2 == 0])
+    expect = set(src.doc_id[(src.doc_id % 2 == 1) & ~h.isin(corpus)])
+    assert got == expect
+    assert len(expect) < (src.doc_id % 2 == 1).sum()  # non-vacuous: some filtered

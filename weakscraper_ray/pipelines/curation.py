@@ -190,6 +190,86 @@ GROUP BY doc_id
 
 
 # =====================================================================
+# Incremental dedup against a shared mutable index (sharded actors)
+# =====================================================================
+
+_INDEX_SHARDS = 4
+
+
+def q_dedup_against_index(sf_dir: str):
+    """Incremental dedup: filter an incoming document batch against a
+    corpus-history index held in SHARDED RAY ACTORS — the one operator
+    family where the engine deliberately drops below the Dataset API
+    (a shared mutable index is the sanctioned raw-actor case; see
+    weakscraper_ray/state/hash_index.py for the scale shape).
+
+    Deterministic stand-in for "yesterday's corpus vs today's crawl":
+    corpus = even doc_ids, incoming = odd doc_ids. Phase 1 streams the
+    corpus through ``map_batches`` feeding each content hash to its
+    index shard (one RPC per batch per shard, hex digests only — no
+    text); the consuming ``count()`` is the build barrier. Phase 2
+    streams the incoming half probing the now-read-only index and
+    keeps docs whose hash is unseen. Emits ``doc_id`` only."""
+    from ..functions.dedup import content_hash_batch
+    from ..state.hash_index import HashIndexShard, route
+
+    shards = [HashIndexShard.remote() for _ in range(_INDEX_SHARDS)]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _even_mask(batch: pa.Table) -> pa.ChunkedArray:
+        return pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+
+    def _build(batch: pa.Table) -> pa.Table:
+        corpus = batch.filter(_even_mask(batch))
+        hashes = content_hash_batch(corpus).column("content_hash").to_pylist()
+        sid = route(hashes, _INDEX_SHARDS)
+        per_shard: list[list[str]] = [[] for _ in range(_INDEX_SHARDS)]
+        for h, s in zip(hashes, sid):
+            per_shard[s].append(h)
+        refs = [
+            shards[s].add.remote(hs)
+            for s, hs in enumerate(per_shard)
+            if hs
+        ]
+        ray.get(refs)  # ack: this batch is indexed
+        return pa.table({"n_indexed": pa.array([len(hashes)], pa.int64())})
+
+    # build barrier: the index must be complete before any probe runs
+    ds.map_batches(_build, batch_format="pyarrow").count()
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        incoming = batch.filter(pc.invert(_even_mask(batch)))
+        hashes = content_hash_batch(incoming).column("content_hash").to_pylist()
+        sid = route(hashes, _INDEX_SHARDS)
+        per_shard: list[list[int]] = [[] for _ in range(_INDEX_SHARDS)]
+        for i, s in enumerate(sid):
+            per_shard[s].append(i)
+        present = np.zeros(len(hashes), dtype=bool)
+        refs, idxs = [], []
+        for s, rows_in_shard in enumerate(per_shard):
+            if rows_in_shard:
+                refs.append(
+                    shards[s].contains.remote([hashes[i] for i in rows_in_shard])
+                )
+                idxs.append(rows_in_shard)
+        for ref, rows_in_shard in zip(ray.get(refs), idxs):
+            present[rows_in_shard] = ref
+        kept = incoming.filter(pa.array(~present))
+        return kept.select(["doc_id"])
+
+    return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+SQL_DEDUP_AGAINST_INDEX = """
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1
+  AND md5(coalesce(text, '')) NOT IN (
+      SELECT md5(coalesce(text, '')) FROM documents WHERE doc_id % 2 = 0)
+"""
+
+
+# =====================================================================
 # OOV rate: vocabulary-based quality filter (two-pass: build → score)
 # =====================================================================
 
@@ -373,6 +453,7 @@ QUERIES = {
     "word_diversity": q_word_diversity,
     "pack_conversations": q_pack_conversations,
     "oov_rate": q_oov_rate,
+    "dedup_against_index": q_dedup_against_index,
 }
 
 ORACLE_SQL = {
@@ -380,6 +461,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED,
     "word_diversity": SQL_WORD_DIVERSITY,
     "oov_rate": SQL_OOV_RATE,
+    "dedup_against_index": SQL_DEDUP_AGAINST_INDEX,
 }
 
 _rel.QUERIES.update(QUERIES)
