@@ -641,3 +641,29 @@ def test_dedup_against_index_filters_known_cross_half_dups(ray_session):
     expect = set(src.doc_id[(src.doc_id % 2 == 1) & ~h.isin(corpus)])
     assert got == expect
     assert len(expect) < (src.doc_id % 2 == 1).sum()  # non-vacuous: some filtered
+
+
+def test_mixture_sample_weights_and_determinism(ray_session):
+    """Weighted mixture: even-numbered sources kept in full, odd
+    sources thinned to ~0.25 (binomial bounds), decision is per-doc
+    deterministic (two runs identical)."""
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines.curation import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    a = QUERIES["mixture_sample"](sf).to_pandas()
+    b = QUERIES["mixture_sample"](sf).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    src = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    num = src.source.str.slice(3).astype(int)
+    n_even_src = (num % 2 == 0).sum()
+    n_odd_src = (num % 2 == 1).sum()
+    kept_num = a.source.str.slice(3).astype(int)
+    assert (kept_num % 2 == 0).sum() == n_even_src  # weight 1.0: all kept
+    odd_kept = (kept_num % 2 == 1).sum()
+    # weight 0.25 with n=250: 3.5 sigma binomial band
+    import math
+
+    mu, sd = 0.25 * n_odd_src, math.sqrt(0.25 * 0.75 * n_odd_src)
+    assert abs(odd_kept - mu) < 3.5 * sd

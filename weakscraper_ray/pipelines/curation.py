@@ -190,6 +190,49 @@ GROUP BY doc_id
 
 
 # =====================================================================
+# Mixture sampling: deterministic weighted source mix (data mixing)
+# =====================================================================
+
+#: acceptance threshold as 8 lowercase hex chars — md5 hex is uniform,
+#: so P(md5[:8] < hex(w·2^32)) = w; lowercase-hex lexicographic order
+#: IS numeric order, and DuckDB's md5() emits lowercase, so the same
+#: string comparison runs on both sides with no float anywhere.
+_MIX_ODD_THRESHOLD = "40000000"  # weight 0.25 for odd-numbered sources
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic weighted mixture sampling — the data-mixing step
+    of a pretraining pipeline (down-weight some sources to hit a
+    target mix). Demo policy: even-numbered sources keep weight 1.0,
+    odd-numbered keep 0.25, decided per doc by an md5(doc_id) prefix
+    compare (no RNG: stable across runs, resumes and repartitions —
+    the same property sample_hash/split_assign rely on).
+
+    Pure streaming filter, no shuffle; at scale the per-source weight
+    table is a broadcast config dict. Integer/string comparisons only,
+    so the oracle is exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _mix(batch: pa.Table) -> pa.Table:
+        src_num = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("source"), 3, 32), pa.int64()
+        )
+        even = pc.equal(pc.bit_wise_and(src_num, 1), 0).combine_chunks()
+        prefixes = np.array([h[:8] for h in _md5_hex(batch.column("doc_id"))])
+        lucky = pa.array(prefixes < _MIX_ODD_THRESHOLD)
+        return batch.filter(pc.or_(even, lucky)).select(["doc_id", "source"])
+
+    return ds.map_batches(_mix, batch_format="pyarrow")
+
+
+SQL_MIXTURE_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE cast(substr(source, 4, 32) AS BIGINT) % 2 = 0
+   OR substr(md5(cast(doc_id AS VARCHAR)), 1, 8) < '{_MIX_ODD_THRESHOLD}'
+"""
+
+
+# =====================================================================
 # Incremental dedup against a shared mutable index (sharded actors)
 # =====================================================================
 
@@ -454,6 +497,7 @@ QUERIES = {
     "pack_conversations": q_pack_conversations,
     "oov_rate": q_oov_rate,
     "dedup_against_index": q_dedup_against_index,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLE_SQL = {
@@ -462,6 +506,7 @@ ORACLE_SQL = {
     "word_diversity": SQL_WORD_DIVERSITY,
     "oov_rate": SQL_OOV_RATE,
     "dedup_against_index": SQL_DEDUP_AGAINST_INDEX,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
 }
 
 _rel.QUERIES.update(QUERIES)
