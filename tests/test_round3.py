@@ -667,3 +667,37 @@ def test_mixture_sample_weights_and_determinism(ray_session):
 
     mu, sd = 0.25 * n_odd_src, math.sqrt(0.25 * 0.75 * n_odd_src)
     assert abs(odd_kept - mu) < 3.5 * sd
+
+
+def test_jsonl_sink_roundtrip_and_manifests(ray_session, tmp_path):
+    """fmt='jsonl' sink: atomic parts + manifests identical in shape
+    to the parquet sink; content round-trips through pandas read_json
+    (per-turn extracted_text equality vs the dataset itself)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from weakscraper_ray.pipelines import run_flagship
+    from weakscraper_ray.sources.checkpoint import write_partitioned
+    from weakscraper_ray.transcripts import ensure_generated
+
+    ds = run_flagship(
+        ensure_generated("tiny"), concurrency=2, batch_size=64,
+        restore_ordering=False,
+    )
+    out = str(tmp_path / "jsonl_sink")
+    mf = write_partitioned(ds, out, n_shards=4, fmt="jsonl")
+    assert len(mf) == 4
+    parts = sorted(glob.glob(os.path.join(out, "part=*", "data.jsonl")))
+    assert len(parts) == 4
+    back = pd.concat([pd.read_json(p, lines=True) for p in parts])
+    src = ds.to_pandas()
+    assert len(back) == len(src) == mf.rows.sum()
+    key = ["conv_id", "turn_idx"]
+    a = back.sort_values(key).reset_index(drop=True)
+    b = src.sort_values(key).reset_index(drop=True)
+    assert a.extracted_text.fillna("").tolist() == b.extracted_text.fillna("").tolist()
+    # resume: a second write over the same dir is a no-op (all committed)
+    mf2 = write_partitioned(ds, out, n_shards=4, fmt="jsonl")
+    assert len(mf2) == 0

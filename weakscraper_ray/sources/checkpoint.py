@@ -116,10 +116,16 @@ def prune_committed(ds, out_dir: str, n_shards: int, has_shard: bool = False):
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
-def _write_one_partition(group: pa.Table, out_dir: str) -> pa.Table:
+def _write_one_partition(group: pa.Table, out_dir: str,
+                         fmt: str = "parquet") -> pa.Table:
     """Runs inside groupby(shard).map_groups (Arrow in / Arrow out, so
     nested columns like ``spans`` survive intact) — writes one
-    partition atomically and returns its manifest row."""
+    partition atomically and returns its manifest row.
+
+    ``fmt="jsonl"`` emits newline-delimited JSON parts instead of
+    parquet (the sink counterpart of the JSONL/CSV sources; timestamps
+    serialize as ISO strings). Manifests, atomicity and resume are
+    format-agnostic — the committed set is keyed on manifest files."""
     shard = int(group.column("shard")[0].as_py())
     pdir = os.path.join(out_dir, f"part={shard}")
     os.makedirs(pdir, exist_ok=True)
@@ -136,9 +142,16 @@ def _write_one_partition(group: pa.Table, out_dir: str) -> pa.Table:
         [("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
 
-    tmp = os.path.join(pdir, ".data.parquet.tmp")
-    final = os.path.join(pdir, "data.parquet")
-    pq.write_table(data, tmp)
+    ext = "parquet" if fmt == "parquet" else "jsonl"
+    tmp = os.path.join(pdir, f".data.{ext}.tmp")
+    final = os.path.join(pdir, f"data.{ext}")
+    if fmt == "parquet":
+        pq.write_table(data, tmp)
+    else:
+        data.to_pandas().to_json(
+            tmp, orient="records", lines=True, date_format="iso",
+            force_ascii=False,
+        )
     with open(tmp, "rb") as fh:
         os.fsync(fh.fileno())
     os.replace(tmp, final)
@@ -183,7 +196,7 @@ def _write_one_partition(group: pa.Table, out_dir: str) -> pa.Table:
 
 
 def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True,
-                      has_shard: bool = False):
+                      has_shard: bool = False, fmt: str = "parquet"):
     """Checkpointed sink: shard by conv-hash → one atomic partition +
     manifest per shard. Returns the manifest rows (small DataFrame).
 
@@ -211,7 +224,8 @@ def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True,
     except ImportError:  # pragma: no cover
         pass
     manifests = ds.groupby("shard").map_groups(
-        lambda g: _write_one_partition(g, out_dir), batch_format="pyarrow"
+        lambda g: _write_one_partition(g, out_dir, fmt=fmt),
+        batch_format="pyarrow",
     )
     return manifests.to_pandas()
 
