@@ -2,7 +2,8 @@
 Parquet directory.
 
     python -m weakscraper_ray extract --input DIR --out DIR \
-        [--format parquet|jsonl|csv] [--templates-dir DIR] [--learn] \
+        [--format parquet|jsonl|csv] [--out-format parquet|jsonl] \
+        [--templates-dir DIR] [--learn] \
         [--heuristic] [--no-resume] [--num-cpus N] [--shards N]
 
 Owns its Ray session (guarded init — the library never calls
@@ -27,6 +28,9 @@ def main(argv: list[str] | None = None) -> int:
                     default="parquet",
                     help="input format (all normalize to one schema)")
     ex.add_argument("--out", required=True, help="checkpointed output dir")
+    ex.add_argument("--out-format", choices=["parquet", "jsonl"],
+                    default="parquet",
+                    help="partition file format (manifests/resume identical)")
     ex.add_argument("--templates-dir", help="dir of <name>.html wp-* templates")
     ex.add_argument("--learn", action="store_true",
                     help="learn skeleton templates from the input instead")
@@ -135,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_partitioned(
             out, args.out, n_shards=args.shards, resume=not args.no_resume,
-            has_shard=not args.no_resume,
+            has_shard=not args.no_resume, fmt=args.out_format,
         )
         print(json.dumps(metrics_rollup(args.out)))
         return 0
