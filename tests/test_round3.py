@@ -701,3 +701,68 @@ def test_jsonl_sink_roundtrip_and_manifests(ray_session, tmp_path):
     # resume: a second write over the same dir is a no-op (all committed)
     mf2 = write_partitioned(ds, out, n_shards=4, fmt="jsonl")
     assert len(mf2) == 0
+
+
+def test_embedding_pca_matches_single_threaded_twin(ray_session):
+    """Distributed PCA (Gram partials → driver eigh → broadcast
+    projection) equals a single-threaded numpy PCA with the same sign
+    convention, and satisfies the spectral invariants."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.functions.embed import fixed_list_to_numpy
+    from weakscraper_ray.pipelines.embedding_ops import fit_pca, q_embedding_pca
+
+    sf = "/root/testdata/sf0.001"
+    mu, w, vals = fit_pca(sf)
+    assert np.allclose(w.T @ w, np.eye(w.shape[1]), atol=1e-10)
+    assert (np.diff(vals) <= 1e-12).all() and (vals >= -1e-12).all()
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    x = fixed_list_to_numpy(t.column("embedding"), np.float64)
+    vid = t.column("vec_id").to_numpy()
+    mu2 = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mu2, mu2)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][: w.shape[1]]
+    w2 = evec[:, order]
+    flip = w2[np.abs(w2).argmax(axis=0), np.arange(w2.shape[1])] < 0
+    w2[:, flip] *= -1.0
+    twin = (x - mu2) @ w2
+
+    out = q_embedding_pca(sf).to_pandas().sort_values("vec_id")
+    got = np.stack(out["pc"].to_numpy())
+    assert got.shape == (len(x), w.shape[1])
+    assert np.allclose(got, twin[np.argsort(vid)], atol=1e-4)
+    # projected variance reproduces the eigenvalue spectrum
+    assert np.allclose(got.var(axis=0), vals, rtol=1e-4)
+
+
+def test_embedding_dim_stats_matches_duckdb(ray_session):
+    """The oracled moment profile agrees with its DuckDB twin exactly
+    (integer e6 columns) at sf0.001."""
+    import duckdb
+
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        R.QUERIES["embedding_dim_stats"](sf)
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    orc = (
+        con.execute(R.ORACLE_SQL["embedding_dim_stats"])
+        .df()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    assert len(mine) == len(orc) == 64
+    for c in ["dim", "n", "mean_e6", "var_e6"]:
+        assert (mine[c].to_numpy() == orc[c].to_numpy()).all(), c

@@ -2998,3 +2998,7 @@ from . import analytics as _analytics  # noqa: E402,F401
 # round-3 curation family (PII-style scrub, stratified sampling,
 # word-diversity/TTR) — same self-registration pattern as analytics.
 from . import curation as _curation  # noqa: E402,F401
+
+# round-3 embedding-space family (distributed exact PCA, per-dimension
+# moment profile) — same self-registration pattern.
+from . import embedding_ops as _embedding_ops  # noqa: E402,F401
