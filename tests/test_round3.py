@@ -766,3 +766,91 @@ def test_embedding_dim_stats_matches_duckdb(ray_session):
     assert len(mine) == len(orc) == 64
     for c in ["dim", "n", "mean_e6", "var_e6"]:
         assert (mine[c].to_numpy() == orc[c].to_numpy()).all(), c
+
+
+def test_levenshtein_dp_matches_duckdb():
+    """The numpy row-vectorized DP equals DuckDB's levenshtein() on
+    random strings (including empty, equal, and prefix cases)."""
+    import random
+
+    import duckdb
+
+    from weakscraper_ray.pipelines.indexing import levenshtein
+
+    rng = random.Random(11)
+    con = duckdb.connect()
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+             ("kitten", "sitting"), ("flaw", "lawn")]
+    for _ in range(40):
+        a = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 30)))
+        cases.append((a, b))
+    for a, b in cases:
+        want = con.execute(
+            "SELECT levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+
+
+def test_inverted_index_cap_and_exact_df(ray_session):
+    """Posting lists are capped at the CAP smallest doc_ids while df
+    stays the exact corpus-wide document frequency; matches the
+    DuckDB twin exactly."""
+    import duckdb
+
+    from weakscraper_ray.pipelines import relational as R
+    from weakscraper_ray.pipelines.indexing import _POSTING_CAP
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        R.QUERIES["inverted_index"](sf)
+        .to_pandas()
+        .sort_values("w")
+        .reset_index(drop=True)
+    )
+    assert (mine["postings"].str.count(",") + 1 <= _POSTING_CAP).all()
+    assert (mine["df"] >= mine["postings"].str.count(",") + 1).all()
+    # truncation is visible, not silent: dense tokens have df > CAP
+    assert (mine["df"] > _POSTING_CAP).any()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = (
+        con.execute(R.ORACLE_SQL["inverted_index"])
+        .df()
+        .sort_values("w")
+        .reset_index(drop=True)
+    )
+    assert mine.equals(orc[mine.columns])
+
+
+def test_dedup_edit_blocked_pairs(ray_session):
+    """Blocked-Levenshtein dedup finds the known near-dup pairs and
+    matches the DuckDB levenshtein twin exactly at sf0.001."""
+    import duckdb
+
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        R.QUERIES["dedup_edit"](sf)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(mine) > 0
+    assert (mine["doc_a"] < mine["doc_b"]).all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = (
+        con.execute(R.ORACLE_SQL["dedup_edit"])
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert mine.equals(orc[mine.columns])

@@ -1,0 +1,213 @@
+"""Indexing-family operators: inverted-index build (capped posting
+lists) and fuzzy dedup via blocked edit distance — the two classic
+"search-engine side" passes of a web-corpus pipeline.
+
+Scale shapes:
+
+- ``inverted_index``: per-batch partial posting lists (a batch
+  contributes at most CAP doc ids + one partial df count per token),
+  then one ``groupby(token)`` exchange whose payload is bounded by
+  vocabulary × CAP — NOT by corpus size. Full per-token document
+  frequency is kept exact (summed partials) while the posting list is
+  explicitly capped; ``df > CAP`` in the output marks the truncation,
+  so no silent cap (repo rule). Production engines tier dense tokens
+  exactly this way (cap/skip stopword postings, keep df for scoring).
+- ``dedup_edit``: blocking by a 20-char text prefix (the classic
+  sorted-neighborhood/prefix blocking idiom), then per-block all-pairs
+  banded Levenshtein on a 120-char window. Only (doc_id, prefix,
+  window) triples shuffle — never the document. Partitioning
+  assumption (documented per SURVEY.md "custom operators"): block
+  sizes are bounded by prefix selectivity; a boilerplate-heavy corpus
+  where thousands of docs share one prefix needs a heavy-prefix
+  pre-pass (heavy_hitter-style) routing hot blocks to a capped
+  sampled compare, same as the minhash bucket cap.
+
+Both oracled exactly in DuckDB (integer distances, string postings):
+the Levenshtein DP here and DuckDB's ``levenshtein()`` compute the
+same unit-cost edit distance over characters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import relational as _rel
+from .relational import _read
+
+# =====================================================================
+# Inverted index: exact df + capped posting lists
+# =====================================================================
+
+#: posting-list cap (ids kept per token: the CAP smallest doc_ids)
+_POSTING_CAP = 20
+
+
+def q_inverted_index(sf_dir: str):
+    """token → (exact document frequency, first-CAP posting list) over
+    the documents table. The partial-aggregation shape keeps the
+    exchange at vocabulary-size payloads (Heaps' law bound, same
+    assumption as oov_rate's vocabulary pass)."""
+    from .curation import _explode_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rows, toks = _explode_tokens(batch)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame({"doc_id": doc_ids[rows], "w": toks})
+            .drop_duplicates()  # a doc lives in ONE row → batch-local
+            .sort_values(["w", "doc_id"], kind="mergesort")
+        )
+        g = df.groupby("w", sort=True)
+        out = g.agg(
+            df_part=("doc_id", "size"),
+            ids=("doc_id", lambda s: ",".join(map(str, s.iloc[:_POSTING_CAP]))),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(
+            np.concatenate(
+                [
+                    np.fromiter(s.split(","), dtype=np.int64)
+                    for s in group["ids"]
+                ]
+            )
+        )[:_POSTING_CAP]
+        return pd.DataFrame(
+            {
+                "w": [group["w"].iloc[0]],
+                "df": np.array([group["df_part"].sum()], dtype=np.int64),
+                "postings": [",".join(map(str, ids))],
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("w")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+SQL_INVERTED_INDEX = rf"""
+WITH toks AS (
+    SELECT DISTINCT doc_id,
+           unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+    FROM documents),
+t2 AS (SELECT * FROM toks WHERE w <> ''),
+agg AS (SELECT w, count(*) AS df FROM t2 GROUP BY w),
+top AS (SELECT w, doc_id,
+               row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+        FROM t2)
+SELECT a.w,
+       cast(a.df AS BIGINT) AS df,
+       string_agg(cast(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id)
+           AS postings
+FROM agg a JOIN top t ON t.w = a.w AND t.rn <= {_POSTING_CAP}
+GROUP BY a.w, a.df
+"""
+
+
+# =====================================================================
+# Fuzzy dedup: prefix blocking + banded Levenshtein verify
+# =====================================================================
+
+_BLOCK_PREFIX = 20  # blocking key: first 20 chars
+_EDIT_WINDOW = 120  # compare window: first 120 chars
+_EDIT_MAX = 24      # keep pairs with distance <= 20% of the window
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, row-vectorized DP: the insertion
+    chain's left-to-right dependency is resolved with the
+    ``min-accumulate of (row - arange)`` identity, so the inner loop
+    is numpy, not Python (O(|a|) numpy passes of width |b|)."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return max(len(a), len(b))
+    bv = np.array(list(b))
+    steps = np.arange(len(b) + 1)
+    prev = steps.astype(np.int64)
+    cur = np.empty(len(b) + 1, dtype=np.int64)
+    for i, ca in enumerate(a, 1):
+        cur[0] = i
+        np.minimum(prev[:-1] + (bv != ca), prev[1:] + 1, out=cur[1:])
+        # fix-up insertions: m[j] = min_{k<=j} cur[k] + (j - k)
+        cur = np.minimum.accumulate(cur - steps) + steps
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def q_dedup_edit(sf_dir: str):
+    """Near-duplicate pairs by blocked edit distance: docs sharing a
+    20-char prefix whose 120-char windows are within Levenshtein
+    _EDIT_MAX. Emits (doc_a, doc_b, edit_dist) with doc_a < doc_b."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch.column("text"), pa.scalar(""))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pfx": pc.utf8_slice_codeunits(text, 0, _BLOCK_PREFIX),
+                "t": pc.utf8_slice_codeunits(text, 0, _EDIT_WINDOW),
+            }
+        )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        txt = g["t"].to_numpy()
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                d = levenshtein(txt[i], txt[j])
+                if d <= _EDIT_MAX:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_d.append(d)
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(out_a, dtype=np.int64),
+                "doc_b": np.array(out_b, dtype=np.int64),
+                "edit_dist": np.array(out_d, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(_block, batch_format="pyarrow")
+        .groupby("pfx")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_EDIT = f"""
+WITH d AS (
+    SELECT doc_id,
+           substr(coalesce(text, ''), 1, {_BLOCK_PREFIX}) AS pfx,
+           substr(coalesce(text, ''), 1, {_EDIT_WINDOW}) AS t
+    FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+WHERE levenshtein(a.t, b.t) <= {_EDIT_MAX}
+"""
+
+
+QUERIES = {
+    "inverted_index": q_inverted_index,
+    "dedup_edit": q_dedup_edit,
+}
+
+ORACLE_SQL = {
+    "inverted_index": SQL_INVERTED_INDEX,
+    "dedup_edit": SQL_DEDUP_EDIT,
+}
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

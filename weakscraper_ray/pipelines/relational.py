@@ -3002,3 +3002,7 @@ from . import curation as _curation  # noqa: E402,F401
 # round-3 embedding-space family (distributed exact PCA, per-dimension
 # moment profile) — same self-registration pattern.
 from . import embedding_ops as _embedding_ops  # noqa: E402,F401
+
+# round-3 indexing family (inverted index with capped posting lists,
+# blocked-Levenshtein fuzzy dedup) — same self-registration pattern.
+from . import indexing as _indexing  # noqa: E402,F401
