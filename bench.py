@@ -86,7 +86,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "dedup_minhash", "dedup_clusters", "embed_knn",
         "knn_cosine", "quality_score", "token_count", "training_prep",
         "decontaminate", "shuffle_train", "pack_conversations",
-        "pii_scrub", "word_diversity",
+        "pii_scrub", "word_diversity", "inverted_index", "dedup_edit",
+        "embedding_pca",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -314,10 +314,21 @@ def cluster_pairs(pairs_ds, max_iters: int = 32,
 
     rows = pairs_ds.map_batches(_orient, batch_format="pyarrow")
     prev_sig = None
+
+    # chained-exchange guard: map_groups can emit a zero-column empty
+    # block for an empty hash partition, which breaks the NEXT
+    # groupby's aggregator sort (see relational._schema_guard)
+    uv_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def _norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return uv_schema.empty_table()
+        return t.select(["u", "v"]).cast(uv_schema)
+
     for _ in range(max_iters):
         rows = rows.groupby("u").map_groups(
             _hash_to_min_round, batch_format="pyarrow"
-        ).materialize()
+        ).map_batches(_norm, batch_format="pyarrow").materialize()
         labels = rows.groupby("u").aggregate(Min("v"))
         agg = labels.aggregate(Sum("min(v)"), Count())
         sig = (agg["sum(min(v))"], agg["count()"])

@@ -56,6 +56,31 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     return ray.data.read_parquet(_p(sf_dir, table), columns=columns)
 
 
+def _schema_guard(ds, schema: pa.Schema):
+    """Normalize possibly-schemaless empty blocks between two CHAINED
+    keyed exchanges. Ray's hash-shuffle ``map_groups`` can emit a
+    zero-column empty block for an empty hash partition; the next
+    shuffle's aggregator then fails sorting by its key columns
+    (observed intermittently on ``knn_ivf``: ``ArrowInvalid: No match
+    for FieldRef.Name(query_id) in <empty schema>`` inside
+    ``HashShuffleAggregator.finalize``). A streaming identity map that
+    rebuilds empty blocks from the declared schema (and casts the
+    rest) removes the hazard at zero shuffle cost."""
+
+    def _norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+#: per-query ANN partial rows (knn_lsh / knn_ivf chained exchanges)
+_KNN_PARTIAL_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("vec_id", pa.int64()), ("score", pa.float64())]
+)
+
+
 # =====================================================================
 # R5-style aggregation: TPC-H Q1 shape with in-batch partial aggregation
 # =====================================================================
@@ -649,8 +674,11 @@ def q_knn_lsh(sf_dir: str):
                 rows.append((ids[qi], ids[vi], float(rounded[qi, vi])))
         return pd.DataFrame(rows, columns=["query_id", "vec_id", "score"])
 
-    partials = bucketed.groupby(["table", "bucket"]).map_groups(
-        _bucket_knn, batch_format="pandas"
+    partials = _schema_guard(
+        bucketed.groupby(["table", "bucket"]).map_groups(
+            _bucket_knn, batch_format="pandas"
+        ),
+        _KNN_PARTIAL_SCHEMA,
     )
 
     def _reduce(group: pd.DataFrame) -> pd.DataFrame:
@@ -816,8 +844,18 @@ def _minhash_verify_shuffle(uniq, docs_ds):
 
     sides = uniq.map_batches(_sides, batch_format="pyarrow")
     docs = docs_ds.map_batches(_tag_docs, batch_format="pyarrow")
-    per_doc = sides.union(docs).groupby("doc_id").map_groups(
-        _attach, batch_format="pyarrow"
+    per_doc = _schema_guard(
+        sides.union(docs).groupby("doc_id").map_groups(
+            _attach, batch_format="pyarrow"
+        ),
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("side", pa.int8()),
+                ("text", pa.string()),
+            ]
+        ),
     )
     return per_doc.groupby(["doc_a", "doc_b"]).map_groups(
         _verify, batch_format="pyarrow"
@@ -863,8 +901,11 @@ def q_dedup_minhash(sf_dir: str, broadcast_max_pairs: int = _MINHASH_BROADCAST_M
         batch_format="pyarrow",
     )
     bands = sigs.map_batches(explode_bands(n_bands=16), batch_format="pyarrow")
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = _schema_guard(
+        bands.groupby(["band", "band_hash"]).map_groups(
+            bucket_pairs, batch_format="pyarrow"
+        ),
+        _PAIR_SCHEMA,
     )
     # dedup candidate pairs surfaced by multiple bands
     from ray.data.aggregate import Count
@@ -1032,8 +1073,17 @@ def q_dedup_simhash(sf_dir: str):
             }
         )
 
-    pairs = bands.groupby(["band", "band_val"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    pairs = _schema_guard(
+        bands.groupby(["band", "band_val"]).map_groups(
+            _bucket_pairs, batch_format="pandas"
+        ),
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("hamming", pa.int64()),
+            ]
+        ),
     )
     # the same pair can surface from several bands; hamming is identical
     from ray.data.aggregate import Min
@@ -1129,8 +1179,11 @@ def q_embedding_neardup(sf_dir: str):
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
-    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
-        _bucket_id_pairs, batch_format="pyarrow"
+    pairs = _schema_guard(
+        bucketed.groupby(["table", "bucket"]).map_groups(
+            _bucket_id_pairs, batch_format="pyarrow"
+        ),
+        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]),
     )
     uniq = pairs.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="n"))
     uniq = uniq.select_columns(["vec_a", "vec_b"]).materialize()  # bounded
@@ -2975,7 +3028,10 @@ def q_knn_ivf(sf_dir: str):
             )
         return ivf_topk_in_list(group, qunit[probing], qids[probing], k=_KNN_K)
 
-    partials = assigned.groupby("list_id").map_groups(_per_list, batch_format="pandas")
+    partials = _schema_guard(
+        assigned.groupby("list_id").map_groups(_per_list, batch_format="pandas"),
+        _KNN_PARTIAL_SCHEMA,
+    )
 
     def _reduce(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("vec_id").sort_values(
