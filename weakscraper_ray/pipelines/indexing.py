@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import relational as _rel
-from .relational import _read
+from .relational import _i64_away_np, _read
 
 # =====================================================================
 # Inverted index: exact df + capped posting lists
@@ -199,14 +199,161 @@ WHERE levenshtein(a.t, b.t) <= {_EDIT_MAX}
 """
 
 
+# =====================================================================
+# BM25 scoring: corpus stats pass → broadcast → streaming score
+# =====================================================================
+
+_BM25_K1 = 1.5
+_BM25_B = 0.75
+_BM25_TERMS = 3  # query = the corpus' top-3 df terms (deterministic)
+
+
+def q_bm25_score(sf_dir: str):
+    """Okapi BM25 relevance of every document against a deterministic
+    query (the corpus' top-``_BM25_TERMS`` document-frequency terms,
+    ties broken by term) — the classic retrieval scoring pass over an
+    inverted corpus (public: Robertson & Zaragoza 2009).
+
+    Two passes, both scale-shaped:
+    1. stats: per-batch (token, df-partial) + (N, Σdl) partials → one
+       vocabulary-bounded ``groupby(token)`` (Heaps' law) + a 2-number
+       global reduce; the top-term cut and (df, N, avgdl) broadcast
+       once via ``ray.put``;
+    2. scoring: one streaming ``map_batches`` — per-row tf via
+       ``np.bincount`` against the broadcast terms, no shuffle.
+
+    Emits (doc_id, bm25_e6); docs matching no query term drop (mirror
+    of the SQL tf-join). Float expression order mirrors the SQL
+    op-for-op; e6 rounding is 10 orders above double noise."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .curation import _explode_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _stats_partial(batch: pa.Table) -> pa.Table:
+        rows, toks = _explode_tokens(batch)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame({"doc_id": doc_ids[rows], "w": toks})
+            .drop_duplicates()
+            .groupby("w", sort=True)
+            .size()
+        )
+        # sentinel rows ride the same exchange: N and Σdl partials
+        # (token "" can never collide — _explode_tokens drops empties)
+        return pa.table(
+            {
+                "w": pa.array(
+                    list(df.index) + ["\x00N", "\x00SL"], pa.string()
+                ),
+                "n": pa.array(
+                    list(df.to_numpy().astype("int64"))
+                    + [len(batch), len(toks)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    stats = (
+        ds.map_batches(_stats_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # vocabulary-bounded
+    by_w = {r["w"]: r["n"] for r in stats}
+    n_docs = by_w.pop("\x00N")
+    sum_len = by_w.pop("\x00SL")
+    avgdl = sum_len / n_docs  # one double, identical on both sides
+    terms = sorted(by_w, key=lambda w: (-by_w[w], w))[:_BM25_TERMS]
+    model = ray.put(
+        {
+            "terms": terms,
+            "df": np.array([by_w[w] for w in terms], dtype=np.float64),
+            "n": float(n_docs),
+            "avgdl": avgdl,
+        }
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        m = ray.get(model)
+        rows, toks = _explode_tokens(batch)
+        dl = np.bincount(rows, minlength=len(batch)).astype(np.float64)
+        idf = np.log((m["n"] - m["df"] + 0.5) / (m["df"] + 0.5) + 1.0)
+        score = np.zeros(len(batch))
+        tf_any = np.zeros(len(batch), dtype=bool)
+        for ti, term in enumerate(m["terms"]):
+            tf = np.bincount(
+                rows[toks == term], minlength=len(batch)
+            ).astype(np.float64)
+            tf_any |= tf > 0
+            denom = tf + _BM25_K1 * (
+                1.0 - _BM25_B + _BM25_B * dl / m["avgdl"]
+            )
+            score += np.where(
+                tf > 0, idf[ti] * (tf * (_BM25_K1 + 1.0)) / denom, 0.0
+            )
+        keep = tf_any
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "bm25_e6": pa.array(
+                    _i64_away_np(score[keep], 1e6), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+SQL_BM25 = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+    FROM documents),
+t2 AS (SELECT * FROM toks WHERE w <> ''),
+docs2 AS (
+    SELECT d.doc_id, coalesce(l.dl, 0) AS dl
+    FROM documents d LEFT JOIN
+         (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id) l
+         USING (doc_id)),
+stats AS (
+    SELECT cast(count(*) AS DOUBLE) AS n,
+           cast(sum(dl) AS BIGINT) AS suml
+    FROM docs2),
+dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM t2 GROUP BY w),
+terms AS (SELECT w, cast(df AS DOUBLE) AS df FROM dfs
+          ORDER BY df DESC, w LIMIT {_BM25_TERMS}),
+tf AS (SELECT t2.doc_id, t2.w, cast(count(*) AS DOUBLE) AS tf
+       FROM t2 JOIN terms USING (w) GROUP BY t2.doc_id, t2.w)
+SELECT tf.doc_id,
+       cast(round(sum(
+           ln((s.n - tm.df + 0.5) / (tm.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1.0))
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}
+              * cast(d.dl AS DOUBLE) / (cast(s.suml AS DOUBLE) / s.n)))
+       ) * 1000000, 0) AS BIGINT) AS bm25_e6
+FROM tf
+JOIN terms tm USING (w)
+JOIN docs2 d ON d.doc_id = tf.doc_id
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+"""
+
+
 QUERIES = {
     "inverted_index": q_inverted_index,
     "dedup_edit": q_dedup_edit,
+    "bm25_score": q_bm25_score,
 }
 
 ORACLE_SQL = {
     "inverted_index": SQL_INVERTED_INDEX,
     "dedup_edit": SQL_DEDUP_EDIT,
+    "bm25_score": SQL_BM25,
 }
 
 _rel.QUERIES.update(QUERIES)
