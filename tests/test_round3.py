@@ -884,3 +884,39 @@ def test_bm25_score_matches_duckdb(ray_session):
         .reset_index(drop=True)
     )
     assert mine.equals(orc[mine.columns])
+
+
+def test_pack_budget_prefix_sum_and_oracle(ray_session):
+    """Global token-budget packing (two-phase distributed prefix sum)
+    equals the exact window-function oracle; pack ids are monotone in
+    doc order and no pack exceeds the budget unless a single oversized
+    doc opens it."""
+    import duckdb
+    import numpy as np
+
+    from weakscraper_ray.pipelines import relational as R
+    from weakscraper_ray.pipelines.curation import _PACK_BUDGET
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        R.QUERIES["pack_budget"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (np.diff(mine["pack_id"].to_numpy()) >= 0).all()
+    sums = mine.groupby("pack_id")["n_tokens"].sum()
+    singles = mine.groupby("pack_id").size() == 1
+    assert ((sums <= 2 * _PACK_BUDGET) | singles).all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = (
+        con.execute(R.ORACLE_SQL["pack_budget"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert mine.equals(orc[mine.columns])

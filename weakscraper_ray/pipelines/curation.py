@@ -472,6 +472,101 @@ def q_pack_conversations(sf_dir: str):
     )
 
 
+# =====================================================================
+# Token-budget packing: GLOBAL ordered prefix sum (distributed scan)
+# =====================================================================
+
+_PACK_BUDGET = 2000   # tokens per training pack
+_PACK_RANGE = 64      # doc_ids per range shard (range partitioning)
+
+
+def q_pack_budget(sf_dir: str):
+    """Assign every document (in deterministic doc_id order) to a
+    fixed token-budget pack: ``pack_id = (prefix_tokens - n) // B`` —
+    the streaming "fill sequences up to the context budget" assignment
+    of a pretraining data loader. Unlike ``running_sum`` (per-user
+    cumsum inside one group) this is a GLOBAL ordered scan, built as
+    the classic two-phase distributed prefix sum:
+
+    1. range-shard by ``doc_id // _PACK_RANGE`` (range partitioning
+       preserves the global order across shards); per-shard token
+       totals → the driver reduces shard_count numbers into prefix
+       offsets (bounded by shard count, not rows) → broadcast;
+    2. per-shard local cumsum + offset, one vectorized pass per group.
+
+    Partitioning assumption (documented): range sharding by doc_id
+    assumes roughly uniform id density; at scale use ntile-style range
+    bounds from a quantile sketch instead. Integer-only, so the
+    window-function oracle is exact."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        rows, _ = _explode_tokens(batch)
+        n = np.bincount(rows, minlength=len(batch)).astype("int64")
+        shard = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False)
+            // _PACK_RANGE
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shard": pa.array(shard, pa.int64()),
+                "n_tokens": pa.array(n),
+            }
+        )
+
+    counted = ds.map_batches(_count, batch_format="pyarrow")
+    shard_sums = (
+        counted.select_columns(["shard", "n_tokens"])
+        .groupby("shard")
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .take_all()
+    )  # shard-count rows only
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(shard_sums, key=lambda r: r["shard"]):
+        offsets[r["shard"]] = acc
+        acc += r["tot"]
+    offsets_ref = ray.put(offsets)
+
+    def _assign(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offsets_ref)
+        g = group.sort_values("doc_id")
+        cum = offs[int(g["shard"].iloc[0])] + g["n_tokens"].cumsum()
+        start = cum - g["n_tokens"]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+                "pack_id": (start // _PACK_BUDGET).to_numpy(),
+            }
+        )
+
+    return counted.groupby("shard").map_groups(_assign, batch_format="pandas")
+
+
+SQL_PACK_BUDGET = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+    FROM documents),
+t2 AS (SELECT * FROM toks WHERE w <> ''),
+counts AS (
+    SELECT d.doc_id, coalesce(c.n, 0) AS n
+    FROM documents d LEFT JOIN
+         (SELECT doc_id, count(*) AS n FROM t2 GROUP BY doc_id) c
+         USING (doc_id))
+SELECT doc_id,
+       cast(n AS BIGINT) AS n_tokens,
+       cast((sum(n) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n)
+            // {_PACK_BUDGET} AS BIGINT) AS pack_id
+FROM counts
+"""
+
+
 def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Twins whose SQL embeds a generated-data path (same pattern as
     analytics.dynamic_oracle_sql; called from build_oracle_sql)."""
@@ -498,6 +593,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "dedup_against_index": q_dedup_against_index,
     "mixture_sample": q_mixture_sample,
+    "pack_budget": q_pack_budget,
 }
 
 ORACLE_SQL = {
@@ -507,6 +603,7 @@ ORACLE_SQL = {
     "oov_rate": SQL_OOV_RATE,
     "dedup_against_index": SQL_DEDUP_AGAINST_INDEX,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "pack_budget": SQL_PACK_BUDGET,
 }
 
 _rel.QUERIES.update(QUERIES)
