@@ -920,3 +920,34 @@ def test_pack_budget_prefix_sum_and_oracle(ray_session):
         .reset_index(drop=True)
     )
     assert mine.equals(orc[mine.columns])
+
+
+def test_dup_ngram_fraction_matches_duckdb(ray_session):
+    """Cross-document duplicate-5-gram counts (shard-hash tagged, no
+    joins) equal the DuckDB twin exactly; known near-dup docs carry a
+    positive dup count."""
+    import duckdb
+
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        R.QUERIES["dup_ngram_fraction"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (mine["n_dup"] <= mine["n_grams"]).all()
+    assert (mine["n_dup"] > 0).any()  # corpus has real near-dups
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = (
+        con.execute(R.ORACLE_SQL["dup_ngram_fraction"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert mine.equals(orc[mine.columns])

@@ -344,16 +344,143 @@ GROUP BY tf.doc_id
 """
 
 
+# =====================================================================
+# Cross-document duplicate n-gram signal (ExactSubstr-style, by n-gram)
+# =====================================================================
+
+_DUPGRAM_K = 5
+
+
+def q_dup_ngram_fraction(sf_dir: str):
+    """Per-document count of distinct 5-grams that also occur in at
+    least one OTHER document — the cross-document repetition signal
+    behind exact-substring dedup (public idiom: Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    approximated at n-gram granularity) and the FineWeb duplicate-
+    n-gram quality filters. Emits (doc_id, n_grams, n_dup) — the
+    fraction is n_dup/n_grams, left to the caller as integers so the
+    oracle stays float-free.
+
+    Shape: distinct (gram, doc_id) pairs per batch (a doc lives in one
+    row, so batch-local distinct is global) → one exchange keyed by
+    the gram's HASH SHARD (the pack_conversations lesson: per-gram
+    groups are tiny, so the UDF runs once per shard and a C-level
+    pandas groupby inside tags every member with ``dup = |gram
+    group| >= 2`` — 64 UDF calls instead of one per distinct gram;
+    measured 17 s → ~3 s at sf0.01) → one ``groupby(doc_id)``
+    Sum/Count. No joins, no broadcast; the exchanges carry (gram, id)
+    and (id, flag) rows only. At 100 TB the gram string would be a
+    64-bit hash (documented scale path — the string key keeps the
+    oracle exact here); gram-key skew (a gram in millions of docs) is
+    bounded because the signal only needs ``>= 2`` — a capped-count
+    combiner suffices, same policy as the LSH bucket caps."""
+    from ray.data.aggregate import Count, Sum
+
+    from .curation import _explode_tokens
+    from .relational import _schema_guard
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    k = _DUPGRAM_K
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        rows, toks = _explode_tokens(batch)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(toks) < k:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        valid = rows[: -(k - 1)] == rows[k - 1 :]
+        gram = toks[: -(k - 1)].astype(object)
+        for j in range(1, k):
+            gram = gram + " " + toks[j : len(toks) - (k - 1) + j].astype(object)
+        df = pd.DataFrame(
+            {"gram": gram[valid], "row": rows[: -(k - 1)][valid]}
+        ).drop_duplicates()
+        grams = df["gram"].to_numpy()
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "shard": pa.array(
+                    (pd.util.hash_array(grams.astype("O")) % 64).astype(
+                        "int64"
+                    )
+                ),
+                "doc_id": pa.array(
+                    doc_ids[df["row"].to_numpy()], pa.int64()
+                ),
+            }
+        )
+
+    def _tag(shard: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per SHARD: gram group sizes at C speed
+        sizes = shard.groupby("gram", sort=False)["doc_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": shard["doc_id"].to_numpy(),
+                "dup": (sizes.to_numpy() >= 2).astype(np.int64),
+            }
+        )
+
+    tagged = _schema_guard(
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_tag, batch_format="pandas"),
+        pa.schema([("doc_id", pa.int64()), ("dup", pa.int64())]),
+    )
+    agg = tagged.groupby("doc_id").aggregate(
+        Count(alias_name="n_grams"), Sum("dup", alias_name="n_dup")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_grams": t.column("n_grams").cast(pa.int64()),
+                "n_dup": t.column("n_dup").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DUP_NGRAM = rf"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x <> '') AS ws
+    FROM documents),
+g AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(ws) - {_DUPGRAM_K - 2}),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] || ' ' || ws[i+4]))) AS gram
+    FROM d),
+df AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+SELECT g.doc_id,
+       cast(count(*) AS BIGINT) AS n_grams,
+       cast(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "inverted_index": q_inverted_index,
     "dedup_edit": q_dedup_edit,
     "bm25_score": q_bm25_score,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
 }
 
 ORACLE_SQL = {
     "inverted_index": SQL_INVERTED_INDEX,
     "dedup_edit": SQL_DEDUP_EDIT,
     "bm25_score": SQL_BM25,
+    "dup_ngram_fraction": SQL_DUP_NGRAM,
 }
 
 _rel.QUERIES.update(QUERIES)
