@@ -951,3 +951,34 @@ def test_dup_ngram_fraction_matches_duckdb(ray_session):
         .reset_index(drop=True)
     )
     assert mine.equals(orc[mine.columns])
+
+
+def test_unigram_logprob_matches_duckdb(ray_session):
+    """CCNet-style unigram NLL quality score equals the DuckDB twin
+    exactly (e6 integers); scores are positive and finite."""
+    import duckdb
+    import numpy as np
+
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        R.QUERIES["unigram_logprob"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (mine["nll_e6"] > 0).all()
+    assert np.isfinite(mine["nll_e6"].to_numpy()).all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = (
+        con.execute(R.ORACLE_SQL["unigram_logprob"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert mine.equals(orc[mine.columns])

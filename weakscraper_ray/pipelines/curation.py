@@ -473,6 +473,90 @@ def q_pack_conversations(sf_dir: str):
 
 
 # =====================================================================
+# Unigram LM negative log-likelihood (CCNet-style perplexity filter)
+# =====================================================================
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Per-document mean negative log-likelihood under the corpus' own
+    unigram language model — the perplexity-bucket quality filter of
+    the CCNet pipeline (public: Wenzek et al. 2020), with the corpus
+    itself as the LM (every token has count ≥ 1, so no smoothing and
+    the oracle is exact).
+
+    Shape: pass 1 builds the unigram table with per-batch
+    ``value_counts`` partials → one vocabulary-bounded
+    ``groupby(word)`` (Heaps' law — same bound as oov_rate), collected
+    and broadcast once via ``ray.put``; pass 2 is one streaming
+    ``map_batches``: token→count lookup via C-level ``Series.map``,
+    per-doc sums via ``np.bincount(weights=...)``. Float expression
+    mirrors the SQL op-for-op (``-ln(n/total)`` per token, then
+    ``sum·1e6/count`` before the half-away round)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _vocab_partial(batch: pa.Table) -> pa.Table:
+        _, toks = _explode_tokens(batch)
+        t = pa.table({"w": pa.array(toks, pa.string())})
+        return t.group_by("w").aggregate([("w", "count")])
+
+    vocab = (
+        ds.map_batches(_vocab_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("w_count", alias_name="n"))
+        .take_all()
+    )  # vocabulary-bounded
+    counts = {r["w"]: r["n"] for r in vocab}
+    total = float(sum(counts.values()))
+    model = ray.put((counts, total))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        cnts, tot = ray.get(model)
+        rows, toks = _explode_tokens(batch)
+        n_tok = np.bincount(rows, minlength=len(batch))
+        keep = n_tok > 0
+        if len(toks):
+            n_w = pd.Series(toks).map(cnts).to_numpy(dtype=np.float64)
+            neg_ln = -np.log(n_w / tot)  # op-order mirror of the SQL
+            nll = np.bincount(rows, weights=neg_ln, minlength=len(batch))
+        else:
+            nll = np.zeros(len(batch))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "n_tokens": pa.array(n_tok[keep].astype("int64")),
+                "nll_e6": pa.array(
+                    _i64_away_np(
+                        nll[keep] * 1_000_000.0 / n_tok[keep], 1.0
+                    )
+                ),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+    FROM documents),
+t2 AS (SELECT * FROM toks WHERE w <> ''),
+cnt AS (SELECT w, count(*) AS n FROM t2 GROUP BY w),
+tot AS (SELECT cast(count(*) AS DOUBLE) AS total FROM t2)
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_tokens,
+       cast(round(sum(-ln(cast(n AS DOUBLE) / total)) * 1000000
+                  / count(*), 0) AS BIGINT) AS nll_e6
+FROM t2 JOIN cnt USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# =====================================================================
 # Token-budget packing: GLOBAL ordered prefix sum (distributed scan)
 # =====================================================================
 
@@ -594,6 +678,7 @@ QUERIES = {
     "dedup_against_index": q_dedup_against_index,
     "mixture_sample": q_mixture_sample,
     "pack_budget": q_pack_budget,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 ORACLE_SQL = {
@@ -604,6 +689,7 @@ ORACLE_SQL = {
     "dedup_against_index": SQL_DEDUP_AGAINST_INDEX,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "pack_budget": SQL_PACK_BUDGET,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }
 
 _rel.QUERIES.update(QUERIES)
