@@ -982,3 +982,30 @@ def test_unigram_logprob_matches_duckdb(ray_session):
         .reset_index(drop=True)
     )
     assert mine.equals(orc[mine.columns])
+
+
+def test_context_windows_matches_window_oracle(ray_session):
+    """Sliding-window context assembly equals the string_agg OVER
+    (ROWS N PRECEDING) oracle per turn, including conversation-start
+    truncation."""
+    import duckdb
+
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    key = ["conv_id", "turn_idx"]
+    mine = (
+        R.QUERIES["context_windows"](sf)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(mine) > 0
+    # first turn of each conv has no separator from preceding context
+    firsts = mine.groupby("conv_id").head(1)
+    assert (~firsts["ctx"].str.contains(r" \| ", regex=True)).all()
+    sql = R.build_oracle_sql(sf)["context_windows"]
+    orc = (
+        duckdb.connect().execute(sql).df().sort_values(key).reset_index(drop=True)
+    )
+    assert mine.equals(orc[mine.columns])

@@ -651,6 +651,85 @@ FROM counts
 """
 
 
+# =====================================================================
+# Per-turn context assembly: sliding window over conversation turns
+# =====================================================================
+
+_CTX_PREV = 2    # turns of preceding context
+_CTX_CHARS = 80  # per-turn text budget in the assembled context
+
+
+def q_context_windows(sf_dir: str):
+    """For every turn, assemble its training context: the previous
+    ``_CTX_PREV`` turns' (truncated) texts plus its own, in turn
+    order — the sliding-window context-construction op of a
+    conversational fine-tuning pipeline. Window truncates at the
+    conversation start (mirror of ``ROWS N PRECEDING``).
+
+    Shape: the pack_conversations pattern — conv-hash SHARD shuffle
+    (conversations stay whole; per-conv groups are too small for
+    per-group UDFs), one vectorized sort per shard, then the window
+    built from SHIFTED numpy arrays with conv-boundary masks (no
+    per-row Python). The exchange carries 80-char truncated texts,
+    not full turn payloads."""
+    import glob
+    import os
+
+    from ..context import configure_context
+    from ..stages.ordering import _conv_hash
+    from ..transcripts import ensure_generated
+    from .relational import _size_for
+
+    configure_context()
+    shards_dir = ensure_generated(_size_for(sf_dir))
+    paths = sorted(glob.glob(os.path.join(shards_dir, "part-*.parquet")))
+    ds = ray.data.read_parquet(paths, columns=["conv_id", "turn_idx", "text"])
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        h = _conv_hash(batch.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "t80": pc.utf8_slice_codeunits(
+                    batch.column("text"), 0, _CTX_CHARS
+                ),
+                "shard": pa.array(
+                    (h % np.uint64(_PACK_SHARDS)).astype(np.int32)
+                ),
+            }
+        )
+
+    def _window(group: pa.Table) -> pa.Table:
+        g = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        conv = g.column("conv_id").to_numpy(zero_copy_only=False)
+        t = g.column("t80").to_numpy(zero_copy_only=False).astype(object)
+        ctx = t.copy()
+        for back in range(1, _CTX_PREV + 1):
+            same = np.empty(len(t), dtype=bool)
+            same[:back] = False
+            same[back:] = conv[back:] == conv[:-back]
+            prev = np.empty(len(t), dtype=object)
+            prev[:back] = ""  # np.where evaluates the concat eagerly
+            prev[back:] = t[:-back]
+            ctx = np.where(same, prev + " | " + ctx, ctx)
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "turn_idx": g.column("turn_idx"),
+                "ctx": pa.array(ctx, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_window, batch_format="pyarrow")
+    )
+
+
 def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Twins whose SQL embeds a generated-data path (same pattern as
     analytics.dynamic_oracle_sql; called from build_oracle_sql)."""
@@ -665,7 +744,15 @@ SELECT conv_id,
        cast(count(*) AS BIGINT) AS n_turns
 FROM read_parquet('{shards_glob}')
 GROUP BY conv_id
-"""
+""",
+        "context_windows": f"""
+SELECT conv_id, turn_idx,
+       string_agg(substr(text, 1, {_CTX_CHARS}), ' | ')
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN {_CTX_PREV} PRECEDING AND CURRENT ROW)
+           AS ctx
+FROM read_parquet('{shards_glob}')
+""",
     }
 
 
@@ -679,6 +766,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "pack_budget": q_pack_budget,
     "unigram_logprob": q_unigram_logprob,
+    "context_windows": q_context_windows,
 }
 
 ORACLE_SQL = {
