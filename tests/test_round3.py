@@ -1009,3 +1009,25 @@ def test_context_windows_matches_window_oracle(ray_session):
         duckdb.connect().execute(sql).df().sort_values(key).reset_index(drop=True)
     )
     assert mine.equals(orc[mine.columns])
+
+
+def test_ks_drift_matches_duckdb(ray_session):
+    """Two-sample KS drift statistic (distributed ordered scan over
+    value range shards) equals the window-function oracle exactly and
+    lies in [0, 1e6]."""
+    import duckdb
+
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    mine = R.QUERIES["ks_drift"](sf).to_pandas()
+    assert len(mine) == 1
+    ks = int(mine["ks_e6"].iloc[0])
+    assert 0 <= ks <= 1_000_000
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    orc = con.execute(R.ORACLE_SQL["ks_drift"]).df()
+    assert mine.equals(orc[mine.columns])

@@ -753,7 +753,140 @@ def q_approx_quantiles(sf_dir: str):
     )
 
 
+# =====================================================================
+# Two-sample KS drift: distribution monitoring between event splits
+# =====================================================================
+
+_KS_SHARD_WIDTH = 8.0  # value units per range shard (monotone sharding)
+
+
+def q_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between the ``value``
+    distributions of two event populations (even vs odd event_id — the
+    deterministic stand-in for "yesterday's traffic vs today's") — the
+    drift monitor a production pipeline runs per batch of ingested
+    data. Emits one row: (n_a, n_b, ks_e6).
+
+    Distributed shape (the pack_budget ordered-scan pattern over a
+    VALUE range): per-batch per-value count partials → one
+    ``groupby(value)`` merge (ties must collapse before the CDF — KS
+    evaluates the ECDF after all ties at a point) → range-shard by
+    ``floor(value/width)`` (monotone, so shard order = value order);
+    per-shard count totals reduce to driver prefix offsets (bounded by
+    shard count) → broadcast → per-shard sorted cumsum gives exact
+    global ECDFs, per-shard max |ΔECDF| → tiny final max. At scale the
+    per-value table is bounded by value-space granularity; quantize
+    values into fixed bins first when the domain is dense."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "value": batch.column("value").to_numpy(
+                    zero_copy_only=False
+                ),
+                "ga": (
+                    batch.column("event_id").to_numpy(zero_copy_only=False)
+                    % 2
+                    == 0
+                ).astype("int64"),
+            }
+        )
+        g = df.groupby("value", sort=False)["ga"].agg(["sum", "size"])
+        na = g["sum"].to_numpy()
+        return pa.table(
+            {
+                "value": pa.array(g.index.to_numpy(), pa.float64()),
+                "na": pa.array(na, pa.int64()),
+                "nb": pa.array(g["size"].to_numpy() - na, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+        .materialize()  # bounded by distinct values; reused twice
+    )
+
+    def _shardify(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(np.floor(v / _KS_SHARD_WIDTH).astype("int64"))
+        )
+
+    sharded = merged.map_batches(_shardify, batch_format="pyarrow")
+    shard_sums = (
+        sharded.select_columns(["shard", "na", "nb"])
+        .groupby("shard")
+        .aggregate(Sum("na", alias_name="ta"), Sum("nb", alias_name="tb"))
+        .take_all()
+    )  # shard-count rows only
+    offs: dict[int, tuple[int, int]] = {}
+    ca = cb = 0
+    for r in sorted(shard_sums, key=lambda r: r["shard"]):
+        offs[r["shard"]] = (ca, cb)
+        ca += r["ta"]
+        cb += r["tb"]
+    tot_a, tot_b = float(ca), float(cb)
+    offs_ref = ray.put(offs)
+
+    def _shard_max(group: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(offs_ref)
+        g = group.sort_values("value")
+        oa, ob = o[int(g["shard"].iloc[0])]
+        cum_a = oa + g["na"].cumsum().to_numpy()
+        cum_b = ob + g["nb"].cumsum().to_numpy()
+        d = np.abs(cum_a / tot_a - cum_b / tot_b)
+        return pd.DataFrame({"dmax": [float(d.max())]})
+
+    shard_maxes = (
+        sharded.groupby("shard")
+        .map_groups(_shard_max, batch_format="pandas")
+        .take_all()
+    )  # shard-count rows only
+    ks = max(r["dmax"] for r in shard_maxes)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([int(tot_a)], pa.int64()),
+                "n_b": pa.array([int(tot_b)], pa.int64()),
+                "ks_e6": pa.array(
+                    _i64_away_np(np.array([ks]), 1e6), pa.int64()
+                ),
+            }
+        )
+    )
+
+
+SQL_KS_DRIFT = """
+WITH pts AS (
+    SELECT value, CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ga
+    FROM events),
+m AS (SELECT value,
+             cast(sum(ga) AS BIGINT) AS na,
+             cast(sum(1 - ga) AS BIGINT) AS nb
+      FROM pts GROUP BY value),
+tot AS (SELECT cast(sum(na) AS DOUBLE) AS ta,
+               cast(sum(nb) AS DOUBLE) AS tb FROM m),
+cum AS (SELECT value,
+               sum(na) OVER (ORDER BY value) AS ca,
+               sum(nb) OVER (ORDER BY value) AS cb
+        FROM m)
+SELECT cast(t.ta AS BIGINT) AS n_a,
+       cast(t.tb AS BIGINT) AS n_b,
+       cast(round(max(abs(cast(ca AS DOUBLE) / t.ta
+                          - cast(cb AS DOUBLE) / t.tb)) * 1000000, 0)
+            AS BIGINT) AS ks_e6
+FROM cum CROSS JOIN tot t
+GROUP BY t.ta, t.tb
+"""
+
+
 QUERIES = {
+    "ks_drift": q_ks_drift,
     "word_topk": q_word_topk,
     "semi_join_bloom": q_semi_join_bloom,
     "approx_quantiles_value": q_approx_quantiles,
@@ -770,6 +903,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ks_drift": SQL_KS_DRIFT,
     "word_topk": SQL_WORD_TOPK,
     "semi_join_bloom": SQL_SEMI_JOIN_BLOOM,
     "bigram_topk": SQL_BIGRAM_TOPK,
