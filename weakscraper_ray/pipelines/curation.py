@@ -652,6 +652,55 @@ FROM counts
 
 
 # =====================================================================
+# Per-group rank normalization (score calibration before thresholding)
+# =====================================================================
+
+
+def q_rank_normalize(sf_dir: str):
+    """Percent-rank of each document's length signal WITHIN its
+    language — the calibration step before applying one global
+    quality threshold across languages (raw score distributions
+    differ per language; CCNet/fineweb pipelines bucket per-language
+    for exactly this reason). Deterministic total order (signal, then
+    doc_id) so ranks are tie-free and the oracle is exact.
+
+    Shape: one ``groupby(lang)`` — group count = language count, each
+    group ranked in a single vectorized pass. At web scale a single
+    language exceeds one group's memory; swap to the distributed
+    prefix-sum pattern (``pack_budget``) over per-language value
+    shards — same math, two exchanges."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def _rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n_chars", "doc_id"])
+        n = len(g)
+        pos = np.arange(n, dtype=np.float64)
+        pct = pos * 1_000_000.0 / (n - 1) if n > 1 else np.zeros(1)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "lang": g["lang"].to_numpy(),
+                "pct_rank_e6": _i64_away_np(pct, 1.0),
+            }
+        )
+
+    return ds.groupby("lang").map_groups(_rank, batch_format="pandas")
+
+
+SQL_RANK_NORMALIZE = """
+SELECT doc_id, lang,
+       CASE WHEN count(*) OVER (PARTITION BY lang) = 1 THEN 0
+            ELSE cast(round((cast(row_number() OVER w AS DOUBLE) - 1)
+                            * 1000000
+                            / (count(*) OVER (PARTITION BY lang) - 1), 0)
+                      AS BIGINT)
+       END AS pct_rank_e6
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""
+
+
+# =====================================================================
 # Per-turn context assembly: sliding window over conversation turns
 # =====================================================================
 
@@ -767,6 +816,7 @@ QUERIES = {
     "pack_budget": q_pack_budget,
     "unigram_logprob": q_unigram_logprob,
     "context_windows": q_context_windows,
+    "rank_normalize": q_rank_normalize,
 }
 
 ORACLE_SQL = {
@@ -778,6 +828,7 @@ ORACLE_SQL = {
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "pack_budget": SQL_PACK_BUDGET,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "rank_normalize": SQL_RANK_NORMALIZE,
 }
 
 _rel.QUERIES.update(QUERIES)
