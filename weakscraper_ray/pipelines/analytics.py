@@ -885,8 +885,308 @@ GROUP BY t.ta, t.tb
 """
 
 
+# =====================================================================
+# Week-over-week user retention (cohort analytics over events)
+# =====================================================================
+
+_WEEK_US = 604_800_000_000  # 7 days in epoch micros
+
+
+def _retention_tag(batch: pa.Table) -> pa.Table:
+    """Per-batch tagged presence rows. Each distinct (user, week) in
+    the batch emits TWO shuffle rows: (u, w, a=1, b=0) — "active in
+    w" — and (u, w-1, a=0, b=1) — "this user is active in the week
+    AFTER w-1". The downstream Max-aggregate collapses cross-batch
+    duplicates, so the batch-local ``drop_duplicates`` is purely a
+    payload cut (≤2 rows per (user, week) per batch, never the event
+    stream)."""
+    us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+    uw = pd.DataFrame(
+        {"user_id": batch.column("user_id").to_numpy(), "week": us // _WEEK_US}
+    ).drop_duplicates()
+    n = len(uw)
+    return pa.table(
+        {
+            "user_id": pa.array(np.tile(uw["user_id"].to_numpy(), 2), pa.int64()),
+            "week": pa.array(
+                np.concatenate([uw["week"].to_numpy(), uw["week"].to_numpy() - 1]),
+                pa.int64(),
+            ),
+            "a": pa.array(np.repeat([1, 0], n), pa.int64()),
+            "b": pa.array(np.repeat([0, 1], n), pa.int64()),
+        }
+    )
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Classic cohort retention: for each epoch-week, how many users
+    were active, and what fraction of them were also active the
+    following week.
+
+    Shape: ONE keyed exchange on (user_id, week) — the tagged-union
+    trick turns the self-join ``uw JOIN uw ON week+1`` into a
+    Max-aggregate (a row has a=1 if the user was active that week,
+    b=1 if active the next), then per-batch partial sums reduce into
+    a tiny ``groupby(week)``. Payload is (int64 ×4) per distinct
+    (user, week); no event text or values move. The epoch-week is
+    integer micros ``// 7 days`` — no calendar library on either
+    side, so the oracle mirrors it exactly; the retention ratio is
+    the integer half-away form ``(ret*2e6 + act) // (2*act)`` (repo
+    rounding convention, ADVICE r2)."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    tagged = ds.map_batches(_retention_tag, batch_format="pyarrow")
+    flags = tagged.groupby(["user_id", "week"]).aggregate(Max("a"), Max("b"))
+
+    def _week_partial(t: pa.Table) -> pa.Table:
+        a = t.column("max(a)").to_numpy()
+        b = t.column("max(b)").to_numpy()
+        df = pd.DataFrame(
+            {"week": t.column("week").to_numpy(), "act": a, "ret": a & b}
+        )
+        g = df.groupby("week", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "week": pa.array(g["week"].to_numpy(), pa.int64()),
+                "act": pa.array(g["act"].to_numpy(), pa.int64()),
+                "ret": pa.array(g["ret"].to_numpy(), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    weekly = (
+        flags.map_batches(_week_partial, batch_format="pyarrow")
+        .groupby("week")
+        .aggregate(Sum("act"), Sum("ret"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        act = t.column("sum(act)").to_numpy()
+        ret = t.column("sum(ret)").to_numpy()
+        keep = act > 0  # weeks present only as someone's "next week"
+        act, ret = act[keep], ret[keep]
+        week = t.column("week").to_numpy()[keep]
+        return pa.table(
+            {
+                "week": pa.array(week, pa.int64()),
+                "active_users": pa.array(act, pa.int64()),
+                "retained_users": pa.array(ret, pa.int64()),
+                "retention_e6": pa.array(
+                    (ret * 2_000_000 + act) // (2 * act), pa.int64()
+                ),
+            }
+        )
+
+    return weekly.map_batches(_final, batch_format="pyarrow")
+
+
+SQL_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+),
+r AS (
+  SELECT a.week AS week,
+         cast(count(*) AS BIGINT) AS active,
+         cast(count(b.user_id) AS BIGINT) AS retained
+  FROM uw a LEFT JOIN uw b
+    ON b.user_id = a.user_id AND b.week = a.week + 1
+  GROUP BY a.week
+)
+SELECT week, active AS active_users, retained AS retained_users,
+       (retained * 2000000 + active) // (2 * active) AS retention_e6
+FROM r
+"""
+
+
+# =====================================================================
+# Per-type z-score outlier flagging (two-pass broadcast, integer-exact)
+# =====================================================================
+
+
+def q_anomaly_zscore(sf_dir: str):
+    """Flag events whose value is >3 population standard deviations
+    from their event_type's mean — the monitoring filter every
+    ingestion pipeline runs before training-data admission.
+
+    Two-pass broadcast shape (same as ``oov_rate``): pass 1 reduces
+    per-batch integer partials (n, Σx, Σx²) over half-away cents to a
+    per-type stats table combined with exact Python ints on the
+    driver (bounded: one row per (type, batch)); pass 2 streams the
+    events again and flags with NO exchange.
+
+    Integer-exact |z| > 3 without floats: z² = (x·n − Σx)² /
+    (n·Σx² − Σx²) so the flag is (x·n − Σx)² > 9·(n·Σx² − (Σx)²).
+    The left side would overflow int64 vectorized, so compare
+    |x·n − Σx| > isqrt(T) instead — exact because s = isqrt(T) has
+    s² ≤ T < (s+1)². DuckDB's HUGEINT does the square directly.
+    Scale note: x·n − Σx stays in int64 up to ~10¹² events per type
+    at 10⁶-cent values; past that, promote the pass-2 compare to
+    object-dtype Python ints (the partials already are)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _stat_partial(t: pa.Table) -> pa.Table:
+        x = _i64_away_np(t.column("value").to_numpy())
+        df = pd.DataFrame({"et": t.column("event_type").to_numpy(zero_copy_only=False)})
+        df["n"] = 1
+        df["sx"] = x
+        df["sxx"] = x * x
+        g = df.groupby("et", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "et": pa.array(g["et"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "sx": pa.array(g["sx"].to_numpy(), pa.int64()),
+                "sxx": pa.array(g["sxx"].to_numpy(), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(_stat_partial, batch_format="pyarrow").take_all()
+    stats: dict[str, list[int]] = {}
+    for r in parts:  # tiny: one row per (type, batch); Python ints are exact
+        s = stats.setdefault(r["et"], [0, 0, 0])
+        s[0] += int(r["n"]); s[1] += int(r["sx"]); s[2] += int(r["sxx"])
+    thresholds = {}
+    for et, (n, sx, sxx) in stats.items():
+        t9 = 9 * (n * sxx - sx * sx)
+        thresholds[et] = (n, sx, math.isqrt(t9) if t9 > 0 else 0)
+    thr_ref = ray.put(thresholds)
+
+    def _flag(t: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        x = _i64_away_np(t.column("value").to_numpy())
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ns = np.empty(len(x), dtype=np.int64)
+        sxs = np.empty(len(x), dtype=np.int64)
+        ss = np.empty(len(x), dtype=np.int64)
+        for k, (n, sx, s) in thr.items():  # loop over TYPES, not rows
+            m = et == k
+            ns[m], sxs[m], ss[m] = n, sx, s
+        flag = np.abs(x * ns - sxs) > ss
+        return pa.table(
+            {
+                "event_id": pa.array(t.column("event_id").to_numpy()[flag], pa.int64()),
+                "event_type": pa.array(et[flag], pa.string()),
+                "value_cents": pa.array(x[flag], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_flag, batch_format="pyarrow")
+
+
+SQL_ANOMALY = """
+WITH c AS (
+  SELECT event_id, event_type, cast(round(value * 100, 0) AS BIGINT) AS x
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.x AS value_cents
+FROM c JOIN s USING (event_type)
+WHERE (c.x * s.n - s.sx) * (c.x * s.n - s.sx) > 9 * (s.n * s.sxx - s.sx * s.sx)
+"""
+
+
+# =====================================================================
+# Within-document repetition: top-bigram coverage (Gopher-style filter)
+# =====================================================================
+
+
+def _top_bigram_stats(batch: pa.Table) -> pa.Table:
+    """Per-document most-frequent-bigram stats — documents are whole
+    rows, so this is exact within the batch: NO exchange anywhere in
+    the query."""
+    txt = pc.replace_substring_regex(batch.column("text"), pattern=_TRIM, replacement="")
+    keep = pc.and_(pc.is_valid(txt), pc.not_equal(txt, ""))
+    t = batch.filter(keep)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "top_n": pa.array([], pa.int64()),
+            "top_frac_e6": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    txt = pc.replace_substring_regex(t.column("text"), pattern=_TRIM, replacement="")
+    toks = pc.split_pattern_regex(txt, pattern=_WS)
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = la.flatten().to_pandas().to_numpy()
+    offs = np.asarray(la.offsets)
+    if len(flat) < 2:
+        return empty
+    n_toks = np.diff(offs)
+    doc_ids = np.repeat(t.column("doc_id").to_numpy(), np.maximum(n_toks - 1, 0))
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    valid[offs[1:-1] - 1] = False  # last token of a doc pairs into the next doc
+    grams = pd.Series(flat[:-1])[valid] + " " + pd.Series(flat[1:])[valid]
+    df = pd.DataFrame({"doc_id": doc_ids, "g": grams.to_numpy()})
+    top = (
+        df.groupby(["doc_id", "g"], sort=False)
+        .size()
+        .groupby(level=0)
+        .max()
+        .reset_index(name="top_n")
+    )
+    nb = pd.DataFrame(
+        {"doc_id": t.column("doc_id").to_numpy(), "n_bigrams": n_toks - 1}
+    )
+    m = top.merge(nb, on="doc_id")
+    tn = m["top_n"].to_numpy().astype(np.int64)
+    b = m["n_bigrams"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(m["doc_id"].to_numpy(), pa.int64()),
+            "n_bigrams": pa.array(b, pa.int64()),
+            "top_n": pa.array(tn, pa.int64()),
+            "top_frac_e6": pa.array((tn * 2_000_000 + b) // (2 * b), pa.int64()),
+        }
+    )
+
+
+def q_top_ngram_fraction(sf_dir: str):
+    """Gopher/MassiveText within-document repetition signal: the
+    fraction (e6, integer half-away) of a document's bigrams covered
+    by its single most frequent bigram. Documents with <2 tokens have
+    no bigrams and are excluded (the SQL twin excludes them
+    structurally — ``generate_series(1, 0)`` is empty). Fully
+    streaming map-only query: the flattened-offsets bigram machinery
+    is shared with ``q_bigram_topk`` above."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_top_bigram_stats, batch_format="pyarrow")
+
+
+SQL_TOP_NGRAM = r"""
+WITH l AS (
+  SELECT doc_id,
+         regexp_extract_all(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\S+') AS toks
+  FROM documents
+  WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+),
+b AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g, len(toks) - 1 AS nb
+  FROM l, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+),
+c AS (
+  SELECT doc_id, nb, count(*) AS n FROM b GROUP BY doc_id, g, nb
+)
+SELECT doc_id,
+       cast(nb AS BIGINT) AS n_bigrams,
+       cast(max(n) AS BIGINT) AS top_n,
+       cast((max(n) * 2000000 + nb) // (2 * nb) AS BIGINT) AS top_frac_e6
+FROM c GROUP BY doc_id, nb
+"""
+
+
 QUERIES = {
     "ks_drift": q_ks_drift,
+    "retention_cohorts": q_retention_cohorts,
+    "anomaly_zscore": q_anomaly_zscore,
+    "top_ngram_fraction": q_top_ngram_fraction,
     "word_topk": q_word_topk,
     "semi_join_bloom": q_semi_join_bloom,
     "approx_quantiles_value": q_approx_quantiles,
@@ -904,6 +1204,9 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ks_drift": SQL_KS_DRIFT,
+    "retention_cohorts": SQL_RETENTION,
+    "anomaly_zscore": SQL_ANOMALY,
+    "top_ngram_fraction": SQL_TOP_NGRAM,
     "word_topk": SQL_WORD_TOPK,
     "semi_join_bloom": SQL_SEMI_JOIN_BLOOM,
     "bigram_topk": SQL_BIGRAM_TOPK,
