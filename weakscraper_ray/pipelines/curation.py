@@ -701,6 +701,63 @@ WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
 
 
 # =====================================================================
+# Text normalization: the canonical-form pass before exact dedup
+# =====================================================================
+
+
+def q_text_normalize(sf_dir: str):
+    """Canonicalize document text — lowercase, collapse all runs of
+    whitespace to single spaces, trim — and fingerprint the result.
+    This is the pass that makes exact dedup catch case/spacing
+    variants; ``changed`` audits how much the corpus needed it.
+
+    Map-only streaming query, no exchange. Arrow's ``utf8_lower`` and
+    DuckDB's ``lower()`` are both utf8proc/ICU simple case-folding and
+    agree on this corpus; ``\\s+`` is RE2 on both sides (same
+    convention as ``pii_scrub``). The md5 is per-row Python —
+    like ``q_fingerprint``, no Arrow kernel exists for md5 in this
+    pyarrow; acceptable because the digest input is the already-
+    normalized short string, not the hot extract path."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _norm(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t.column("text"))
+        coll = pc.replace_substring_regex(low, pattern=r"\s+", replacement=" ")
+        norm = pc.utf8_trim(coll, characters=" ")
+        changed = pc.cast(pc.not_equal(norm, t.column("text")), pa.int64())
+        fp = pa.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "norm_text": norm,
+                "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+                "changed": changed,
+                "fp": fp,
+            }
+        )
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS norm_text,
+         text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       cast(length(norm_text) AS BIGINT) AS n_chars_norm,
+       cast(CASE WHEN norm_text <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       md5(norm_text) AS fp
+FROM n
+"""
+
+
+# =====================================================================
 # Per-turn context assembly: sliding window over conversation turns
 # =====================================================================
 
@@ -817,6 +874,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "context_windows": q_context_windows,
     "rank_normalize": q_rank_normalize,
+    "text_normalize": q_text_normalize,
 }
 
 ORACLE_SQL = {
@@ -829,6 +887,7 @@ ORACLE_SQL = {
     "pack_budget": SQL_PACK_BUDGET,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "rank_normalize": SQL_RANK_NORMALIZE,
+    "text_normalize": SQL_TEXT_NORMALIZE,
 }
 
 _rel.QUERIES.update(QUERIES)
