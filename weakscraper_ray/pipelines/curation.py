@@ -758,6 +758,118 @@ FROM n
 
 
 # =====================================================================
+# Global-quantile quality gate (compute threshold, then filter)
+# =====================================================================
+
+
+def q_quality_filter_global(sf_dir: str):
+    """Drop the shortest quartile of the corpus: compute the exact
+    global P25 of ``n_chars`` distributedly, broadcast the threshold,
+    keep docs at or above it — the chained compute-threshold→filter
+    shape every score-based quality gate uses (the score here is the
+    already-materialized length signal; swap in any scored column).
+
+    Shape: per-batch value-count partials → one ``groupby(value)``
+    whose payload is the VALUE DOMAIN (distinct lengths), not the
+    corpus; the tiny (value, count) table comes to the driver, a
+    cumsum picks the type-1 discrete quantile (DuckDB
+    ``quantile_disc``: smallest v with cum-count ≥ ceil(q·n)); the
+    filter pass streams with no exchange. For a continuous score,
+    quantize to a fixed grid first (the ``ks_drift`` note) — the
+    domain bound is what keeps the exchange small."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    counts = ds.groupby("n_chars").aggregate(Count()).take_all()
+    counts.sort(key=lambda r: r["n_chars"])
+    total = sum(r["count()"] for r in counts)
+    need = -(-total // 4)  # ceil(0.25 * n): type-1 discrete quantile rank
+    cum = 0
+    thr = counts[-1]["n_chars"]
+    for r in counts:
+        cum += r["count()"]
+        if cum >= need:
+            thr = int(r["n_chars"])
+            break
+
+    def _gate(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("n_chars"), thr)
+        out = t.filter(keep)
+        return out.append_column(
+            "threshold", pa.array(np.full(out.num_rows, thr, dtype=np.int64))
+        )
+
+    return ds.map_batches(_gate, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER_GLOBAL = """
+WITH thr AS (SELECT quantile_disc(n_chars, 0.25) AS v FROM documents)
+SELECT d.doc_id, d.lang, d.n_chars, cast(t.v AS BIGINT) AS threshold
+FROM documents d, thr t
+WHERE d.n_chars >= t.v
+"""
+
+
+# =====================================================================
+# Chat-format QA: do conversation roles strictly alternate?
+# =====================================================================
+
+
+def q_turn_alternation(sf_dir: str):
+    """Per-conversation chat-format check: count adjacent turn pairs
+    with the SAME role (a merged/dropped-turn symptom) and flag convs
+    that alternate cleanly — the structural QA gate chat training
+    data goes through before packing.
+
+    Shape: identical exchange to ``pack_conversations`` (conv-hash
+    SHARD key, conversations stay whole, no text payload); inside a
+    shard group, one vectorized ``sort_by`` then shifted-array
+    compares with a conv-boundary mask — no per-row Python, no
+    per-conv UDF calls."""
+    import glob
+    import os
+
+    from ..context import configure_context
+    from ..stages.ordering import _conv_hash
+    from ..transcripts import ensure_generated
+    from .relational import _size_for
+
+    configure_context()
+    shards_dir = ensure_generated(_size_for(sf_dir))
+    paths = sorted(glob.glob(os.path.join(shards_dir, "part-*.parquet")))
+    ds = ray.data.read_parquet(paths, columns=["conv_id", "turn_idx", "role"])
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        h = _conv_hash(batch.column("conv_id"))
+        return batch.append_column(
+            "shard", pa.array((h % np.uint64(_PACK_SHARDS)).astype(np.int32))
+        )
+
+    def _alt(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = g.column("conv_id").to_numpy(zero_copy_only=False)
+        role = g.column("role").to_numpy(zero_copy_only=False)
+        viol = np.zeros(len(conv), dtype=np.int64)
+        if len(conv) > 1:
+            viol[1:] = (conv[1:] == conv[:-1]) & (role[1:] == role[:-1])
+        df = pd.DataFrame({"conv_id": conv, "viol": viol})
+        out = (
+            df.groupby("conv_id", sort=False)
+            .agg(n_turns=("viol", "size"), violations=("viol", "sum"))
+            .reset_index()
+        )
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["alternating"] = (out["violations"] == 0).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_alt, batch_format="pyarrow")
+    )
+
+
+# =====================================================================
 # Per-turn context assembly: sliding window over conversation turns
 # =====================================================================
 
@@ -859,6 +971,19 @@ SELECT conv_id, turn_idx,
            AS ctx
 FROM read_parquet('{shards_glob}')
 """,
+        "turn_alternation": f"""
+WITH t AS (
+  SELECT conv_id,
+         CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   = role
+              THEN 1 ELSE 0 END AS viol
+  FROM read_parquet('{shards_glob}')
+)
+SELECT conv_id, cast(count(*) AS BIGINT) AS n_turns,
+       cast(sum(viol) AS BIGINT) AS violations,
+       cast(CASE WHEN sum(viol) = 0 THEN 1 ELSE 0 END AS BIGINT) AS alternating
+FROM t GROUP BY conv_id
+""",
     }
 
 
@@ -875,6 +1000,8 @@ QUERIES = {
     "context_windows": q_context_windows,
     "rank_normalize": q_rank_normalize,
     "text_normalize": q_text_normalize,
+    "quality_filter_global": q_quality_filter_global,
+    "turn_alternation": q_turn_alternation,
 }
 
 ORACLE_SQL = {
@@ -888,6 +1015,7 @@ ORACLE_SQL = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "rank_normalize": SQL_RANK_NORMALIZE,
     "text_normalize": SQL_TEXT_NORMALIZE,
+    "quality_filter_global": SQL_QUALITY_FILTER_GLOBAL,
 }
 
 _rel.QUERIES.update(QUERIES)
