@@ -886,6 +886,104 @@ GROUP BY t.ta, t.tb
 
 
 # =====================================================================
+# First/last event per user (argmin + argmax in ONE exchange)
+# =====================================================================
+
+
+def _fl_encode(t: pa.Table) -> pa.Table:
+    """Per-batch partial: one (user, min-key, max-key, count) row per
+    user per batch. The composite key is fixed-width
+    ``ts_us(20) | event_id(12) | event_type`` so LEXICOGRAPHIC
+    min/max = (ts, event_id)-ordered argmin/argmax with a fully
+    deterministic tie-break, and the payload (the type) rides along —
+    the same composite-sort-key trick as ``training_prep``'s dedup
+    keeper. All zero-padded formatting is C-level numpy, no per-row
+    Python."""
+    us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+    eid = t.column("event_id").to_numpy()
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    key = (
+        pd.Series(np.char.zfill(us.astype("U20"), 20))
+        + "|"
+        + pd.Series(np.char.zfill(eid.astype("U12"), 12))
+        + "|"
+        + pd.Series(et)
+    )
+    df = pd.DataFrame({"user_id": t.column("user_id").to_numpy(), "key": key})
+    g = df.groupby("user_id", sort=False)["key"].agg(["min", "max", "size"]).reset_index()
+    return pa.table(
+        {
+            "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+            "kmin": pa.array(g["min"], pa.string()),
+            "kmax": pa.array(g["max"], pa.string()),
+            "n": pa.array(g["size"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def q_first_last_events(sf_dir: str):
+    """Each user's first and last event (timestamp, event id, type)
+    plus their event count — the user-journey-endpoints query, and
+    the single-exchange argmin+argmax pattern: per-batch partial
+    min/max over a composite key, one ``groupby(user_id)`` carrying
+    two short strings + a count per user per batch, vectorized decode
+    after the exchange. No window functions, no sort, no second
+    pass."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    agg = (
+        ds.map_batches(_fl_encode, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("kmin"), Max("kmax"), Sum("n"))
+    )
+
+    def _decode(t: pa.Table) -> pa.Table:
+        kmin = pd.Series(t.column("min(kmin)").to_numpy(zero_copy_only=False))
+        kmax = pd.Series(t.column("max(kmax)").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": pc.cast(t.column("sum(n)"), pa.int64()),
+                "first_ts_us": pa.array(
+                    kmin.str.slice(0, 20).astype(np.int64), pa.int64()
+                ),
+                "first_event": pa.array(
+                    kmin.str.slice(21, 33).astype(np.int64), pa.int64()
+                ),
+                "first_type": pa.array(kmin.str.slice(34), pa.string()),
+                "last_ts_us": pa.array(
+                    kmax.str.slice(0, 20).astype(np.int64), pa.int64()
+                ),
+                "last_event": pa.array(
+                    kmax.str.slice(21, 33).astype(np.int64), pa.int64()
+                ),
+                "last_type": pa.array(kmax.str.slice(34), pa.string()),
+            }
+        )
+
+    return agg.map_batches(_decode, batch_format="pyarrow")
+
+
+SQL_FIRST_LAST = """
+WITH k AS (
+  SELECT user_id,
+         printf('%020d|%012d|%s', epoch_us(ts), event_id, event_type) AS key
+  FROM events
+)
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(substr(min(key), 1, 20) AS BIGINT)  AS first_ts_us,
+       cast(substr(min(key), 22, 12) AS BIGINT) AS first_event,
+       substr(min(key), 35)                     AS first_type,
+       cast(substr(max(key), 1, 20) AS BIGINT)  AS last_ts_us,
+       cast(substr(max(key), 22, 12) AS BIGINT) AS last_event,
+       substr(max(key), 35)                     AS last_type
+FROM k GROUP BY user_id
+"""
+
+
+# =====================================================================
 # Week-over-week user retention (cohort analytics over events)
 # =====================================================================
 
@@ -1187,6 +1285,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "anomaly_zscore": q_anomaly_zscore,
     "top_ngram_fraction": q_top_ngram_fraction,
+    "first_last_events": q_first_last_events,
     "word_topk": q_word_topk,
     "semi_join_bloom": q_semi_join_bloom,
     "approx_quantiles_value": q_approx_quantiles,
@@ -1207,6 +1306,7 @@ ORACLE_SQL = {
     "retention_cohorts": SQL_RETENTION,
     "anomaly_zscore": SQL_ANOMALY,
     "top_ngram_fraction": SQL_TOP_NGRAM,
+    "first_last_events": SQL_FIRST_LAST,
     "word_topk": SQL_WORD_TOPK,
     "semi_join_bloom": SQL_SEMI_JOIN_BLOOM,
     "bigram_topk": SQL_BIGRAM_TOPK,

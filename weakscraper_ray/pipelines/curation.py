@@ -811,6 +811,64 @@ WHERE d.n_chars >= t.v
 
 
 # =====================================================================
+# Weighted sampling without replacement (Efraimidis–Spirakis A-Res)
+# =====================================================================
+
+_WSAMPLE_K = 100
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample WITHOUT replacement: the
+    Efraimidis–Spirakis A-Res scheme (public, 2006) — each doc gets
+    key = ln(u)/w with u uniform in (0,1] and w its weight (length
+    here); the k largest keys are a weight-proportional sample. The
+    uniform is hash-derived (md5(doc_id) first 8 hex → (h+1)/2³²),
+    so the sample is reproducible and the DuckDB twin computes the
+    IDENTICAL doubles — selection is float-ORDER-sensitive but both
+    engines evaluate the same expression tree (the unigram_logprob
+    precedent: numpy log ≡ DuckDB ln bit-for-bit on this data).
+
+    Shape: per-batch partial top-k (the exchange carries ≤ k
+    candidate rows per batch, never the corpus) → one global
+    ``sort().limit(k)`` over candidates. Output is integers only;
+    floats exist only as ordering keys."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _keys(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        w = t.column("n_chars").to_numpy()
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        h = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids],
+            dtype=np.float64,
+        )  # per-row md5: same justification as q_fingerprint
+        key = np.log((h + 1.0) / 4294967296.0) / w
+        df = pd.DataFrame({"doc_id": ids, "n_chars": w, "key": key})
+        df = df.sort_values(["key", "doc_id"], ascending=[False, True]).head(
+            _WSAMPLE_K
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cands = ds.map_batches(_keys, batch_format="pyarrow")
+    top = cands.sort(["key", "doc_id"], descending=[True, False]).limit(_WSAMPLE_K)
+    return top.map_batches(
+        lambda t: t.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+            / 4294967296.0) / n_chars AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM k ORDER BY key DESC, doc_id LIMIT {_WSAMPLE_K}
+"""
+
+
+# =====================================================================
 # Chat-format QA: do conversation roles strictly alternate?
 # =====================================================================
 
@@ -1002,6 +1060,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "quality_filter_global": q_quality_filter_global,
     "turn_alternation": q_turn_alternation,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -1016,6 +1075,7 @@ ORACLE_SQL = {
     "rank_normalize": SQL_RANK_NORMALIZE,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "quality_filter_global": SQL_QUALITY_FILTER_GLOBAL,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }
 
 _rel.QUERIES.update(QUERIES)
