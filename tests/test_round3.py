@@ -1031,3 +1031,47 @@ def test_ks_drift_matches_duckdb(ray_session):
     )
     orc = con.execute(R.ORACLE_SQL["ks_drift"]).df()
     assert mine.equals(orc[mine.columns])
+
+
+def test_pagerank_matches_single_threaded_reference(ray_session):
+    """The distributed unrolled-iteration PageRank equals an
+    independently written single-threaded numpy reference (dense
+    scatter-add per iteration) bit-for-bit, and obeys the mass
+    invariants (every rank >= teleport floor; floor-division losses
+    only ever shrink total mass below the scaled unit)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines import graph as G
+    from weakscraper_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        R.QUERIES["pagerank"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    ids = np.sort(
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+    )
+    n = len(ids)
+    tele = ((G._PR_DAMP_DEN - G._PR_DAMP_NUM) * G._PR_MASS) // (G._PR_DAMP_DEN * n)
+    # dense reference: doc_ids are 0..n-1 in the synthetic tables
+    assert (ids == np.arange(n)).all()
+    r = np.full(n, G._PR_MASS // n, dtype=object)  # python ints: no overflow
+    for _ in range(G._PR_ITERS):
+        nxt = np.full(n, tele, dtype=object)
+        contrib = [(int(x) * G._PR_DAMP_NUM) // (G._PR_DAMP_DEN * G._PR_OUTDEG) for x in r]
+        for j in range(1, G._PR_OUTDEG + 1):
+            dst = (ids * G._PR_KNUTH + j) % n
+            for u, d in enumerate(dst):
+                nxt[d] += contrib[u]
+        r = nxt
+    assert (mine["doc_id"].to_numpy() == ids).all()
+    assert [int(x) for x in mine["rank_e12"]] == [int(x) for x in r]
+    assert (mine["rank_e12"] >= tele).all()
+    assert int(mine["rank_e12"].sum()) <= G._PR_MASS

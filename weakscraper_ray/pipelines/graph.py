@@ -1,0 +1,254 @@
+"""Round-3 link-graph family: iterative graph analytics over an edge
+list — the page-quality signal step of a web-curation pipeline
+(Common Crawl-style corpora rank seed pages by centrality before
+sampling; PageRank/harmonic centrality are the published idioms).
+
+The synthetic corpus has no real hyperlink column (the transcript
+HTML carries no ``href``s), so the edge table is DERIVED
+deterministically from ``documents.doc_id`` via a modular-hash
+citation rule (``dst = (src * KNUTH + j) % N``, j = 1..OUTDEG) —
+mirrored verbatim in the DuckDB oracle, so the check is exact. The
+operator's contract is the EDGE TABLE: swap the derivation for a real
+``(src, dst)`` parquet (e.g. the extraction family's href spans) and
+nothing else changes.
+
+Scale design (the interesting part — iterative convergent compute on
+Ray Data):
+
+- Each PageRank iteration is ONE streaming ``map_batches`` (out-edges
+  are generated per batch with numpy broadcasting, contributions
+  partially pre-aggregated per batch) followed by ONE
+  ``groupby(doc_id).Sum`` exchange. K iterations = K exchanges; no
+  driver-side rank vector ever exists — ranks live in the object
+  store between iterations, so the node count can exceed driver
+  memory.
+- All arithmetic is INTEGER (rank mass scaled to 1e12, damping 17/20
+  as ``(r*17)//60`` per out-edge — floor-div nesting identity makes
+  the per-edge contribution exact in one op). Integer sums are
+  associative, so the result is bit-identical under any block
+  partitioning AND identical to the SQL mirror — no float-summation
+  hash risk.
+- A presence row ``(u, 0)`` is emitted alongside each node's
+  out-contributions so zero-in-degree nodes survive the groupby
+  without a separate outer join against the node table.
+- At 10^12 nodes the modular rule would overflow / the real pipeline
+  would read an edge parquet; the join-based variant (ranks ⋈ edges
+  on src) is the documented swap-in, costing one extra hash join per
+  iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import relational as _rel
+from .relational import _read
+
+#: Knuth's multiplicative-hash constant (public; TAOCP vol. 3) — makes
+#: the derived citation targets well-scattered without an RNG.
+_PR_KNUTH = 2654435761
+#: out-degree of every node in the derived graph
+_PR_OUTDEG = 3
+#: total rank mass, integer-scaled (rank column is "rank_e12")
+_PR_MASS = 10**12
+#: damping d = 17/20 = 0.85; per-edge contribution is
+#: (r*17)//(20*OUTDEG) == (r*17)//60 (floor-div nesting identity)
+_PR_DAMP_NUM, _PR_DAMP_DEN = 17, 20
+#: fixed iteration count (convergence loop unrolled; the driver compare
+#: needs a deterministic answer, not a tolerance)
+_PR_ITERS = 3
+
+
+def _derived_dsts(src: np.ndarray, n: int) -> list[np.ndarray]:
+    """Out-neighbours of each src under the modular citation rule."""
+    return [(src * _PR_KNUTH + j) % n for j in range(1, _PR_OUTDEG + 1)]
+
+
+def q_pagerank(sf_dir: str):
+    """Damped PageRank (d=0.85, 3 unrolled iterations) over the derived
+    citation graph on ``documents``. Integer-exact: emits
+    ``(doc_id, rank_e12)`` with rank mass scaled to 1e12 — hash-stable
+    vs the DuckDB chained-CTE mirror under any partitioning."""
+    from ray.data.aggregate import Sum
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()  # parquet-metadata count; no scan
+    per_edge_den = _PR_DAMP_DEN * _PR_OUTDEG
+    tele = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_MASS) // (_PR_DAMP_DEN * n)
+    r0 = _PR_MASS // n
+
+    ranks = ds0.map_batches(
+        lambda t, r0=r0: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "rank": pa.array(np.full(t.num_rows, r0, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _contrib(t: pa.Table, n=n, den=per_edge_den) -> pa.Table:
+        src = t.column("doc_id").to_numpy()
+        rk = t.column("rank").to_numpy()
+        c = (rk * _PR_DAMP_NUM) // den  # ≤ 1.7e13 — no int64 overflow
+        dsts = _derived_dsts(src, n)
+        doc = np.concatenate([src] + dsts)
+        val = np.concatenate([np.zeros(len(src), dtype=np.int64)] + [c] * len(dsts))
+        out = pa.table(
+            {"doc_id": pa.array(doc, pa.int64()), "contrib": pa.array(val, pa.int64())}
+        )
+        # per-batch partial: collisions within a batch collapse before
+        # the exchange (int sums — order-free, exact)
+        return out.group_by("doc_id").aggregate([("contrib", "sum")]).rename_columns(
+            ["doc_id", "contrib"]
+        )
+
+    def _finalize(t: pa.Table, tele=tele) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "rank": pc.add(
+                    pc.cast(t.column("sum(contrib)"), pa.int64()), pa.scalar(tele)
+                ),
+            }
+        )
+
+    for _ in range(_PR_ITERS):
+        ranks = (
+            ranks.map_batches(_contrib, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("contrib"))
+            .map_batches(_finalize, batch_format="pyarrow")
+        )
+
+    return ranks.map_batches(
+        lambda t: t.rename_columns(["doc_id", "rank_e12"]), batch_format="pyarrow"
+    )
+
+
+def _sql_pagerank() -> str:
+    """Chained-CTE mirror: one (edges ⋈ ranks → groupby dst) CTE per
+    iteration, generated by the same loop count as the Ray path.
+    DuckDB ``//`` / ``%`` match Python floor semantics on the
+    (all-nonnegative) operands here; sums are cast back from HUGEINT
+    so the final column is BIGINT like the Ray output."""
+    per_edge_den = _PR_DAMP_DEN * _PR_OUTDEG
+    tele_expr = (
+        f"({(_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_MASS} // ({_PR_DAMP_DEN} * p.n))"
+    )
+    ctes = [
+        "nodes AS (SELECT doc_id FROM documents)",
+        "p AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes)",
+        f"edges AS (SELECT n.doc_id AS src,"
+        f" (n.doc_id * {_PR_KNUTH} + j.j) % p.n AS dst"
+        f" FROM nodes n, p, range(1, {_PR_OUTDEG + 1}) j(j))",
+        f"r0 AS (SELECT doc_id, {_PR_MASS} // p.n AS pr FROM nodes, p)",
+    ]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS doc_id,"
+            f" sum((r.pr * {_PR_DAMP_NUM}) // {per_edge_den}) AS s"
+            f" FROM edges e JOIN {prev} r ON r.doc_id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.doc_id,"
+            f" cast({tele_expr} + coalesce(s.s, 0) AS BIGINT) AS pr"
+            f" FROM nodes n CROSS JOIN p LEFT JOIN s{i} s USING (doc_id))"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, pr AS rank_e12 FROM {prev}"
+    )
+
+
+def q_in_degree_hist(sf_dir: str):
+    """In-degree histogram of the derived graph: two chained
+    aggregations (groupby dst count → groupby count count) — the
+    degree-distribution profile run before choosing a partitioner
+    (skew detection). Integer-only, exchange rows bounded by the
+    distinct-degree domain after level 1."""
+    from ray.data.aggregate import Sum
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()
+
+    def _partial(t: pa.Table, n=n) -> pa.Table:
+        src = t.column("doc_id").to_numpy()
+        doc = np.concatenate([src] + _derived_dsts(src, n))
+        ones = np.concatenate(
+            [np.zeros(len(src), dtype=np.int64), np.ones(len(src) * _PR_OUTDEG, np.int64)]
+        )
+        out = pa.table(
+            {"doc_id": pa.array(doc, pa.int64()), "c": pa.array(ones, pa.int64())}
+        )
+        return out.group_by("doc_id").aggregate([("c", "sum")]).rename_columns(
+            ["doc_id", "c"]
+        )
+
+    deg = (
+        ds0.map_batches(_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("c"))
+    )
+
+    def _level2(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "in_degree": pc.cast(t.column("sum(c)"), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return out.group_by("in_degree").aggregate([("n", "sum")]).rename_columns(
+            ["in_degree", "n"]
+        )
+
+    hist = (
+        deg.map_batches(_level2, batch_format="pyarrow")
+        .groupby("in_degree")
+        .aggregate(Sum("n"))
+    )
+    return hist.map_batches(
+        lambda t: pa.table(
+            {
+                "in_degree": t.column("in_degree"),
+                "n_nodes": pc.cast(t.column("sum(n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_IN_DEGREE_HIST = f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+p AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes),
+edges AS (
+  SELECT n.doc_id AS src, (n.doc_id * {_PR_KNUTH} + j.j) % p.n AS dst
+  FROM nodes n, p, range(1, {_PR_OUTDEG + 1}) j(j)
+),
+deg AS (
+  SELECT n.doc_id, cast(count(e.dst) AS BIGINT) AS in_degree
+  FROM nodes n LEFT JOIN edges e ON e.dst = n.doc_id
+  GROUP BY n.doc_id
+)
+SELECT in_degree, cast(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY in_degree
+"""
+
+
+QUERIES = {
+    "pagerank": q_pagerank,
+    "in_degree_hist": q_in_degree_hist,
+}
+
+ORACLE_SQL = {
+    "pagerank": _sql_pagerank(),
+    "in_degree_hist": SQL_IN_DEGREE_HIST,
+}
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

@@ -3062,3 +3062,7 @@ from . import embedding_ops as _embedding_ops  # noqa: E402,F401
 # round-3 indexing family (inverted index with capped posting lists,
 # blocked-Levenshtein fuzzy dedup) — same self-registration pattern.
 from . import indexing as _indexing  # noqa: E402,F401
+
+# round-3 link-graph family (iterative integer-exact PageRank,
+# in-degree histogram) — same self-registration pattern.
+from . import graph as _graph  # noqa: E402,F401
