@@ -1,0 +1,572 @@
+"""Round-3 mining family: the multi-way join, co-occurrence and
+corpus-diagnostic shapes a curation team runs AROUND the extraction
+pipeline — each one exercises a composition the other families don't:
+
+- ``regional_revenue``: a 6-table TPC-H-Q5-shape join (two distributed
+  hash joins chained with broadcast dims and a same-nation semi
+  filter) — the deepest join plan in the repo.
+- ``char_stats``: per-document character-histogram quality signals
+  (FineWeb-style "weird character" filters), integer-exact and fully
+  vectorized via one codepoint pass per batch.
+- ``event_pairs``: market-basket co-occurrence of event types within
+  sessionized activity (the association-rule input shape).
+- ``source_overlap``: cross-source distinct-5-gram overlap matrix —
+  the corpus-level "how much do my crawls duplicate each other"
+  diagnostic that decides which sources to dedup against which.
+- ``event_funnel``: ordered multi-stage funnel (view → click →
+  purchase with strictly increasing timestamps per user).
+
+All five are exact (integer or count outputs; the one money column
+follows the repo's `_i64_away` half-away-from-zero contract) and carry
+full DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from . import relational as _rel
+from .relational import _i64_away, _p, _read, _schema_guard
+
+# =====================================================================
+# TPC-H Q5 shape: revenue by nation for one region/year, customer and
+# supplier required to be in the SAME nation
+# =====================================================================
+
+_Q5_REGION = "ASIA"
+_Q5_LO = np.datetime64("1996-01-01", "us")
+_Q5_HI = np.datetime64("1997-01-01", "us")
+
+
+def q_regional_revenue(sf_dir: str):
+    """Six-table join (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem
+    ⋈ supplier) with the Q5 twist that the supplier must sit in the
+    customer's nation — the repo's deepest join plan, composed from
+    the two join strategies the engine already proves out separately:
+
+    - region/nation (25 rows) and supplier (10k × SF — small relative
+      to lineitem's 6M × SF) ship ONCE as broadcast lookups; supplier
+      becomes a dense int64 ``suppkey → nationkey`` array probed with
+      one numpy take per batch. If supplier outgrew broadcast, the
+      swap-in is a third ``Dataset.join`` — same pattern as below.
+    - orders ⋈ customer and (that) ⋈ lineitem are distributed hash
+      joins (``Dataset.join``), the large-large path ``hash_join``
+      established. Orders are date-filtered and customers
+      region-filtered BEFORE the shuffle, so the exchange only moves
+      qualifying rows; both joins key on the same already-partitioned
+      ``o_orderkey`` stream on the probe side.
+
+    Revenue is summed as float64 partials and rounded once at the end
+    (same contract as ``hash_join``/``pricing_summary``)."""
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(_p(sf_dir, "region"))
+    rkeys = set(
+        region.filter(pc.equal(region.column("r_name"), _Q5_REGION))
+        .column("r_regionkey").to_pylist()
+    )
+    in_region = pc.is_in(
+        nation.column("n_regionkey"),
+        value_set=pa.array(sorted(rkeys), pa.int32()),
+    )
+    nat = nation.filter(in_region)
+    nation_keys = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    nation_names = nat.column("n_name").to_pylist()
+
+    sup = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    s_keys = sup.column("s_suppkey").to_numpy()
+    s_nat = np.full(int(s_keys.max()) + 1, -1, dtype=np.int64)
+    s_nat[s_keys] = sup.column("s_nationkey").to_numpy()
+    sup_ref = ray.put(s_nat)  # broadcast once, read per actor below
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _ofilter(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate")
+        keep = pc.and_(
+            pc.greater_equal(ts, pa.scalar(_Q5_LO.item(), pa.timestamp("us"))),
+            pc.less(ts, pa.scalar(_Q5_HI.item(), pa.timestamp("us"))),
+        )
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(_ofilter, batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nk_set = pa.array(sorted(nation_keys.tolist()), pa.int32())
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"), value_set=nk_set)),
+        batch_format="pyarrow",
+    )
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, ncpu // 2)
+    oc = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j = li.join(
+        oc,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    class _SameNationPartial:
+        """Actor holding the broadcast supplier→nation array; per batch
+        one numpy take + equality mask + Arrow partial aggregate."""
+
+        def __init__(self, sup_ref):
+            self.s_nat = ray.get(sup_ref) if isinstance(
+                sup_ref, ray.ObjectRef) else sup_ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"c_nationkey": pa.array([], pa.int64()),
+                     "rev": pa.array([], pa.float64())}
+                )
+            sk = t.column("l_suppkey").to_numpy()
+            snat = self.s_nat[sk]
+            cnat = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+            keep = pa.array(snat == cnat.astype(np.int64))
+            f = t.filter(keep)
+            rev = pc.multiply(
+                f.column("l_extendedprice"),
+                pc.subtract(1.0, f.column("l_discount")),
+            )
+            part = pa.table(
+                {"c_nationkey": pc.cast(f.column("c_nationkey"), pa.int64()),
+                 "rev": rev}
+            )
+            return part.group_by("c_nationkey").aggregate(
+                [("rev", "sum")]
+            ).rename_columns(["c_nationkey", "rev"])
+
+    partials = j.map_batches(
+        _SameNationPartial,
+        fn_constructor_kwargs=dict(sup_ref=sup_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    agg = partials.groupby("c_nationkey").aggregate(Sum("rev"))
+
+    name_keys = pa.array(nation_keys, pa.int64())
+    name_vals = pa.array(nation_names, pa.string())
+
+    def _name(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(t.column("c_nationkey"), pa.int64()),
+                          value_set=name_keys)
+        return pa.table(
+            {"n_name": pc.take(name_vals, idx),
+             "revenue_cents": _i64_away(t.column("sum(rev)"))}
+        )
+
+    return agg.map_batches(_name, batch_format="pyarrow")
+
+
+SQL_REGIONAL_REVENUE = f"""
+SELECT n.n_name,
+       cast(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100, 0)
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+# =====================================================================
+# Per-document character-histogram stats (integer-exact)
+# =====================================================================
+
+def _char_stats_batch(batch: pa.Table) -> pa.Table:
+    """One vectorized codepoint pass per batch: texts are joined into a
+    single buffer, decoded to uint32 codepoints via utf-32, and the
+    per-(row, char) histogram comes from ONE ``np.unique`` over a
+    composite ``row << 21 | codepoint`` key (codepoints < 0x110000 <
+    2^21). No per-row Python beyond the join."""
+    texts = pc.fill_null(batch.column("text"), "")
+    n = batch.num_rows
+    lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    joined = "".join(texts.to_pylist())
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    key = (rows << 21) | cp
+    uk, cnt = np.unique(key, return_counts=True)
+    urow = uk >> 21
+    distinct = np.bincount(urow, minlength=n)
+    top = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top, urow, cnt)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "total_chars": pa.array(lens, pa.int64()),
+            "distinct_chars": pa.array(distinct.astype(np.int64), pa.int64()),
+            "top_char_count": pa.array(top, pa.int64()),
+        }
+    )
+
+
+def q_char_stats(sf_dir: str):
+    """Character-level quality signals per document: total codepoints,
+    distinct codepoints, and the modal character's count (the
+    max-char-fraction numerator of FineWeb-style weird-text filters).
+    Map-only — no exchange; all-integer outputs so the oracle is
+    float-free."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_char_stats_batch, batch_format="pyarrow")
+
+
+#: string_split(s, '') yields [''] (one empty element) for s = '', so
+#: empty/NULL texts are excluded from the CTE and re-joined as zeros.
+SQL_CHAR_STATS = """
+WITH per AS (
+    SELECT doc_id, c, count(*) AS n FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE coalesce(text, '') <> ''
+    ) GROUP BY doc_id, c
+), agg AS (
+    SELECT doc_id,
+           cast(sum(n) AS BIGINT)   AS tot,
+           cast(count(*) AS BIGINT) AS dc,
+           cast(max(n) AS BIGINT)   AS mx
+    FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       cast(coalesce(a.tot, 0) AS BIGINT) AS total_chars,
+       cast(coalesce(a.dc, 0) AS BIGINT)  AS distinct_chars,
+       cast(coalesce(a.mx, 0) AS BIGINT)  AS top_char_count
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# =====================================================================
+# Market-basket: event-type co-occurrence within sessions
+# =====================================================================
+
+_SESSION_GAP_S = 1800
+_PAIR_SHARDS = 64
+
+
+def q_event_pairs(sf_dir: str):
+    """For every unordered pair of event types, in how many sessions do
+    both occur? (The association-rule / co-occurrence input.) Sessions
+    follow the repo's 30-minute-gap rule (``sessionize``).
+
+    Shape: ONE exchange keyed by ``user_id % shards`` (the
+    pack_conversations lesson — per-user groups are tiny, so the UDF
+    runs once per shard and everything inside is C-level pandas), a
+    per-shard distinct (session, type) self-merge bounded by the tiny
+    type vocabulary, then a final groupby over ≤ |types|² rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _shard(t: pa.Table) -> pa.Table:
+        # user_id % 64 == user_id & 63 (non-negative ids, power-of-two
+        # shard count; this pyarrow has no pc.mod kernel)
+        return t.append_column(
+            "shard",
+            pc.cast(
+                pc.bit_wise_and(t.column("user_id"), _PAIR_SHARDS - 1),
+                pa.int64(),
+            ),
+        )
+
+    def _pairs(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(["user_id", "ts", "event_id"])
+        gap = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        new_sess = (gap > _SESSION_GAP_S) | gap.isna()
+        g["sid"] = new_sess.cumsum()  # globally unique within the shard
+        d = g[["sid", "event_type"]].drop_duplicates()
+        m = d.merge(d, on="sid")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = (
+            m.groupby(["event_type_x", "event_type_y"], sort=False)
+            .size().reset_index(name="n")
+        )
+        return out.rename(
+            columns={"event_type_x": "type_a", "event_type_y": "type_b"}
+        )
+
+    tagged = _schema_guard(
+        ds.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_pairs, batch_format="pandas"),
+        pa.schema(
+            [("type_a", pa.string()), ("type_b", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    agg = tagged.groupby(["type_a", "type_b"]).aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "type_a": t.column("type_a"),
+                "type_b": t.column("type_b"),
+                "n_sessions": pc.cast(t.column("sum(n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENT_PAIRS = f"""
+WITH s AS (
+    SELECT user_id, event_type,
+           sum(CASE WHEN gap > {_SESSION_GAP_S} THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS sid
+    FROM (
+        SELECT user_id, event_type, ts, event_id,
+               epoch(ts) - lag(epoch(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events)
+), d AS (SELECT DISTINCT user_id, sid, event_type FROM s)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       cast(count(*) AS BIGINT) AS n_sessions
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.sid = b.sid
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Cross-source n-gram overlap matrix (corpus diagnostics)
+# =====================================================================
+
+_OVL_K = 5
+_OVL_SHARDS = 64
+
+
+def q_source_overlap(sf_dir: str):
+    """For every pair of sources, how many distinct 5-grams occur in
+    BOTH — the corpus-level duplication diagnostic that tells a
+    curation team which crawls/snapshots overlap enough to dedup
+    jointly. Gram construction is the same tokenizer as
+    ``dup_ngram_fraction``/the MinHash CTE, so the SQL twin is exact.
+
+    Shape: per-batch distinct (gram, source) pairs (a doc lives in one
+    row, so batch-local distinct is a valid partial) → ONE exchange
+    keyed by the gram's hash shard → per-shard global dedup + a
+    self-merge per gram bounded by the source vocabulary (20 here;
+    pairs/gram ≤ C(|sources|,2)) emitting per-shard pair counts →
+    final groupby over ≤ |sources|² rows. At 100 TB the gram string
+    would be a 64-bit hash (same scale note as dup_ngram_fraction —
+    the string key keeps the oracle exact at test scale)."""
+    from ray.data.aggregate import Sum
+
+    from .curation import _explode_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    k = _OVL_K
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        rows, toks = _explode_tokens(batch)
+        src = batch.column("source").to_pandas().to_numpy()
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "shard": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+            }
+        )
+        if len(toks) < k:
+            return empty
+        valid = rows[: -(k - 1)] == rows[k - 1 :]
+        gram = toks[: -(k - 1)].astype(object)
+        for j in range(1, k):
+            gram = gram + " " + toks[j : len(toks) - (k - 1) + j].astype(object)
+        df = pd.DataFrame(
+            {"gram": gram[valid], "source": src[rows[: -(k - 1)][valid]]}
+        ).drop_duplicates()
+        if df.empty:
+            return empty
+        grams = df["gram"].to_numpy()
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "shard": pa.array(
+                    (pd.util.hash_array(grams.astype("O")) % _OVL_SHARDS
+                     ).astype("int64")
+                ),
+                "source": pa.array(df["source"].to_numpy(), pa.string()),
+            }
+        )
+
+    def _pairs(shard: pd.DataFrame) -> pd.DataFrame:
+        d = shard[["gram", "source"]].drop_duplicates()
+        m = d.merge(d, on="gram")
+        m = m[m["source_x"] < m["source_y"]]
+        out = (
+            m.groupby(["source_x", "source_y"], sort=False)
+            .size().reset_index(name="n")
+        )
+        return out.rename(columns={"source_x": "src_a", "source_y": "src_b"})
+
+    tagged = _schema_guard(
+        ds.map_batches(_grams, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_pairs, batch_format="pandas"),
+        pa.schema(
+            [("src_a", pa.string()), ("src_b", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    agg = tagged.groupby(["src_a", "src_b"]).aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "src_a": t.column("src_a"),
+                "src_b": t.column("src_b"),
+                "shared_grams": pc.cast(t.column("sum(n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SOURCE_OVERLAP = rf"""
+WITH d AS (
+    SELECT source,
+           list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x <> '') AS ws
+    FROM documents),
+g AS (
+    SELECT DISTINCT source,
+           unnest(list_distinct(list_transform(
+               range(1, len(ws) - {_OVL_K - 2}),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] || ' ' || ws[i+4]))) AS gram
+    FROM d)
+SELECT a.source AS src_a, b.source AS src_b,
+       cast(count(*) AS BIGINT) AS shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Ordered funnel: view → click → purchase, strictly increasing ts
+# =====================================================================
+
+def q_event_funnel(sf_dir: str):
+    """Classic ordered funnel: per user, stage 1 is the first 'view',
+    stage 2 the first 'click' strictly after it, stage 3 the first
+    'purchase' strictly after that; output is users reached per stage.
+    ONE exchange keyed by user-hash shard; within a shard the three
+    stage times come from C-level pandas groupby-mins + merges (no
+    per-user UDF), and each shard emits 3 partial-count rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def _shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shard",
+            pc.cast(
+                pc.bit_wise_and(t.column("user_id"), _PAIR_SHARDS - 1),
+                pa.int64(),
+            ),
+        )
+
+    def _funnel(shard: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            shard[shard["event_type"] == "view"]
+            .groupby("user_id")["ts"].min().rename("t1").reset_index()
+        )
+        c = shard[shard["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = (
+            c[c["ts"] > c["t1"]]
+            .groupby("user_id")["ts"].min().rename("t2").reset_index()
+        )
+        p = shard[shard["event_type"] == "purchase"].merge(t2, on="user_id")
+        n3 = p.loc[p["ts"] > p["t2"], "user_id"].nunique()
+        return pd.DataFrame(
+            {
+                "stage": ["1_view", "2_click", "3_purchase"],
+                "n": np.array([len(t1), len(t2), n3], dtype=np.int64),
+            }
+        )
+
+    partials = _schema_guard(
+        ds.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_funnel, batch_format="pandas"),
+        pa.schema([("stage", pa.string()), ("n", pa.int64())]),
+    )
+    agg = partials.groupby("stage").aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "stage": t.column("stage"),
+                "n_users": pc.cast(t.column("sum(n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, cast(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT '2_click', cast(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT '3_purchase', cast(count(*) AS BIGINT) FROM s3
+"""
+
+
+QUERIES = {
+    "regional_revenue": q_regional_revenue,
+    "char_stats": q_char_stats,
+    "event_pairs": q_event_pairs,
+    "source_overlap": q_source_overlap,
+    "event_funnel": q_event_funnel,
+}
+
+ORACLE_SQL = {
+    "regional_revenue": SQL_REGIONAL_REVENUE,
+    "char_stats": SQL_CHAR_STATS,
+    "event_pairs": SQL_EVENT_PAIRS,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "event_funnel": SQL_EVENT_FUNNEL,
+}
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

@@ -3066,3 +3066,8 @@ from . import indexing as _indexing  # noqa: E402,F401
 # round-3 link-graph family (iterative integer-exact PageRank,
 # in-degree histogram) — same self-registration pattern.
 from . import graph as _graph  # noqa: E402,F401
+
+# round-3 mining family (TPC-H-Q5-shape multiway join, char-histogram
+# stats, session co-occurrence, cross-source n-gram overlap, ordered
+# funnel) — same self-registration pattern.
+from . import mining as _mining  # noqa: E402,F401
