@@ -552,8 +552,200 @@ SELECT '3_purchase', cast(count(*) AS BIGINT) FROM s3
 """
 
 
+# =====================================================================
+# Predicate pushdown at the scan (row-group pruning)
+# =====================================================================
+
+_PUSH_LO = "1996-03-01"
+_PUSH_HI = "1996-04-01"
+
+
+def q_pushdown_scan(sf_dir: str):
+    """Monthly shipping summary where the row filter is pushed INTO the
+    parquet scan (``read_parquet(filter=...)`` → pyarrow dataset
+    scanner): row groups whose ``l_shipdate`` statistics fall outside
+    the month never leave storage, and non-qualifying rows inside
+    surviving groups are dropped by the scanner before the block is
+    even built — the "prune at the read" contract, demonstrated
+    explicitly (every other query prunes columns; this one also prunes
+    rows at the source). Downstream is one partial-agg exchange."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+    from ray.data.aggregate import Sum
+
+    from ..context import configure_context
+
+    configure_context()
+    lo = _dt.datetime.fromisoformat(_PUSH_LO)
+    hi = _dt.datetime.fromisoformat(_PUSH_HI)
+    flt = (pds.field("l_shipdate") >= pa.scalar(lo, pa.timestamp("us"))) & (
+        pds.field("l_shipdate") < pa.scalar(hi, pa.timestamp("us"))
+    )
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"],
+        **{"filter": flt},
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty": t.column("l_quantity"),
+                "price": t.column("l_extendedprice"),
+            }
+        )
+        g = part.group_by("l_returnflag").aggregate(
+            [("qty", "sum"), ("price", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "qty_sum", "price_sum", "n"])
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "l_returnflag"
+    ).aggregate(Sum("qty_sum"), Sum("price_sum"), Sum("n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "sum_qty": _i64_away(t.column("sum(qty_sum)"), 1.0),
+                "sum_price_cents": _i64_away(t.column("sum(price_sum)")),
+                "n_items": pc.cast(t.column("sum(n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PUSHDOWN_SCAN = f"""
+SELECT l_returnflag,
+       cast(round(sum(l_quantity), 0) AS BIGINT)             AS sum_qty,
+       cast(round(sum(l_extendedprice) * 100, 0) AS BIGINT)  AS sum_price_cents,
+       cast(count(*) AS BIGINT)                              AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_PUSH_LO}' AND l_shipdate < TIMESTAMP '{_PUSH_HI}'
+GROUP BY l_returnflag
+"""
+
+
+# =====================================================================
+# Composite curation pipeline: lang → quality → gate → exact dedup
+# =====================================================================
+
+_CUR_MIN_SCORE = 700_000
+_CUR_MIN_TOKENS = 20
+
+
+class _CurateStage:
+    """Fused per-batch curation pass: language-ID + quality features +
+    threshold gate + content hash, ONE streaming stage (the three
+    stages share the batch instead of re-reading the corpus three
+    times). Regexes/tables build once per actor. Emits only kept rows,
+    already reduced to (content_hash, composite payload key) so the
+    dedup exchange carries no text."""
+
+    def __init__(self):
+        from ..functions.text import LangId, QualityScore
+
+        self.lang = LangId()
+        self.qual = QualityScore()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.dedup import content_hash_batch
+
+        lang_t = self.lang(batch)       # aligned: (doc_id, lang_pred)
+        qual_t = self.qual(batch)       # aligned: (doc_id, ..., score)
+        lang = lang_t.column("lang_pred")
+        score = qual_t.column("quality_score_e6")
+        ntok = qual_t.column("n_tokens")
+        keep = pc.and_(
+            pc.and_(
+                pc.equal(lang, "en"),
+                pc.greater_equal(score, _CUR_MIN_SCORE),
+            ),
+            pc.greater_equal(ntok, _CUR_MIN_TOKENS),
+        )
+        kept = batch.filter(keep)
+        hashed = content_hash_batch(kept)
+        doc = kept.column("doc_id").to_numpy()
+        ntk = ntok.filter(keep).to_numpy()
+        sc = score.filter(keep).to_numpy()
+        lg = lang.filter(keep).to_pylist()
+        # fixed-width composite key: doc_id(12) | n_tokens(10) |
+        # score(10) | lang — Min over the string IS argmin by doc_id
+        # with the payload riding along (first_last_events pattern)
+        key = [
+            f"{d:012d}{t:010d}{s:010d}{l}"
+            for d, t, s, l in zip(doc, ntk, sc, lg)
+        ]
+        return pa.table(
+            {
+                "content_hash": hashed.column("content_hash"),
+                "key": pa.array(key, pa.string()),
+            }
+        )
+
+
+def q_curation_prep(sf_dir: str):
+    """End-to-end curation composite over ``documents`` (the documents
+    twin of the flagship's ``training_prep``): language-ID → quality
+    scoring → fixed gates (en, score ≥ 0.7, ≥ 20 tokens) → exact dedup
+    keeping the smallest doc_id per content hash. ONE streaming fused
+    map stage + ONE groupby(content_hash) Min exchange carrying
+    (md5, 35-byte key) per kept doc — the driver verifies the chain,
+    not just each member."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = ds.map_batches(_CurateStage, batch_format="pyarrow",
+                          concurrency=(1, 4))
+    agg = kept.groupby("content_hash").aggregate(Min("key"))
+
+    def _decode(t: pa.Table) -> pa.Table:
+        k = t.column("min(key)")
+        return pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.utf8_slice_codeunits(k, 0, 12), pa.int64()
+                ),
+                "n_tokens": pc.cast(
+                    pc.utf8_slice_codeunits(k, 12, 22), pa.int64()
+                ),
+                "quality_score_e6": pc.cast(
+                    pc.utf8_slice_codeunits(k, 22, 32), pa.int64()
+                ),
+                "lang_pred": pc.utf8_slice_codeunits(k, 32, 99),
+            }
+        )
+
+    return agg.map_batches(_decode, batch_format="pyarrow")
+
+
+def _sql_curation_prep() -> str:
+    from .relational import _sql_lang_id, _sql_quality
+
+    return f"""
+WITH l AS ({_sql_lang_id()}), q AS ({_sql_quality()}),
+kept AS (
+    SELECT d.doc_id, d.text, l.lang_pred, q.n_tokens, q.quality_score_e6
+    FROM documents d JOIN l USING (doc_id) JOIN q USING (doc_id)
+    WHERE l.lang_pred = 'en'
+      AND q.quality_score_e6 >= {_CUR_MIN_SCORE}
+      AND q.n_tokens >= {_CUR_MIN_TOKENS}
+),
+keepers AS (
+    SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(coalesce(text, ''))
+)
+SELECT k.doc_id, cast(k.n_tokens AS BIGINT) AS n_tokens,
+       k.quality_score_e6, k.lang_pred
+FROM kept k JOIN keepers USING (doc_id)
+"""
+
+
 QUERIES = {
     "regional_revenue": q_regional_revenue,
+    "pushdown_scan": q_pushdown_scan,
+    "curation_prep": q_curation_prep,
     "char_stats": q_char_stats,
     "event_pairs": q_event_pairs,
     "source_overlap": q_source_overlap,
@@ -562,6 +754,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "regional_revenue": SQL_REGIONAL_REVENUE,
+    "pushdown_scan": SQL_PUSHDOWN_SCAN,
+    "curation_prep": _sql_curation_prep(),
     "char_stats": SQL_CHAR_STATS,
     "event_pairs": SQL_EVENT_PAIRS,
     "source_overlap": SQL_SOURCE_OVERLAP,
