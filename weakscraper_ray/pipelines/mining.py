@@ -742,10 +742,161 @@ FROM kept k JOIN keepers USING (doc_id)
 """
 
 
+# =====================================================================
+# Incremental near-dup: new crawl vs an LSH band index of the corpus
+# =====================================================================
+
+_MAI_SHARDS = 8
+
+
+def q_minhash_against_index(sf_dir: str):
+    """Incremental NEAR-dup: probe today's crawl against a MinHash-LSH
+    band index of yesterday's corpus held in sharded Ray actors — the
+    near-dup sibling of ``dedup_against_index`` (which is exact-hash
+    only), and how production dedup actually runs: the historical
+    corpus is indexed ONCE; each new batch only computes its own
+    signatures and probes.
+
+    Same deterministic stand-in (corpus = even doc_ids, incoming =
+    odd). Phase 1 streams the corpus through minhash(64, 3-gram) →
+    16-band explode, feeding each (band, band_hash) bucket key to its
+    index shard (one RPC per batch per shard; posting lists capped
+    with visible overflow — see ``LSHIndexShard``); ``count()`` is the
+    build barrier. Phase 2 probes the incoming half's bucket keys,
+    emits (old, new) candidate pairs, dedups them, and exact-verifies
+    with the same integer 3-gram-Jaccard rule as ``dedup_minhash`` —
+    so the oracle is the all-pairs cross-half Jaccard SQL (the LSH
+    config has measured full recall at J ≥ 0.5 on this corpus, same
+    argument as ``dedup_minhash``'s oracle)."""
+    from functools import partial
+
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import explode_bands, minhash_batch
+    from ..state.hash_index import LSHIndexShard
+    from .relational import _PAIR_SCHEMA, _jaccard_verify_batch
+
+    shards = [LSHIndexShard.remote() for _ in range(_MAI_SHARDS)]
+    explode = explode_bands(n_bands=16)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _half(batch: pa.Table, even: bool) -> pa.Table:
+        m = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+        return batch.filter(m if even else pc.invert(m))
+
+    def _band_keys(half: pa.Table) -> tuple[list[int], np.ndarray]:
+        bands_t = explode(minhash_batch(half, n_hashes=64, shingle_k=3))
+        band = bands_t.column("band").to_numpy()
+        bh = bands_t.column("band_hash").to_numpy()
+        ids = bands_t.column("doc_id").to_numpy()
+        keys = [(int(b) << 64) | int(h) for b, h in zip(band, bh)]
+        return keys, ids
+
+    def _build(batch: pa.Table) -> pa.Table:
+        old = _half(batch, even=True)
+        if old.num_rows:
+            keys, ids = _band_keys(old)
+            per: list[tuple[list[int], list[int]]] = [
+                ([], []) for _ in range(_MAI_SHARDS)
+            ]
+            for k, i in zip(keys, ids):
+                ks, is_ = per[k % _MAI_SHARDS]
+                ks.append(k)
+                is_.append(int(i))
+            ray.get(
+                [
+                    shards[s].add.remote(ks, is_)
+                    for s, (ks, is_) in enumerate(per)
+                    if ks
+                ]
+            )
+        return pa.table({"n_indexed": pa.array([old.num_rows], pa.int64())})
+
+    # build barrier: the index must be complete before any probe runs
+    ds.map_batches(_build, batch_format="pyarrow").count()
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        new = _half(batch, even=False)
+        if new.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        keys, ids = _band_keys(new)
+        per_rows: list[list[int]] = [[] for _ in range(_MAI_SHARDS)]
+        for i, k in enumerate(keys):
+            per_rows[k % _MAI_SHARDS].append(i)
+        matches: list[list[int]] = [[] for _ in range(len(keys))]
+        refs, idxs = [], []
+        for s, rows_in_shard in enumerate(per_rows):
+            if rows_in_shard:
+                refs.append(
+                    shards[s].lookup.remote([keys[i] for i in rows_in_shard])
+                )
+                idxs.append(rows_in_shard)
+        for ref, rows_in_shard in zip(ray.get(refs), idxs):
+            for i, lst in zip(rows_in_shard, ref):
+                matches[i] = lst
+        pairs = {
+            (old_id, int(new_id))
+            for new_id, lst in zip(ids, matches)
+            for old_id in lst
+        }
+        if not pairs:
+            return _PAIR_SCHEMA.empty_table()
+        a, b = zip(*sorted(pairs))
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    cand = _schema_guard(
+        ds.map_batches(_probe, batch_format="pyarrow"), _PAIR_SCHEMA
+    )
+    uniq = (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()  # id pairs only, bounded by LSH precision
+    )
+    import logging
+
+    logging.getLogger("weakscraper_ray.dedup").info(
+        "minhash_against_index: %d candidate pairs", uniq.count()
+    )
+    cand_ids: set[int] = set()
+    for row in uniq.take_all():
+        cand_ids.add(row["doc_a"])
+        cand_ids.add(row["doc_b"])
+    id_set = pa.array(sorted(cand_ids), pa.int64())
+    pruned = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_set)),
+        batch_format="pyarrow",
+    )
+    texts = {r["doc_id"]: r["text"] for r in pruned.take_all()}
+    return uniq.map_batches(
+        partial(_jaccard_verify_batch, texts_ref=ray.put(texts)),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_minhash_against_index() -> str:
+    from .relational import _SQL_MINHASH_CTES
+
+    return f"""
+WITH {_SQL_MINHASH_CTES},
+xp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  WHERE len(a.s) + len(b.s) > 0
+    AND 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)
+)
+SELECT doc_a, doc_b FROM xp
+"""
+
+
 QUERIES = {
     "regional_revenue": q_regional_revenue,
     "pushdown_scan": q_pushdown_scan,
     "curation_prep": q_curation_prep,
+    "minhash_against_index": q_minhash_against_index,
     "char_stats": q_char_stats,
     "event_pairs": q_event_pairs,
     "source_overlap": q_source_overlap,
@@ -756,6 +907,7 @@ ORACLE_SQL = {
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "curation_prep": _sql_curation_prep(),
+    "minhash_against_index": _sql_minhash_against_index(),
     "char_stats": SQL_CHAR_STATS,
     "event_pairs": SQL_EVENT_PAIRS,
     "source_overlap": SQL_SOURCE_OVERLAP,

@@ -51,3 +51,42 @@ class HashIndexShard:
 def route(hashes: list[str], n_shards: int) -> list[int]:
     """Deterministic shard id per hex digest (leading 32 bits)."""
     return [int(h[:8], 16) % n_shards for h in hashes]
+
+
+@ray.remote
+class LSHIndexShard:
+    """One shard of a MinHash-LSH band index: bucket key → posting
+    list of indexed doc_ids. Same scale shape as :class:`HashIndexShard`
+    (hash-partitioned key space, one RPC per batch per shard, no text),
+    but lookups return the MATCHING IDS (candidate retrieval), not just
+    membership. Posting lists are capped — an overflowing bucket keeps
+    its first ``cap`` ids and counts the overflow, visible via
+    ``stats()``, never silent (a degenerate bucket, e.g. the empty-text
+    signature, would otherwise blow up candidate generation — the same
+    policy as ``bucket_pairs``'s ``max_bucket``)."""
+
+    def __init__(self, cap: int = 256) -> None:
+        self._buckets: dict[int, list[int]] = {}
+        self._cap = cap
+        self._overflow = 0
+
+    def add(self, keys: list[int], ids: list[int]) -> int:
+        bk = self._buckets
+        cap = self._cap
+        for k, i in zip(keys, ids):
+            lst = bk.get(k)
+            if lst is None:
+                bk[k] = [i]
+            elif len(lst) < cap:
+                lst.append(i)
+            else:
+                self._overflow += 1
+        return len(bk)
+
+    def lookup(self, keys: list[int]) -> list[list[int]]:
+        bk = self._buckets
+        empty: list[int] = []
+        return [bk.get(k, empty) for k in keys]
+
+    def stats(self) -> dict:
+        return {"n_buckets": len(self._buckets), "overflow": self._overflow}
