@@ -1075,3 +1075,72 @@ def test_pagerank_matches_single_threaded_reference(ray_session):
     assert [int(x) for x in mine["rank_e12"]] == [int(x) for x in r]
     assert (mine["rank_e12"] >= tele).all()
     assert int(mine["rank_e12"].sum()) <= G._PR_MASS
+
+
+# ---------------------------------------------------------------- round-3 continuation #6: mining family
+
+def test_lsh_index_shard_cap_and_overflow(ray_session):
+    """LSHIndexShard caps posting lists at `cap` and counts overflow
+    visibly (never silent truncation): adds beyond the cap keep the
+    first `cap` ids; lookup returns [] for unknown keys."""
+    import ray as _ray
+
+    from weakscraper_ray.state.hash_index import LSHIndexShard
+
+    shard = LSHIndexShard.remote(cap=3)
+    _ray.get(shard.add.remote([7, 7, 7, 7, 8], [10, 11, 12, 13, 20]))
+    got = _ray.get(shard.lookup.remote([7, 8, 9]))
+    assert got[0] == [10, 11, 12]          # capped at 3, insertion order
+    assert got[1] == [20]
+    assert got[2] == []
+    stats = _ray.get(shard.stats.remote())
+    assert stats == {"n_buckets": 2, "overflow": 1}
+
+
+def test_char_stats_kernel_unicode_and_empty():
+    """The vectorized codepoint kernel agrees with a per-row Counter
+    reference, including non-ASCII codepoints, empty and None rows."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from weakscraper_ray.pipelines.mining import _char_stats_batch
+
+    texts = ["hello", "", None, "aaéé中中中", "a b a b"]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = _char_stats_batch(batch)
+    for i, t in enumerate(texts):
+        c = Counter(t or "")
+        assert out.column("total_chars")[i].as_py() == len(t or "")
+        assert out.column("distinct_chars")[i].as_py() == len(c)
+        assert out.column("top_char_count")[i].as_py() == (
+            max(c.values()) if c else 0
+        )
+
+
+def test_minhash_against_index_cross_half_only(ray_session):
+    """Every emitted pair is (even old, odd new) and is a subset of the
+    full dedup_minhash verified pair set restricted to cross-half."""
+    from weakscraper_ray.pipelines.mining import q_minhash_against_index
+    from weakscraper_ray.pipelines.relational import q_dedup_minhash
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_minhash_against_index(sf).take_all()
+    }
+    assert all(a % 2 == 0 and b % 2 == 1 for a, b in got)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_minhash(sf).take_all()
+    }
+    # dedup_minhash orients doc_a < doc_b; normalize then restrict
+    cross = {
+        (a, b) if a % 2 == 0 else (b, a)
+        for a, b in full
+        if (a % 2) != (b % 2)
+    }
+    assert got == cross
