@@ -87,7 +87,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "knn_cosine", "quality_score", "token_count", "training_prep",
         "decontaminate", "shuffle_train", "pack_conversations",
         "pii_scrub", "word_diversity", "inverted_index", "dedup_edit",
-        "embedding_pca",
+        "embedding_pca", "regional_revenue", "curation_prep",
+        "minhash_against_index",
     ]
     out: dict[str, float] = {}
     for name in names:
