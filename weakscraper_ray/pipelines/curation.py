@@ -557,6 +557,115 @@ GROUP BY doc_id
 
 
 # =====================================================================
+# Bigram-LM NLL quality score (the stronger CCNet-style signal)
+# =====================================================================
+
+def q_bigram_logprob(sf_dir: str):
+    """Per-document mean negative log-likelihood under an add-1-
+    smoothed corpus BIGRAM model — the next rung up from
+    ``unigram_logprob`` toward CCNet's KenLM perplexity filter
+    (public: Wenzek et al. 2020; smoothing per Jurafsky & Martin's
+    Laplace form: P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V)).
+
+    Shape: TWO vocabulary-bounded count groupbys (unigrams; bigrams —
+    at 100 TB the bigram string key becomes a 64-bit hash, same scale
+    note as dup_ngram_fraction), both collected and broadcast once via
+    ``ray.put``; scoring is one streaming ``map_batches`` with
+    C-level ``Series.map`` lookups and per-doc ``np.bincount``
+    weighted sums — no exchange. Docs with < 2 tokens carry no bigram
+    and are excluded (mirrored by the SQL's inner grouping)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bigrams(batch: pa.Table):
+        rows, toks = _explode_tokens(batch)
+        if len(toks) < 2:
+            e = np.array([], dtype=np.int64)
+            return e, np.array([], dtype=object), np.array([], dtype=object)
+        valid = rows[:-1] == rows[1:]
+        w1 = toks[:-1][valid].astype(object)
+        bg = w1 + " " + toks[1:][valid].astype(object)
+        return rows[:-1][valid], w1, bg
+
+    def _uni_partial(batch: pa.Table) -> pa.Table:
+        _, toks = _explode_tokens(batch)
+        t = pa.table({"w": pa.array(toks, pa.string())})
+        return t.group_by("w").aggregate([("w", "count")])
+
+    def _bi_partial(batch: pa.Table) -> pa.Table:
+        _, _, bg = _bigrams(batch)
+        t = pa.table({"b": pa.array(bg, pa.string())})
+        return t.group_by("b").aggregate([("b", "count")])
+
+    uni = (
+        ds.map_batches(_uni_partial, batch_format="pyarrow")
+        .groupby("w").aggregate(Sum("w_count", alias_name="n")).take_all()
+    )
+    bi = (
+        ds.map_batches(_bi_partial, batch_format="pyarrow")
+        .groupby("b").aggregate(Sum("b_count", alias_name="n")).take_all()
+    )
+    cnt1 = {r["w"]: r["n"] for r in uni}
+    cntb = {r["b"]: r["n"] for r in bi}
+    v = float(len(cnt1))
+    model = ray.put((cnt1, cntb, v))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        c1, cb, vv = ray.get(model)
+        rows, w1, bg = _bigrams(batch)
+        n_bg = np.bincount(rows, minlength=len(batch))
+        keep = n_bg > 0
+        if len(bg):
+            nb = pd.Series(bg).map(cb).to_numpy(dtype=np.float64)
+            nu = pd.Series(w1).map(c1).to_numpy(dtype=np.float64)
+            neg_ln = -np.log((nb + 1.0) / (nu + vv))  # op-order mirror
+            nll = np.bincount(rows, weights=neg_ln, minlength=len(batch))
+        else:
+            nll = np.zeros(len(batch))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "n_bigrams": pa.array(n_bg[keep].astype("int64")),
+                "nll_e6": pa.array(
+                    _i64_away_np(nll[keep] * 1_000_000.0 / n_bg[keep], 1.0)
+                ),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '') AS ws
+    FROM documents),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+           unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS b
+    FROM d),
+t2 AS (
+    SELECT doc_id, unnest(ws) AS w FROM d),
+cnt1 AS (SELECT w, count(*) AS nu FROM t2 GROUP BY w),
+cntb AS (SELECT b, count(*) AS nb FROM bg GROUP BY b),
+v AS (SELECT cast(count(*) AS DOUBLE) AS vv FROM cnt1)
+SELECT bg.doc_id,
+       cast(count(*) AS BIGINT) AS n_bigrams,
+       cast(round(sum(-ln((cast(nb AS DOUBLE) + 1.0)
+                          / (cast(nu AS DOUBLE) + vv))) * 1000000
+                  / count(*), 0) AS BIGINT) AS nll_e6
+FROM bg JOIN cntb USING (b) JOIN cnt1 ON bg.w1 = cnt1.w CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
+# =====================================================================
 # Token-budget packing: GLOBAL ordered prefix sum (distributed scan)
 # =====================================================================
 
@@ -1055,6 +1164,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "pack_budget": q_pack_budget,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "context_windows": q_context_windows,
     "rank_normalize": q_rank_normalize,
     "text_normalize": q_text_normalize,
@@ -1072,6 +1182,7 @@ ORACLE_SQL = {
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "pack_budget": SQL_PACK_BUDGET,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "rank_normalize": SQL_RANK_NORMALIZE,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "quality_filter_global": SQL_QUALITY_FILTER_GLOBAL,

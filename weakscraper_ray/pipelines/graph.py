@@ -240,14 +240,99 @@ FROM deg GROUP BY in_degree
 """
 
 
+# =====================================================================
+# Connected components over a sparse derived link graph
+# =====================================================================
+
+#: chain-link rule: node u links to u+1 unless a deterministic hash
+#: break fires or u closes an 8-node block — gives many small
+#: components, which keeps the recursive-CTE oracle's transitive
+#: closure bounded (closure rows ≤ 8 × component size per block)
+_CC_BLOCK = 8
+
+
+def _cc_edges(ids: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(u, u+1) chain edges under the deterministic break rule. The
+    int64 products are safe to ~3.5e9 nodes; beyond that the real
+    pipeline reads an edge parquet anyway (same note as q_pagerank)."""
+    u = ids.astype(np.int64)
+    keep = (
+        (u % _CC_BLOCK != _CC_BLOCK - 1)
+        & (((u * _PR_KNUTH) >> 7) % 3 != 0)
+        & (u + 1 < n)
+    )
+    u = u[keep]
+    return u, u + 1
+
+
+def q_graph_components(sf_dir: str):
+    """Connected components of the derived chain-link graph — the
+    groupwise step after PageRank in a link-based curation pipeline
+    (e.g. collapse mirror clusters to one representative). Emits
+    ``(node, component_id, is_root)`` for every node touching an edge,
+    component_id = min node id (singletons carry no edge evidence and
+    are excluded, matching the recursive oracle's reach-from-edges
+    semantics).
+
+    The components operator itself is :func:`cluster_pairs` — the same
+    distributed hash-to-min label propagation that serves text and
+    embedding near-dup clusters; the contract here is the EDGE TABLE
+    (swap the derivation for a real (src, dst) parquet and nothing
+    else changes)."""
+    from ..functions.dedup import cluster_pairs
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()  # parquet-metadata count; no scan
+
+    def _edges(t: pa.Table, n=n) -> pa.Table:
+        u, v = _cc_edges(t.column("doc_id").to_numpy(), n)
+        return pa.table(
+            {"doc_a": pa.array(u, pa.int64()), "doc_b": pa.array(v, pa.int64())}
+        )
+
+    labeled = cluster_pairs(ds0.map_batches(_edges, batch_format="pyarrow"))
+    return labeled.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("doc_id"),
+                "component_id": t.column("cluster_id"),
+                "is_root": t.column("is_keeper"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_graph_components() -> str:
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+  WHERE doc_id % {_CC_BLOCK} <> {_CC_BLOCK - 1}
+    AND ((doc_id * {_PR_KNUTH}) // 128) % 3 <> 0
+    AND doc_id + 1 < (SELECT count(*) FROM documents)
+),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS node, min(v) AS component_id,
+       cast(CASE WHEN u = min(v) THEN 1 ELSE 0 END AS BIGINT) AS is_root
+FROM reach GROUP BY u
+"""
+
+
 QUERIES = {
     "pagerank": q_pagerank,
     "in_degree_hist": q_in_degree_hist,
+    "graph_components": q_graph_components,
 }
 
 ORACLE_SQL = {
     "pagerank": _sql_pagerank(),
     "in_degree_hist": SQL_IN_DEGREE_HIST,
+    "graph_components": _sql_graph_components(),
 }
 
 _rel.QUERIES.update(QUERIES)
