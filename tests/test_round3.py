@@ -1144,3 +1144,35 @@ def test_minhash_against_index_cross_half_only(ray_session):
         if (a % 2) != (b % 2)
     }
     assert got == cross
+
+
+def test_csv_sink_roundtrip_and_manifests(ray_session, tmp_path):
+    """fmt='csv' sink: same atomic parts + manifests; RFC-4180 quoting
+    survives the extracted HTML text (embedded quotes) round-trip."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from weakscraper_ray.pipelines import run_flagship
+    from weakscraper_ray.sources.checkpoint import write_partitioned
+    from weakscraper_ray.transcripts import ensure_generated
+
+    ds = run_flagship(
+        ensure_generated("tiny"), concurrency=2, batch_size=64,
+        restore_ordering=False,
+    )
+    out = str(tmp_path / "csv_sink")
+    mf = write_partitioned(ds, out, n_shards=4, fmt="csv")
+    assert len(mf) == 4
+    parts = sorted(glob.glob(os.path.join(out, "part=*", "data.csv")))
+    assert len(parts) == 4
+    back = pd.concat([pd.read_csv(p) for p in parts])
+    src = ds.to_pandas()
+    assert len(back) == len(src) == mf.rows.sum()
+    key = ["conv_id", "turn_idx"]
+    a = back.sort_values(key).reset_index(drop=True)
+    b = src.sort_values(key).reset_index(drop=True)
+    assert a.extracted_text.fillna("").tolist() == b.extracted_text.fillna("").tolist()
+    mf2 = write_partitioned(ds, out, n_shards=4, fmt="csv")
+    assert len(mf2) == 0

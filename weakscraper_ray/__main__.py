@@ -2,7 +2,7 @@
 Parquet directory.
 
     python -m weakscraper_ray extract --input DIR --out DIR \
-        [--format parquet|jsonl|csv] [--out-format parquet|jsonl] \
+        [--format parquet|jsonl|csv] [--out-format parquet|jsonl|csv] \
         [--templates-dir DIR] [--learn] \
         [--heuristic] [--no-resume] [--num-cpus N] [--shards N]
 
@@ -28,7 +28,7 @@ def main(argv: list[str] | None = None) -> int:
                     default="parquet",
                     help="input format (all normalize to one schema)")
     ex.add_argument("--out", required=True, help="checkpointed output dir")
-    ex.add_argument("--out-format", choices=["parquet", "jsonl"],
+    ex.add_argument("--out-format", choices=["parquet", "jsonl", "csv"],
                     default="parquet",
                     help="partition file format (manifests/resume identical)")
     ex.add_argument("--templates-dir", help="dir of <name>.html wp-* templates")

@@ -122,10 +122,12 @@ def _write_one_partition(group: pa.Table, out_dir: str,
     nested columns like ``spans`` survive intact) — writes one
     partition atomically and returns its manifest row.
 
-    ``fmt="jsonl"`` emits newline-delimited JSON parts instead of
-    parquet (the sink counterpart of the JSONL/CSV sources; timestamps
-    serialize as ISO strings). Manifests, atomicity and resume are
-    format-agnostic — the committed set is keyed on manifest files."""
+    ``fmt="jsonl"`` emits newline-delimited JSON parts and
+    ``fmt="csv"`` RFC-4180 CSV parts (quoted fields survive embedded
+    newlines/quotes in extracted HTML text — round-trip tested against
+    the CSV source) instead of parquet, completing the source/sink
+    format matrix. Manifests, atomicity and resume are format-agnostic
+    — the committed set is keyed on manifest files."""
     shard = int(group.column("shard")[0].as_py())
     pdir = os.path.join(out_dir, f"part={shard}")
     os.makedirs(pdir, exist_ok=True)
@@ -142,11 +144,27 @@ def _write_one_partition(group: pa.Table, out_dir: str,
         [("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
 
-    ext = "parquet" if fmt == "parquet" else "jsonl"
+    ext = fmt if fmt in ("parquet", "csv") else "jsonl"
     tmp = os.path.join(pdir, f".data.{ext}.tmp")
     final = os.path.join(pdir, f"data.{ext}")
     if fmt == "parquet":
         pq.write_table(data, tmp)
+    elif fmt == "csv":
+        import pyarrow.csv as pacsv
+
+        # CSV is flat: nested columns (e.g. the spans list<struct>)
+        # serialize as JSON strings, mirroring how the CSV *source*
+        # expects structured payloads
+        flat_cols = {}
+        for name in data.column_names:
+            col = data.column(name)
+            if pa.types.is_nested(col.type):
+                flat_cols[name] = pa.array(
+                    [json.dumps(v) for v in col.to_pylist()], pa.string()
+                )
+            else:
+                flat_cols[name] = col
+        pacsv.write_csv(pa.table(flat_cols), tmp)
     else:
         data.to_pandas().to_json(
             tmp, orient="records", lines=True, date_format="iso",
