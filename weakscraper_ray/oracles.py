@@ -390,3 +390,57 @@ def compression_twin(sf_dir: str, version: str = "v1") -> str:
         )
 
     return _cached(f"compression-{tag}", version, build)
+
+
+# ------------------------------------------------------- k-means twin
+
+def kmeans_twin(sf_dir: str, version: str = "v1") -> str:
+    """Independent single-threaded Lloyd's: per-cluster Python loop
+    with DIRECT ``sum((x - c)^2)`` distances (the Ray path uses the
+    ``|x|^2 - 2 x·c + |c|^2`` matmul expansion) and a row-wise update
+    loop. Only the e6 quantization op is shared math. Integer
+    arithmetic end-to-end makes both sides partitioning-independent,
+    so agreement is exact, not approximate."""
+    from .pipelines.clustering import _ITERS, _K, _SCALE
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        X = np.rint(
+            np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            * _SCALE
+        ).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        C = X[order[:_K]].copy()
+
+        def assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+            # per-cluster distance columns, explicit loop
+            d = np.empty((len(X), len(C)), dtype=np.int64)
+            for k in range(len(C)):
+                diff = X - C[k]
+                d[:, k] = (diff * diff).sum(axis=1)
+            return d.argmin(axis=1)
+
+        for _ in range(_ITERS):
+            a = assign(X, C)
+            for k in range(_K):
+                members = X[a == k]
+                if len(members):
+                    C[k] = members.sum(axis=0) // len(members)
+        a = assign(X, C)
+        diff = X - C[a]
+        dist = (diff * diff).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist_e12": pa.array(dist.astype(np.int64)),
+            }
+        )
+
+    return _cached(f"kmeans-{tag}-k{_K}-i{_ITERS}", version, build)

@@ -411,6 +411,84 @@ GROUP BY ROLLUP (y, m)
 
 
 # =====================================================================
+# CUBE: all four grouping sets of (year, priority)
+# =====================================================================
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE (year, o_orderpriority): the finest grouping set
+    is the only pass over base data (per-batch partials → one small
+    ``groupby`` exchange); the (year), (priority) and grand-total sets
+    re-aggregate that bounded table on the driver — the standard OLAP
+    cube execution (coarser sets derive from finer, never a second
+    base scan). Sentinels: 0 for rolled-up year, 'ALL' for rolled-up
+    priority (NULL-free value-hash). Each o_totalprice is rounded to
+    integer cents BEFORE summation, so every level is an associative
+    int64 sum — partitioning-independent and hash-exact vs DuckDB."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "y": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "cents": _i64_away(batch.column("o_totalprice"), 100.0),
+            }
+        )
+        return t.group_by(["y", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+
+    finest = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby(["y", "o_orderpriority"])
+        .aggregate(Sum("cents_sum"), Sum("cents_count"))
+        .to_pandas()  # bounded: |years| × |priorities| rows
+        .rename(
+            columns={
+                "sum(cents_sum)": "revenue_cents",
+                "sum(cents_count)": "n_orders",
+            }
+        )
+    )
+    by_y = finest.groupby("y", as_index=False)[["revenue_cents", "n_orders"]].sum()
+    by_y["o_orderpriority"] = "ALL"
+    by_p = finest.groupby("o_orderpriority", as_index=False)[
+        ["revenue_cents", "n_orders"]
+    ].sum()
+    by_p["y"] = 0
+    total = pd.DataFrame(
+        {
+            "y": [0],
+            "o_orderpriority": ["ALL"],
+            "revenue_cents": [finest["revenue_cents"].sum()],
+            "n_orders": [finest["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_y, by_p, total], ignore_index=True)[
+        ["y", "o_orderpriority", "revenue_cents", "n_orders"]
+    ]
+    return out.astype(
+        {"y": np.int64, "revenue_cents": np.int64, "n_orders": np.int64}
+    )
+
+
+SQL_CUBE = """
+SELECT coalesce(y, 0) AS y,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       cast(sum(cents) AS BIGINT) AS revenue_cents,
+       cast(count(*) AS BIGINT)   AS n_orders
+FROM (
+  SELECT year(o_orderdate) AS y, o_orderpriority,
+         cast(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+GROUP BY CUBE (y, o_orderpriority)
+"""
+
+
+# =====================================================================
 # PIVOT: per-user event counts, one column per event_type
 # =====================================================================
 
@@ -1294,6 +1372,7 @@ QUERIES = {
     "corr_stats": q_corr_stats,
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
     "pivot_events": q_pivot_events,
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
@@ -1314,6 +1393,7 @@ ORACLE_SQL = {
     "corr_stats": SQL_CORR,
     "argmax_events": SQL_ARGMAX,
     "rollup_revenue": SQL_ROLLUP,
+    "cube_revenue": SQL_CUBE,
     "users_intersect": SQL_USERS_INTERSECT,
     "users_except": SQL_USERS_EXCEPT,
     "full_outer_daily": SQL_FULL_OUTER,

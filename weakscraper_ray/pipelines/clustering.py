@@ -1,0 +1,197 @@
+"""Clustering family: integer-exact distributed k-means (Lloyd's
+algorithm) over the embedding table — the corpus-organization step of
+a training-data pipeline (topic balancing / dedup-cluster sampling /
+IVF coarse quantizer training all start from exactly this loop; the
+public idiom is Lloyd 1982 + the Spark MLlib "cache the working set,
+broadcast the centroids" execution shape).
+
+Why this is driver-hash-exact (the hard part for an iterative float
+algorithm): ALL arithmetic is int64.
+
+- Vectors are quantized once to e6 grain (``rint(x * 1e6)``); the
+  quantizer is the only shared math between the Ray path and the
+  oracle twin (same pattern as the simhash signature twin).
+- Distances are exact integer squared-L2 via the expansion
+  ``|x|^2 - 2 x·c + |c|^2`` (max |coord| ~2e6 → x·c ≤ 64·4e12 ≈
+  2.6e14, comfortably inside int64). argmin ties resolve to the
+  LOWEST cluster id on both sides (numpy argmin semantics, mirrored
+  explicitly in the twin's per-cluster loop).
+- Centroid update is elementwise ``sum // count`` (floor division of
+  int64 sums). Integer sums are associative, so the update is
+  independent of block partitioning — no float-summation hash risk
+  anywhere in the loop.
+
+Scale shape (iterative refinement on Ray Data):
+
+- The quantized working set is materialized ONCE and re-scanned each
+  iteration — the published iterative-ML execution shape (Spark RDD
+  ``cache()`` for k-means); Ray's object store spills it under
+  pressure, so the corpus need not fit in RAM.
+- Each iteration is ONE streaming ``map_batches`` whose output is a
+  K×(dim+1)-row partial (per-cluster int64 coordinate sums + count)
+  per batch — the reduce payload is bounded by K·dim·#blocks, never
+  by corpus size, so it is driver-reduced like ``embedding_pca``'s
+  Gram partials (no exchange at all in the update step).
+- Centroids (K×dim int64 ≈ 4 KB) are broadcast via closure capture —
+  small-side broadcast, never a shuffle join.
+- The final labeling pass is embarrassingly parallel and streams to
+  the caller (assignments never collect on the driver).
+
+At a real 100 TB run K and dim stay small (K ≤ 65k for IVF training);
+the driver-side reduce is K·(dim+1)·#blocks int64s — for 1e5 blocks,
+K=256, dim=64 that is ~1.3 GB, at which point the partial tables go
+through one tiny ``groupby(cluster, dim).Sum`` exchange instead
+(documented swap-in, same partial shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.embed import fixed_list_to_numpy
+from . import relational as _rel
+from .relational import _read
+
+_K = 8          #: cluster count (IVF-coarse-quantizer scale)
+_ITERS = 4      #: fixed Lloyd iterations (deterministic, no tolerance)
+_SCALE = 10**6  #: e6 quantization grain
+
+
+def quantize_e6(mat: np.ndarray) -> np.ndarray:
+    """float embedding matrix → int64 e6 grid (shared with the twin:
+    one deterministic op, like the simhash signature twin)."""
+    return np.rint(mat.astype(np.float64) * _SCALE).astype(np.int64)
+
+
+def _init_centroids(ds) -> np.ndarray:
+    """Deterministic init: the vectors of the K smallest vec_ids.
+    Distributed partial top-K per batch (K rows each), tiny driver
+    combine — no sort exchange for an 8-row answer."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:_K]
+        x = quantize_e6(fixed_list_to_numpy(batch.column("embedding")))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "q": pa.array(list(x[keep]), pa.list_(pa.int64())),
+            }
+        )
+
+    cand = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r["vec_id"])
+    return np.array([r["q"] for r in cand[:_K]], dtype=np.int64)
+
+
+def _assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n,) argmin cluster ids; exact int64 squared-L2 via the
+    ``|x|^2 - 2 x·c + |c|^2`` expansion (ties → lowest id)."""
+    cross = X @ C.T                     # (n, K) int64
+    c2 = np.einsum("kd,kd->k", C, C)    # (K,)
+    # |x|^2 is constant per row — drop it for the argmin
+    return (c2[None, :] - 2 * cross).argmin(axis=1)
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """(vec_id, cluster, dist_e12): final Lloyd assignment plus the
+    exact int64 squared distance (e12 units = (e6 grain)^2)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _to_quantized(batch: pa.Table) -> pa.Table:
+        x = quantize_e6(fixed_list_to_numpy(batch.column("embedding")))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "q": pa.array(list(x), pa.list_(pa.int64())),
+            }
+        )
+
+    # cache the quantized working set once; _ITERS + 1 scans follow
+    base = ds.map_batches(_to_quantized, batch_format="pyarrow").materialize()
+
+    C = _init_centroids(ds)
+    for _ in range(_ITERS):
+        Cb = C  # rebind for closure capture (broadcast ~4 KB)
+
+        def _partial(batch: pa.Table, C=Cb) -> pa.Table:
+            X = fixed_list_to_numpy(batch.column("q"), dtype=np.int64).astype(
+                np.int64
+            )
+            a = _assign(X, C)
+            k, dim = C.shape
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            # flattened partial: dim rows of coordinate sums + one
+            # count row (dim = -1) per cluster
+            cl = np.repeat(np.arange(k, dtype=np.int64), dim)
+            dims = np.tile(np.arange(dim, dtype=np.int64), k)
+            return pa.table(
+                {
+                    "cluster": pa.array(
+                        np.concatenate([cl, np.arange(k, dtype=np.int64)])
+                    ),
+                    "dim": pa.array(
+                        np.concatenate(
+                            [dims, np.full(k, -1, dtype=np.int64)]
+                        )
+                    ),
+                    "s": pa.array(
+                        np.concatenate([sums.ravel(), counts])
+                    ),
+                }
+            )
+
+        parts = base.map_batches(_partial, batch_format="pyarrow").take_all()
+        k, dim = C.shape
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:  # bounded: K*(dim+1) rows per block
+            if r["dim"] < 0:
+                counts[r["cluster"]] += r["s"]
+            else:
+                sums[r["cluster"], r["dim"]] += r["s"]
+        nonempty = counts > 0
+        C = C.copy()
+        C[nonempty] = sums[nonempty] // counts[nonempty, None]
+
+    Cf = C
+
+    def _label(batch: pa.Table, C=Cf) -> pa.Table:
+        X = fixed_list_to_numpy(batch.column("q"), dtype=np.int64).astype(
+            np.int64
+        )
+        a = _assign(X, C)
+        diff = X - C[a]
+        dist = np.einsum("nd,nd->n", diff, diff)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist_e12": pa.array(dist),
+            }
+        )
+
+    return base.map_batches(_label, batch_format="pyarrow")
+
+
+def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Expected-twin oracle (independent single-threaded Lloyd's in
+    weakscraper_ray.oracles; called from relational.build_oracle_sql)."""
+    from .. import oracles
+
+    return {
+        "kmeans_clusters": (
+            "SELECT vec_id, cluster, dist_e12 "
+            f"FROM read_parquet('{oracles.kmeans_twin(sf_dir)}')"
+        ),
+    }
+
+
+QUERIES = {"kmeans_clusters": q_kmeans_clusters}
+ORACLE_SQL: dict[str, str] = {}
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

@@ -113,6 +113,63 @@ GROUP BY a.w, a.df
 
 
 # =====================================================================
+# Conjunctive search: AND-of-terms with tf scoring (map-only)
+# =====================================================================
+
+#: fixed conjunctive query (mid-frequency corpus terms)
+_SEARCH_TERMS = ("batch", "merge")
+
+
+def q_search_index(sf_dir: str):
+    """Documents containing ALL query terms, with per-term and total
+    term frequencies — document-at-a-time conjunctive scoring (the
+    execution a postings intersection performs, expressed as one
+    streaming pass: each document lives in one row, so the AND test
+    and the tf counts are batch-local and NO exchange exists). The
+    tokenizer is the index family's whitespace rule, shared with
+    ``inverted_index``'s SQL twin."""
+    from .curation import _explode_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(_SEARCH_TERMS)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        rows, toks = _explode_tokens(batch)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(doc_ids)
+        tf = np.zeros((n, len(terms)), dtype=np.int64)
+        for j, w in enumerate(terms):
+            hit = toks == w
+            np.add.at(tf[:, j], rows[hit], 1)
+        keep = (tf > 0).all(axis=1)
+        cols = {"doc_id": pa.array(doc_ids[keep], pa.int64())}
+        for j, w in enumerate(terms):
+            cols[f"tf_{w}"] = pa.array(tf[keep, j])
+        cols["tf_total"] = pa.array(tf[keep].sum(axis=1))
+        return pa.table(cols)
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+SQL_SEARCH_INDEX = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+    FROM documents),
+tf AS (
+    SELECT doc_id,
+           sum(CASE WHEN w = '{_SEARCH_TERMS[0]}' THEN 1 ELSE 0 END) AS tf_a,
+           sum(CASE WHEN w = '{_SEARCH_TERMS[1]}' THEN 1 ELSE 0 END) AS tf_b
+    FROM toks GROUP BY doc_id)
+SELECT doc_id,
+       cast(tf_a AS BIGINT) AS tf_{_SEARCH_TERMS[0]},
+       cast(tf_b AS BIGINT) AS tf_{_SEARCH_TERMS[1]},
+       cast(tf_a + tf_b AS BIGINT) AS tf_total
+FROM tf WHERE tf_a > 0 AND tf_b > 0
+"""
+
+
+# =====================================================================
 # Fuzzy dedup: prefix blocking + banded Levenshtein verify
 # =====================================================================
 
@@ -471,6 +528,7 @@ GROUP BY g.doc_id
 
 QUERIES = {
     "inverted_index": q_inverted_index,
+    "search_index": q_search_index,
     "dedup_edit": q_dedup_edit,
     "bm25_score": q_bm25_score,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -478,6 +536,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "inverted_index": SQL_INVERTED_INDEX,
+    "search_index": SQL_SEARCH_INDEX,
     "dedup_edit": SQL_DEDUP_EDIT,
     "bm25_score": SQL_BM25,
     "dup_ngram_fraction": SQL_DUP_NGRAM,

@@ -892,8 +892,110 @@ SELECT doc_a, doc_b FROM xp
 """
 
 
+# =====================================================================
+# Salted join: skew-resilient large⋈small exchange join
+# =====================================================================
+
+#: salt fan-out (power of 2: the fact-side salt is a bit-mask, this
+#: pyarrow has no pc.mod)
+_SALT = 8
+
+
+def q_salted_join(sf_dir: str):
+    """lineitem ⋈ supplier with a SALTED key — the standard hot-key
+    mitigation for shuffle joins (public idiom: "salting" / skew-join
+    handling in every distributed SQL engine). A hot supplier key
+    would put its entire fact partition on one aggregator; here the
+    fact side gets ``salt = l_linenumber & (S-1)`` (deterministic, no
+    RNG) and the SMALL side is replicated ×S with every salt value, so
+    each hot key's rows spread over S partitions while the join result
+    is IDENTICAL to the unsalted join — which is exactly what the
+    DuckDB oracle computes (plain join, no salt): the salt must be
+    invisible in the answer, and the hash check enforces that.
+
+    Scale: replication cost is S × |small side| (suppliers are ~1e-4
+    of lineitems in TPC-H-shape data); the post-join per-nation
+    aggregate is partial-first, so the second exchange carries ≤
+    |nations| × S rows."""
+    from ray.data.aggregate import Sum
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def _replicate(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out = pa.concat_tables([t] * _SALT)
+        salt = np.repeat(np.arange(_SALT, dtype=np.int64), n)
+        return out.append_column("salt", pa.array(salt))
+
+    sup_salted = sup.map_batches(_replicate, batch_format="pyarrow")
+
+    def _salt_fact(t: pa.Table) -> pa.Table:
+        salt = pc.bit_wise_and(
+            pc.cast(t.column("l_linenumber"), pa.int64()), _SALT - 1
+        )
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "salt": salt,
+                "l_extendedprice": t.column("l_extendedprice"),
+                "l_discount": t.column("l_discount"),
+            }
+        )
+
+    fact = li.map_batches(_salt_fact, batch_format="pyarrow")
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    j = fact.join(
+        sup_salted,
+        join_type="inner",
+        num_partitions=max(2, ncpu // 2),
+        on=("l_suppkey", "salt"),
+        right_on=("s_suppkey", "salt"),
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(1.0, batch.column("l_discount")),
+        )
+        t = pa.table({"s_nationkey": batch.column("s_nationkey"), "rev": rev})
+        return t.group_by("s_nationkey").aggregate(
+            [("rev", "sum"), ("rev", "count")]
+        )
+
+    agg = (
+        j.map_batches(_partial, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(Sum("rev_sum"), Sum("rev_count"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "s_nationkey": pc.cast(t.column("s_nationkey"), pa.int64()),
+                "revenue_cents": _rel._i64_away(t.column("sum(rev_sum)")),
+                "n_items": pc.cast(t.column("sum(rev_count)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT cast(s.s_nationkey AS BIGINT) AS s_nationkey,
+       cast(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100, 0)
+            AS BIGINT) AS revenue_cents,
+       cast(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
 QUERIES = {
     "regional_revenue": q_regional_revenue,
+    "salted_join": q_salted_join,
     "pushdown_scan": q_pushdown_scan,
     "curation_prep": q_curation_prep,
     "minhash_against_index": q_minhash_against_index,
@@ -905,6 +1007,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "regional_revenue": SQL_REGIONAL_REVENUE,
+    "salted_join": SQL_SALTED_JOIN,
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "curation_prep": _sql_curation_prep(),
     "minhash_against_index": _sql_minhash_against_index(),

@@ -2644,6 +2644,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
     from . import curation as _cur
 
     out.update(_cur.dynamic_oracle_sql(sf_dir))
+    from . import clustering as _clu
+
+    out.update(_clu.dynamic_oracle_sql(sf_dir))
     return out
 
 
@@ -3071,3 +3074,7 @@ from . import graph as _graph  # noqa: E402,F401
 # stats, session co-occurrence, cross-source n-gram overlap, ordered
 # funnel) — same self-registration pattern.
 from . import mining as _mining  # noqa: E402,F401
+
+# round-3 clustering family (integer-exact distributed k-means) —
+# same self-registration pattern.
+from . import clustering as _clustering  # noqa: E402,F401
