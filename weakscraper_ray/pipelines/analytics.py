@@ -489,6 +489,149 @@ GROUP BY CUBE (y, o_orderpriority)
 
 
 # =====================================================================
+# Month-over-month growth: LAG over the bounded monthly aggregate
+# =====================================================================
+
+def q_mom_growth(sf_dir: str):
+    """Monthly revenue with the previous month's value and the exact
+    integer growth rate (e6 grain) — the LAG window pattern. The only
+    base-data pass is the monthly partial aggregate; the lag itself
+    runs on the driver over the bounded (#months) table, which is the
+    right altitude for a calendar-keyed window (at 100 TB the month
+    table is still tiny). Growth uses TRUNCATING division mirroring
+    DuckDB's integer ``//`` (toward zero — Python's floors, so the
+    sign-split is explicit); first month emits sentinel 0s. cur-prev
+    × 1e6 stays well inside int64 for cents-scale monthly sums (the
+    int128 escape hatch is DuckDB-style HUGEINT partials, documented
+    not needed at this grain)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        t = pa.table(
+            {
+                "y": pc.cast(pc.year(d), pa.int64()),
+                "m": pc.cast(pc.month(d), pa.int64()),
+                "cents": _i64_away(batch.column("o_totalprice"), 100.0),
+            }
+        )
+        return t.group_by(["y", "m"]).aggregate([("cents", "sum")])
+
+    months = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby(["y", "m"])
+        .aggregate(Sum("cents_sum"))
+        .to_pandas()  # bounded: one row per calendar month
+        .rename(columns={"sum(cents_sum)": "revenue_cents"})
+        .sort_values(["y", "m"])
+        .reset_index(drop=True)
+    )
+    cur = months["revenue_cents"].to_numpy(dtype=np.int64)
+    prev = np.concatenate([[0], cur[:-1]])
+    num = (cur - prev) * 1_000_000
+    with np.errstate(divide="ignore"):
+        growth = np.where(
+            prev > 0, np.sign(num) * (np.abs(num) // np.maximum(prev, 1)), 0
+        )
+    months["prev_cents"] = prev
+    months["growth_e6"] = growth.astype(np.int64)
+    return months[["y", "m", "revenue_cents", "prev_cents", "growth_e6"]].astype(
+        {"y": np.int64, "m": np.int64}
+    )
+
+
+SQL_MOM_GROWTH = """
+WITH monthly AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         cast(sum(cast(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders GROUP BY 1, 2),
+lagged AS (
+  SELECT y, m, revenue_cents,
+         coalesce(lag(revenue_cents) OVER (ORDER BY y, m), 0) AS prev_cents
+  FROM monthly)
+SELECT y, m, revenue_cents, prev_cents,
+       CASE WHEN prev_cents > 0
+            THEN cast(((revenue_cents - prev_cents) * 1000000)
+                      // prev_cents AS BIGINT)
+            ELSE 0 END AS growth_e6
+FROM lagged
+"""
+
+
+# =====================================================================
+# Pareto front: distributed 2-D maxima via local-prune + refine
+# =====================================================================
+
+def _pareto_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Non-dominated rows of (cents, d) maximizing BOTH (dominance is
+    >= on both with one strict; exact duplicates coexist). Classic 2-D
+    maxima sweep: within a cents group only max-d rows can survive,
+    and the group survives iff its max d exceeds the best d among all
+    STRICTLY richer groups."""
+    gs = df.groupby("cents")["d"].max().sort_index(ascending=False)
+    best_higher = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(gs.to_numpy())[:-1]]
+    )
+    alive = gs[gs.to_numpy() > best_higher]  # cents → surviving max d
+    md = df["cents"].map(alive)              # NaN where the group is dead
+    keep = md.notna().to_numpy() & (df["d"].to_numpy() == md.to_numpy())
+    return df[keep]
+
+
+def q_pareto_front(sf_dir: str):
+    """Orders on the (price, recency) Pareto front — the skyline /
+    maxima operator (public idiom: Börzsönyi et al. ICDE'01 skyline;
+    the distributed shape is LOCAL-PRUNE → REFINE: every globally
+    non-dominated point is also non-dominated within its block, so a
+    per-batch 2-D maxima sweep yields a bounded candidate superset
+    — O(front size × #blocks) — and one driver-side sweep over the
+    survivors is exact). No exchange at all: the wide work is the
+    embarrassingly parallel local prune."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def _local(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": batch.column("o_orderkey").to_numpy(
+                    zero_copy_only=False
+                ),
+                "cents": _i64_away_np(
+                    batch.column("o_totalprice").to_numpy(zero_copy_only=False),
+                    100.0,
+                ),
+                "d": pc.cast(batch.column("o_orderdate"), pa.int64())
+                .to_numpy(zero_copy_only=False),  # epoch micros
+            }
+        )
+        return pa.Table.from_pandas(_pareto_2d(df), preserve_index=False)
+
+    cand = ds.map_batches(_local, batch_format="pyarrow").to_pandas()
+    front = _pareto_2d(cand).sort_values("o_orderkey").reset_index(drop=True)
+    front["o_orderdate"] = pd.to_datetime(front["d"], unit="us")
+    return front[["o_orderkey", "cents", "o_orderdate"]].astype(
+        {"o_orderkey": np.int64, "cents": np.int64}
+    )
+
+
+SQL_PARETO = """
+WITH o AS (
+  SELECT o_orderkey,
+         cast(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderdate
+  FROM orders)
+SELECT a.o_orderkey, a.cents, a.o_orderdate
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.cents >= a.cents AND b.o_orderdate >= a.o_orderdate
+    AND (b.cents > a.cents OR b.o_orderdate > a.o_orderdate))
+"""
+
+
+# =====================================================================
 # PIVOT: per-user event counts, one column per event_type
 # =====================================================================
 
@@ -1373,6 +1516,8 @@ QUERIES = {
     "argmax_events": q_argmax_events,
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
+    "mom_growth": q_mom_growth,
+    "pareto_front": q_pareto_front,
     "pivot_events": q_pivot_events,
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
@@ -1394,6 +1539,8 @@ ORACLE_SQL = {
     "argmax_events": SQL_ARGMAX,
     "rollup_revenue": SQL_ROLLUP,
     "cube_revenue": SQL_CUBE,
+    "mom_growth": SQL_MOM_GROWTH,
+    "pareto_front": SQL_PARETO,
     "users_intersect": SQL_USERS_INTERSECT,
     "users_except": SQL_USERS_EXCEPT,
     "full_outer_daily": SQL_FULL_OUTER,
