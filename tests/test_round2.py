@@ -37,7 +37,7 @@ def test_knn_lsh_recall(ray_session, exact_knn):
     floor vs the exact brute-force result so regressions surface."""
     from weakscraper_ray.pipelines import relational as R
 
-    df = R.QUERIES["knn_lsh"](SF_DIR).to_pandas()
+    df = R.QUERIES["knn_lsh"](SF_DIR)  # DataFrame (driver-side final reduce)
     hits = total = 0
     for qid, exact in exact_knn.items():
         approx = set(
@@ -54,7 +54,7 @@ def test_knn_lsh_recall(ray_session, exact_knn):
 def test_knn_ivf_recall(ray_session, exact_knn):
     from weakscraper_ray.pipelines import relational as R
 
-    df = R.QUERIES["knn_ivf"](SF_DIR).to_pandas()
+    df = R.QUERIES["knn_ivf"](SF_DIR)  # DataFrame (driver-side final reduce)
     hits = total = 0
     for qid, exact in exact_knn.items():
         approx = set(

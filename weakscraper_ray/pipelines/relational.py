@@ -681,13 +681,21 @@ def q_knn_lsh(sf_dir: str):
         _KNN_PARTIAL_SCHEMA,
     )
 
-    def _reduce(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("vec_id").sort_values(
-            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+    # driver-side final top-k over the bounded partials (same rationale
+    # as knn_ivf: ≤ nbuckets × nqueries × k rows; avoids the chained
+    # exchange whose empty-block race _schema_guard cannot fully close)
+    pdf = partials.to_pandas()
+    return (
+        pdf.sort_values(
+            ["query_id", "score", "vec_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
         )
-        return g.head(_KNN_K)
-
-    return partials.groupby("query_id").map_groups(_reduce, batch_format="pandas")
+        .drop_duplicates(["query_id", "vec_id"])
+        .groupby("query_id", group_keys=False)
+        .head(_KNN_K)
+        .reset_index(drop=True)
+    )
 
 
 # =====================================================================
@@ -3036,13 +3044,25 @@ def q_knn_ivf(sf_dir: str):
         _KNN_PARTIAL_SCHEMA,
     )
 
-    def _reduce(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("vec_id").sort_values(
-            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+    # final per-query top-k: driver-side over the BOUNDED partial set
+    # (≤ nlists × nqueries × k rows — independent of corpus size). A
+    # second hash exchange here intermittently died on a schemaless
+    # empty block raced past _schema_guard (map_batches never sees
+    # lone empty blocks), and for a fixed query set the reduce payload
+    # never justifies a shuffle.
+    pdf = partials.to_pandas()
+    out = (
+        pdf.sort_values(
+            ["query_id", "score", "vec_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
         )
-        return g.head(_KNN_K)
-
-    return partials.groupby("query_id").map_groups(_reduce, batch_format="pandas")
+        .drop_duplicates(["query_id", "vec_id"])
+        .groupby("query_id", group_keys=False)
+        .head(_KNN_K)
+        .reset_index(drop=True)
+    )
+    return out
 
 
 QUERIES["knn_ivf"] = q_knn_ivf
