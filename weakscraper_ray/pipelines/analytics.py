@@ -562,6 +562,183 @@ FROM lagged
 
 
 # =====================================================================
+# Top-k WITH TIES (rank() <= k): threshold broadcast, two passes
+# =====================================================================
+
+_TIES_K = 10
+
+
+def q_topk_with_ties(sf_dir: str):
+    """Orders with ``rank() <= 10`` by price — top-k INCLUDING ties
+    (``WITH TIES`` / rank semantics: a row qualifies iff fewer than k
+    rows are strictly richer, i.e. cents >= the k-th largest value
+    counting multiplicity). Distributed shape: per-batch partial top-k
+    VALUES (k int64s per batch) → driver picks the global k-th →
+    threshold broadcast → one streaming filter pass. No sort exchange,
+    no limit-with-ties operator needed."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _partial_top(batch: pa.Table) -> pa.Table:
+        c = _i64_away_np(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False), 100.0
+        )
+        top = np.sort(c)[-_TIES_K:]
+        return pa.table({"cents": pa.array(top, pa.int64())})
+
+    cand = (
+        ds.map_batches(_partial_top, batch_format="pyarrow")
+        .to_pandas()["cents"]  # bounded: k per batch
+        .to_numpy()
+    )
+    v_k = np.sort(cand)[-_TIES_K]  # k-th largest with multiplicity
+
+    def _gate(batch: pa.Table, v=int(v_k)) -> pa.Table:
+        c = _i64_away(batch.column("o_totalprice"), 100.0)
+        keep = pc.greater_equal(c, v)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "cents": c,
+            }
+        ).filter(keep)
+
+    return ds.map_batches(_gate, batch_format="pyarrow")
+
+
+SQL_TOPK_TIES = f"""
+WITH ranked AS (
+  SELECT o_orderkey,
+         cast(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         rank() OVER (ORDER BY cast(round(o_totalprice * 100, 0) AS BIGINT)
+                      DESC) AS r
+  FROM orders)
+SELECT o_orderkey, cents FROM ranked WHERE r <= {_TIES_K}
+"""
+
+
+# =====================================================================
+# Percent of total: two-level aggregate + scalar broadcast
+# =====================================================================
+
+def q_percent_of_total(sf_dir: str):
+    """Revenue share per order priority (e6 grain) — the
+    ``sum() OVER ()`` percent-of-total window as one grouped partial
+    aggregate plus a broadcast scalar: the per-group sums ARE the
+    total (summed on the driver over the bounded group table), so no
+    second pass over base data exists. Shares use trunc-toward-zero
+    integer division mirroring DuckDB ``//`` (all values positive
+    here, so floor == trunc — noted because mom_growth's negatives
+    need the explicit sign split)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "cents": _i64_away(batch.column("o_totalprice"), 100.0),
+            }
+        )
+        return t.group_by("o_orderpriority").aggregate([("cents", "sum")])
+
+    g = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("cents_sum"))
+        .to_pandas()  # bounded: one row per priority
+        .rename(columns={"sum(cents_sum)": "revenue_cents"})
+    )
+    total = int(g["revenue_cents"].sum())
+    g["share_e6"] = (
+        g["revenue_cents"].to_numpy(dtype=np.int64) * 1_000_000 // total
+    )
+    return g[["o_orderpriority", "revenue_cents", "share_e6"]].astype(
+        {"revenue_cents": np.int64, "share_e6": np.int64}
+    )
+
+
+SQL_PERCENT_TOTAL = """
+WITH g AS (
+  SELECT o_orderpriority,
+         cast(sum(cast(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, revenue_cents,
+       cast((revenue_cents * 1000000)
+            // (SELECT sum(revenue_cents) FROM g) AS BIGINT) AS share_e6
+FROM g
+"""
+
+
+# =====================================================================
+# Gaps and islands: maximal runs of consecutive active days per user
+# =====================================================================
+
+def q_gap_islands(sf_dir: str):
+    """Per-user activity ISLANDS — maximal runs of consecutive active
+    days — via the classic ``day − dense-row-number`` grouping idiom
+    (gaps-and-islands; public SQL folklore, Ben-Gan's formulation).
+    Distributed shape: per-batch distinct (user, epoch-day) partials →
+    ONE ``groupby(user_id)`` exchange carrying two int64s per active
+    day → per-group vectorized island split (np.diff on the sorted
+    unique days). Integer epoch days end-to-end."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _days(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = us // 86_400_000_000
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        key = np.unique(uid * (1 << 20) | day)  # batch-local distinct
+        return pa.table(
+            {
+                "user_id": pa.array(key >> 20, pa.int64()),
+                "day": pa.array(key & ((1 << 20) - 1), pa.int64()),
+            }
+        )
+
+    def _islands(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["day"].to_numpy())
+        cut = np.flatnonzero(np.diff(days) > 1) + 1
+        starts = days[np.concatenate([[0], cut])]
+        ends = days[np.concatenate([cut - 1, [len(days) - 1]])]
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(starts), g["user_id"].iloc[0], np.int64),
+                "start_day": starts,
+                "end_day": ends,
+                "n_days": ends - starts + 1,
+            }
+        )
+
+    return (
+        ds.map_batches(_days, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_islands, batch_format="pandas")
+    )
+
+
+SQL_GAP_ISLANDS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(cast(ts AS TIMESTAMP)) // 86400000000 AS day
+  FROM events),
+t AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+             AS grp
+  FROM d)
+SELECT user_id,
+       cast(min(day) AS BIGINT) AS start_day,
+       cast(max(day) AS BIGINT) AS end_day,
+       cast(max(day) - min(day) + 1 AS BIGINT) AS n_days
+FROM t GROUP BY user_id, grp
+"""
+
+
+# =====================================================================
 # Pareto front: distributed 2-D maxima via local-prune + refine
 # =====================================================================
 
@@ -1517,6 +1694,9 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
     "mom_growth": q_mom_growth,
+    "topk_with_ties": q_topk_with_ties,
+    "percent_of_total": q_percent_of_total,
+    "gap_islands": q_gap_islands,
     "pareto_front": q_pareto_front,
     "pivot_events": q_pivot_events,
     "users_intersect": q_users_intersect,
@@ -1540,6 +1720,9 @@ ORACLE_SQL = {
     "rollup_revenue": SQL_ROLLUP,
     "cube_revenue": SQL_CUBE,
     "mom_growth": SQL_MOM_GROWTH,
+    "topk_with_ties": SQL_TOPK_TIES,
+    "percent_of_total": SQL_PERCENT_TOTAL,
+    "gap_islands": SQL_GAP_ISLANDS,
     "pareto_front": SQL_PARETO,
     "users_intersect": SQL_USERS_INTERSECT,
     "users_except": SQL_USERS_EXCEPT,

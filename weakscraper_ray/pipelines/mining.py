@@ -993,9 +993,57 @@ GROUP BY s.s_nationkey
 """
 
 
+# =====================================================================
+# Cross join: broadcast cartesian product (completes the join matrix)
+# =====================================================================
+
+def q_cross_join_regions(sf_dir: str):
+    """nation × region cartesian product — CROSS JOIN as a broadcast
+    flat-map: the small side (regions) is collected once (5 rows) and
+    every nation batch emits |batch| × |regions| rows locally. No
+    exchange: a cross join against a bounded side never needs one (the
+    unbounded×unbounded case has no scalable answer by definition and
+    is deliberately not offered)."""
+    regions = (
+        _read(sf_dir, "region", ["r_regionkey", "r_name"])
+        .to_pandas()
+        .sort_values("r_regionkey")
+    )
+    r_keys = regions["r_regionkey"].to_numpy(dtype=np.int64)
+    r_names = regions["r_name"].to_numpy()
+    nr = len(r_keys)
+
+    ds = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        nk = batch.column("n_nationkey").to_numpy(zero_copy_only=False)
+        nn = batch.column("n_name").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(
+                    np.repeat(nk.astype(np.int64), nr), pa.int64()
+                ),
+                "n_name": pa.array(np.repeat(nn, nr)),
+                "r_regionkey": pa.array(np.tile(r_keys, n), pa.int64()),
+                "r_name": pa.array(np.tile(r_names, n)),
+            }
+        )
+
+    return ds.map_batches(_cross, batch_format="pyarrow")
+
+
+SQL_CROSS_JOIN = """
+SELECT cast(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name,
+       cast(r.r_regionkey AS BIGINT) AS r_regionkey, r.r_name
+FROM nation n CROSS JOIN region r
+"""
+
+
 QUERIES = {
     "regional_revenue": q_regional_revenue,
     "salted_join": q_salted_join,
+    "cross_join_regions": q_cross_join_regions,
     "pushdown_scan": q_pushdown_scan,
     "curation_prep": q_curation_prep,
     "minhash_against_index": q_minhash_against_index,
@@ -1008,6 +1056,7 @@ QUERIES = {
 ORACLE_SQL = {
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "salted_join": SQL_SALTED_JOIN,
+    "cross_join_regions": SQL_CROSS_JOIN,
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "curation_prep": _sql_curation_prep(),
     "minhash_against_index": _sql_minhash_against_index(),
