@@ -88,7 +88,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "decontaminate", "shuffle_train", "pack_conversations",
         "pii_scrub", "word_diversity", "inverted_index", "dedup_edit",
         "embedding_pca", "regional_revenue", "curation_prep",
-        "minhash_against_index",
+        "minhash_against_index", "kmeans_clusters", "salted_join",
+        "triangles", "gap_islands",
     ]
     out: dict[str, float] = {}
     for name in names:

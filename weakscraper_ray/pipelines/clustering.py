@@ -64,23 +64,19 @@ def quantize_e6(mat: np.ndarray) -> np.ndarray:
     return np.rint(mat.astype(np.float64) * _SCALE).astype(np.int64)
 
 
-def _init_centroids(ds) -> np.ndarray:
-    """Deterministic init: the vectors of the K smallest vec_ids.
-    Distributed partial top-K per batch (K rows each), tiny driver
-    combine — no sort exchange for an 8-row answer."""
+def _init_centroids(base) -> np.ndarray:
+    """Deterministic init: the vectors of the K smallest vec_ids,
+    taken from the already-quantized cached working set (no extra
+    base-data pass). Distributed partial top-K per batch (K rows
+    each), tiny driver combine — no sort exchange for an 8-row
+    answer."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         keep = np.argsort(ids, kind="stable")[:_K]
-        x = quantize_e6(fixed_list_to_numpy(batch.column("embedding")))
-        return pa.table(
-            {
-                "vec_id": pa.array(ids[keep], pa.int64()),
-                "q": pa.array(list(x[keep]), pa.list_(pa.int64())),
-            }
-        )
+        return batch.take(keep)
 
-    cand = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    cand = base.map_batches(_partial, batch_format="pyarrow").take_all()
     cand.sort(key=lambda r: r["vec_id"])
     return np.array([r["q"] for r in cand[:_K]], dtype=np.int64)
 
@@ -108,10 +104,10 @@ def q_kmeans_clusters(sf_dir: str):
             }
         )
 
-    # cache the quantized working set once; _ITERS + 1 scans follow
+    # cache the quantized working set once; _ITERS + 2 scans follow
     base = ds.map_batches(_to_quantized, batch_format="pyarrow").materialize()
 
-    C = _init_centroids(ds)
+    C = _init_centroids(base)
     for _ in range(_ITERS):
         Cb = C  # rebind for closure capture (broadcast ~4 KB)
 
