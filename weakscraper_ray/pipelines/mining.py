@@ -1040,10 +1040,137 @@ FROM nation n CROSS JOIN region r
 """
 
 
+# =====================================================================
+# Hive-partitioned scan: directory-level partition pruning
+# =====================================================================
+
+_HIVE_LANG = "en"
+
+
+def _hive_docs_dir(sf_dir: str) -> str:
+    """One-time fixture prep: documents re-written hive-partitioned by
+    ``lang`` (lang=en/, lang=de/, ... directories) via Ray's
+    distributed ``write_parquet(partition_cols=...)``. Cached per sf
+    tier under /tmp with a done-marker — the prep is plumbing, the
+    OPERATOR under test is the pruned read below."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/ws_hive/documents-{tag}"
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+        ds.write_parquet(root, partition_cols=["lang"])
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def q_hive_partition_scan(sf_dir: str):
+    """Per-source doc counts within ONE language — read from a
+    hive-partitioned layout with the partition filter applied at the
+    PATH level (``PathPartitionFilter`` over ``lang=*/`` directories):
+    only the matching partition's files are even opened — the other
+    languages' bytes never leave storage. This is the layer ABOVE
+    ``pushdown_scan``'s row-group pruning — at 100 TB, partition
+    layout is the first and cheapest pruning lever (prune at the
+    read, per the repo rule)."""
+    from ray.data import read_parquet
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    root = _hive_docs_dir(sf_dir)
+    part_filter = PathPartitionFilter.of(
+        lambda kv: kv.get("lang") == _HIVE_LANG, style="hive"
+    )
+    ds = read_parquet(
+        root,
+        columns=["doc_id", "source"],
+        partition_filter=part_filter,
+    )
+
+    def _part(batch: pa.Table) -> pa.Table:
+        return batch.group_by("source").aggregate([("doc_id", "count")])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("doc_id_count"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "source": t.column("source"),
+                    "n_docs": pc.cast(t.column("sum(doc_id_count)"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_HIVE_SCAN = f"""
+SELECT source, cast(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE lang = '{_HIVE_LANG}'
+GROUP BY source
+"""
+
+
+# =====================================================================
+# UNPIVOT: wide → long (inverse of pivot_events)
+# =====================================================================
+
+def q_unpivot_orders(sf_dir: str):
+    """orders' numeric measures melted to (o_orderkey, measure, value)
+    long form — UNPIVOT as a map-only flat transform (each batch emits
+    |batch| × |measures| rows locally; no exchange, the inverse of
+    ``pivot_events``'s widen). Values are integer cents / raw ints so
+    the melt is hash-exact."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = _i64_away(batch.column("o_totalprice"), 100.0).to_numpy(
+            zero_copy_only=False
+        )
+        day = (
+            pc.cast(batch.column("o_orderdate"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.concatenate([keys, keys]), pa.int64()
+                ),
+                "measure": pa.array(
+                    ["total_cents"] * n + ["order_day"] * n
+                ),
+                "value": pa.array(np.concatenate([cents, day])),
+            }
+        )
+
+    return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT = """
+SELECT o_orderkey, measure, value FROM (
+  SELECT cast(o_orderkey AS BIGINT) AS o_orderkey,
+         cast(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+         cast(epoch_us(cast(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS order_day
+  FROM orders
+) UNPIVOT (value FOR measure IN (total_cents, order_day))
+"""
+
+
 QUERIES = {
     "regional_revenue": q_regional_revenue,
     "salted_join": q_salted_join,
     "cross_join_regions": q_cross_join_regions,
+    "hive_partition_scan": q_hive_partition_scan,
+    "unpivot_orders": q_unpivot_orders,
     "pushdown_scan": q_pushdown_scan,
     "curation_prep": q_curation_prep,
     "minhash_against_index": q_minhash_against_index,
@@ -1057,6 +1184,8 @@ ORACLE_SQL = {
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "salted_join": SQL_SALTED_JOIN,
     "cross_join_regions": SQL_CROSS_JOIN,
+    "hive_partition_scan": SQL_HIVE_SCAN,
+    "unpivot_orders": SQL_UNPIVOT,
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "curation_prep": _sql_curation_prep(),
     "minhash_against_index": _sql_minhash_against_index(),
