@@ -1123,6 +1123,7 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
 
     shards_glob = f"{ensure_generated(_size_for(sf_dir))}/part-*.parquet"
     return {
+        "lang_confusion": _sql_lang_confusion(),
         "pack_conversations": f"""
 SELECT conv_id,
        string_agg(role, ' ' ORDER BY turn_idx) AS role_seq,
@@ -1154,7 +1155,112 @@ FROM t GROUP BY conv_id
     }
 
 
+# =====================================================================
+# Dedup with provenance merge: keeper + union of duplicate sources
+# =====================================================================
+
+def q_dedup_merge(sf_dir: str):
+    """Exact dedup that MERGES metadata instead of dropping it: per
+    content hash emit the keeper (min doc_id), the duplicate count and
+    the sorted distinct source list — the provenance-union step real
+    curation runs so the kept document remembers every crawl that
+    carried it. Shuffle payload is (md5, doc_id, source) — the text is
+    dropped before the exchange, same contract as ``dedup_exact``."""
+    from ..functions.dedup import content_hash_batch
+
+    ds = _rel._read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        return content_hash_batch(batch).select(
+            ["content_hash", "doc_id", "source"]
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_md5": [g["content_hash"].iloc[0]],
+                "keeper_doc_id": np.array([g["doc_id"].min()], np.int64),
+                "n_dups": np.array([len(g)], np.int64),
+                "sources": [",".join(sorted(set(g["source"])))],
+            }
+        )
+
+    return (
+        ds.map_batches(_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_MERGE = """
+SELECT md5(coalesce(text, '')) AS content_md5,
+       cast(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       cast(count(*) AS BIGINT) AS n_dups,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+FROM documents
+GROUP BY md5(coalesce(text, ''))
+"""
+
+
+# =====================================================================
+# Language-ID confusion matrix: predicted vs labeled language
+# =====================================================================
+
+def q_lang_confusion(sf_dir: str):
+    """(labeled lang, predicted lang, n_docs) — the evaluation matrix
+    for the ``lang_id`` heuristic against the corpus labels. One
+    streaming pass (the label rides next to the text, so prediction
+    and comparison are batch-local) + one tiny groupby over the
+    |langs|² domain."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import LangId
+
+    ds = _rel._read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    class _Confusion(LangId):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            preds = [
+                self._predict(t) for t in batch.column("text").to_pylist()
+            ]
+            t = pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "lang_pred": pa.array(preds),
+                }
+            )
+            return t.group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+
+    return (
+        ds.map_batches(_Confusion, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("count_all"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": t.column("lang"),
+                    "lang_pred": t.column("lang_pred"),
+                    "n_docs": pc.cast(t.column("sum(count_all)"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _sql_lang_confusion() -> str:
+    inner = _rel._sql_lang_id()
+    return f"""
+WITH pred AS ({inner})
+SELECT d.lang, p.lang_pred, cast(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+"""
+
+
 QUERIES = {
+    "dedup_merge": q_dedup_merge,
+    "lang_confusion": q_lang_confusion,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
     "word_diversity": q_word_diversity,
@@ -1175,6 +1281,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "pii_scrub": SQL_PII_SCRUB,
+    "dedup_merge": SQL_DEDUP_MERGE,
     "stratified_sample": SQL_STRATIFIED,
     "word_diversity": SQL_WORD_DIVERSITY,
     "oov_rate": SQL_OOV_RATE,
