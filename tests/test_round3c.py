@@ -79,3 +79,28 @@ def test_quantize_e6_integer_grid():
     assert q.dtype == np.int64
     # rint of float64-upcast values at e6 grain
     assert abs(q[0, 0] - 123457) <= 1 and abs(q[0, 1] + 1000000) <= 1
+
+
+# ------------------------------------------------------------- loader
+
+def test_loader_deterministic_epochs_and_geometry(ray_session):
+    import ray.data
+
+    from weakscraper_ray.loader import iter_training_batches
+
+    ds = ray.data.range(1000)  # column "id"
+
+    def collect(epoch):
+        out = []
+        for b in iter_training_batches(
+            ds, batch_size=256, seed=7, epoch=epoch, drop_last=True
+        ):
+            assert b.num_rows == 256  # fixed geometry, ragged tail dropped
+            out.extend(b.column("id").to_pylist())
+        return out
+
+    e0a, e0b, e1 = collect(0), collect(0), collect(1)
+    assert e0a == e0b                      # same (seed, epoch) -> same order
+    assert e0a != e1                       # distinct epochs reshuffle
+    assert len(e0a) == 768                 # 1000 -> 3 full batches of 256
+    assert set(e1) <= set(range(1000))
