@@ -1,0 +1,102 @@
+"""Unit tests for the continuation-8 pure helpers (interval sweep,
+ntile fill rule, checksum md5 mirror, gram-window emission). The
+distributed paths themselves are driver-mimic-checked against their
+DuckDB oracles in test_relational.py."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from weakscraper_ray.pipelines.series import (
+    _CHECKSUM_MOD,
+    _gram_partial,
+    _iv_sweep,
+    _ntile_group,
+)
+
+
+def _sweep(rows):
+    g = pd.DataFrame(rows, columns=["user_id", "s", "e"])
+    out = _iv_sweep(g)
+    return int(out["covered_s"][0]), int(out["n_spans"][0])
+
+
+def test_interval_sweep_disjoint():
+    assert _sweep([(1, 0, 5), (1, 10, 12)]) == (7, 2)
+
+
+def test_interval_sweep_touching_merges():
+    # s == previous end coalesces (mirrors the SQL s > prev_max rule)
+    assert _sweep([(1, 0, 5), (1, 5, 8)]) == (8, 1)
+
+
+def test_interval_sweep_nested_and_overlap():
+    # [0,10) contains [2,3); [8,15) overlaps the tail
+    assert _sweep([(1, 0, 10), (1, 2, 3), (1, 8, 15)]) == (15, 1)
+
+
+def test_interval_sweep_duplicate_rows():
+    assert _sweep([(1, 3, 7), (1, 3, 7)]) == (4, 1)
+
+
+def test_ntile_matches_duckdb_fill_rule():
+    # n = 10, k = 4 → bucket sizes 3,3,2,2; also n < k
+    for vals in ([5.0, 1.0, 3.0, 2.0, 4.0, 9.0, 7.0, 6.0, 8.0, 0.0],
+                 [2.0, 1.0, 3.0]):
+        g = pd.DataFrame(
+            {
+                "event_id": np.arange(len(vals), dtype=np.int64),
+                "event_type": ["t"] * len(vals),
+                "value": vals,
+            }
+        )
+        got = _ntile_group(g).sort_values("event_id")
+        want = duckdb.sql(
+            "SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) AS b "
+            "FROM g ORDER BY event_id"
+        ).fetchdf()
+        assert list(got["bucket"]) == list(want["b"])
+
+
+def test_ntile_ties_are_deterministic():
+    g = pd.DataFrame(
+        {
+            "event_id": np.array([3, 1, 2, 0], dtype=np.int64),
+            "event_type": ["t"] * 4,
+            "value": [1.0, 1.0, 1.0, 1.0],
+        }
+    )
+    got = _ntile_group(g).sort_values("event_id")
+    # all-ties → order by event_id → buckets 1,2,3,4 in id order
+    assert list(got["bucket"]) == [1, 2, 3, 4]
+
+
+def test_md5_lower64_matches_duckdb():
+    for s in ["abc", "", "1|2|3", "weakscraper"]:
+        py = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+        db = duckdb.sql(f"SELECT md5_number_lower('{s}')").fetchone()[0]
+        assert py == int(db)
+    assert _CHECKSUM_MOD == (1 << 63) - 1
+
+
+def test_gram_partial_counts_positions():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["a b c d e f",          # 2 windows
+                 "too short",            # < 5 tokens → none
+                 "x x x x x x x"],       # 3 positions of one gram
+                pa.string(),
+            ),
+        }
+    )
+    out = _gram_partial(batch).to_pandas()
+    assert set(out["doc_id"]) == {1, 3}
+    assert out.loc[out["doc_id"] == 1, "pos"].sum() == 2
+    d3 = out[out["doc_id"] == 3]
+    assert len(d3) == 1 and int(d3["pos"].iloc[0]) == 3
+    assert d3["gram"].iloc[0] == "x x x x x"

@@ -329,6 +329,17 @@ def cluster_pairs(pairs_ds, max_iters: int = 32,
         rows = rows.groupby("u").map_groups(
             _hash_to_min_round, batch_format="pyarrow"
         ).map_batches(_norm, batch_format="pyarrow").materialize()
+        # _norm alone is insufficient: Ray may skip map_batches on a
+        # lone empty block, letting a ZERO-COLUMN empty block (from an
+        # empty hash partition) reach the NEXT shuffle, whose
+        # aggregator then fails combining it with schema-ful blocks
+        # (intermittent, load-dependent). Equal-split repartition with
+        # k <= the measured row count leaves no empty output blocks,
+        # so the chained exchange only ever sees schema-ful input
+        # (count() is metadata-only on the materialized rows).
+        rows = rows.repartition(
+            max(1, min(rows.count(), 200))
+        ).materialize()
         labels = rows.groupby("u").aggregate(Min("v"))
         agg = labels.aggregate(Sum("min(v)"), Count())
         sig = (agg["sum(min(v))"], agg["count()"])

@@ -3098,3 +3098,7 @@ from . import mining as _mining  # noqa: E402,F401
 # round-3 clustering family (integer-exact distributed k-means) —
 # same self-registration pattern.
 from . import clustering as _clustering  # noqa: E402,F401
+
+# round-3 interval/regression/span-dedup/audit/ntile family — same
+# self-registration pattern.
+from . import series as _series  # noqa: E402,F401

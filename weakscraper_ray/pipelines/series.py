@@ -1,0 +1,461 @@
+"""Round-3 continuation #8: interval algebra, regression, cross-doc
+span dedup, audit checksums, and equal-frequency binning — each a
+``queries()`` entry with a DuckDB oracle twin.
+
+Scale notes (the patterns these queries demonstrate):
+- interval coverage: the classic overlapping-interval union. Per-batch
+  projection to integer (user, start, end) triples → ONE
+  ``groupby(user_id)`` exchange → per-group vectorized sweep
+  (lexsort + running max). Integer seconds end-to-end, so the result
+  is partitioning-independent and hash-exact vs the window-function
+  SQL twin.
+- trend slope: grouped OLS (y = a·x + b) from the five classical
+  partial sums — same exact-statistics scaffolding as
+  ``analytics.q_corr_stats``: int64-safe per-batch partials, Python-int
+  exact combine of the tiny partial table, then ONE IEEE-identical
+  double expression mirrored op-for-op in SQL over HUGEINT sums.
+- substring dedup (cross-document span level — the public Lee et al.
+  2022 "Deduplicating Training Data Makes Language Models Better"
+  concept, approximated at the k-token-window granularity): per-batch
+  (gram, doc, positions) partials → ONE gram-hash shard exchange →
+  per-shard C-level merge (pandas groupby, never per-gram Python) →
+  ONE bounded ``groupby(doc_id)`` roll-up. At 100 TB the shuffle
+  payload should be a uint64 gram hash instead of the gram string
+  (same one-line swap as ``mining.source_overlap`` documents); the
+  string is kept here so the SQL twin can mirror the decision exactly
+  (no hash-collision divergence risk in the correctness gate).
+- table checksum: the audit primitive for cross-run/cross-engine data
+  validation at scale — an ORDER-INDEPENDENT corpus fingerprint
+  (sum of per-row md5-derived uint64s mod a prime-ish modulus), so two
+  runs with different partitioning/ordering produce the identical
+  value. Map-only + a one-row-per-batch partial reduce; zero shuffle.
+- ntile: equal-frequency binning (rank-based quartiles) with DuckDB's
+  exact ntile() fill rule (first ``n % k`` buckets get the extra row)
+  reproduced closed-form from the 0-indexed rank — deterministic
+  (value, event_id) tie order on both sides.
+
+All rounding follows the repo convention (``_i64_away``: DuckDB
+``round()`` is half away from zero); integer division that mirrors
+DuckDB ``//`` is only applied to non-negative operands here (where
+truncation == floor on both sides).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from zlib import crc32
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _i64_away, _i64_away_np, _read
+
+_US_PER_S = 1_000_000
+_US_PER_DAY = 86_400_000_000
+_CHECKSUM_MOD = 9_223_372_036_854_775_807  # 2^63 - 1: partials stay int64
+
+
+# =====================================================================
+# Interval coverage: per-user union length of overlapping event
+# intervals [ts, ts + max(1, round(value)) seconds)
+# =====================================================================
+
+def _iv_partial(batch: pa.Table) -> pa.Table:
+    us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    s = us // _US_PER_S
+    dur = np.maximum(1, _i64_away_np(batch.column("value"), 1.0))
+    return pa.table(
+        {
+            "user_id": batch.column("user_id"),
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(s + dur, pa.int64()),
+        }
+    )
+
+
+def _iv_sweep(g: pd.DataFrame) -> pd.DataFrame:
+    s = g["s"].to_numpy()
+    e = g["e"].to_numpy()
+    o = np.lexsort((e, s))
+    s, e = s[o], e[o]
+    run = np.maximum.accumulate(e)  # farthest end seen so far
+    new = np.ones(len(s), dtype=bool)
+    # merge rule mirrors the SQL twin: a row starts a new span iff its
+    # start lies strictly past every earlier end (s == prev end merges:
+    # touching intervals coalesce)
+    new[1:] = s[1:] > run[:-1]
+    starts = s[new]
+    last = np.flatnonzero(np.append(new[1:], True))  # last row of each span
+    ends = run[last]
+    return pd.DataFrame(
+        {
+            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
+            "covered_s": np.array([(ends - starts).sum()], dtype=np.int64),
+            "n_spans": np.array([int(new.sum())], dtype=np.int64),
+        }
+    )
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user total covered seconds + merged-span count over the
+    union of (possibly overlapping) event intervals. One exchange on
+    user_id carrying three int64s per event; the sweep itself is a
+    vectorized running-max scan per group."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return (
+        ds.map_batches(_iv_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_iv_sweep, batch_format="pandas")
+    )
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(cast(ts AS TIMESTAMP)) // 1000000 AS s,
+         epoch_us(cast(ts AS TIMESTAMP)) // 1000000
+           + greatest(1, cast(round(value, 0) AS BIGINT)) AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+  FROM iv),
+g AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m),
+sp AS (
+  SELECT user_id, grp, min(s) AS ss, max(e) AS ee
+  FROM g GROUP BY user_id, grp)
+SELECT user_id,
+       cast(sum(ee - ss) AS BIGINT) AS covered_s,
+       cast(count(*) AS BIGINT)     AS n_spans
+FROM sp GROUP BY user_id
+"""
+
+
+# =====================================================================
+# Grouped OLS trend: value vs epoch-day, per event_type
+# =====================================================================
+
+def _ols_partial(batch: pa.Table) -> pa.Table:
+    us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    x = us // _US_PER_DAY  # epoch day: keeps per-row products int64-safe
+    y = _i64_away_np(batch.column("value"), 100.0)
+    t = pa.table(
+        {
+            "event_type": batch.column("event_type"),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "xx": pa.array(x * x, pa.int64()),
+            "xy": pa.array(x * y, pa.int64()),
+        }
+    )
+    return t.group_by("event_type").aggregate(
+        [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("xy", "sum"), ("x", "count")]
+    )
+
+
+def _ols_final(g: pd.DataFrame) -> pd.DataFrame:
+    # Python-int exact combine (partials are int64-safe; their sum may
+    # not be) — HUGEINT sums on the DuckDB side.
+    n = sum(int(v) for v in g["x_count"])
+    sx = sum(int(v) for v in g["x_sum"])
+    sy = sum(int(v) for v in g["y_sum"])
+    sxx = sum(int(v) for v in g["xx_sum"])
+    sxy = sum(int(v) for v in g["xy_sum"])
+    den = n * sxx - sx * sx
+    if den == 0:  # all events of the type on one day — mirrored WHERE
+        return pd.DataFrame(
+            {"event_type": [], "n": [], "slope_e6": [], "intercept_e6": []}
+        )
+    # IEEE-identical mirror of the SQL final expression: int→double
+    # conversions and op order match token-for-token.
+    slope = float(n * sxy - sx * sy) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    return pd.DataFrame(
+        {
+            "event_type": [g["event_type"].iloc[0]],
+            "n": np.array([n], dtype=np.int64),
+            "slope_e6": _i64_away_np([slope], scale=1e6),
+            "intercept_e6": _i64_away_np([intercept], scale=1e6),
+        }
+    )
+
+
+def q_trend_slope(sf_dir: str):
+    """Per-type least-squares trend of value-cents over epoch-days:
+    the drift monitor next to ``ks_drift``/``anomaly_zscore``. One
+    small exchange of 5 partial sums per (batch, type)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    partials = ds.map_batches(_ols_partial, batch_format="pyarrow")
+    return partials.groupby("event_type").map_groups(
+        _ols_final, batch_format="pandas"
+    )
+
+
+SQL_TREND_SLOPE = """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(cast(ts AS TIMESTAMP)) // 86400000000 AS x,
+         cast(round(value * 100, 0) AS BIGINT)           AS y
+  FROM events),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(x*y) AS sxy
+  FROM c GROUP BY event_type)
+SELECT event_type, cast(n AS BIGINT) AS n,
+       cast(round(cast(n*sxy - sx*sy AS DOUBLE)
+                  / cast(n*sxx - sx*sx AS DOUBLE) * 1000000, 0) AS BIGINT)
+           AS slope_e6,
+       cast(round((cast(sy AS DOUBLE)
+                   - cast(n*sxy - sx*sy AS DOUBLE)
+                     / cast(n*sxx - sx*sx AS DOUBLE) * cast(sx AS DOUBLE))
+                  / cast(n AS DOUBLE) * 1000000, 0) AS BIGINT)
+           AS intercept_e6
+FROM s WHERE n*sxx - sx*sx <> 0
+"""
+
+
+# =====================================================================
+# Cross-document substring (k-token window) dedup signal
+# =====================================================================
+
+_GRAM_K = 5
+_GRAM_SHARDS = 64
+
+
+def _gram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (gram, doc_id, pos) partials — pos is the number of
+    window POSITIONS of that gram in that doc (position multiplicity is
+    the Lee-et-al unit, so no distinct here). Docs are short (<=100
+    words in the sf data), so the per-row window loop is bounded; the
+    gram shard id rides along so the exchange needs no second pass."""
+    ids, grams = [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        toks = (text or "").lower().split()
+        for i in range(len(toks) - (_GRAM_K - 1)):
+            ids.append(doc_id)
+            grams.append(" ".join(toks[i : i + _GRAM_K]))
+    t = pa.table(
+        {"gram": pa.array(grams, pa.string()), "doc_id": pa.array(ids, pa.int64())}
+    )
+    part = t.group_by(["gram", "doc_id"]).aggregate([("doc_id", "count")])
+    # no stable Arrow hash kernel in this pyarrow — crc32 is C-speed,
+    # deterministic across workers, and 64-shard-balanced
+    shard = pa.array(
+        [crc32(s.encode()) & (_GRAM_SHARDS - 1) for s in
+         part.column("gram").to_pylist()],
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "shard": shard,
+            "gram": part.column("gram"),
+            "doc_id": part.column("doc_id"),
+            "pos": pc.cast(part.column("doc_id_count"), pa.int64()),
+        }
+    )
+
+
+def _gram_shard_merge(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one gram shard (all rows of a gram land together):
+    re-merge cross-batch partials, mark grams seen in >=2 distinct
+    docs, and roll up to per-doc partial (total, dup) window counts.
+    All C-level pandas groupbys — never a per-gram Python loop."""
+    m = g.groupby(["gram", "doc_id"], as_index=False)["pos"].sum()
+    nd = m.groupby("gram")["doc_id"].transform("nunique")
+    m["dup"] = np.where(nd.to_numpy() >= 2, m["pos"].to_numpy(), 0)
+    out = m.groupby("doc_id", as_index=False)[["pos", "dup"]].sum()
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+            "pos": out["pos"].to_numpy(dtype=np.int64),
+            "dup": out["dup"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+def _gram_doc_final(g: pd.DataFrame) -> pd.DataFrame:
+    total = int(g["pos"].sum())
+    dup = int(g["dup"].sum())
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([g["doc_id"].iloc[0]], dtype=np.int64),
+            "n_windows": np.array([total], dtype=np.int64),
+            "dup_windows": np.array([dup], dtype=np.int64),
+            # non-negative operands: trunc (DuckDB //) == floor (Python)
+            "dup_frac_e6": np.array([1_000_000 * dup // total], dtype=np.int64),
+        }
+    )
+
+
+def q_substring_dedup(sf_dir: str):
+    """Per-document fraction of 5-token window positions whose window
+    text also occurs in at least one OTHER document — the span-level
+    dedup signal (docs under 5 tokens carry no windows and are
+    excluded on both sides)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = ds.map_batches(_gram_partial, batch_format="pyarrow")
+    per_doc = partials.groupby("shard").map_groups(
+        _gram_shard_merge, batch_format="pandas"
+    )
+    return per_doc.groupby("doc_id").map_groups(
+        _gram_doc_final, batch_format="pandas"
+    )
+
+
+SQL_SUBSTRING_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(w[i : i + 4], ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        FROM toks WHERE len(w) >= 5)),
+d AS (
+  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+SELECT g.doc_id,
+       cast(count(*) AS BIGINT) AS n_windows,
+       cast(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_windows,
+       cast(1000000 * sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS dup_frac_e6
+FROM g JOIN d USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+# =====================================================================
+# Order-independent table checksum (cross-run / cross-engine audit)
+# =====================================================================
+
+def _checksum_partial(batch: pa.Table) -> pa.Table:
+    key = pc.binary_join_element_wise(
+        pc.cast(batch.column("o_orderkey"), pa.string()),
+        pc.cast(batch.column("o_custkey"), pa.string()),
+        pc.cast(_i64_away(batch.column("o_totalprice"), 100.0), pa.string()),
+        "|",
+    )
+    # per-row md5 (no Arrow kernel exists; same justification as
+    # sample_hash) — lower 8 digest bytes little-endian mirrors
+    # DuckDB's md5_number_lower()
+    acc = 0
+    for s in key.to_pylist():
+        acc += (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+            % _CHECKSUM_MOD
+        )
+    return pa.table(
+        {
+            "part": pa.array([acc % _CHECKSUM_MOD], pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        }
+    )
+
+
+def q_table_checksum(sf_dir: str):
+    """One-row order-independent fingerprint of the orders table
+    (row count + modular sum of per-row md5-derived uint64s over a
+    canonical key projection). Two runs with different partitioning,
+    block order, or engine produce the identical value — the audit
+    primitive for validating a 100 TB copy/migration without a sort.
+    Map-only; the partial table is one row per batch."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    pdf = ds.map_batches(_checksum_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": np.array([int(pdf["n"].sum())], dtype=np.int64),
+            "checksum": np.array(
+                [int(sum(int(v) for v in pdf["part"])) % _CHECKSUM_MOD],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
+SQL_TABLE_CHECKSUM = """
+SELECT cast(count(*) AS BIGINT) AS n_rows,
+       cast(sum(cast(md5_number_lower(
+                 printf('%d|%d|%d', o_orderkey, o_custkey,
+                        cast(round(o_totalprice * 100, 0) AS BIGINT)))
+               AS HUGEINT) % 9223372036854775807)
+            % 9223372036854775807 AS BIGINT) AS checksum
+FROM orders
+"""
+
+
+# =====================================================================
+# ntile: equal-frequency quartile assignment per event_type
+# =====================================================================
+
+def _ntile_group(g: pd.DataFrame, k: int = 4) -> pd.DataFrame:
+    d = g.sort_values(["value", "event_id"], kind="mergesort")
+    n = len(d)
+    base, rem = divmod(n, k)
+    r = np.arange(n)
+    cut = rem * (base + 1)
+    # DuckDB ntile fill rule: first (n % k) buckets get base+1 rows
+    bucket = np.where(
+        r < cut, r // (base + 1), rem + (r - cut) // max(base, 1)
+    ) + 1
+    return pd.DataFrame(
+        {
+            "event_id": d["event_id"].to_numpy(dtype=np.int64),
+            "event_type": d["event_type"].to_numpy(),
+            "bucket": bucket.astype(np.int64),
+        }
+    )
+
+
+def q_ntile_assign(sf_dir: str):
+    """Equal-frequency quartiles of value within each event_type
+    (deterministic (value, event_id) tie order). The per-type group is
+    the partition unit — at a scale where one type outgrows a worker,
+    swap in the exact-threshold gate ``quality_filter_global``
+    demonstrates plus a rank exchange."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.groupby("event_type").map_groups(
+        _ntile_group, batch_format="pandas"
+    )
+
+
+SQL_NTILE = """
+SELECT event_id, event_type,
+       cast(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT) AS bucket
+FROM events
+"""
+
+
+QUERIES = {
+    "interval_coverage": q_interval_coverage,
+    "trend_slope": q_trend_slope,
+    "substring_dedup": q_substring_dedup,
+    "table_checksum": q_table_checksum,
+    "ntile_assign": q_ntile_assign,
+}
+
+ORACLE_SQL = {
+    "interval_coverage": SQL_INTERVAL_COVERAGE,
+    "trend_slope": SQL_TREND_SLOPE,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "table_checksum": SQL_TABLE_CHECKSUM,
+    "ntile_assign": SQL_NTILE,
+}
+
+# self-register into the driver-facing registries (same pattern and
+# import-cycle note as analytics.py)
+from . import relational as _rel  # noqa: E402
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)
