@@ -100,3 +100,65 @@ def test_gram_partial_counts_positions():
     d3 = out[out["doc_id"] == 3]
     assert len(d3) == 1 and int(d3["pos"].iloc[0]) == 3
     assert d3["gram"].iloc[0] == "x x x x x"
+
+
+# ------------------------------------------------- continuation-8 batch B
+
+def test_twa_group_edges():
+    from weakscraper_ray.pipelines.series import _twa_group
+
+    # single event → no gap → empty
+    g1 = pd.DataFrame({"user_id": [1], "event_id": [1],
+                       "us": [10_000_000], "cents": [500]})
+    assert len(_twa_group(g1)) == 0
+    # two events 3 s apart: twa = first value
+    g2 = pd.DataFrame({"user_id": [1, 1], "event_id": [2, 1],
+                       "us": [13_000_000, 10_000_000], "cents": [900, 500]})
+    out = _twa_group(g2)
+    assert int(out["dwell_s"][0]) == 3 and int(out["n_gaps"][0]) == 1
+    assert int(out["twa_value_e6"][0]) == 500 * 10_000
+    # same-second events → den 0 → excluded (mirrors WHERE den > 0)
+    g3 = pd.DataFrame({"user_id": [1, 1], "event_id": [1, 2],
+                       "us": [10_000_000, 10_500_000], "cents": [1, 2]})
+    assert len(_twa_group(g3)) == 0
+
+
+def test_day_scan_orders_ends_before_starts():
+    from weakscraper_ray.pipelines.series import _day_scan
+
+    # one interval ends at t=5 exactly when another starts: peak stays 1
+    g = pd.DataFrame({"day": [0] * 4, "t": [0, 5, 5, 9],
+                      "d": [1, -1, 1, -1]})
+    out = _day_scan(g)
+    assert int(out["local_max"][0]) == 1 and int(out["total"][0]) == 0
+
+
+def test_entropy_batch_uniform_and_degenerate():
+    from weakscraper_ray.pipelines.series import _entropy_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d", "x x x x", ""], pa.string()),
+        }
+    )
+    out = _entropy_batch(batch).to_pandas().set_index("doc_id")
+    assert 3 not in out.index  # empty doc excluded
+    assert int(out.loc[1, "entropy_e9"]) == 2_000_000_000  # log2(4) = 2 bits
+    assert int(out.loc[2, "entropy_e9"]) == 0
+    assert int(out.loc[1, "n_types"]) == 4 and int(out.loc[2, "n_types"]) == 1
+
+
+def test_gini_mirror_extremes():
+    # uniform counts → gini 0; one dominant key → near 1 - 1/n
+    import numpy as np
+
+    def gini(c):
+        c = np.sort(np.asarray(c, dtype=np.int64))
+        n, tot = len(c), int(c.sum())
+        s = int((np.arange(1, n + 1, dtype=np.int64) * c).sum())
+        return float(2 * s - (n + 1) * tot) / float(n * tot)
+
+    assert gini([5, 5, 5, 5]) == 0.0
+    # exact: (2*3994 - 5*1000) / (4*1000) = 0.747
+    assert gini([1, 1, 1, 997]) == 0.747

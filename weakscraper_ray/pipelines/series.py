@@ -437,12 +437,291 @@ FROM events
 """
 
 
+# =====================================================================
+# Token entropy: Shannon entropy of the within-doc token distribution
+# =====================================================================
+
+def _entropy_batch(batch: pa.Table) -> pa.Table:
+    """Per-document type-distribution entropy. Each TYPE's term
+    −p·log2(p) is quantized to an e9 integer BEFORE the per-doc sum, so
+    the sum is order-free on both engines (the float-sum-order hazard
+    the quantize-then-sum convention exists for). Map-only."""
+    from .curation import _explode_tokens
+
+    rows, toks = _explode_tokens(batch)
+    n_tok = np.bincount(rows, minlength=batch.num_rows)
+    keep = n_tok > 0
+    n_types = np.zeros(batch.num_rows, dtype=np.int64)
+    ent = np.zeros(batch.num_rows, dtype=np.float64)
+    if len(toks):
+        c = (
+            pd.DataFrame({"r": rows, "w": toks})
+            .groupby(["r", "w"], sort=False)
+            .size()
+        )
+        r_idx = c.index.get_level_values(0).to_numpy()
+        cnt = c.to_numpy().astype(np.float64)
+        p = cnt / n_tok[r_idx].astype(np.float64)
+        term = _i64_away_np(-(p * np.log2(p)), 1e9)  # exact-int per type
+        n_types = np.bincount(r_idx, minlength=batch.num_rows).astype(np.int64)
+        # integer weights < 2^53: float64 accumulation is exact
+        ent = np.bincount(r_idx, weights=term, minlength=batch.num_rows)
+    mask = pa.array(keep)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").combine_chunks().filter(mask),
+            "n_tokens": pa.array(n_tok[keep].astype(np.int64)),
+            "n_types": pa.array(n_types[keep]),
+            "entropy_e9": pa.array(ent[keep].astype(np.int64)),
+        }
+    )
+
+
+def q_token_entropy(sf_dir: str):
+    """Vocabulary-entropy quality signal (low entropy = repetitive /
+    template-like text — the information-theoretic sibling of
+    ``word_diversity`` and ``compression_signal``). Zero shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_entropy_batch, batch_format="pyarrow")
+
+
+SQL_TOKEN_ENTROPY = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+    FROM documents),
+t2 AS (SELECT * FROM toks WHERE w <> ''),
+c AS (SELECT doc_id, w, count(*) AS c FROM t2 GROUP BY doc_id, w),
+n AS (SELECT doc_id, count(*) AS n FROM t2 GROUP BY doc_id)
+SELECT doc_id,
+       cast(n AS BIGINT)        AS n_tokens,
+       cast(count(*) AS BIGINT) AS n_types,
+       cast(sum(cast(round(-(cast(c AS DOUBLE) / n
+                             * log2(cast(c AS DOUBLE) / n))
+                           * 1000000000, 0) AS BIGINT)) AS BIGINT)
+           AS entropy_e9
+FROM c JOIN n USING (doc_id)
+GROUP BY doc_id, n
+"""
+
+
+# =====================================================================
+# Key-skew diagnostic: Gini + top-key share of the per-key row counts
+# =====================================================================
+
+def q_key_skew(sf_dir: str):
+    """Partition-skew diagnostic over events.user_id — the measurement
+    that decides whether a key needs salting (``salted_join``) before a
+    shuffle. One key-bounded ``groupby(user_id)`` count exchange; the
+    Gini/top-share arithmetic runs on the bounded per-key count table
+    with exact Python ints and ONE mirrored double division. Σ rank·c
+    is invariant under tie permutations, so ordering by count alone is
+    deterministic."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="c")).to_pandas()
+    c = np.sort(counts["c"].to_numpy(dtype=np.int64))
+    n = len(c)
+    tot = int(c.sum())
+    s = int((np.arange(1, n + 1, dtype=np.int64) * c).sum())
+    gini = float(2 * s - (n + 1) * tot) / float(n * tot)
+    top = float(int(c[-1])) / float(tot)
+    return pd.DataFrame(
+        {
+            "n_keys": np.array([n], dtype=np.int64),
+            "total": np.array([tot], dtype=np.int64),
+            "gini_e6": _i64_away_np([gini], scale=1e6),
+            "top_share_e6": _i64_away_np([top], scale=1e6),
+        }
+    )
+
+
+SQL_KEY_SKEW = """
+WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM c),
+s AS (SELECT count(*) AS n, sum(c) AS tot, sum(i * c) AS s, max(c) AS mx
+      FROM r)
+SELECT cast(n AS BIGINT)   AS n_keys,
+       cast(tot AS BIGINT) AS total,
+       cast(round(cast(2*s - (n+1)*tot AS DOUBLE)
+                  / cast(n*tot AS DOUBLE) * 1000000, 0) AS BIGINT)
+           AS gini_e6,
+       cast(round(cast(mx AS DOUBLE) / cast(tot AS DOUBLE) * 1000000, 0)
+            AS BIGINT) AS top_share_e6
+FROM s
+"""
+
+
+# =====================================================================
+# Time-weighted average: value weighted by dwell to the next event
+# =====================================================================
+
+def _twa_group(g: pd.DataFrame) -> pd.DataFrame:
+    us = g["us"].to_numpy()
+    cents = g["cents"].to_numpy()
+    eid = g["event_id"].to_numpy()
+    o = np.lexsort((eid, us))
+    us, cents = us[o], cents[o]
+    if len(us) < 2:
+        return pd.DataFrame(
+            {"user_id": [], "n_gaps": [], "dwell_s": [], "twa_value_e6": []}
+        )
+    dwell = (us[1:] - us[:-1]) // _US_PER_S  # non-negative after sort
+    num = int((cents[:-1] * dwell).sum())
+    den = int(dwell.sum())
+    if den == 0:  # mirrored WHERE den > 0
+        return pd.DataFrame(
+            {"user_id": [], "n_gaps": [], "dwell_s": [], "twa_value_e6": []}
+        )
+    twa = float(num) / float(den)  # avg cents; ×1e4 → value_e6
+    return pd.DataFrame(
+        {
+            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
+            "n_gaps": np.array([len(dwell)], dtype=np.int64),
+            "dwell_s": np.array([den], dtype=np.int64),
+            "twa_value_e6": _i64_away_np([twa], scale=1e4),
+        }
+    )
+
+
+def q_time_weighted_avg(sf_dir: str):
+    """Per-user time-weighted mean event value (each value weighted by
+    the whole seconds until the user's next event — the metering /
+    state-duration aggregate). One groupby(user_id) exchange of three
+    int64s per event; integer numerator/denominator, one mirrored
+    double division."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+                "cents": _i64_away(batch.column("value"), 100.0),
+            }
+        )
+
+    return (
+        ds.map_batches(_proj, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_twa_group, batch_format="pandas")
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(cast(ts AS TIMESTAMP)) AS us,
+         cast(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+l AS (
+  SELECT user_id, cents,
+         (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+             // 1000000 AS dwell
+  FROM e),
+s AS (
+  SELECT user_id, count(*) AS n, sum(cents * dwell) AS num,
+         sum(dwell) AS den
+  FROM l WHERE dwell IS NOT NULL GROUP BY user_id)
+SELECT user_id, cast(n AS BIGINT) AS n_gaps, cast(den AS BIGINT) AS dwell_s,
+       cast(round(cast(num AS DOUBLE) / cast(den AS DOUBLE) * 10000, 0)
+            AS BIGINT) AS twa_value_e6
+FROM s WHERE den > 0
+"""
+
+
+# =====================================================================
+# Peak concurrency per day: two-phase distributed prefix scan
+# =====================================================================
+
+def _delta_partial(batch: pa.Table) -> pa.Table:
+    us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    s = us // _US_PER_S
+    e = s + np.maximum(1, _i64_away_np(batch.column("value"), 1.0))
+    t = np.concatenate([s, e])
+    d = np.concatenate(
+        [np.ones(len(s), np.int64), np.full(len(e), -1, np.int64)]
+    )
+    return pa.table(
+        {
+            "day": pa.array(t // 86_400, pa.int64()),
+            "t": pa.array(t, pa.int64()),
+            "d": pa.array(d, pa.int64()),
+        }
+    )
+
+
+def _day_scan(g: pd.DataFrame) -> pd.DataFrame:
+    t = g["t"].to_numpy()
+    d = g["d"].to_numpy()
+    o = np.lexsort((d, t))  # ends (-1) before starts (+1) at equal t
+    prefix = np.cumsum(d[o])
+    return pd.DataFrame(
+        {
+            "day": np.array([g["day"].iloc[0]], dtype=np.int64),
+            "local_max": np.array([int(prefix.max())], dtype=np.int64),
+            "total": np.array([int(prefix[-1])], dtype=np.int64),
+        }
+    )
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Max simultaneously-active event intervals per day — the global
+    running-sum-over-time query, distributed as the classic TWO-PHASE
+    PREFIX SCAN: ±1 boundary deltas → per-day local scans in parallel
+    (one groupby(day) exchange of two int64s per boundary) → a driver
+    cumsum over the bounded per-day (local_max, total) table supplies
+    each day's carry-in. The intra-day running max is deterministic:
+    equal (t, d) rows commute, and ends sort before starts at the same
+    second (interval [s, e) semantics), matching the SQL ORDER BY t, d."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    per_day = (
+        ds.map_batches(_delta_partial, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(_day_scan, batch_format="pandas")
+        .to_pandas()
+    )
+    per_day = per_day.sort_values("day").reset_index(drop=True)
+    carry = per_day["total"].cumsum().shift(1, fill_value=0).to_numpy()
+    return pd.DataFrame(
+        {
+            "day": per_day["day"].to_numpy(dtype=np.int64),
+            "peak": (carry + per_day["local_max"].to_numpy()).astype(np.int64),
+        }
+    )
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH iv AS (
+  SELECT epoch_us(cast(ts AS TIMESTAMP)) // 1000000 AS s,
+         epoch_us(cast(ts AS TIMESTAMP)) // 1000000
+           + greatest(1, cast(round(value, 0) AS BIGINT)) AS e
+  FROM events),
+d AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS d FROM iv),
+r AS (
+  SELECT t // 86400 AS day,
+         sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS cur
+  FROM d)
+SELECT cast(day AS BIGINT) AS day, cast(max(cur) AS BIGINT) AS peak
+FROM r GROUP BY day
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
     "substring_dedup": q_substring_dedup,
     "table_checksum": q_table_checksum,
     "ntile_assign": q_ntile_assign,
+    "token_entropy": q_token_entropy,
+    "key_skew": q_key_skew,
+    "time_weighted_avg": q_time_weighted_avg,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 ORACLE_SQL = {
@@ -451,6 +730,10 @@ ORACLE_SQL = {
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "table_checksum": SQL_TABLE_CHECKSUM,
     "ntile_assign": SQL_NTILE,
+    "token_entropy": SQL_TOKEN_ENTROPY,
+    "key_skew": SQL_KEY_SKEW,
+    "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
 }
 
 # self-register into the driver-facing registries (same pattern and
