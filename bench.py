@@ -89,7 +89,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "pii_scrub", "word_diversity", "inverted_index", "dedup_edit",
         "embedding_pca", "regional_revenue", "curation_prep",
         "minhash_against_index", "kmeans_clusters", "salted_join",
-        "triangles", "gap_islands",
+        "triangles", "gap_islands", "substring_dedup", "interval_coverage",
+        "peak_concurrency", "token_entropy", "table_checksum",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -162,3 +162,74 @@ def test_gini_mirror_extremes():
     assert gini([5, 5, 5, 5]) == 0.0
     # exact: (2*3994 - 5*1000) / (4*1000) = 0.747
     assert gini([1, 1, 1, 997]) == 0.747
+
+
+# ------------------------------------------------- continuation-8 batch C
+
+def test_debounce_group_keeps_first_and_spaced():
+    from weakscraper_ray.pipelines.series import _debounce_group
+
+    g = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            "event_type": ["click"] * 4,
+            "event_id": [10, 11, 12, 13],
+            # 0 s, +10 s, +70 s, +129 s (59 s after previous)
+            "us": [0, 10_000_000, 70_000_000, 129_000_000],
+        }
+    )
+    out = _debounce_group(g)
+    # first kept (no predecessor), +10s dropped, +70s kept (60s gap),
+    # +129s dropped (59s gap) — gap is to the PREVIOUS EVENT (lag), not
+    # the previous kept event
+    assert list(out["event_id"]) == [10, 12]
+    assert list(out["gap_us"]) == [-1, 60_000_000]
+
+
+def test_quota_partial_prunes_per_source():
+    from weakscraper_ray.pipelines.series import _QUOTA_N, _quota_partial
+
+    n = _QUOTA_N * 3
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "source": pa.array(["s1"] * n, pa.string()),
+        }
+    )
+    out = _quota_partial(batch)
+    assert out.num_rows == _QUOTA_N  # batch-local prune really caps
+
+
+def test_trend_top_tie_order():
+    from weakscraper_ray.pipelines.series import _trend_top
+
+    g = pd.DataFrame(
+        {
+            "day": [7] * 4,
+            "event_type": ["b", "a", "c", "d"],
+            "n": [5, 5, 9, 1],
+        }
+    )
+    out = _trend_top(g)
+    # count desc, type asc on ties
+    assert list(out["event_type"]) == ["c", "a", "b"]
+    assert list(out["rk"]) == [1, 2, 3]
+
+
+def test_rule_tag_priority():
+    from weakscraper_ray.pipelines.series import _rule_tag_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["has 4 digits ABCD?",  # digits wins (priority)
+                 "SHOUTING only",
+                 "just a question?",
+                 "plain text"],
+                pa.string(),
+            ),
+        }
+    )
+    out = _rule_tag_batch(batch).to_pandas()
+    assert list(out["tag"]) == ["digits", "shouting", "question", "none"]

@@ -712,6 +712,240 @@ FROM r GROUP BY day
 """
 
 
+# =====================================================================
+# Debounce: drop rapid-fire repeats of the same (user, type)
+# =====================================================================
+
+_DEBOUNCE_US = 60 * 1_000_000  # 60 s
+
+
+def _debounce_group(g: pd.DataFrame) -> pd.DataFrame:
+    us = g["us"].to_numpy()
+    eid = g["event_id"].to_numpy()
+    o = np.lexsort((eid, us))
+    us, eid = us[o], eid[o]
+    gap = np.empty(len(us), dtype=np.int64)
+    gap[0] = -1  # no predecessor (mirrors lag() IS NULL)
+    gap[1:] = us[1:] - us[:-1]
+    keep = (gap < 0) | (gap >= _DEBOUNCE_US)
+    return pd.DataFrame(
+        {
+            "event_id": eid[keep],
+            "user_id": np.full(int(keep.sum()), g["user_id"].iloc[0], np.int64),
+            "event_type": [g["event_type"].iloc[0]] * int(keep.sum()),
+            "gap_us": gap[keep],
+        }
+    )
+
+
+def q_debounce(sf_dir: str):
+    """Lag-based debounce: keep an event iff the same user's previous
+    event of the same type is at least 60 s older (or absent) — the
+    standard telemetry / click-stream cleaning stage. One
+    groupby(user, type) exchange; per-group shifted-array compare (no
+    per-row Python)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_proj, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .map_groups(_debounce_group, batch_format="pandas")
+    )
+
+
+SQL_DEBOUNCE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(cast(ts AS TIMESTAMP)) AS us
+  FROM events),
+l AS (
+  SELECT event_id, user_id, event_type,
+         us - lag(us) OVER (PARTITION BY user_id, event_type
+                            ORDER BY us, event_id) AS gap
+  FROM e)
+SELECT event_id, user_id, event_type,
+       cast(coalesce(gap, -1) AS BIGINT) AS gap_us
+FROM l WHERE gap IS NULL OR gap >= 60000000
+"""
+
+
+# =====================================================================
+# Per-group quota cap (per-domain document caps, RefinedWeb-style)
+# =====================================================================
+
+_QUOTA_N = 20
+
+
+def _quota_partial(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    # per-row md5 (no Arrow kernel; same justification as sample_hash)
+    h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    df = pd.DataFrame({"source": batch.column("source").to_pandas(),
+                       "doc_id": ids, "h": h})
+    # batch-local prune: only the N smallest (h, doc_id) per source can
+    # survive the global cut, so the exchange carries <= N×sources rows
+    # per batch
+    df = df.sort_values(["h", "doc_id"], kind="mergesort")
+    return pa.Table.from_pandas(
+        df.groupby("source", sort=False).head(_QUOTA_N), preserve_index=False
+    )
+
+
+def _quota_final(g: pd.DataFrame) -> pd.DataFrame:
+    d = g.sort_values(["h", "doc_id"], kind="mergesort").head(_QUOTA_N)
+    return pd.DataFrame(
+        {
+            "doc_id": d["doc_id"].to_numpy(dtype=np.int64),
+            "source": d["source"].to_numpy(),
+        }
+    )
+
+
+def q_group_quota(sf_dir: str):
+    """Cap each source at 20 documents, chosen by deterministic hash
+    order (md5 of doc_id) — the per-domain quota that keeps one crawl
+    domain from dominating a training mix. Per-batch partial top-N →
+    one bounded groupby(source) exchange (<= N×sources×batches rows)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return (
+        ds.map_batches(_quota_partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(_quota_final, batch_format="pandas")
+    )
+
+
+SQL_GROUP_QUOTA = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id)
+             AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+# =====================================================================
+# Prioritized rule tagging (first-match regex router)
+# =====================================================================
+
+#: (tag, RE2 pattern) in priority order — both engines are RE2, so the
+#: class semantics agree byte-for-byte (same rationale as analytics._WS)
+_RULES = [
+    ("digits", r"[0-9]"),
+    ("shouting", r"[A-Z]{4}"),
+    ("question", r"\?"),
+]
+
+
+def _rule_tag_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    masks = [
+        pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+        for _, pat in _RULES
+    ]
+    tags = np.select(masks, [t for t, _ in _RULES], default="none")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "tag": pa.array(tags, pa.string()),
+        }
+    )
+
+
+def q_rule_tag(sf_dir: str):
+    """First-match-wins regex classification (the C4/badwords-style
+    rule router): vectorized RE2 matches per rule + one np.select —
+    map-only, zero shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_rule_tag_batch, batch_format="pyarrow")
+
+
+SQL_RULE_TAG = r"""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[0-9]')   THEN 'digits'
+            WHEN regexp_matches(text, '[A-Z]{4}') THEN 'shouting'
+            WHEN regexp_matches(text, '\?')      THEN 'question'
+            ELSE 'none' END AS tag
+FROM documents
+"""
+
+
+# =====================================================================
+# Trending: top-3 event types per day
+# =====================================================================
+
+def _trend_partial(batch: pa.Table) -> pa.Table:
+    us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    t = pa.table(
+        {
+            "day": pa.array(us // _US_PER_DAY, pa.int64()),
+            "event_type": batch.column("event_type"),
+        }
+    )
+    part = t.group_by(["day", "event_type"]).aggregate([("event_type", "count")])
+    return pa.table(
+        {
+            "day": part.column("day"),
+            "event_type": part.column("event_type"),
+            "n": pc.cast(part.column("event_type_count"), pa.int64()),
+        }
+    )
+
+
+def _trend_top(g: pd.DataFrame, k: int = 3) -> pd.DataFrame:
+    m = g.groupby("event_type", as_index=False)["n"].sum()
+    m = m.sort_values(["n", "event_type"], ascending=[False, True],
+                      kind="mergesort").head(k)
+    return pd.DataFrame(
+        {
+            "day": np.full(len(m), g["day"].iloc[0], np.int64),
+            "event_type": m["event_type"].to_numpy(),
+            "n": m["n"].to_numpy(dtype=np.int64),
+            "rk": np.arange(1, len(m) + 1, dtype=np.int64),
+        }
+    )
+
+
+def q_trending_terms(sf_dir: str):
+    """Top-3 event types per day (count desc, type asc ties) — the
+    windowed trending query. Per-batch (day, type) count partials →
+    one groupby(day) exchange carrying the bounded (day × type)
+    aggregate, never the event stream."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    return (
+        ds.map_batches(_trend_partial, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(_trend_top, batch_format="pandas")
+    )
+
+
+SQL_TRENDING = """
+WITH c AS (
+  SELECT epoch_us(cast(ts AS TIMESTAMP)) // 86400000000 AS day,
+         event_type, count(*) AS n
+  FROM events GROUP BY day, event_type)
+SELECT cast(day AS BIGINT) AS day, event_type, cast(n AS BIGINT) AS n,
+       cast(rk AS BIGINT) AS rk
+FROM (
+  SELECT day, event_type, n,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY n DESC, event_type) AS rk
+  FROM c
+) WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -722,6 +956,10 @@ QUERIES = {
     "key_skew": q_key_skew,
     "time_weighted_avg": q_time_weighted_avg,
     "peak_concurrency": q_peak_concurrency,
+    "debounce": q_debounce,
+    "group_quota": q_group_quota,
+    "rule_tag": q_rule_tag,
+    "trending_terms": q_trending_terms,
 }
 
 ORACLE_SQL = {
@@ -734,6 +972,10 @@ ORACLE_SQL = {
     "key_skew": SQL_KEY_SKEW,
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "debounce": SQL_DEBOUNCE,
+    "group_quota": SQL_GROUP_QUOTA,
+    "rule_tag": SQL_RULE_TAG,
+    "trending_terms": SQL_TRENDING,
 }
 
 # self-register into the driver-facing registries (same pattern and
