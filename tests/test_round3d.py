@@ -233,3 +233,43 @@ def test_rule_tag_priority():
     )
     out = _rule_tag_batch(batch).to_pandas()
     assert list(out["tag"]) == ["digits", "shouting", "question", "none"]
+
+
+# ------------------------------------------------- continuation-8 batch D
+
+def test_rec_shard_classify_all_classes():
+    from weakscraper_ray.pipelines.series import _rec_shard_classify
+
+    g = pd.DataFrame(
+        {
+            # key 1: header 100 vs lines 60+40 → match
+            # key 2: header 100 vs lines 99     → mismatch
+            # key 3: header only                → missing_lines
+            # key 4: lines only                 → orphan_lines
+            "k":     [1,   1,  1,   2,  2,   3,   4],
+            "cents": [100, 60, 40,  99, 100, 70,  5],
+            "side":  [1,   0,  0,   0,  1,   1,   0],
+        }
+    )
+    out = _rec_shard_classify(g).set_index("class")["n"]
+    assert int(out["match"]) == 1
+    assert int(out["mismatch"]) == 1
+    assert int(out["missing_lines"]) == 1
+    assert int(out["orphan_lines"]) == 1
+
+
+def test_pmi_mirror_hand_case():
+    # corpus "a b a b": unigrams a:2 b:2 (nu=4); bigrams "a b":2,
+    # "b a":1 (nb=3). PMI("a b") = ln((2/3)/((2/4)*(2/4))) = ln(8/3)
+    import math
+
+    import numpy as np
+
+    from weakscraper_ray.pipelines.relational import _i64_away_np
+
+    nu, nb, cab, ca, cb = 4.0, 3.0, 2.0, 2.0, 2.0
+    pmi = np.log((np.array([cab]) / nb) / (np.array([ca]) / nu
+                                           * (np.array([cb]) / nu)))
+    assert int(_i64_away_np(pmi, scale=1e6)[0]) == round(
+        math.log(8.0 / 3.0) * 1e6
+    )

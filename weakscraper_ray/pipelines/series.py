@@ -946,6 +946,322 @@ FROM (
 """
 
 
+# =====================================================================
+# Order/line reconciliation: the audit sibling of table_checksum
+# =====================================================================
+
+_REC_SHARDS = 64
+
+
+def _rec_lines_partial(batch: pa.Table) -> pa.Table:
+    ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    tax = batch.column("l_tax").to_numpy(zero_copy_only=False)
+    disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+    cents = _i64_away_np(ep * (1 + tax) * (1 - disc), 100.0)
+    t = pa.table(
+        {
+            "k": batch.column("l_orderkey"),
+            "cents": pa.array(cents, pa.int64()),
+        }
+    )
+    part = t.group_by("k").aggregate([("cents", "sum")])
+    k = part.column("k").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "shard": pa.array(k & (_REC_SHARDS - 1), pa.int64()),
+            "k": part.column("k"),
+            "cents": pc.cast(part.column("cents_sum"), pa.int64()),
+            "side": pa.array(np.zeros(len(k), np.int64)),
+        }
+    )
+
+
+def _rec_orders_partial(batch: pa.Table) -> pa.Table:
+    k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "shard": pa.array(k & (_REC_SHARDS - 1), pa.int64()),
+            "k": batch.column("o_orderkey"),
+            "cents": _i64_away(batch.column("o_totalprice"), 100.0),
+            "side": pa.array(np.ones(len(k), np.int64)),
+        }
+    )
+
+
+def _rec_shard_classify(g: pd.DataFrame) -> pd.DataFrame:
+    # cross-batch re-merge of the line partials, then a vectorized
+    # full-outer classify within the shard (all rows of a key co-locate)
+    p = g.pivot_table(index="k", columns="side", values="cents",
+                      aggfunc="sum")  # col 0 = line sum, col 1 = header
+    lc = p[0] if 0 in p.columns else pd.Series(np.nan, index=p.index)
+    hc = p[1] if 1 in p.columns else pd.Series(np.nan, index=p.index)
+    cls = np.select(
+        [lc.isna().to_numpy(), hc.isna().to_numpy(),
+         (lc == hc).to_numpy()],
+        ["missing_lines", "orphan_lines", "match"],
+        default="mismatch",
+    )
+    vc = pd.Series(cls).value_counts()
+    return pd.DataFrame(
+        {"class": vc.index.to_numpy(), "n": vc.to_numpy(dtype=np.int64)}
+    )
+
+
+def q_reconcile_orders(sf_dir: str):
+    """Header-vs-detail reconciliation: does each order's stored total
+    equal the sum of its line revenues (extprice·(1+tax)·(1−disc))?
+    The data-quality audit every warehouse copy runs. Tagged union of
+    per-batch partials from BOTH tables → ONE key-shard exchange
+    carrying (shard, key, cents, side) int64s → vectorized full-outer
+    classify per shard → tiny per-class roll-up."""
+    from ray.data.aggregate import Sum
+
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_tax", "l_discount"])
+    heads = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    tagged = lines.map_batches(
+        _rec_lines_partial, batch_format="pyarrow"
+    ).union(heads.map_batches(_rec_orders_partial, batch_format="pyarrow"))
+    per_shard = tagged.groupby("shard").map_groups(
+        _rec_shard_classify, batch_format="pandas"
+    )
+    out = per_shard.groupby("class").aggregate(Sum("n", alias_name="n"))
+    pdf = out.to_pandas()
+    return pd.DataFrame(
+        {"class": pdf["class"].to_numpy(),
+         "n": pdf["n"].to_numpy(dtype=np.int64)}
+    )
+
+
+SQL_RECONCILE = """
+WITH lr AS (
+  SELECT l_orderkey AS k,
+         sum(cast(round(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                        * 100, 0) AS BIGINT)) AS lc
+  FROM lineitem GROUP BY k),
+hd AS (
+  SELECT o_orderkey AS k,
+         cast(round(o_totalprice * 100, 0) AS BIGINT) AS hc
+  FROM orders),
+j AS (
+  SELECT CASE WHEN lr.k IS NULL THEN 'missing_lines'
+              WHEN hd.k IS NULL THEN 'orphan_lines'
+              WHEN lc = hc THEN 'match'
+              ELSE 'mismatch' END AS class
+  FROM hd FULL OUTER JOIN lr ON hd.k = lr.k)
+SELECT class, cast(count(*) AS BIGINT) AS n FROM j GROUP BY class
+"""
+
+
+# =====================================================================
+# Cumulative distinct users per day (growth accounting)
+# =====================================================================
+
+def q_cumulative_users(sf_dir: str):
+    """New + cumulative distinct users per first-seen day. Distinct
+    accumulation without a running distinct state: min-day per user
+    (one groupby(user) Min exchange of two int64s) → per-day counts →
+    driver cumsum over the bounded day table."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _days(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pa.array(us // _US_PER_DAY, pa.int64()),
+            }
+        )
+        return t.group_by("user_id").aggregate([("day", "min")])
+
+    first = (
+        ds.map_batches(_days, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day_min", alias_name="d"))
+    )
+    per_day = (
+        first.groupby("d").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    per_day = per_day.sort_values("d").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "day": per_day["d"].to_numpy(dtype=np.int64),
+            "new_users": per_day["n"].to_numpy(dtype=np.int64),
+            "cum_users": per_day["n"].cumsum().to_numpy(dtype=np.int64),
+        }
+    )
+
+
+SQL_CUMULATIVE_USERS = """
+WITH f AS (
+  SELECT user_id,
+         min(epoch_us(cast(ts AS TIMESTAMP)) // 86400000000) AS d
+  FROM events GROUP BY user_id),
+c AS (SELECT d, count(*) AS n FROM f GROUP BY d)
+SELECT cast(d AS BIGINT) AS day,
+       cast(n AS BIGINT) AS new_users,
+       cast(sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_users
+FROM c
+"""
+
+
+# =====================================================================
+# Mode per group (most frequent value, deterministic tie-break)
+# =====================================================================
+
+def q_mode_value(sf_dir: str):
+    """Modal value-cents per event_type (count desc, cents asc ties).
+    Per-batch (type, cents) count partials → one exchange bounded by
+    the distinct (type, cents) domain → per-type argmax."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _i64_away(batch.column("value"), 100.0),
+            }
+        )
+        part = t.group_by(["event_type", "cents"]).aggregate(
+            [("cents", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": part.column("event_type"),
+                "cents": part.column("cents"),
+                "n": pc.cast(part.column("cents_count"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _argmax(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["n", "cents"], ascending=[False, True],
+                          kind="mergesort").iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": [d["event_type"]],
+                "mode_cents": np.array([d["cents"]], dtype=np.int64),
+                "n": np.array([d["n"]], dtype=np.int64),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        _argmax, batch_format="pandas"
+    )
+
+
+SQL_MODE_VALUE = """
+WITH c AS (
+  SELECT event_type, cast(round(value * 100, 0) AS BIGINT) AS cents,
+         count(*) AS n
+  FROM events GROUP BY event_type, cents)
+SELECT event_type, cents AS mode_cents, cast(n AS BIGINT) AS n FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, cents) AS rn
+  FROM c) WHERE rn = 1
+"""
+
+
+# =====================================================================
+# PMI collocations: top bigrams by pointwise mutual information
+# =====================================================================
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Collocation mining: top-20 bigrams by PMI among bigrams with
+    count >= 5 — the lexicon-induction statistic (Church & Hanks 1990).
+    Reuses the vocabulary-bounded unigram/bigram count exchanges
+    (shuffle payload = vocabulary, Heaps' law); the candidate set
+    (count floor applied) is bounded, so the PMI arithmetic and final
+    ordering run driver-side with ONE mirrored double expression per
+    candidate, quantized to e6 integers before the deterministic
+    (pmi desc, bigram asc) cut."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .analytics import _bigram_partial, _term_partial
+
+    ds = _read(sf_dir, "documents", ["text"])
+    uni = (
+        ds.map_batches(_term_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # vocabulary-bounded
+    bi = (
+        ds.map_batches(_bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    nu = float(int(uni["n"].sum()))
+    nb = float(int(bi["n"].sum()))
+    cand = bi[bi["n"] >= _PMI_MIN_COUNT].copy()
+    ucnt = dict(zip(uni["term"], uni["n"].astype(np.int64)))
+    parts = cand["bigram"].str.split(" ", n=1, expand=True)
+    ca = parts[0].map(ucnt).to_numpy(dtype=np.float64)
+    cb = parts[1].map(ucnt).to_numpy(dtype=np.float64)
+    cab = cand["n"].to_numpy(dtype=np.float64)
+    # token-for-token mirror of the SQL: ln((cab/nb) / (ca/nu * (cb/nu)))
+    pmi = np.log((cab / nb) / (ca / nu * (cb / nu)))
+    cand["pmi_e6"] = _i64_away_np(pmi, scale=1e6)
+    out = cand.sort_values(["pmi_e6", "bigram"], ascending=[False, True],
+                           kind="mergesort").head(_PMI_TOPK)
+    return pd.DataFrame(
+        {
+            "bigram": out["bigram"].to_numpy(),
+            "n": out["n"].to_numpy(dtype=np.int64),
+            "pmi_e6": out["pmi_e6"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+SQL_PMI_BIGRAMS = r"""
+WITH l AS (
+  SELECT regexp_extract_all(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                            '\S+') AS toks
+  FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+b AS (
+  SELECT toks[i] AS a, toks[i+1] AS bb,
+         toks[i] || ' ' || toks[i+1] AS bigram
+  FROM l, unnest(generate_series(1, len(toks) - 1)) AS t(i)),
+u AS (
+  SELECT unnest(toks) AS term FROM l),
+uc AS (SELECT term, count(*) AS n FROM u GROUP BY term),
+bc AS (SELECT bigram, min(a) AS a, min(bb) AS bb, count(*) AS n
+       FROM b GROUP BY bigram),
+tot AS (SELECT (SELECT cast(count(*) AS DOUBLE) FROM u)  AS nu,
+               (SELECT cast(count(*) AS DOUBLE) FROM b) AS nb)
+SELECT bigram, cast(bc.n AS BIGINT) AS n,
+       cast(round(ln((cast(bc.n AS DOUBLE) / nb)
+                     / (cast(ua.n AS DOUBLE) / nu
+                        * (cast(ub.n AS DOUBLE) / nu))) * 1000000, 0)
+            AS BIGINT) AS pmi_e6
+FROM bc
+JOIN uc ua ON ua.term = bc.a
+JOIN uc ub ON ub.term = bc.bb
+CROSS JOIN tot
+WHERE bc.n >= 5
+ORDER BY pmi_e6 DESC, bigram LIMIT 20
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -960,6 +1276,10 @@ QUERIES = {
     "group_quota": q_group_quota,
     "rule_tag": q_rule_tag,
     "trending_terms": q_trending_terms,
+    "reconcile_orders": q_reconcile_orders,
+    "cumulative_users": q_cumulative_users,
+    "mode_value": q_mode_value,
+    "pmi_bigrams": q_pmi_bigrams,
 }
 
 ORACLE_SQL = {
@@ -976,6 +1296,10 @@ ORACLE_SQL = {
     "group_quota": SQL_GROUP_QUOTA,
     "rule_tag": SQL_RULE_TAG,
     "trending_terms": SQL_TRENDING,
+    "reconcile_orders": SQL_RECONCILE,
+    "cumulative_users": SQL_CUMULATIVE_USERS,
+    "mode_value": SQL_MODE_VALUE,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
 }
 
 # self-register into the driver-facing registries (same pattern and
