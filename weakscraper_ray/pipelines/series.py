@@ -50,7 +50,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .relational import _i64_away, _i64_away_np, _read
+from .relational import _i64_away, _i64_away_np, _read, _schema_guard
 
 _US_PER_S = 1_000_000
 _US_PER_DAY = 86_400_000_000
@@ -305,8 +305,14 @@ def q_substring_dedup(sf_dir: str):
     excluded on both sides)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     partials = ds.map_batches(_gram_partial, batch_format="pyarrow")
-    per_doc = partials.groupby("shard").map_groups(
-        _gram_shard_merge, batch_format="pandas"
+    # chained map_groups -> groupby: normalize possibly-schemaless empty
+    # blocks between the two exchanges (see relational._schema_guard)
+    per_doc = _schema_guard(
+        partials.groupby("shard").map_groups(
+            _gram_shard_merge, batch_format="pandas"
+        ),
+        pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
+                   ("dup", pa.int64())]),
     )
     return per_doc.groupby("doc_id").map_groups(
         _gram_doc_final, batch_format="pandas"
@@ -1022,8 +1028,11 @@ def q_reconcile_orders(sf_dir: str):
     tagged = lines.map_batches(
         _rec_lines_partial, batch_format="pyarrow"
     ).union(heads.map_batches(_rec_orders_partial, batch_format="pyarrow"))
-    per_shard = tagged.groupby("shard").map_groups(
-        _rec_shard_classify, batch_format="pandas"
+    per_shard = _schema_guard(
+        tagged.groupby("shard").map_groups(
+            _rec_shard_classify, batch_format="pandas"
+        ),
+        pa.schema([("class", pa.string()), ("n", pa.int64())]),
     )
     out = per_shard.groupby("class").aggregate(Sum("n", alias_name="n"))
     pdf = out.to_pandas()
@@ -1262,6 +1271,149 @@ ORDER BY pmi_e6 DESC, bigram LIMIT 20
 """
 
 
+# =====================================================================
+# Rolling 7-day active users (WAU) via distinct-expansion
+# =====================================================================
+
+def _wau_days(batch: pa.Table) -> pa.Table:
+    us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    day = us // _US_PER_DAY
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    key = np.unique(uid * (1 << 20) | day)  # batch-local distinct
+    return pa.table(
+        {
+            "user_id": pa.array(key >> 20, pa.int64()),
+            "day": pa.array(key & ((1 << 20) - 1), pa.int64()),
+        }
+    )
+
+
+def _user_windows(g: pd.DataFrame) -> pd.DataFrame:
+    days = np.unique(g["day"].to_numpy())
+    # a user active on day d is window-active for report days d..d+6;
+    # union across the user's active days BEFORE counting (a user with
+    # two active days in one window must count once)
+    w = np.unique((days[:, None] + np.arange(7)).ravel())
+    return pd.DataFrame(
+        {"w": w.astype(np.int64), "n": np.ones(len(w), dtype=np.int64)}
+    )
+
+
+def q_wau_rolling(sf_dir: str):
+    """Rolling 7-day distinct active users per report day — the
+    DAU/WAU/MAU family — WITHOUT a running-distinct state: distinct
+    (user, day) partials → per-user window expansion (the
+    distinct-expansion idiom: each active day covers report days
+    d..d+6, unioned per user) → one vocabulary-bounded groupby(day)
+    count. Two exchanges, both carrying int64 pairs only."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    per_user = _schema_guard(
+        ds.map_batches(_wau_days, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_user_windows, batch_format="pandas"),
+        pa.schema([("w", pa.int64()), ("n", pa.int64())]),
+    )
+    out = per_user.groupby("w").aggregate(Sum("n", alias_name="wau"))
+    pdf = out.to_pandas()
+    return pd.DataFrame(
+        {
+            "day": pdf["w"].to_numpy(dtype=np.int64),
+            "wau": pdf["wau"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+SQL_WAU = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(cast(ts AS TIMESTAMP)) // 86400000000 AS day
+  FROM events),
+e AS (
+  SELECT DISTINCT user_id, day + i AS w
+  FROM d, unnest(generate_series(0, 6)) AS t(i))
+SELECT cast(w AS BIGINT) AS day, cast(count(*) AS BIGINT) AS wau
+FROM e GROUP BY w
+"""
+
+
+# =====================================================================
+# IQR outlier trim: exact per-group quartile gates
+# =====================================================================
+
+def q_iqr_trim(sf_dir: str):
+    """Tukey-fence outlier trim per event_type: keep rows within
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR], quartiles as exact type-1 discrete
+    picks over integer cents (the quantiles_by_type convention). Both
+    fences are doubled on both sides (2·cents vs 2·Q1 − 3·IQR) so the
+    arithmetic stays integer-exact — no 1.5 float. Stats pass → tiny
+    per-type threshold broadcast → streaming gate (the
+    compute-then-gate chain quality_filter_global demonstrates)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "cents": _i64_away(batch.column("value"), 100.0),
+            }
+        )
+
+    cents_ds = ds.map_batches(_proj, batch_format="pyarrow")
+
+    def _qpick(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["cents"].to_numpy())
+        n = len(v)
+        pick = lambda q: int(v[max(0, int(np.ceil(q * n)) - 1)])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "q1": np.array([pick(0.25)], dtype=np.int64),
+                "q3": np.array([pick(0.75)], dtype=np.int64),
+            }
+        )
+
+    th = (
+        cents_ds.groupby("event_type")
+        .map_groups(_qpick, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: one row per type
+    lo = {
+        t: 2 * q1 - 3 * (q3 - q1)
+        for t, q1, q3 in zip(th["event_type"], th["q1"], th["q3"])
+    }
+    hi = {
+        t: 2 * q3 + 3 * (q3 - q1)
+        for t, q1, q3 in zip(th["event_type"], th["q1"], th["q3"])
+    }
+
+    def _gate(df: pd.DataFrame) -> pd.DataFrame:
+        c2 = 2 * df["cents"].to_numpy()
+        lo_v = df["event_type"].map(lo).to_numpy(dtype=np.int64)
+        hi_v = df["event_type"].map(hi).to_numpy(dtype=np.int64)
+        return df[(c2 >= lo_v) & (c2 <= hi_v)]
+
+    return cents_ds.map_batches(_gate, batch_format="pandas")
+
+
+SQL_IQR_TRIM = """
+WITH c AS (
+  SELECT event_id, event_type,
+         cast(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+q AS (
+  SELECT event_type, quantile_disc(cents, 0.25) AS q1,
+         quantile_disc(cents, 0.75) AS q3
+  FROM c GROUP BY event_type)
+SELECT event_id, event_type, cents
+FROM c JOIN q USING (event_type)
+WHERE 2*cents >= 2*q1 - 3*(q3 - q1)
+  AND 2*cents <= 2*q3 + 3*(q3 - q1)
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -1280,6 +1432,8 @@ QUERIES = {
     "cumulative_users": q_cumulative_users,
     "mode_value": q_mode_value,
     "pmi_bigrams": q_pmi_bigrams,
+    "wau_rolling": q_wau_rolling,
+    "iqr_trim": q_iqr_trim,
 }
 
 ORACLE_SQL = {
@@ -1300,6 +1454,8 @@ ORACLE_SQL = {
     "cumulative_users": SQL_CUMULATIVE_USERS,
     "mode_value": SQL_MODE_VALUE,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "wau_rolling": SQL_WAU,
+    "iqr_trim": SQL_IQR_TRIM,
 }
 
 # self-register into the driver-facing registries (same pattern and
