@@ -273,3 +273,38 @@ def test_pmi_mirror_hand_case():
     assert int(_i64_away_np(pmi, scale=1e6)[0]) == round(
         math.log(8.0 / 3.0) * 1e6
     )
+
+
+# ------------------------------------------------- continuation-8 batch E/F
+
+def test_user_windows_unions_overlaps():
+    from weakscraper_ray.pipelines.series import _user_windows
+
+    # active on days 10 and 12: windows overlap → days 10..18 once each
+    g = pd.DataFrame({"user_id": [1, 1], "day": [10, 12]})
+    out = _user_windows(g)
+    assert list(out["w"]) == list(range(10, 19))
+    assert set(out["n"]) == {1}
+
+
+def test_sentence_batch_counts():
+    from weakscraper_ray.pipelines.series import _sentence_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["One two. Three four! Five?",   # 3 sentences, 5 words
+                 "no terminator here",           # 1 sentence, 3 words
+                 "..."],                          # 0 sentences, 1 "word"
+                pa.string(),
+            ),
+        }
+    )
+    out = _sentence_batch(batch).to_pandas().set_index("doc_id")
+    assert int(out.loc[1, "n_sentences"]) == 3
+    assert int(out.loc[1, "n_words"]) == 5
+    assert int(out.loc[1, "words_per_sentence_e2"]) == 500 // 3
+    assert int(out.loc[2, "n_sentences"]) == 1
+    assert int(out.loc[3, "n_sentences"]) == 0
+    assert int(out.loc[3, "words_per_sentence_e2"]) == -1

@@ -1414,6 +1414,151 @@ WHERE 2*cents >= 2*q1 - 3*(q3 - q1)
 """
 
 
+# =====================================================================
+# Embedding standardization: per-dim z-scores (PCA/quantizer prep)
+# =====================================================================
+
+_NORM_DIMS = 8  # bounded output slice (mirrored WHERE in the SQL twin)
+
+
+def q_embedding_normalize(sf_dir: str):
+    """Per-dimension standardization z = (x − μ)/σ of the embedding
+    table (population σ), emitted flattened for the first 8 dims —
+    the feature-scaling pass before PCA / scalar quantization. Stats
+    pass = one 64-row-per-batch moment exchange (the
+    ``embedding_dim_stats`` shape); transform pass is an
+    embarrassingly parallel broadcast map. e4 quantization: both sides
+    accumulate float64 sums whose order-divergence (~1e-13 relative)
+    sits far below the e4 grain."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.embed import fixed_list_to_numpy
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        x = fixed_list_to_numpy(batch.column("embedding"), np.float64)
+        d = x.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "n_part": pa.array(np.full(d, len(x), dtype=np.int64)),
+                "s": pa.array(x.sum(axis=0)),
+                "ss": pa.array((x * x).sum(axis=0)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_moments, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Sum("n_part", alias_name="n"),
+                   Sum("s", alias_name="s"),
+                   Sum("ss", alias_name="ss"))
+        .to_pandas()
+        .sort_values("dim")
+    )  # bounded: one row per dimension
+    n = agg["n"].to_numpy(dtype=np.float64)
+    m = agg["s"].to_numpy() / n
+    v = agg["ss"].to_numpy() / n - m * m  # op-order mirror of the SQL
+    stats_ref = ray.put((m, v))
+
+    def _transform(batch: pa.Table) -> pa.Table:
+        mu, var = ray.get(stats_ref)
+        x = fixed_list_to_numpy(batch.column("embedding"), np.float64)
+        x = x[:, :_NORM_DIMS]
+        z = (x - mu[:_NORM_DIMS]) / np.sqrt(var[:_NORM_DIMS])
+        rows = len(x)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.repeat(
+                        batch.column("vec_id").to_numpy(zero_copy_only=False),
+                        _NORM_DIMS,
+                    ),
+                    pa.int64(),
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(_NORM_DIMS, dtype=np.int64), rows)
+                ),
+                "z_e4": pa.array(_i64_away_np(z.ravel(), 1e4)),
+            }
+        )
+
+    return ds.map_batches(_transform, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NORMALIZE = f"""
+WITH u AS (
+  SELECT vec_id, i, cast(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)),
+s AS (
+  SELECT i, sum(x) / count(*) AS m,
+         sum(x*x) / count(*) - pow(sum(x) / count(*), 2) AS v
+  FROM u GROUP BY i)
+SELECT vec_id, cast(i - 1 AS BIGINT) AS dim,
+       cast(round((x - m) / sqrt(v) * 10000, 0) AS BIGINT) AS z_e4
+FROM u JOIN s USING (i)
+WHERE i <= {_NORM_DIMS}
+"""
+
+
+# =====================================================================
+# Sentence statistics (C4/Gopher "min 3 sentences" family)
+# =====================================================================
+
+def _sentence_batch(batch: pa.Table) -> pa.Table:
+    # RE2 split on both sides ('[.!?]+'); a segment counts as a
+    # sentence iff it is non-empty after stripping SPACES (DuckDB
+    # trim() strips spaces only — Python .strip() would also strip
+    # \xa0 etc. and diverge)
+    segs = pc.split_pattern_regex(batch.column("text"), pattern=r"[.!?]+")
+    words = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
+    n_sent, n_words = [], []
+    for seg_list, word_list in zip(segs.to_pylist(), words.to_pylist()):
+        n_sent.append(sum(1 for s in seg_list if s.strip(" ") != ""))
+        n_words.append(sum(1 for w in word_list if w != ""))
+    ns = np.asarray(n_sent, dtype=np.int64)
+    nw = np.asarray(n_words, dtype=np.int64)
+    wps = np.where(ns > 0, 100 * nw // np.maximum(ns, 1), -1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_sentences": pa.array(ns),
+            "n_words": pa.array(nw),
+            "words_per_sentence_e2": pa.array(wps.astype(np.int64)),
+        }
+    )
+
+
+def q_sentence_stats(sf_dir: str):
+    """Sentence segmentation statistics per document — the C4-family
+    'enough complete sentences' quality gate input. Map-only; RE2
+    sentence/word splits on both engines."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_sentence_batch, batch_format="pyarrow")
+
+
+SQL_SENTENCE_STATS = r"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_split_to_array(text, '[.!?]+') AS parts,
+         regexp_extract_all(text, '\S+') AS words
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         len(list_filter(parts, x -> trim(x) <> '')) AS ns,
+         len(words) AS nw
+  FROM s)
+SELECT doc_id,
+       cast(ns AS BIGINT) AS n_sentences,
+       cast(nw AS BIGINT) AS n_words,
+       cast(CASE WHEN ns > 0 THEN 100 * nw // ns ELSE -1 END AS BIGINT)
+           AS words_per_sentence_e2
+FROM p
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -1434,6 +1579,8 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "wau_rolling": q_wau_rolling,
     "iqr_trim": q_iqr_trim,
+    "embedding_normalize": q_embedding_normalize,
+    "sentence_stats": q_sentence_stats,
 }
 
 ORACLE_SQL = {
@@ -1456,6 +1603,8 @@ ORACLE_SQL = {
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "wau_rolling": SQL_WAU,
     "iqr_trim": SQL_IQR_TRIM,
+    "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
+    "sentence_stats": SQL_SENTENCE_STATS,
 }
 
 # self-register into the driver-facing registries (same pattern and
