@@ -1559,6 +1559,171 @@ FROM p
 """
 
 
+# =====================================================================
+# Geometric mean per group (quantize-then-sum ln terms)
+# =====================================================================
+
+def q_geo_mean_value(sf_dir: str):
+    """Per-type geometric mean of value-cents (positive rows only) —
+    the log-domain aggregate: each row's ln(cents) is quantized to an
+    e9 integer BEFORE the sum (order-free on both engines), then ONE
+    mirrored exp over the exact integer total."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        cents = _i64_away_np(batch.column("value"), 100.0)
+        keep = cents > 0
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type").combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "term": pa.array(
+                    _i64_away_np(np.log(cents[keep].astype(np.float64)), 1e9)
+                ),
+            }
+        )
+        part = t.group_by("event_type").aggregate(
+            [("term", "sum"), ("term", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": part.column("event_type"),
+                "t": pc.cast(part.column("term_sum"), pa.int64()),
+                "n": pc.cast(part.column("term_count"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("t", alias_name="t"), Sum("n", alias_name="n"))
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        t = int(g["t"].iloc[0])
+        n = int(g["n"].iloc[0])
+        # token-for-token mirror: exp(cast(t AS DOUBLE)/1e9/n) * 100
+        gm = math.exp(float(t) / 1_000_000_000 / n) * 100
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": np.array([n], dtype=np.int64),
+                "geo_mean_e2": _i64_away_np([gm], scale=1.0),
+            }
+        )
+
+    return agg.groupby("event_type").map_groups(_final, batch_format="pandas")
+
+
+SQL_GEO_MEAN = """
+WITH c AS (
+  SELECT event_type, cast(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE round(value * 100, 0) > 0),
+s AS (
+  SELECT event_type, count(*) AS n,
+         sum(cast(round(ln(cast(cents AS DOUBLE)) * 1000000000, 0)
+                  AS BIGINT)) AS t
+  FROM c GROUP BY event_type)
+SELECT event_type, cast(n AS BIGINT) AS n,
+       cast(round(exp(cast(t AS DOUBLE) / 1000000000 / n) * 100, 0)
+            AS BIGINT) AS geo_mean_e2
+FROM s
+"""
+
+
+# =====================================================================
+# Contrastive negative sampling (training-pair mining)
+# =====================================================================
+
+_NEG_K = 4
+
+
+def q_negative_sampling(sf_dir: str):
+    """(query, positive, negatives) triplet mining for contrastive
+    training: positive = nearest non-self cosine neighbor (the green
+    ``knn_cosine`` machinery and tie rule), negatives = the 4
+    hash-smallest candidates per query (deterministic md5 order,
+    excluding the query and its positive) — per-batch partial top-4 →
+    bounded driver reduce, so the negative pick streams the id column
+    only (pruned read)."""
+    from .relational import QUERIES as _Q
+
+    knn = _Q["knn_cosine"](sf_dir)
+    kdf = knn.to_pandas() if hasattr(knn, "to_pandas") else knn
+    kdf = kdf[kdf["vec_id"] != kdf["query_id"]].sort_values(
+        ["query_id", "score_e4", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pos = kdf.drop_duplicates("query_id")[["query_id", "vec_id"]]
+    pos_map = dict(zip(pos["query_id"].astype(int), pos["vec_id"].astype(int)))
+    queries = sorted(pos_map)
+
+    def _neg_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        qs, hs, vs = [], [], []
+        for q in queries:
+            p = pos_map[q]
+            for v in ids:
+                v = int(v)
+                if v == q or v == p:
+                    continue
+                qs.append(q)
+                hs.append(hashlib.md5(f"{q}|{v}".encode()).hexdigest())
+                vs.append(v)
+        df = pd.DataFrame({"query_id": qs, "h": hs, "neg_id": vs})
+        df = df.sort_values(["h", "neg_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("query_id", sort=False).head(_NEG_K),
+            preserve_index=False,
+        )
+
+    parts = (
+        _read(sf_dir, "embeddings", ["vec_id"])
+        .map_batches(_neg_partial, batch_format="pyarrow")
+        .to_pandas()
+    )  # bounded: <= queries × 4 × batches rows
+    out_rows = []
+    for q in queries:
+        cand = parts[parts["query_id"] == q].sort_values(
+            ["h", "neg_id"], kind="mergesort"
+        ).head(_NEG_K)
+        for rk, neg in enumerate(cand["neg_id"].astype(int), start=1):
+            out_rows.append((q, pos_map[q], neg, rk))
+    return pd.DataFrame(
+        out_rows, columns=["query_id", "pos_id", "neg_id", "neg_rank"]
+    ).astype(np.int64)
+
+
+SQL_NEGATIVE_SAMPLING = """
+WITH sc AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, e.embedding)
+                          * 10000, 0) DESC,
+                    e.vec_id ASC
+         ) AS rn
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id),
+pos AS (SELECT query_id, vec_id AS pos_id FROM sc WHERE rn = 1),
+negs AS (
+  SELECT p.query_id, p.pos_id, e.vec_id AS neg_id,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY md5(printf('%d|%d', p.query_id, e.vec_id)), e.vec_id
+         ) AS neg_rank
+  FROM pos p JOIN embeddings e
+    ON e.vec_id <> p.query_id AND e.vec_id <> p.pos_id)
+SELECT query_id, pos_id, neg_id, cast(neg_rank AS BIGINT) AS neg_rank
+FROM negs WHERE neg_rank <= 4
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -1581,6 +1746,8 @@ QUERIES = {
     "iqr_trim": q_iqr_trim,
     "embedding_normalize": q_embedding_normalize,
     "sentence_stats": q_sentence_stats,
+    "geo_mean_value": q_geo_mean_value,
+    "negative_sampling": q_negative_sampling,
 }
 
 ORACLE_SQL = {
@@ -1605,6 +1772,8 @@ ORACLE_SQL = {
     "iqr_trim": SQL_IQR_TRIM,
     "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
     "sentence_stats": SQL_SENTENCE_STATS,
+    "geo_mean_value": SQL_GEO_MEAN,
+    "negative_sampling": SQL_NEGATIVE_SAMPLING,
 }
 
 # self-register into the driver-facing registries (same pattern and
