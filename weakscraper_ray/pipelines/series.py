@@ -522,7 +522,12 @@ def q_key_skew(sf_dir: str):
     Gini/top-share arithmetic runs on the bounded per-key count table
     with exact Python ints and ONE mirrored double division. Σ rank·c
     is invariant under tie permutations, so ordering by count alone is
-    deterministic."""
+    deterministic. Partitioning assumption: the KEY CARDINALITY fits
+    the driver (events.user_id here). At a cardinality where it
+    doesn't, compute the Gini from the quantile-histogram sketch of
+    the count distribution instead (the ``approx_quantiles_value``
+    machinery) — the diagnostic tolerates approximation; the exact
+    path is kept because it is the oracle-checkable one."""
     from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "events", ["user_id"])
