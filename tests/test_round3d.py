@@ -308,3 +308,33 @@ def test_sentence_batch_counts():
     assert int(out.loc[2, "n_sentences"]) == 1
     assert int(out.loc[3, "n_sentences"]) == 0
     assert int(out.loc[3, "words_per_sentence_e2"]) == -1
+
+
+def test_gap_partial_hist_buckets():
+    from weakscraper_ray.pipelines.series import _gap_partial_hist
+
+    # gaps: 0 s (bucket -1), 1 s (bucket 0), 4 s (bucket 2), 7 s (bucket 2)
+    g = pd.DataFrame(
+        {
+            "user_id": [1] * 5,
+            "event_id": [1, 2, 3, 4, 5],
+            "us": [0, 500_000, 1_500_000, 5_500_000, 12_500_000],
+        }
+    )
+    out = _gap_partial_hist(g).set_index("bucket")["n"]
+    assert int(out[-1]) == 1 and int(out[0]) == 1 and int(out[2]) == 2
+
+
+def test_path_group_order():
+    from weakscraper_ray.pipelines.series import _path_group
+
+    g = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "event_id": [3, 1, 2],
+            "event_type": ["c", "a", "b"],
+            "us": [5, 5, 1],  # ties on us=5 broken by event_id
+        }
+    )
+    out = _path_group(g)
+    assert out["path"][0] == "b|a|c" and int(out["n_events"][0]) == 3

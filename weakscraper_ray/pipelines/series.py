@@ -1729,6 +1729,130 @@ FROM negs WHERE neg_rank <= 4
 """
 
 
+# =====================================================================
+# Ordered string_agg: per-user event-type journey strings
+# =====================================================================
+
+def _path_group(g: pd.DataFrame) -> pd.DataFrame:
+    o = np.lexsort((g["event_id"].to_numpy(), g["us"].to_numpy()))
+    path = "|".join(g["event_type"].to_numpy()[o])
+    return pd.DataFrame(
+        {
+            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
+            "n_events": np.array([len(o)], dtype=np.int64),
+            "path": [path],
+        }
+    )
+
+
+def q_event_path(sf_dir: str):
+    """Per-user ordered journey string (event types joined in (ts,
+    event_id) order) — the ordered-list_agg primitive behind funnel
+    mining AND the chat→flat-text render step of a training pipeline
+    (same shape as pack_conversations, emitting a string instead of a
+    packed list). One groupby(user) exchange; per-group lexsort +
+    C-level join."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_proj, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_path_group, batch_format="pandas")
+    )
+
+
+SQL_EVENT_PATH = """
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '|'
+                  ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id)
+           AS path
+FROM events GROUP BY user_id
+"""
+
+
+# =====================================================================
+# Inter-arrival histogram: log2-bucketed gap distribution
+# =====================================================================
+
+def _gap_partial_hist(g: pd.DataFrame) -> pd.DataFrame:
+    o = np.lexsort((g["event_id"].to_numpy(), g["us"].to_numpy()))
+    us = g["us"].to_numpy()[o]
+    if len(us) < 2:
+        return pd.DataFrame({"bucket": [], "n": []})
+    gap = (us[1:] - us[:-1]) // _US_PER_S  # whole seconds
+    bucket = np.full(len(gap), -1, dtype=np.int64)
+    pos = gap > 0
+    # floor(log2) is IEEE-exact at powers of two on both engines
+    bucket[pos] = np.floor(np.log2(gap[pos].astype(np.float64))).astype(
+        np.int64
+    )
+    b, n = np.unique(bucket, return_counts=True)
+    return pd.DataFrame({"bucket": b, "n": n.astype(np.int64)})
+
+
+def q_interarrival_hist(sf_dir: str):
+    """Corpus-wide inter-arrival-time distribution (per-user
+    consecutive-event gaps, log2-second buckets; same-second gaps →
+    bucket −1) — the latency/burstiness profile. One groupby(user)
+    exchange → per-group diffs + local histogram → one
+    bucket-vocabulary-bounded roll-up."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+            }
+        )
+
+    partials = _schema_guard(
+        ds.map_batches(_proj, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_gap_partial_hist, batch_format="pandas"),
+        pa.schema([("bucket", pa.int64()), ("n", pa.int64())]),
+    )
+    out = partials.groupby("bucket").aggregate(Sum("n", alias_name="n"))
+    pdf = out.to_pandas()
+    return pd.DataFrame(
+        {
+            "bucket": pdf["bucket"].to_numpy(dtype=np.int64),
+            "n": pdf["n"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+SQL_INTERARRIVAL_HIST = """
+WITH e AS (
+  SELECT user_id, epoch_us(cast(ts AS TIMESTAMP)) AS us, event_id
+  FROM events),
+l AS (
+  SELECT (us - lag(us) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id)) // 1000000 AS gap
+  FROM e),
+b AS (
+  SELECT CASE WHEN gap > 0
+              THEN cast(floor(log2(cast(gap AS DOUBLE))) AS BIGINT)
+              ELSE -1 END AS bucket
+  FROM l WHERE gap IS NOT NULL)
+SELECT bucket, cast(count(*) AS BIGINT) AS n FROM b GROUP BY bucket
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -1753,6 +1877,8 @@ QUERIES = {
     "sentence_stats": q_sentence_stats,
     "geo_mean_value": q_geo_mean_value,
     "negative_sampling": q_negative_sampling,
+    "event_path": q_event_path,
+    "interarrival_hist": q_interarrival_hist,
 }
 
 ORACLE_SQL = {
@@ -1779,6 +1905,8 @@ ORACLE_SQL = {
     "sentence_stats": SQL_SENTENCE_STATS,
     "geo_mean_value": SQL_GEO_MEAN,
     "negative_sampling": SQL_NEGATIVE_SAMPLING,
+    "event_path": SQL_EVENT_PATH,
+    "interarrival_hist": SQL_INTERARRIVAL_HIST,
 }
 
 # self-register into the driver-facing registries (same pattern and
