@@ -338,3 +338,20 @@ def test_path_group_order():
     )
     out = _path_group(g)
     assert out["path"][0] == "b|a|c" and int(out["n_events"][0]) == 3
+
+
+def test_checksum_dataset_order_independent(ray_session):
+    import ray.data
+
+    from weakscraper_ray.pipelines.series import checksum_dataset
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    cols = ["o_orderkey", "o_custkey"]
+    a = checksum_dataset(ray.data.read_parquet(path, columns=cols), cols)
+    b = checksum_dataset(
+        ray.data.read_parquet(path, columns=cols).random_shuffle(seed=7)
+        .repartition(5),
+        cols,
+    )
+    assert a["n_rows"] == b["n_rows"] > 0
+    assert a["checksum"] == b["checksum"]

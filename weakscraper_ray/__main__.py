@@ -45,6 +45,16 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--no-resume", action="store_true")
     ex.add_argument("--batch-size", type=int, default=1024)
 
+    ck = sub.add_parser(
+        "checksum",
+        help="order-independent audit fingerprint of a parquet dir "
+             "(same rows → same value regardless of partitioning/order)",
+    )
+    ck.add_argument("--input", required=True, help="parquet file/dir/glob")
+    ck.add_argument("--columns", required=True,
+                    help="comma-separated canonical key columns")
+    ck.add_argument("--num-cpus", type=int, default=None)
+
     q = sub.add_parser("query", help="run a named pipeline from the query registry")
     q.add_argument("name", nargs="?", help="query name (omit to list all)")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -52,6 +62,24 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--num-cpus", type=int, default=None)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "checksum":
+        import ray
+        import ray.data
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
+        try:
+            from .pipelines.series import checksum_dataset
+
+            cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+            ds = ray.data.read_parquet(args.input, columns=cols)
+            print(json.dumps(checksum_dataset(ds, cols)))
+            return 0
+        finally:
+            ray.shutdown()
 
     if args.cmd == "query":
         from .pipelines import relational as R

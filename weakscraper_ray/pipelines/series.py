@@ -345,13 +345,7 @@ GROUP BY g.doc_id
 # Order-independent table checksum (cross-run / cross-engine audit)
 # =====================================================================
 
-def _checksum_partial(batch: pa.Table) -> pa.Table:
-    key = pc.binary_join_element_wise(
-        pc.cast(batch.column("o_orderkey"), pa.string()),
-        pc.cast(batch.column("o_custkey"), pa.string()),
-        pc.cast(_i64_away(batch.column("o_totalprice"), 100.0), pa.string()),
-        "|",
-    )
+def _checksum_key_partial(key: pa.Array, n_rows: int) -> pa.Table:
     # per-row md5 (no Arrow kernel exists; same justification as
     # sample_hash) — lower 8 digest bytes little-endian mirrors
     # DuckDB's md5_number_lower()
@@ -364,9 +358,41 @@ def _checksum_partial(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "part": pa.array([acc % _CHECKSUM_MOD], pa.int64()),
-            "n": pa.array([batch.num_rows], pa.int64()),
+            "n": pa.array([n_rows], pa.int64()),
         }
     )
+
+
+def _checksum_partial(batch: pa.Table) -> pa.Table:
+    key = pc.binary_join_element_wise(
+        pc.cast(batch.column("o_orderkey"), pa.string()),
+        pc.cast(batch.column("o_custkey"), pa.string()),
+        pc.cast(_i64_away(batch.column("o_totalprice"), 100.0), pa.string()),
+        "|",
+    )
+    return _checksum_key_partial(key, batch.num_rows)
+
+
+def checksum_dataset(ds, columns: list[str]) -> dict:
+    """Order-independent fingerprint of ANY dataset over a canonical
+    '|'-joined string projection of ``columns`` — the CLI audit surface
+    (``python -m weakscraper_ray checksum``). Two runs over the same
+    rows agree regardless of partitioning, block order, or engine
+    (DuckDB mirror: sum of md5_number_lower over the same printf).
+    Map-only; one row per batch reaches the driver."""
+
+    def _part(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            *[pc.cast(batch.column(c), pa.string()) for c in columns], "|"
+        )
+        return _checksum_key_partial(key, batch.num_rows)
+
+    pdf = ds.map_batches(_part, batch_format="pyarrow").to_pandas()
+    return {
+        "n_rows": int(pdf["n"].sum()),
+        "checksum": int(sum(int(v) for v in pdf["part"])) % _CHECKSUM_MOD,
+        "columns": list(columns),
+    }
 
 
 def q_table_checksum(sf_dir: str):
