@@ -1879,6 +1879,97 @@ SELECT bucket, cast(count(*) AS BIGINT) AS n FROM b GROUP BY bucket
 """
 
 
+# =====================================================================
+# Column profiler: per-column n / nulls / min / max in one pass
+# =====================================================================
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+    "o_orderdate",
+]
+
+
+def _profile_partial(batch: pa.Table) -> pa.Table:
+    rows = []
+    for c in _PROFILE_COLS:
+        col = batch.column(c)
+        n_null = int(pc.sum(pc.is_null(col).cast(pa.int64())).as_py() or 0)
+        # typed min/max (string min would misorder numbers), stringified
+        # for the uniform output schema
+        mn = pc.min(col).as_py()
+        mx = pc.max(col).as_py()
+        rows.append((c, batch.num_rows, n_null, str(mn), str(mx)))
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in rows], pa.int64()),
+            "min_s": pa.array([r[3] for r in rows], pa.string()),
+            "max_s": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def _profile_merge(g: pd.DataFrame) -> pd.DataFrame:
+    c = g["column"].iloc[0]
+    # stringified partials re-compare TYPED: numeric columns must merge
+    # numerically, not lexicographically ('10' < '9')
+    if c in ("o_orderkey", "o_custkey"):
+        mn = str(min(int(v) for v in g["min_s"]))
+        mx = str(max(int(v) for v in g["max_s"]))
+    else:  # dates (ISO) and strings order identically as text
+        mn = min(g["min_s"])
+        mx = max(g["max_s"])
+    return pd.DataFrame(
+        {
+            "column": [c],
+            "n": np.array([int(g["n"].sum())], dtype=np.int64),
+            "n_null": np.array([int(g["n_null"].sum())], dtype=np.int64),
+            "min_s": [mn],
+            "max_s": [mx],
+        }
+    )
+
+
+def q_profile_orders(sf_dir: str):
+    """One-pass column profiler (n, nulls, typed min/max) over orders —
+    the schema-inspection utility run before any migration. Per-batch
+    partials are 5 rows regardless of batch size; one tiny
+    groupby(column) merge."""
+    ds = _read(sf_dir, "orders", _PROFILE_COLS)
+    return (
+        ds.map_batches(_profile_partial, batch_format="pyarrow")
+        .groupby("column")
+        .map_groups(_profile_merge, batch_format="pandas")
+    )
+
+
+SQL_PROFILE = """
+SELECT 'o_orderkey' AS column, cast(count(*) AS BIGINT) AS n,
+       cast(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+       cast(min(o_orderkey) AS VARCHAR) AS min_s,
+       cast(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+UNION ALL
+SELECT 'o_custkey', cast(count(*) AS BIGINT),
+       cast(count(*) - count(o_custkey) AS BIGINT),
+       cast(min(o_custkey) AS VARCHAR), cast(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', cast(count(*) AS BIGINT),
+       cast(count(*) - count(o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', cast(count(*) AS BIGINT),
+       cast(count(*) - count(o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_orderdate', cast(count(*) AS BIGINT),
+       cast(count(*) - count(o_orderdate) AS BIGINT),
+       cast(min(o_orderdate) AS VARCHAR), cast(max(o_orderdate) AS VARCHAR)
+FROM orders
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -1905,6 +1996,7 @@ QUERIES = {
     "negative_sampling": q_negative_sampling,
     "event_path": q_event_path,
     "interarrival_hist": q_interarrival_hist,
+    "profile_orders": q_profile_orders,
 }
 
 ORACLE_SQL = {
@@ -1933,6 +2025,7 @@ ORACLE_SQL = {
     "negative_sampling": SQL_NEGATIVE_SAMPLING,
     "event_path": SQL_EVENT_PATH,
     "interarrival_hist": SQL_INTERARRIVAL_HIST,
+    "profile_orders": SQL_PROFILE,
 }
 
 # self-register into the driver-facing registries (same pattern and
