@@ -2655,6 +2655,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
     from . import clustering as _clu
 
     out.update(_clu.dynamic_oracle_sql(sf_dir))
+    from . import series as _ser
+
+    out.update(_ser.dynamic_oracle_sql(sf_dir))
     return out
 
 

@@ -1970,6 +1970,104 @@ FROM orders
 """
 
 
+# =====================================================================
+# Schema evolution: union of parquet generations with differing schemas
+# =====================================================================
+
+def _evolve_files(sf_dir: str) -> tuple[str, str]:
+    """Deterministic two-generation input derived from documents:
+    v1 (even doc_id) lacks the ``source`` column that v2 (odd doc_id)
+    added — the schema-evolution shape every long-lived dataset hits.
+    Built once per sf_dir (atomic rename), read by BOTH engines."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    base = f"/tmp/weakscraper_ray_evolve_{tag}"
+    f1, f2 = f"{base}/v1.parquet", f"{base}/v2.parquet"
+    if not (os.path.exists(f1) and os.path.exists(f2)):
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang", "source"])
+        even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        v1 = t.filter(even).select(["doc_id", "lang"])
+        v2 = t.filter(pc.invert(even))
+        for tbl, path in ((v1, f1), (v2, f2)):
+            tmp = path + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)  # atomic under parallel tests
+    return f1, f2
+
+
+def q_schema_evolve_scan(sf_dir: str):
+    """Read two parquet generations whose schemas differ (a column
+    added in v2) as ONE dataset — Ray unifies by name, null-filling
+    the missing column — then a per-lang roll-up splitting rows by
+    new-column presence. The migration-audit query for evolving
+    datasets; DuckDB mirrors via ``union_by_name``."""
+    import ray.data
+
+    from ..context import configure_context
+
+    configure_context()
+    f1, f2 = _evolve_files(sf_dir)
+    ds = ray.data.read_parquet([f1, f2])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        # blocks keep their SOURCE FILE's physical schema — a v1 block
+        # has no `source` column at all (dataset-level unification
+        # happens downstream); treat absent column as all-null
+        if "source" in batch.schema.names:
+            has = pc.cast(pc.is_valid(batch.column("source")), pa.int64())
+        else:
+            has = pa.array(np.zeros(batch.num_rows, np.int64))
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "with_source": has,
+            }
+        )
+        return t.group_by("lang").aggregate(
+            [("one", "sum"), ("with_source", "sum")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("one_sum", alias_name="n_docs"),
+                   Sum("with_source_sum", alias_name="n_with_source"))
+    )
+    pdf = out.to_pandas()
+    return pd.DataFrame(
+        {
+            "lang": pdf["lang"].to_numpy(),
+            "n_docs": pdf["n_docs"].to_numpy(dtype=np.int64),
+            "n_with_source": pdf["n_with_source"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+def sql_schema_evolve(sf_dir: str) -> str:
+    f1, f2 = _evolve_files(sf_dir)
+    return f"""
+SELECT lang, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_source
+FROM read_parquet(['{f1}', '{f2}'], union_by_name=true)
+GROUP BY lang
+"""
+
+
+def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Twins whose SQL embeds data-dependent paths (wired in
+    relational.build_oracle_sql)."""
+    return {"schema_evolve_scan": sql_schema_evolve(sf_dir)}
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -1997,6 +2095,7 @@ QUERIES = {
     "event_path": q_event_path,
     "interarrival_hist": q_interarrival_hist,
     "profile_orders": q_profile_orders,
+    "schema_evolve_scan": q_schema_evolve_scan,
 }
 
 ORACLE_SQL = {
