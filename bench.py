@@ -91,6 +91,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "minhash_against_index", "kmeans_clusters", "salted_join",
         "triangles", "gap_islands", "substring_dedup", "interval_coverage",
         "peak_concurrency", "token_entropy", "table_checksum",
+        "wau_rolling", "reconcile_orders", "event_path", "pmi_bigrams",
     ]
     out: dict[str, float] = {}
     for name in names:
