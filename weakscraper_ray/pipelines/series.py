@@ -2068,6 +2068,146 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     return {"schema_evolve_scan": sql_schema_evolve(sf_dir)}
 
 
+# =====================================================================
+# DSIR-style importance selection (Xie et al. 2023, public)
+# =====================================================================
+
+_DSIR_TOPK = 50
+
+
+def q_dsir_select(sf_dir: str):
+    """Data Selection via Importance Resampling (public: Xie et al.
+    2023, 'Data Selection for Language Models via Importance
+    Resampling'), at unigram-LM granularity: score every RAW document
+    by its log importance ratio under a TARGET-domain unigram LM vs
+    the raw-corpus LM (add-1 smoothing over the raw vocabulary), keep
+    the top 50. Target here = the lang='en' slice (stand-in for 'the
+    distribution you want more of').
+
+    Shape: two vocabulary-bounded count exchanges (Heaps' law bound,
+    the unigram_logprob machinery) → both count tables broadcast once
+    via ``ray.put`` → ONE streaming scoring pass (C-level Series.map,
+    per-token ratio terms quantized to e9 integers BEFORE the per-doc
+    sum — order-free) → per-batch partial top-k → bounded driver cut."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .curation import _explode_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _vocab_partial(batch: pa.Table) -> pa.Table:
+        en = pc.equal(batch.column("lang"), "en").to_numpy(
+            zero_copy_only=False
+        )
+        rows, toks_all = _explode_tokens(batch)
+        t = pa.table(
+            {
+                "w": pa.array(toks_all, pa.string()),
+                "one": pa.array(np.ones(len(toks_all), np.int64)),
+                "tgt": pa.array(en[rows].astype(np.int64)),
+            }
+        )
+        part = t.group_by("w").aggregate([("one", "sum"), ("tgt", "sum")])
+        return pa.table(
+            {
+                "w": part.column("w"),
+                "raw_n": pc.cast(part.column("one_sum"), pa.int64()),
+                "tgt_n": pc.cast(part.column("tgt_sum"), pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(_vocab_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("raw_n", alias_name="raw_n"),
+                   Sum("tgt_n", alias_name="tgt_n"))
+        .to_pandas()
+    )  # vocabulary-bounded
+    v = len(vocab)
+    raw_tot = int(vocab["raw_n"].sum())
+    tgt_tot = int(vocab["tgt_n"].sum())
+    raw_map = dict(zip(vocab["w"], vocab["raw_n"].astype(np.int64)))
+    tgt_map = dict(zip(vocab["w"], vocab["tgt_n"].astype(np.int64)))
+    model = ray.put((raw_map, tgt_map, float(raw_tot + v), float(tgt_tot + v)))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        raw_c, tgt_c, raw_den, tgt_den = ray.get(model)
+        rows, toks = _explode_tokens(batch)
+        n_tok = np.bincount(rows, minlength=batch.num_rows)
+        keep = n_tok > 0
+        score = np.zeros(batch.num_rows, dtype=np.float64)
+        if len(toks):
+            s = pd.Series(toks)
+            rn = s.map(raw_c).to_numpy(dtype=np.float64)
+            tn = s.map(tgt_c).to_numpy(dtype=np.float64)
+            # token-for-token mirror of the SQL term, e9-quantized
+            # before the sum (order-free)
+            term = _i64_away_np(
+                np.log((tn + 1) / tgt_den) - np.log((rn + 1) / raw_den), 1e9
+            )
+            score = np.bincount(rows, weights=term,
+                                minlength=batch.num_rows)
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id").combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "n_tokens": pa.array(n_tok[keep].astype(np.int64)),
+                "logratio_e9": pa.array(score[keep].astype(np.int64)),
+            }
+        )
+        # batch-local prune: only the local top-k can reach the global cut
+        df = out.to_pandas().sort_values(
+            ["logratio_e9", "doc_id"], ascending=[False, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(df.head(_DSIR_TOPK),
+                                    preserve_index=False)
+
+    parts = (
+        ds.map_batches(_score, batch_format="pyarrow").to_pandas()
+    )  # bounded: <= topk × batches rows
+    out = parts.sort_values(["logratio_e9", "doc_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(_DSIR_TOPK)
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+            "n_tokens": out["n_tokens"].to_numpy(dtype=np.int64),
+            "logratio_e9": out["logratio_e9"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+SQL_DSIR = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+    FROM documents),
+t2 AS (SELECT * FROM toks WHERE w <> ''),
+cnt AS (
+    SELECT w, count(*) AS raw_n,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_n
+    FROM t2 GROUP BY w),
+tot AS (
+    SELECT cast(sum(raw_n) + count(*) AS DOUBLE) AS raw_den,
+           cast(sum(tgt_n) + count(*) AS DOUBLE) AS tgt_den
+    FROM cnt),
+sc AS (
+    SELECT t2.doc_id,
+           count(*) AS n_tokens,
+           sum(cast(round((ln((cast(tgt_n AS DOUBLE) + 1) / tgt_den)
+                           - ln((cast(raw_n AS DOUBLE) + 1) / raw_den))
+                          * 1000000000, 0) AS BIGINT)) AS logratio_e9
+    FROM t2 JOIN cnt USING (w) CROSS JOIN tot
+    GROUP BY t2.doc_id)
+SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+       cast(logratio_e9 AS BIGINT) AS logratio_e9
+FROM sc ORDER BY logratio_e9 DESC, doc_id LIMIT 50
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -2096,6 +2236,7 @@ QUERIES = {
     "interarrival_hist": q_interarrival_hist,
     "profile_orders": q_profile_orders,
     "schema_evolve_scan": q_schema_evolve_scan,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLE_SQL = {
@@ -2125,6 +2266,7 @@ ORACLE_SQL = {
     "event_path": SQL_EVENT_PATH,
     "interarrival_hist": SQL_INTERARRIVAL_HIST,
     "profile_orders": SQL_PROFILE,
+    "dsir_select": SQL_DSIR,
 }
 
 # self-register into the driver-facing registries (same pattern and
