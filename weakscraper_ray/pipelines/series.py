@@ -2208,6 +2208,100 @@ FROM sc ORDER BY logratio_e9 DESC, doc_id LIMIT 50
 """
 
 
+# =====================================================================
+# Corpus divergence: Jensen-Shannon distance between two language
+# slices' unigram distributions
+# =====================================================================
+
+def q_lang_divergence(sf_dir: str):
+    """Jensen-Shannon divergence between the 'en' and 'de' slices'
+    unigram distributions (add-1 smoothing over the union vocabulary) —
+    the corpus-drift / source-comparison statistic. One
+    vocabulary-bounded count exchange; the JSD arithmetic runs on the
+    bounded vocab table with per-word terms quantized to e9 integers
+    before the sum (order-free), then ONE mirrored final division."""
+    from ray.data.aggregate import Sum
+
+    from .curation import _explode_tokens
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        rows, toks = _explode_tokens(batch)
+        rl = lang[rows]
+        mask = (rl == "en") | (rl == "de")
+        t = pa.table(
+            {
+                "w": pa.array(toks[mask], pa.string()),
+                "p_n": pa.array((rl[mask] == "en").astype(np.int64)),
+                "q_n": pa.array((rl[mask] == "de").astype(np.int64)),
+            }
+        )
+        part = t.group_by("w").aggregate([("p_n", "sum"), ("q_n", "sum")])
+        return pa.table(
+            {
+                "w": part.column("w"),
+                "p_n": pc.cast(part.column("p_n_sum"), pa.int64()),
+                "q_n": pc.cast(part.column("q_n_sum"), pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("p_n", alias_name="p_n"), Sum("q_n", alias_name="q_n"))
+        .to_pandas()
+    )  # union-vocabulary-bounded
+    v = len(vocab)
+    p_tot = int(vocab["p_n"].sum())
+    q_tot = int(vocab["q_n"].sum())
+    p = (vocab["p_n"].to_numpy(dtype=np.float64) + 1) / float(p_tot + v)
+    q = (vocab["q_n"].to_numpy(dtype=np.float64) + 1) / float(q_tot + v)
+    m = (p + q) / 2
+    # per-word terms quantized before the sum (mirrors the SQL)
+    term = _i64_away_np(p * np.log(p / m) + q * np.log(q / m), 1e9)
+    jsd = float(int(term.sum())) / 1_000_000_000 / 2
+    return pd.DataFrame(
+        {
+            "n_vocab": np.array([v], dtype=np.int64),
+            "en_tokens": np.array([p_tot], dtype=np.int64),
+            "de_tokens": np.array([q_tot], dtype=np.int64),
+            "jsd_e9": _i64_away_np([jsd], scale=1e9),
+        }
+    )
+
+
+SQL_LANG_DIVERGENCE = r"""
+WITH toks AS (
+    SELECT lang,
+           unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+    FROM documents WHERE lang IN ('en', 'de')),
+t2 AS (SELECT * FROM toks WHERE w <> ''),
+cnt AS (
+    SELECT w, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p_n,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS q_n
+    FROM t2 GROUP BY w),
+tot AS (
+    SELECT count(*) AS v, sum(p_n) AS p_tot, sum(q_n) AS q_tot FROM cnt),
+pq AS (
+    SELECT (cast(p_n AS DOUBLE) + 1) / cast(p_tot + v AS DOUBLE) AS p,
+           (cast(q_n AS DOUBLE) + 1) / cast(q_tot + v AS DOUBLE) AS q
+    FROM cnt CROSS JOIN tot),
+terms AS (
+    SELECT cast(round((p * ln(p / ((p + q) / 2))
+                       + q * ln(q / ((p + q) / 2))) * 1000000000, 0)
+                AS BIGINT) AS term
+    FROM pq)
+SELECT (SELECT cast(v AS BIGINT) FROM tot)      AS n_vocab,
+       (SELECT cast(p_tot AS BIGINT) FROM tot)  AS en_tokens,
+       (SELECT cast(q_tot AS BIGINT) FROM tot)  AS de_tokens,
+       cast(round(cast(sum(term) AS DOUBLE) / 1000000000 / 2
+                  * 1000000000, 0) AS BIGINT)   AS jsd_e9
+FROM terms
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -2237,6 +2331,7 @@ QUERIES = {
     "profile_orders": q_profile_orders,
     "schema_evolve_scan": q_schema_evolve_scan,
     "dsir_select": q_dsir_select,
+    "lang_divergence": q_lang_divergence,
 }
 
 ORACLE_SQL = {
@@ -2267,6 +2362,7 @@ ORACLE_SQL = {
     "interarrival_hist": SQL_INTERARRIVAL_HIST,
     "profile_orders": SQL_PROFILE,
     "dsir_select": SQL_DSIR,
+    "lang_divergence": SQL_LANG_DIVERGENCE,
 }
 
 # self-register into the driver-facing registries (same pattern and
