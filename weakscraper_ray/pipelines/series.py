@@ -2302,6 +2302,74 @@ FROM terms
 """
 
 
+# =====================================================================
+# Grouped vocabulary ranking: top-5 terms per language
+# =====================================================================
+
+def q_lang_word_topk(sf_dir: str):
+    """Top-5 terms per language (count desc, term asc ties) — the
+    grouped variant of word_topk. Per-batch (lang, term) count
+    partials → one vocabulary×languages-bounded exchange → per-lang
+    rank."""
+    from ray.data.aggregate import Sum
+
+    from .curation import _explode_tokens
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        rows, toks = _explode_tokens(batch)
+        t = pa.table(
+            {
+                "lang": pa.array(lang[rows], pa.string()),
+                "term": pa.array(toks, pa.string()),
+            }
+        )
+        part = t.group_by(["lang", "term"]).aggregate([("term", "count")])
+        return pa.table(
+            {
+                "lang": part.column("lang"),
+                "term": part.column("term"),
+                "n": pc.cast(part.column("term_count"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["n", "term"], ascending=[False, True],
+                          kind="mergesort").head(5)
+        return pd.DataFrame(
+            {
+                "lang": d["lang"].to_numpy(),
+                "term": d["term"].to_numpy(),
+                "n": d["n"].to_numpy(dtype=np.int64),
+                "rk": np.arange(1, len(d) + 1, dtype=np.int64),
+            }
+        )
+
+    return counts.groupby("lang").map_groups(_top, batch_format="pandas")
+
+
+SQL_LANG_WORD_TOPK = r"""
+WITH toks AS (
+    SELECT lang,
+           unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+    FROM documents),
+t2 AS (SELECT * FROM toks WHERE w <> ''),
+c AS (SELECT lang, w AS term, count(*) AS n FROM t2 GROUP BY lang, w)
+SELECT lang, term, cast(n AS BIGINT) AS n, cast(rk AS BIGINT) AS rk FROM (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+  FROM c) WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -2332,6 +2400,7 @@ QUERIES = {
     "schema_evolve_scan": q_schema_evolve_scan,
     "dsir_select": q_dsir_select,
     "lang_divergence": q_lang_divergence,
+    "lang_word_topk": q_lang_word_topk,
 }
 
 ORACLE_SQL = {
@@ -2363,6 +2432,7 @@ ORACLE_SQL = {
     "profile_orders": SQL_PROFILE,
     "dsir_select": SQL_DSIR,
     "lang_divergence": SQL_LANG_DIVERGENCE,
+    "lang_word_topk": SQL_LANG_WORD_TOPK,
 }
 
 # self-register into the driver-facing registries (same pattern and
