@@ -2370,6 +2370,59 @@ SELECT lang, term, cast(n AS BIGINT) AS n, cast(rk AS BIGINT) AS rk FROM (
 """
 
 
+# =====================================================================
+# Activity heatmap: day-of-week × hour counts (calendar bucketing)
+# =====================================================================
+
+def q_activity_heatmap(sf_dir: str):
+    """(day-of-week, hour) event counts — the usage-heatmap query.
+    Calendar buckets computed as INTEGER EPOCH ARITHMETIC on both
+    engines (dow = (epoch_day + 4) % 7, 0 = Sunday; 1970-01-01 was a
+    Thursday) rather than engine calendar functions, whose week-start
+    conventions differ. Per-batch partials; one 7×24-bounded exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def _part(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        dow = (us // _US_PER_DAY + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        t = pa.table(
+            {
+                "dow": pa.array(dow, pa.int64()),
+                "hour": pa.array(hour, pa.int64()),
+                "one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+        return t.group_by(["dow", "hour"]).aggregate([("one", "sum")])
+
+    out = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("one_sum", alias_name="n"))
+    )
+    pdf = out.to_pandas()
+    return pd.DataFrame(
+        {
+            "dow": pdf["dow"].to_numpy(dtype=np.int64),
+            "hour": pdf["hour"].to_numpy(dtype=np.int64),
+            "n": pdf["n"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+SQL_ACTIVITY_HEATMAP = """
+WITH e AS (SELECT epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events)
+SELECT (us // 86400000000 + 4) % 7 AS dow,
+       (us // 3600000000) % 24     AS hour,
+       cast(count(*) AS BIGINT)    AS n
+FROM e GROUP BY dow, hour
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -2401,6 +2454,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "lang_divergence": q_lang_divergence,
     "lang_word_topk": q_lang_word_topk,
+    "activity_heatmap": q_activity_heatmap,
 }
 
 ORACLE_SQL = {
@@ -2433,6 +2487,7 @@ ORACLE_SQL = {
     "dsir_select": SQL_DSIR,
     "lang_divergence": SQL_LANG_DIVERGENCE,
     "lang_word_topk": SQL_LANG_WORD_TOPK,
+    "activity_heatmap": SQL_ACTIVITY_HEATMAP,
 }
 
 # self-register into the driver-facing registries (same pattern and
