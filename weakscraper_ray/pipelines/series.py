@@ -2423,6 +2423,111 @@ FROM e GROUP BY dow, hour
 """
 
 
+# =====================================================================
+# Sorted-neighborhood dedup (Hernandez & Stolfo 1995, public) —
+# the sort-based blocking family, complementing LSH/SimHash
+# =====================================================================
+
+_SNM_WINDOW = 2
+
+
+def _snm_shingles(text: str) -> set:
+    w = (text or "").lower().split()
+    return set(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
+
+
+def _snm_block(g: pd.DataFrame) -> pd.DataFrame:
+    d = g.sort_values(["k", "doc_id"], kind="mergesort")
+    ids = d["doc_id"].to_numpy()
+    texts = d["text"].to_numpy()
+    sh = [_snm_shingles(t) for t in texts]
+    a_out, b_out = [], []
+    for off in range(1, _SNM_WINDOW + 1):
+        for i in range(len(ids) - off):
+            sa, sb = sh[i], sh[i + off]
+            # same integer Jaccard>=0.5 rule + empty-evidence guard as
+            # the minhash verify (ADVICE r2)
+            if (sa or sb) and 3 * len(sa & sb) >= len(sa) + len(sb):
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[i + off]))
+    return pd.DataFrame(
+        {
+            "doc_a": np.asarray(a_out, dtype=np.int64),
+            "doc_b": np.asarray(b_out, dtype=np.int64),
+        }
+    )
+
+
+def q_dedup_snm(sf_dir: str):
+    """Sorted-neighborhood near-dup candidates (public: Hernandez &
+    Stolfo 1995 'merge/purge'): normalize text, block on the 4-char
+    key prefix, sort each block by the 12-char key, pair each row with
+    its next 2 neighbors, verify with the exact integer 3-gram-Jaccard
+    rule. The sort-based blocking family — a third discovery mechanism
+    next to MinHash-LSH (hash-based) and SimHash (bit-based); the
+    deployed multi-pass/blocked variant (pure SNM's single global rank
+    would use the pack_budget prefix-scan). One groupby(block)
+    exchange; the in-block window join is O(w·n) vectorized-adjacent,
+    never all-pairs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(
+            pc.coalesce(batch.column("text"), pa.scalar("", pa.string()))
+        )
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(low, pattern=r"\s+", replacement=" "),
+            characters=" ",
+        )
+        return pa.table(
+            {
+                "blk": pc.utf8_slice_codeunits(norm, 0, 4),
+                "k": pc.utf8_slice_codeunits(norm, 0, 12),
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+            }
+        )
+
+    return (
+        ds.map_batches(_proj, batch_format="pyarrow")
+        .groupby("blk")
+        .map_groups(_snm_block, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_SNM = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'),
+              ' ') AS norm
+  FROM documents),
+r AS (
+  SELECT doc_id, substr(norm, 1, 12) AS k, substr(norm, 1, 4) AS blk,
+         row_number() OVER (PARTITION BY substr(norm, 1, 4)
+                            ORDER BY substr(norm, 1, 12), doc_id) AS rn
+  FROM n),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 2),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ) AS s
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                     '\s+') AS w
+        FROM documents))
+SELECT doc_a, doc_b
+FROM cand
+JOIN sh a ON a.doc_id = cand.doc_a
+JOIN sh b ON b.doc_id = cand.doc_b
+WHERE len(a.s) + len(b.s) > 0
+  AND 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -2455,6 +2560,7 @@ QUERIES = {
     "lang_divergence": q_lang_divergence,
     "lang_word_topk": q_lang_word_topk,
     "activity_heatmap": q_activity_heatmap,
+    "dedup_snm": q_dedup_snm,
 }
 
 ORACLE_SQL = {
@@ -2488,6 +2594,7 @@ ORACLE_SQL = {
     "lang_divergence": SQL_LANG_DIVERGENCE,
     "lang_word_topk": SQL_LANG_WORD_TOPK,
     "activity_heatmap": SQL_ACTIVITY_HEATMAP,
+    "dedup_snm": SQL_DEDUP_SNM,
 }
 
 # self-register into the driver-facing registries (same pattern and
