@@ -2528,6 +2528,62 @@ WHERE len(a.s) + len(b.s) > 0
 """
 
 
+# =====================================================================
+# Max burst: sliding 60-second RANGE-frame count per user
+# =====================================================================
+
+def _burst_group(g: pd.DataFrame) -> pd.DataFrame:
+    us = np.sort(g["us"].to_numpy())
+    # RANGE-frame semantics: for each row, count rows with value in
+    # [us, us + 60 s) — includes value-peers on both sides, exactly
+    # DuckDB's RANGE BETWEEN CURRENT ROW AND 59999999 FOLLOWING
+    lo = np.searchsorted(us, us, side="left")
+    hi = np.searchsorted(us, us + 59_999_999, side="right")
+    return pd.DataFrame(
+        {
+            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
+            "max_burst": np.array([int((hi - lo).max())], dtype=np.int64),
+        }
+    )
+
+
+def q_max_burst(sf_dir: str):
+    """Peak 60-second event burst per user — the VALUE-RANGE window
+    frame (vs the ROWS frame of moving_avg and the bucketed frames of
+    window_tumbling/hopping), distributed as one groupby(user)
+    exchange + a per-group double binary search (O(n log n), no
+    per-row rescan)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_proj, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_burst_group, batch_format="pandas")
+    )
+
+
+SQL_MAX_BURST = """
+WITH e AS (
+  SELECT user_id, epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events),
+w AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN CURRENT ROW AND 59999999 FOLLOWING)
+             AS c
+  FROM e)
+SELECT user_id, cast(max(c) AS BIGINT) AS max_burst
+FROM w GROUP BY user_id
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -2561,6 +2617,7 @@ QUERIES = {
     "lang_word_topk": q_lang_word_topk,
     "activity_heatmap": q_activity_heatmap,
     "dedup_snm": q_dedup_snm,
+    "max_burst": q_max_burst,
 }
 
 ORACLE_SQL = {
@@ -2595,6 +2652,7 @@ ORACLE_SQL = {
     "lang_word_topk": SQL_LANG_WORD_TOPK,
     "activity_heatmap": SQL_ACTIVITY_HEATMAP,
     "dedup_snm": SQL_DEDUP_SNM,
+    "max_burst": SQL_MAX_BURST,
 }
 
 # self-register into the driver-facing registries (same pattern and
