@@ -2584,6 +2584,96 @@ FROM w GROUP BY user_id
 """
 
 
+# =====================================================================
+# Dedup-method evaluation: SNM candidates vs the exact pair truth
+# =====================================================================
+
+def q_dedup_eval(sf_dir: str):
+    """Precision/recall of the sorted-neighborhood discovery against
+    the exact all-pairs 3-gram-Jaccard truth set — the evaluation
+    harness a dedup-method choice needs. Both pair sets come from the
+    engine's own operators (truth = the LSH pipeline's verified pairs,
+    measured full-recall on this corpus; candidate = dedup_snm);
+    orientation-normalized before comparison. The pair sets are
+    LSH/window-bounded, so the set algebra runs driver-side; at a
+    scale where they aren't, it becomes one groupby((min,max)) cogroup."""
+    from .relational import QUERIES as _Q
+
+    def _pairs(name):
+        r = _Q[name](sf_dir)
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        return set(zip(np.minimum(a, b), np.maximum(a, b)))
+
+    truth = _pairs("dedup_minhash")
+    cand = _pairs("dedup_snm")
+    hit = len(truth & cand)
+    # mirrored doubles: cast(hit AS DOUBLE) / n * 1e6, half-away
+    prec = float(hit) / len(cand) * 1e6 if cand else 0.0
+    rec = float(hit) / len(truth) * 1e6 if truth else 0.0
+    return pd.DataFrame(
+        {
+            "n_truth": np.array([len(truth)], dtype=np.int64),
+            "n_candidates": np.array([len(cand)], dtype=np.int64),
+            "n_hit": np.array([hit], dtype=np.int64),
+            "precision_e6": _i64_away_np([prec], scale=1.0),
+            "recall_e6": _i64_away_np([rec], scale=1.0),
+        }
+    )
+
+
+SQL_DEDUP_EVAL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'),
+              ' ') AS norm
+  FROM documents),
+r AS (
+  SELECT doc_id, substr(norm, 1, 12) AS k, substr(norm, 1, 4) AS blk,
+         row_number() OVER (PARTITION BY substr(norm, 1, 4)
+                            ORDER BY substr(norm, 1, 12), doc_id) AS rn
+  FROM n),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ) AS s
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                     '\s+') AS w
+        FROM documents)),
+truth AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.s) + len(b.s) > 0
+    AND 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS pa,
+         greatest(a.doc_id, b.doc_id) AS pb
+  FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 2
+  JOIN sh x ON x.doc_id = a.doc_id
+  JOIN sh y ON y.doc_id = b.doc_id
+  WHERE len(x.s) + len(y.s) > 0
+    AND 3 * len(list_intersect(x.s, y.s)) >= len(x.s) + len(y.s)),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand)  AS n_candidates,
+         (SELECT count(*) FROM truth JOIN cand USING (pa, pb)) AS n_hit)
+SELECT cast(n_truth AS BIGINT) AS n_truth,
+       cast(n_candidates AS BIGINT) AS n_candidates,
+       cast(n_hit AS BIGINT) AS n_hit,
+       cast(round(CASE WHEN n_candidates > 0
+                       THEN cast(n_hit AS DOUBLE) / n_candidates * 1000000
+                       ELSE 0 END, 0) AS BIGINT) AS precision_e6,
+       cast(round(CASE WHEN n_truth > 0
+                       THEN cast(n_hit AS DOUBLE) / n_truth * 1000000
+                       ELSE 0 END, 0) AS BIGINT) AS recall_e6
+FROM m
+"""
+
+
 QUERIES = {
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
@@ -2618,6 +2708,7 @@ QUERIES = {
     "activity_heatmap": q_activity_heatmap,
     "dedup_snm": q_dedup_snm,
     "max_burst": q_max_burst,
+    "dedup_eval": q_dedup_eval,
 }
 
 ORACLE_SQL = {
@@ -2653,6 +2744,7 @@ ORACLE_SQL = {
     "activity_heatmap": SQL_ACTIVITY_HEATMAP,
     "dedup_snm": SQL_DEDUP_SNM,
     "max_burst": SQL_MAX_BURST,
+    "dedup_eval": SQL_DEDUP_EVAL,
 }
 
 # self-register into the driver-facing registries (same pattern and
