@@ -1,0 +1,134 @@
+"""Unit tests for the continuation-#9 data-ops internals (the
+driver-mimic harness in test_relational.py covers the end-to-end
+oracle equality; these pin the vectorized kernels in isolation)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from weakscraper_ray.pipelines import dataops as d
+
+
+# ---------------------------------------------------------------- pairs
+
+def test_pairs_within_groups_matches_bruteforce():
+    rng = np.random.RandomState(7)
+    order = np.sort(rng.randint(0, 40, 300).astype(np.int64))
+    part = rng.randint(1, 50, 300).astype(np.int64)
+    df = (
+        pd.DataFrame({"k": order, "part": part})
+        .drop_duplicates()
+        .sort_values(["k", "part"])
+    )
+    got = d._pairs_within_groups(
+        df["k"].to_numpy(np.int64), df["part"].to_numpy(np.int64)
+    )
+    want = []
+    for _, g in df.groupby("k"):
+        ps = g["part"].to_numpy()
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                want.append(int(ps[i]) * (1 << 32) + int(ps[j]))
+    assert sorted(got.tolist()) == sorted(want)
+
+
+def test_pairs_within_groups_empty_and_singletons():
+    assert len(d._pairs_within_groups(np.empty(0, np.int64),
+                                      np.empty(0, np.int64))) == 0
+    # three singleton baskets -> no pairs
+    got = d._pairs_within_groups(
+        np.array([1, 2, 3], np.int64), np.array([9, 8, 7], np.int64)
+    )
+    assert len(got) == 0
+
+
+# ---------------------------------------------------------------- morton
+
+def test_morton_lut_interleave_roundtrip():
+    lut = d._MORTON
+    for x, y in [(0, 0), (255, 255), (3, 5), (170, 85), (200, 1)]:
+        z = int(lut[x] | (lut[y] << 1))
+        # decode by collecting even/odd bits
+        dx = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (dx, dy) == (x, y)
+
+
+def test_zorder_tiles_are_8x8_rectangles():
+    # every 64-z-code tile covers exactly an aligned 8x8 (x, y) square
+    lut = d._MORTON
+    xs = np.arange(256)
+    z = lut[xs][:, None] | (lut[xs][None, :] << 1)  # z[x, y]
+    tile = z >> d._ZTILE_SHIFT
+    for t in [0, 1, 500, 1023]:
+        pos = np.argwhere(tile == t)
+        assert len(pos) == 64
+        x_span = pos[:, 0].max() - pos[:, 0].min()
+        y_span = pos[:, 1].max() - pos[:, 1].min()
+        assert x_span == 7 and y_span == 7
+
+
+# ---------------------------------------------------------------- bpe
+
+def test_bpe_partial_masks_spaces_and_doc_boundaries():
+    batch = pa.table({"text": ["abc", "cab"]})
+    out = d._bpe_partial(batch).to_pandas()
+    got = {
+        (chr(int(p) // 256) + chr(int(p) % 256)): int(n)
+        for p, n in zip(out["pair_id"], out["n"])
+    }
+    # "abc" -> ab, bc ; "cab" -> ca, ab ; the c|(sep)|c junction is masked
+    assert got == {"ab": 2, "bc": 1, "ca": 1}
+
+
+def test_bpe_partial_single_space_heavy():
+    batch = pa.table({"text": ["a b", " ", ""]})
+    out = d._bpe_partial(batch).to_pandas()
+    assert out["n"].sum() == 0  # every pair touches ' ' or the separator
+
+
+# ---------------------------------------------------------------- upsert
+
+def test_upsert_log_and_merge_lww():
+    batch = pa.table(
+        {
+            # 77 hits %7 and %11 (delete wins over its own update);
+            # 13 spawns an insert under -13; 5 is untouched
+            "o_orderkey": pa.array([77, 13, 5], pa.int64()),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        }
+    )
+    log = d._upsert_log(batch).to_pandas()
+    merged = d._upsert_merge(log)
+    rows = {
+        int(r.o_orderkey): (int(r.cents), int(r.version))
+        for r in merged.itertuples()
+    }
+    assert 77 not in rows                      # tombstone (v2) wins
+    assert rows[13] == (2000, 0)               # base row untouched
+    assert rows[-13] == (2000, 1)              # spawned insert
+    assert rows[5] == (3000, 0)
+    assert set(rows) == {13, -13, 5}
+
+
+# ---------------------------------------------------------------- rules
+
+def test_rules_partial_counts():
+    batch = pa.table(
+        {
+            "o_totalprice": pa.array([-1.0, 500000.0, 10.0], pa.float64()),
+            "o_orderstatus": pa.array(["O", "X", "F"], pa.string()),
+            "o_orderpriority": pa.array(["1-URGENT", "9-BAD", "3-MEDIUM"],
+                                        pa.string()),
+            "o_orderdate": pa.array(
+                [0, d._EPOCH_US_2000, d._EPOCH_US_2000 - 1], pa.timestamp("us")
+            ),
+        }
+    )
+    out = d._rules_partial(batch).to_pandas().set_index("rule")
+    assert out.loc["totalprice_positive", "violations"] == 1
+    assert out.loc["totalprice_ceiling", "violations"] == 1
+    assert out.loc["date_before_2000", "violations"] == 1
+    assert out.loc["status_in_domain", "violations"] == 1
+    assert out.loc["priority_format", "violations"] == 1
+    assert (out["n_checked"] == 3).all()

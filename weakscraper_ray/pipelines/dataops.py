@@ -1,0 +1,498 @@
+"""Round-3 continuation #9: warehouse/data-ops primitives — CDC
+upsert merge, declarative expectation audits, tokenizer-training pair
+counting, market-basket co-occurrence mining, and space-filling-curve
+data layout. Each is a ``queries()`` entry with a DuckDB oracle twin.
+
+Scale notes (the patterns these queries demonstrate):
+- upsert merge (last-writer-wins CDC apply, the Delta/Iceberg MERGE
+  primitive): tagged union of snapshot + change-log rows carrying only
+  (key, payload, version, op) → ONE key-shard exchange → per-shard
+  vectorized winner pick (groupby-idxmax on version) → tombstone
+  filter. At 100 TB the change log is usually ≪ the snapshot, so the
+  same shape also supports a broadcast apply when the delta fits in
+  the object store; the shuffle form here is the general case.
+- expectation audit (Great-Expectations-style rule battery): the
+  whole battery is evaluated as vectorized boolean kernels per batch,
+  reduced to a 5-row partial per batch — map-only over the fact table,
+  then a constant-size groupby. Zero payload leaves the scan beyond
+  (rule, violations, n_checked) int64 triples.
+- byte-pair counting (the inner loop of BPE tokenizer training, one
+  merge round): each batch's strings are joined with a NUL separator
+  and viewed as a uint8 numpy array; adjacent-pair ids (256·a + b) are
+  histogrammed with one ``np.bincount`` — no per-row Python. Partials
+  are (pair_id, n) rows bounded by 65,536 regardless of corpus size,
+  so the exchange and the driver-side final top-k are O(1) in the
+  input. (Byte == char here: the corpus is ASCII; the SQL twin's
+  char-based substr would diverge on multi-byte text, and a real BPE
+  trainer is byte-level anyway.)
+- co-occurrence mining (frequent-itemset pair support, the
+  market-basket primitive behind "related items"): ONE order-shard
+  exchange co-locates each basket, then pairs are enumerated with
+  pure index arithmetic (np.repeat over per-basket pair counts — no
+  per-basket Python loop) and pre-counted per shard before the second,
+  much smaller (pair, n) exchange. Support filtering happens on the
+  aggregated table, so the heavy basket payload never shuffles twice.
+- z-order layout (multi-dimensional clustering for block pruning —
+  the public Morton-curve technique behind Delta/Iceberg OPTIMIZE
+  ZORDER): interleave the bits of two bucketed sort keys via a
+  256-entry lookup table, tile by the high bits, and report per-tile
+  min/max spans of BOTH dimensions. The spans are the proof of value:
+  every tile covers an 8×8 rectangle, so a range predicate on EITHER
+  column prunes ~15/16 of tiles, where a single-column sort prunes
+  only its own column. Map-only partials + one bounded groupby(tile).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _i64_away, _read
+
+_US_PER_DAY = 86_400_000_000
+
+# =====================================================================
+# CDC upsert merge (last-writer-wins + tombstones)
+# =====================================================================
+# The change log is synthesized deterministically FROM the snapshot
+# (no external data): keys %7==0 get an update (+1000.00), keys %13==0
+# spawn an insert under the negated key, keys %11==0 get a delete
+# tombstone. version: base=0, update/insert=1, delete=2 — strictly
+# ordered by construction, so "max version wins" is unambiguous.
+
+_UPSERT_SHARDS = 64
+
+
+def _upsert_log(batch: pa.Table) -> pa.Table:
+    k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+    cents = _i64_away(batch.column("o_totalprice"), 100.0).to_numpy(
+        zero_copy_only=False
+    )
+    upd = k % 7 == 0
+    ins = k % 13 == 0
+    dele = k % 11 == 0
+    ks = [k, k[upd], -k[ins], k[dele]]
+    cs = [cents, cents[upd] + 100_000, cents[ins], np.zeros(dele.sum(), np.int64)]
+    vs = [np.full(len(a), v, np.int64) for a, v in zip(ks, (0, 1, 1, 2))]
+    ops = ["U"] * len(k) + ["U"] * int(upd.sum()) + ["I"] * int(ins.sum()) + [
+        "D"
+    ] * int(dele.sum())
+    kk = np.concatenate(ks)
+    return pa.table(
+        {
+            "shard": pa.array(kk & (_UPSERT_SHARDS - 1), pa.int64()),
+            "k": pa.array(kk, pa.int64()),
+            "cents": pa.array(np.concatenate(cs), pa.int64()),
+            "version": pa.array(np.concatenate(vs), pa.int64()),
+            "op": pa.array(ops, pa.string()),
+        }
+    )
+
+
+def _upsert_merge(g: pd.DataFrame) -> pd.DataFrame:
+    win = g.loc[g.groupby("k")["version"].idxmax()]
+    win = win[win["op"] != "D"]
+    return pd.DataFrame(
+        {
+            "o_orderkey": win["k"].to_numpy(np.int64),
+            "cents": win["cents"].to_numpy(np.int64),
+            "version": win["version"].to_numpy(np.int64),
+        }
+    )
+
+
+def q_upsert_snapshot(sf_dir: str):
+    """Apply a CDC change log (updates + inserts + delete tombstones)
+    to a snapshot with last-writer-wins semantics: one key-shard
+    exchange, per-shard vectorized ``idxmax(version)`` winner pick,
+    tombstones dropped after the pick (so a delete beats the base row
+    it shadows)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return (
+        ds.map_batches(_upsert_log, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_upsert_merge, batch_format="pandas")
+    )
+
+
+SQL_UPSERT = """
+WITH base AS (
+  SELECT o_orderkey AS k, cast(round(o_totalprice*100) AS BIGINT) AS cents,
+         0::BIGINT AS version, 'U' AS op FROM orders),
+log AS (
+  SELECT * FROM base
+  UNION ALL SELECT k, cents + 100000, 1::BIGINT, 'U' FROM base WHERE k % 7 = 0
+  UNION ALL SELECT -k, cents, 1::BIGINT, 'I' FROM base WHERE k % 13 = 0
+  UNION ALL SELECT k, 0::BIGINT, 2::BIGINT, 'D' FROM base WHERE k % 11 = 0),
+win AS (
+  SELECT k, cents, version, op,
+         row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+  FROM log)
+SELECT k AS o_orderkey, cents, version FROM win WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# =====================================================================
+# Declarative expectation audit (rule battery over orders)
+# =====================================================================
+
+_EPOCH_US_2000 = 946_684_800_000_000  # 2000-01-01T00:00:00Z
+
+
+def _rules_partial(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    price = batch.column("o_totalprice")
+    status = batch.column("o_orderstatus")
+    prio = batch.column("o_orderpriority")
+    us = pc.cast(batch.column("o_orderdate"), pa.int64())
+    fails = {
+        "totalprice_positive": pc.sum(
+            pc.cast(pc.invert(pc.greater(price, 0.0)), pa.int64())
+        ).as_py()
+        or 0,
+        "totalprice_ceiling": pc.sum(
+            pc.cast(pc.greater(price, 400_000.0), pa.int64())
+        ).as_py()
+        or 0,
+        "date_before_2000": pc.sum(
+            pc.cast(pc.greater_equal(us, _EPOCH_US_2000), pa.int64())
+        ).as_py()
+        or 0,
+        "status_in_domain": pc.sum(
+            pc.cast(pc.invert(pc.is_in(status, value_set=pa.array(["O", "F", "P"]))),
+                    pa.int64())
+        ).as_py()
+        or 0,
+        "priority_format": pc.sum(
+            pc.cast(pc.invert(pc.match_substring_regex(prio, r"^[1-5]-")), pa.int64())
+        ).as_py()
+        or 0,
+    }
+    return pa.table(
+        {
+            "rule": pa.array(list(fails), pa.string()),
+            "violations": pa.array(list(fails.values()), pa.int64()),
+            "n_checked": pa.array([n] * len(fails), pa.int64()),
+        }
+    )
+
+
+def q_validate_rules(sf_dir: str):
+    """Great-Expectations-style declarative audit: the whole rule
+    battery evaluates as Arrow boolean kernels per batch and reduces
+    to one 5-row int64 partial per batch — map-only over the fact
+    scan, constant-size groupby to merge."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_totalprice", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+    return (
+        ds.map_batches(_rules_partial, batch_format="pyarrow")
+        .groupby("rule")
+        .aggregate(
+            Sum("violations", alias_name="violations"),
+            Sum("n_checked", alias_name="n_checked"),
+        )
+    )
+
+
+SQL_VALIDATE = """
+SELECT rule, violations, n_checked FROM (
+  SELECT 'totalprice_positive' AS rule,
+         cast(count_if(NOT (o_totalprice > 0)) AS BIGINT) AS violations,
+         cast(count(*) AS BIGINT) AS n_checked FROM orders
+  UNION ALL
+  SELECT 'totalprice_ceiling', cast(count_if(o_totalprice > 400000) AS BIGINT),
+         cast(count(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'date_before_2000',
+         cast(count_if(o_orderdate >= TIMESTAMP '2000-01-01') AS BIGINT),
+         cast(count(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'status_in_domain',
+         cast(count_if(o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+         cast(count(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'priority_format',
+         cast(count_if(NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+         cast(count(*) AS BIGINT) FROM orders
+)
+"""
+
+
+# =====================================================================
+# Byte-pair counting (one BPE-training merge round)
+# =====================================================================
+
+_BPE_TOPK = 20
+
+
+def _bpe_partial(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_numpy(zero_copy_only=False)
+    # C-level join + encode; NUL (0) separates documents so no pair
+    # crosses a doc boundary (0 is masked below, as is ' ').
+    b = np.frombuffer("\x00".join(texts.tolist()).encode(), np.uint8)
+    if len(b) < 2:
+        return pa.table(
+            {"pair_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    pairs = b[:-1].astype(np.int64) * 256 + b[1:]
+    keep = (b[:-1] != 32) & (b[1:] != 32) & (b[:-1] != 0) & (b[1:] != 0)
+    counts = np.bincount(pairs[keep], minlength=65536)
+    nz = np.flatnonzero(counts)
+    return pa.table(
+        {
+            "pair_id": pa.array(nz, pa.int64()),
+            "n": pa.array(counts[nz], pa.int64()),
+        }
+    )
+
+
+def q_bpe_top_pairs(sf_dir: str):
+    """One merge round of byte-level BPE tokenizer training: histogram
+    adjacent byte pairs corpus-wide and pick the top-20 by
+    (count desc, pair asc). Per-batch ``np.bincount`` partials are
+    bounded at 65,536 rows regardless of corpus size, so the exchange
+    and the final pick are O(1) in the input — the canonical "big scan,
+    tiny state" reduction. Byte == char on this ASCII corpus (the SQL
+    twin is char-based); real BPE is byte-level anyway."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+    agg = (
+        ds.map_batches(_bpe_partial, batch_format="pyarrow")
+        .groupby("pair_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by the 65,536 pair-id space, not the input
+    )
+    pid = agg["pair_id"].to_numpy(np.int64)
+    pair = np.char.add(
+        (pid // 256).astype(np.uint32).view("U1"),
+        (pid % 256).astype(np.uint32).view("U1"),
+    )
+    out = pd.DataFrame({"pair": pair, "n": agg["n"].to_numpy(np.int64)})
+    out = out.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort")
+    return out.head(_BPE_TOPK).reset_index(drop=True)
+
+
+SQL_BPE = f"""
+WITH pos AS (
+  SELECT substr(text, i, 2) AS pair
+  FROM (SELECT text, unnest(range(1, length(text))) AS i FROM documents)
+)
+SELECT pair, cast(count(*) AS BIGINT) AS n
+FROM pos WHERE NOT contains(pair, ' ')
+GROUP BY pair ORDER BY n DESC, pair LIMIT {_BPE_TOPK}
+"""
+
+
+# =====================================================================
+# Market-basket pair mining (frequent-itemset support counting)
+# =====================================================================
+
+_BASKET_SHARDS = 64
+_PAIR_MINSUP = 2
+
+
+def _basket_shard(batch: pa.Table) -> pa.Table:
+    k = batch.column("l_orderkey")
+    return pa.table(
+        {
+            "shard": pc.bit_wise_and(k, _BASKET_SHARDS - 1),
+            "k": k,
+            "part": pc.cast(batch.column("l_partkey"), pa.int64()),
+        }
+    )
+
+
+def _pairs_within_groups(order: np.ndarray, part: np.ndarray):
+    """All (a < b) part pairs within each order, by pure index
+    arithmetic: element at local index ``li`` of a basket of size ``c``
+    pairs with the ``c - li - 1`` elements after it. ``order``/``part``
+    must be lex-sorted and (order, part)-distinct."""
+    n = len(order)
+    if n == 0:
+        return np.empty(0, np.int64)
+    starts = np.flatnonzero(np.r_[True, order[1:] != order[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    li = np.arange(n) - np.repeat(starts, counts)
+    reps = np.repeat(counts, counts) - li - 1
+    a_idx = np.repeat(np.arange(n), reps)
+    block = np.r_[0, np.cumsum(reps)[:-1]]
+    off = np.arange(int(reps.sum())) - np.repeat(block, reps)
+    b_idx = a_idx + 1 + off
+    return part[a_idx] * (np.int64(1) << 32) + part[b_idx]
+
+
+def _basket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    d = g[["k", "part"]].drop_duplicates().sort_values(["k", "part"])
+    codes = _pairs_within_groups(
+        d["k"].to_numpy(np.int64), d["part"].to_numpy(np.int64)
+    )
+    uniq, cnt = np.unique(codes, return_counts=True)
+    return pd.DataFrame({"pair": uniq, "n": cnt.astype(np.int64)})
+
+
+def _pair_decode(batch: pa.Table) -> pa.Table:
+    # vectorized support filter + (a, b) unpack in one Arrow pass
+    batch = batch.filter(pc.greater_equal(batch.column("n_orders"), _PAIR_MINSUP))
+    pair = batch.column("pair")
+    return pa.table(
+        {
+            "part_a": pc.shift_right(pair, 32),
+            "part_b": pc.bit_wise_and(pair, (1 << 32) - 1),
+            "n_orders": batch.column("n_orders"),
+        }
+    )
+
+
+def q_itemset_pairs(sf_dir: str):
+    """Frequent-itemset pair support (market-basket co-occurrence):
+    one order-shard exchange co-locates baskets, pairs are enumerated
+    with np.repeat index arithmetic (no per-basket Python loop) and
+    pre-counted per shard, then the much smaller (pair, n) table takes
+    the second exchange. Support filtering runs on the aggregate, so
+    basket payloads never shuffle twice. Pair ids pack (a, b) into one
+    int64 (a << 32 | b), decoded vectorized at the end."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return (
+        ds.map_batches(_basket_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_basket_pairs, batch_format="pandas")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .map_batches(_pair_decode, batch_format="pyarrow")
+    )
+
+
+SQL_ITEMSET = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT cast(a.l_partkey AS BIGINT) AS part_a,
+       cast(b.l_partkey AS BIGINT) AS part_b,
+       cast(count(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= {_PAIR_MINSUP}
+"""
+
+
+# =====================================================================
+# Z-order layout (Morton-curve clustering + per-tile pruning spans)
+# =====================================================================
+
+def _morton_lut() -> np.ndarray:
+    """256-entry LUT spreading byte bits to even positions:
+    bit i of x lands at bit 2i (y is the same LUT shifted left 1)."""
+    v = np.arange(256, dtype=np.int64)
+    out = np.zeros(256, np.int64)
+    for i in range(8):
+        out |= ((v >> i) & 1) << (2 * i)
+    return out
+
+
+_MORTON = _morton_lut()
+_ZTILE_SHIFT = 6  # 1024 tiles of 16 z-codes = 8x8 (x, y) rectangles
+
+
+def _z_partial(batch: pa.Table) -> pa.Table:
+    x = (
+        batch.column("o_custkey").to_numpy(zero_copy_only=False) % 256
+    ).astype(np.int64)
+    us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    y = ((us // _US_PER_DAY) % 256).astype(np.int64)
+    tile = (_MORTON[x] | (_MORTON[y] << 1)) >> _ZTILE_SHIFT
+    df = pd.DataFrame({"tile": tile, "x": x, "y": y})
+    g = df.groupby("tile", sort=False).agg(
+        n=("x", "size"),
+        min_x=("x", "min"),
+        max_x=("x", "max"),
+        min_y=("y", "min"),
+        max_y=("y", "max"),
+    )
+    return pa.table(
+        {
+            "tile": pa.array(g.index.to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "min_x": pa.array(g["min_x"].to_numpy(np.int64)),
+            "max_x": pa.array(g["max_x"].to_numpy(np.int64)),
+            "min_y": pa.array(g["min_y"].to_numpy(np.int64)),
+            "max_y": pa.array(g["max_y"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_zorder_layout(sf_dir: str):
+    """Morton/z-order clustering audit: bucket (custkey, order day)
+    to bytes, interleave bits via a 256-entry LUT (no per-row Python),
+    tile by the top z bits, and report per-tile row counts + min/max
+    spans of BOTH dimensions. Every tile's span is an 8×8 rectangle —
+    the property that lets a range predicate on EITHER column prune
+    ~15/16 of blocks after a z-order rewrite, vs pruning only the
+    leading column under a plain sort. Map-only partials, one bounded
+    groupby(tile)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return (
+        ds.map_batches(_z_partial, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("min_x", alias_name="min_x"),
+            Max("max_x", alias_name="max_x"),
+            Min("min_y", alias_name="min_y"),
+            Max("max_y", alias_name="max_y"),
+        )
+    )
+
+
+SQL_ZORDER = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         cast(o_custkey % 256 AS BIGINT) AS x,
+         cast(datediff('day', TIMESTAMP '1970-01-01', o_orderdate) % 256
+              AS BIGINT) AS y
+  FROM orders),
+zed AS (
+  SELECT o_orderkey, x, y,
+         sum(((x >> i) & 1) * (1::BIGINT << (2*i)) +
+             ((y >> i) & 1) * (1::BIGINT << (2*i+1))) AS z
+  FROM base, range(0,8) t(i) GROUP BY o_orderkey, x, y)
+SELECT cast(z // {1 << _ZTILE_SHIFT} AS BIGINT) AS tile,
+       cast(count(*) AS BIGINT) AS n,
+       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+FROM zed GROUP BY 1
+"""
+
+
+QUERIES = {
+    "upsert_snapshot": q_upsert_snapshot,
+    "validate_rules": q_validate_rules,
+    "bpe_top_pairs": q_bpe_top_pairs,
+    "itemset_pairs": q_itemset_pairs,
+    "zorder_layout": q_zorder_layout,
+}
+
+ORACLE_SQL = {
+    "upsert_snapshot": SQL_UPSERT,
+    "validate_rules": SQL_VALIDATE,
+    "bpe_top_pairs": SQL_BPE,
+    "itemset_pairs": SQL_ITEMSET,
+    "zorder_layout": SQL_ZORDER,
+}
+
+# self-register into the driver-facing registries (same pattern and
+# import-cycle note as analytics.py / series.py)
+from . import relational as _rel  # noqa: E402
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

@@ -3105,3 +3105,8 @@ from . import clustering as _clustering  # noqa: E402,F401
 # round-3 interval/regression/span-dedup/audit/ntile family — same
 # self-registration pattern.
 from . import series as _series  # noqa: E402,F401
+
+# round-3 warehouse/data-ops family (CDC upsert merge, expectation
+# audit, BPE pair counting, market-basket mining, z-order layout) —
+# same self-registration pattern.
+from . import dataops as _dataops  # noqa: E402,F401
