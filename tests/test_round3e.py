@@ -106,9 +106,24 @@ def test_upsert_log_and_merge_lww():
     }
     assert 77 not in rows                      # tombstone (v2) wins
     assert rows[13] == (2000, 0)               # base row untouched
-    assert rows[-13] == (2000, 1)              # spawned insert
+    assert rows[-14] == (2000, 1)              # spawned insert at -(k+1)
     assert rows[5] == (3000, 0)
-    assert set(rows) == {13, -13, 5}
+    assert set(rows) == {13, -14, 5}
+
+
+def test_upsert_insert_key_never_collides_with_zero():
+    # o_orderkey = 0 exists in the real data: 0 hits %7/%11/%13 all at
+    # once; the insert must land at -1 and survive the key-0 tombstone
+    batch = pa.table(
+        {
+            "o_orderkey": pa.array([0], pa.int64()),
+            "o_totalprice": pa.array([10.0], pa.float64()),
+        }
+    )
+    merged = d._upsert_merge(d._upsert_log(batch).to_pandas())
+    rows = {int(r.o_orderkey): (int(r.cents), int(r.version))
+            for r in merged.itertuples()}
+    assert rows == {-1: (1000, 1)}
 
 
 # ---------------------------------------------------------------- rules

@@ -58,9 +58,12 @@ _US_PER_DAY = 86_400_000_000
 # =====================================================================
 # The change log is synthesized deterministically FROM the snapshot
 # (no external data): keys %7==0 get an update (+1000.00), keys %13==0
-# spawn an insert under the negated key, keys %11==0 get a delete
-# tombstone. version: base=0, update/insert=1, delete=2 — strictly
-# ordered by construction, so "max version wins" is unambiguous.
+# spawn an insert under -(k+1) (never collides with the non-negative
+# base keys — the data really contains o_orderkey = 0, where a plain
+# -k would alias the base key and the tombstone would swallow the
+# insert), keys %11==0 get a delete tombstone. version: base=0,
+# update/insert=1, delete=2 — strictly ordered by construction, so
+# "max version wins" is unambiguous.
 
 _UPSERT_SHARDS = 64
 
@@ -73,7 +76,7 @@ def _upsert_log(batch: pa.Table) -> pa.Table:
     upd = k % 7 == 0
     ins = k % 13 == 0
     dele = k % 11 == 0
-    ks = [k, k[upd], -k[ins], k[dele]]
+    ks = [k, k[upd], -(k[ins] + 1), k[dele]]
     cs = [cents, cents[upd] + 100_000, cents[ins], np.zeros(dele.sum(), np.int64)]
     vs = [np.full(len(a), v, np.int64) for a, v in zip(ks, (0, 1, 1, 2))]
     ops = ["U"] * len(k) + ["U"] * int(upd.sum()) + ["I"] * int(ins.sum()) + [
@@ -124,7 +127,7 @@ WITH base AS (
 log AS (
   SELECT * FROM base
   UNION ALL SELECT k, cents + 100000, 1::BIGINT, 'U' FROM base WHERE k % 7 = 0
-  UNION ALL SELECT -k, cents, 1::BIGINT, 'I' FROM base WHERE k % 13 = 0
+  UNION ALL SELECT -(k+1), cents, 1::BIGINT, 'I' FROM base WHERE k % 13 = 0
   UNION ALL SELECT k, 0::BIGINT, 2::BIGINT, 'D' FROM base WHERE k % 11 = 0),
 win AS (
   SELECT k, cents, version, op,
@@ -474,12 +477,170 @@ FROM zed GROUP BY 1
 """
 
 
+# =====================================================================
+# Incremental view maintenance (delta-maintained aggregate)
+# =====================================================================
+
+def _ivm_partial(batch: pa.Table) -> pa.Table:
+    """Base contribution + the NET per-key effect of the same CDC log
+    q_upsert_snapshot applies, folded into (priority, dn, dcents)
+    partials in one pass. Net effect per source key k:
+    deleted (k%11==0) → the row vanishes: (-1, -cents) regardless of
+    any update (the v2 tombstone wins LWW over the v1 update);
+    else updated (k%7==0) → (0, +100000); insert spawn (k%13==0) →
+    (+1, +cents) under the source row's priority (inserts are never
+    deleted: tombstones are only generated for base keys)."""
+    k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+    cents = _i64_away(batch.column("o_totalprice"), 100.0).to_numpy(
+        zero_copy_only=False
+    )
+    dele = k % 11 == 0
+    upd = (k % 7 == 0) & ~dele
+    ins = k % 13 == 0
+    dn = np.ones(len(k), np.int64)          # base count contribution
+    dc = cents.copy()                        # base sum contribution
+    dn += ins.astype(np.int64) - dele.astype(np.int64)
+    dc += ins * cents - dele * cents + upd * 100_000
+    df = pd.DataFrame(
+        {"o_orderpriority": batch.column("o_orderpriority").to_numpy(
+            zero_copy_only=False), "dn": dn, "dc": dc}
+    )
+    g = df.groupby("o_orderpriority", sort=False).sum()
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(g.index.to_numpy(object), pa.string()),
+            "dn": pa.array(g["dn"].to_numpy(np.int64)),
+            "dc": pa.array(g["dc"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_ivm_priority_totals(sf_dir: str):
+    """Incremental view maintenance: keep ``priority → (count, sum)``
+    current under the CDC change log WITHOUT re-aggregating the merged
+    snapshot. Each batch folds the log's net per-key effect into the
+    base contribution in the same scan, so the maintained view costs
+    one map-only pass + a constant-size groupby — the 100 TB point is
+    that only the (tiny) delta and the stored aggregate move, never a
+    second full-table shuffle. Oracle recomputes from scratch over the
+    merged snapshot, proving maintained == recomputed."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    return (
+        ds.map_batches(_ivm_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("dn", alias_name="n_rows"),
+                   Sum("dc", alias_name="cents"))
+    )
+
+
+SQL_IVM = """
+WITH base AS (
+  SELECT o_orderkey AS k, cast(round(o_totalprice*100) AS BIGINT) AS cents,
+         o_orderpriority AS prio, 0::BIGINT AS version, 'U' AS op FROM orders),
+log AS (
+  SELECT * FROM base
+  UNION ALL SELECT k, cents + 100000, prio, 1::BIGINT, 'U' FROM base
+    WHERE k % 7 = 0
+  UNION ALL SELECT -(k+1), cents, prio, 1::BIGINT, 'I' FROM base
+    WHERE k % 13 = 0
+  UNION ALL SELECT k, 0::BIGINT, prio, 2::BIGINT, 'D' FROM base
+    WHERE k % 11 = 0),
+win AS (
+  SELECT k, cents, prio, op,
+         row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+  FROM log),
+snap AS (SELECT * FROM win WHERE rn = 1 AND op <> 'D')
+SELECT prio AS o_orderpriority, cast(count(*) AS BIGINT) AS n_rows,
+       cast(sum(cents) AS BIGINT) AS cents
+FROM snap GROUP BY 1
+"""
+
+
+# =====================================================================
+# CSV source equivalence (reader-surface coverage)
+# =====================================================================
+
+def _csv_twin(sf_dir: str) -> str:
+    """Deterministic one-time CSV materialization of ``documents``
+    (DuckDB COPY, atomic rename) so the query exercises
+    ``ray.data.read_csv`` on a real comma-quoted file."""
+    import os
+
+    import duckdb
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/weakscraper_oracles/csv-documents-{tag}.csv"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        duckdb.connect().execute(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/documents.parquet') "
+            f"ORDER BY doc_id) TO '{tmp}' (HEADER, DELIMITER ',')"
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def _csv_agg(batch: pa.Table) -> pa.Table:
+    df = pd.DataFrame(
+        {
+            "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+            "chars": pc.utf8_length(
+                batch.column("text")
+            ).to_numpy(zero_copy_only=False).astype(np.int64),
+        }
+    )
+    g = df.groupby("lang", sort=False).agg(n=("chars", "size"),
+                                           s=("chars", "sum"))
+    return pa.table(
+        {
+            "lang": pa.array(g.index.to_numpy(object), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_csv_source(sf_dir: str):
+    """Reader-surface equivalence: the same corpus ingested through
+    ``ray.data.read_csv`` (schema inference + quote handling) must
+    aggregate identically to the parquet path — text length is
+    recomputed post-read so the text column's round-trip is what's
+    actually being checked, not just row counts."""
+    import ray.data
+
+    from ..context import configure_context
+
+    configure_context()
+    ds = ray.data.read_csv(_csv_twin(sf_dir))
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(_csv_agg, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_docs"),
+                   Sum("s", alias_name="sum_chars"))
+    )
+
+
+SQL_CSV_SOURCE = """
+SELECT lang, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "upsert_snapshot": q_upsert_snapshot,
     "validate_rules": q_validate_rules,
     "bpe_top_pairs": q_bpe_top_pairs,
     "itemset_pairs": q_itemset_pairs,
     "zorder_layout": q_zorder_layout,
+    "ivm_priority_totals": q_ivm_priority_totals,
+    "csv_source": q_csv_source,
 }
 
 ORACLE_SQL = {
@@ -488,6 +649,8 @@ ORACLE_SQL = {
     "bpe_top_pairs": SQL_BPE,
     "itemset_pairs": SQL_ITEMSET,
     "zorder_layout": SQL_ZORDER,
+    "ivm_priority_totals": SQL_IVM,
+    "csv_source": SQL_CSV_SOURCE,
 }
 
 # self-register into the driver-facing registries (same pattern and
