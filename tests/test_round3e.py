@@ -126,6 +126,48 @@ def test_upsert_insert_key_never_collides_with_zero():
     assert rows == {-1: (1000, 1)}
 
 
+# ---------------------------------------------------------------- stats
+
+def test_duckdb_ln_matches_python_math_log():
+    # stats.py's exactness argument rests on DuckDB ln == math.log
+    # bit-for-bit over the integer count/rank range the queries feed it
+    import math
+
+    import duckdb
+
+    vals = list(range(1, 5001)) + [10 ** k for k in range(1, 10)]
+    rows = duckdb.connect().execute(
+        "SELECT x, ln(cast(x AS DOUBLE)) FROM (SELECT unnest(?) AS x)", [vals]
+    ).fetchall()
+    assert all(l == math.log(x) for x, l in rows)
+
+
+def test_q_e6_half_away_from_zero():
+    from weakscraper_ray.pipelines import stats as s
+
+    assert s._q_e6(1.0000005) == 1000001      # .5 rounds away
+    assert s._q_e6(0.0) == 0
+    assert s._away(2.5) == 3 and s._away(-2.5) == -3
+    assert s._away(2.4) == 2 and s._away(-2.4) == -2
+
+
+def test_ab_partial_sums():
+    from weakscraper_ray.pipelines import stats as s
+
+    batch = pa.table(
+        {
+            "user_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.005], pa.float64()),
+        }
+    )
+    out = s._ab_partial(batch).to_pandas().set_index("variant")
+    # variant 0: users 0,2 -> cents 100, 300 ; variant 1: 200, 401 (.5 away)
+    assert out.loc[0, "n"] == 2 and out.loc[0, "sy"] == 400
+    assert out.loc[0, "syy"] == 100 * 100 + 300 * 300
+    assert out.loc[1, "sy"] == 601
+    assert out.loc[1, "syy"] == 200 * 200 + 401 * 401
+
+
 # ---------------------------------------------------------------- rules
 
 def test_rules_partial_counts():

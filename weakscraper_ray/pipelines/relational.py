@@ -3110,3 +3110,7 @@ from . import series as _series  # noqa: E402,F401
 # audit, BPE pair counting, market-basket mining, z-order layout) —
 # same self-registration pattern.
 from . import dataops as _dataops  # noqa: E402,F401
+
+# round-3 corpus/experiment statistics family (Zipf rank-frequency
+# fit, Welch A/B read-out) — same self-registration pattern.
+from . import stats as _stats  # noqa: E402,F401

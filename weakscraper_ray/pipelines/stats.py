@@ -1,0 +1,222 @@
+"""Round-3 continuation #9 (batch 2): corpus/experiment statistics —
+Zipf rank-frequency fit and a Welch two-sample experiment read-out.
+Each is a ``queries()`` entry with a DuckDB oracle twin.
+
+Exactness strategy (the repo's quantize-then-sum convention, see
+``series.q_token_entropy`` / ``q_trend_slope``): every logarithm is
+quantized to an e6 integer FIRST (DuckDB ``ln`` and Python
+``math.log`` are the same libm call — verified bit-identical over the
+full count range in tests), all sums then run in exact integer
+arithmetic, and the single final double expression is mirrored
+op-for-op — so the result is partitioning- and order-independent and
+hash-exact against SQL.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _i64_away, _read
+
+_ZIPF_TOPK = 200
+
+
+def _q_e6(v: float) -> int:
+    """round(v * 1e6) half away from zero (DuckDB round), exact for
+    the non-negative ln values used here."""
+    return int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+
+
+def _away(v: float) -> int:
+    return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+
+# =====================================================================
+# Zipf rank-frequency slope over the corpus vocabulary
+# =====================================================================
+
+def q_zipf_slope(sf_dir: str):
+    """Fit ln(count) = slope·ln(rank) + intercept over the top-200
+    corpus terms — the Zipf's-law read-out used to sanity-check a
+    training corpus's token distribution (natural text ≈ −1; templated
+    or synthetic text drifts toward 0). The heavy part reuses the
+    vocabulary-bounded term-count reduction (shuffle payload = batch
+    vocabulary, never the token stream); the regression itself runs on
+    ≤200 (rank, count) integers via quantized-log OLS."""
+    from .analytics import _term_partial, _topk_terms
+
+    ds = _read(sf_dir, "documents", ["text"])
+    top = _topk_terms(
+        ds.map_batches(_term_partial, batch_format="pyarrow"), "term", _ZIPF_TOPK
+    ).to_pandas()  # ordered (n desc, term asc); bounded at 200 rows
+    k = len(top)
+    lx = [_q_e6(math.log(r)) for r in range(1, k + 1)]
+    ly = [_q_e6(math.log(int(n))) for n in top["n"]]
+    sx, sy = sum(lx), sum(ly)
+    sxx = sum(v * v for v in lx)
+    sxy = sum(a * b for a, b in zip(lx, ly))
+    den = float(k * sxx - sx * sx)
+    slope = float(k * sxy - sx * sy) / den
+    intercept = (float(sy) - slope * float(sx)) / float(k)
+    return pd.DataFrame(
+        {
+            "n_terms": pd.array([k], dtype="int64"),
+            "slope_e6": pd.array([_away(slope * 1e6)], dtype="int64"),
+            "intercept_e6": pd.array([_away(intercept)], dtype="int64"),
+        }
+    )
+
+
+SQL_ZIPF = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+wc AS (
+  SELECT term, cast(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY term ORDER BY n DESC, term LIMIT {_ZIPF_TOPK}),
+rk AS (
+  SELECT cast(round(ln(cast(row_number() OVER (ORDER BY n DESC, term)
+                            AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lx,
+         cast(round(ln(cast(n AS DOUBLE)) * 1000000, 0) AS BIGINT) AS ly
+  FROM wc),
+s AS (
+  SELECT cast(count(*) AS BIGINT) AS k, sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx*lx) AS sxx, sum(lx*ly) AS sxy
+  FROM rk)
+SELECT k AS n_terms,
+       cast(round(cast(k*sxy - sx*sy AS DOUBLE)
+                  / cast(k*sxx - sx*sx AS DOUBLE) * 1000000, 0) AS BIGINT)
+           AS slope_e6,
+       cast(round((cast(sy AS DOUBLE)
+                   - cast(k*sxy - sx*sy AS DOUBLE)
+                     / cast(k*sxx - sx*sx AS DOUBLE) * cast(sx AS DOUBLE))
+                  / cast(k AS DOUBLE), 0) AS BIGINT)
+           AS intercept_e6
+FROM s
+"""
+
+
+# =====================================================================
+# Welch two-sample experiment read-out (A/B by user_id parity)
+# =====================================================================
+
+def _ab_partial(batch: pa.Table) -> pa.Table:
+    u = batch.column("user_id").to_numpy(zero_copy_only=False)
+    y = _i64_away(batch.column("value"), 100.0).to_numpy(zero_copy_only=False)
+    out = {"variant": [], "n": [], "sy": [], "syy": []}
+    for v in (0, 1):
+        m = (u % 2) == v
+        out["variant"].append(v)
+        out["n"].append(int(m.sum()))
+        out["sy"].append(int(y[m].sum()))
+        out["syy"].append(int((y[m] * y[m]).sum()))
+    return pa.table(
+        {
+            "variant": pa.array(out["variant"], pa.int64()),
+            "n": pa.array(out["n"], pa.int64()),
+            "sy": pa.array(out["sy"], pa.int64()),
+            "syy": pa.array(out["syy"], pa.int64()),
+        }
+    )
+
+
+def q_ab_test(sf_dir: str):
+    """Welch's t read-out of a (deterministic, user-parity) A/B
+    assignment over event value-cents: the experiment-analysis
+    primitive. The scan reduces to 2×(n, Σy, Σy²) int64 partials per
+    batch — map-only, constant-size exchange — and the final t
+    statistic is ONE double expression from exact integer sums,
+    mirrored op-for-op in SQL. (Σy² stays int64-exact here; at larger
+    value scales the partial would move to HUGEINT/float128 the same
+    way ``analytics.q_corr_stats`` documents.)"""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = (
+        ds.map_batches(_ab_partial, batch_format="pyarrow")
+        .groupby("variant")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sy", alias_name="sy"),
+            Sum("syy", alias_name="syy"),
+        )
+        .to_pandas()  # 2 rows
+        .set_index("variant")
+    )
+    res = {}
+    for v in (0, 1):
+        n = int(agg.loc[v, "n"])
+        sy = int(agg.loc[v, "sy"])
+        syy = int(agg.loc[v, "syy"])
+        m = float(sy) / float(n)
+        var = (float(syy) - float(sy) * float(sy) / float(n)) / float(n - 1)
+        res[v] = (n, m, var)
+    (na, ma, va), (nb, mb, vb) = res[0], res[1]
+    t = (mb - ma) / math.sqrt(va / float(na) + vb / float(nb))
+    return pd.DataFrame(
+        {
+            "n_a": pd.array([na], dtype="int64"),
+            "n_b": pd.array([nb], dtype="int64"),
+            "mean_diff_e6": pd.array([_away((mb - ma) * 1e6)], dtype="int64"),
+            "t_e6": pd.array([_away(t * 1e6)], dtype="int64"),
+        }
+    )
+
+
+SQL_AB = """
+WITH c AS (
+  SELECT user_id % 2 AS variant,
+         cast(round(value * 100, 0) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT variant, cast(count(*) AS BIGINT) AS n,
+         cast(sum(y) AS BIGINT) AS sy, cast(sum(y*y) AS BIGINT) AS syy
+  FROM c GROUP BY variant),
+p AS (
+  SELECT max(CASE WHEN variant = 0 THEN n END)  AS na,
+         max(CASE WHEN variant = 0 THEN sy END) AS sya,
+         max(CASE WHEN variant = 0 THEN syy END) AS syya,
+         max(CASE WHEN variant = 1 THEN n END)  AS nb,
+         max(CASE WHEN variant = 1 THEN sy END) AS syb,
+         max(CASE WHEN variant = 1 THEN syy END) AS syyb
+  FROM s),
+f AS (
+  SELECT na, nb,
+         cast(sya AS DOUBLE)/cast(na AS DOUBLE) AS ma,
+         cast(syb AS DOUBLE)/cast(nb AS DOUBLE) AS mb,
+         (cast(syya AS DOUBLE)
+          - cast(sya AS DOUBLE)*cast(sya AS DOUBLE)/cast(na AS DOUBLE))
+           / cast(na - 1 AS DOUBLE) AS va,
+         (cast(syyb AS DOUBLE)
+          - cast(syb AS DOUBLE)*cast(syb AS DOUBLE)/cast(nb AS DOUBLE))
+           / cast(nb - 1 AS DOUBLE) AS vb
+  FROM p)
+SELECT na AS n_a, nb AS n_b,
+       cast(round((mb - ma) * 1000000, 0) AS BIGINT) AS mean_diff_e6,
+       cast(round((mb - ma)
+                  / sqrt(va / cast(na AS DOUBLE) + vb / cast(nb AS DOUBLE))
+                  * 1000000, 0) AS BIGINT) AS t_e6
+FROM f
+"""
+
+
+QUERIES = {
+    "zipf_slope": q_zipf_slope,
+    "ab_test": q_ab_test,
+}
+
+ORACLE_SQL = {
+    "zipf_slope": SQL_ZIPF,
+    "ab_test": SQL_AB,
+}
+
+# self-register into the driver-facing registries (same pattern as
+# analytics.py / series.py / dataops.py)
+from . import relational as _rel  # noqa: E402
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)
