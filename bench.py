@@ -92,6 +92,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "triangles", "gap_islands", "substring_dedup", "interval_coverage",
         "peak_concurrency", "token_entropy", "table_checksum",
         "wau_rolling", "reconcile_orders", "event_path", "pmi_bigrams",
+        "itemset_pairs", "upsert_snapshot", "bpe_top_pairs",
+        "zorder_layout", "ivm_priority_totals", "zipf_slope", "ab_test",
     ]
     out: dict[str, float] = {}
     for name in names:
