@@ -168,6 +168,54 @@ def test_ab_partial_sums():
     assert out.loc[1, "syy"] == 200 * 200 + 401 * 401
 
 
+# ---------------------------------------------------------------- mlm
+
+def test_mlm_batch_positional_rule():
+    from weakscraper_ray.pipelines import curation as c
+
+    toks = [f"w{i}" for i in range(16)]
+    batch = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array([" ".join(toks), "a b"], pa.string())}
+    )
+    out = c._mlm_batch(batch).to_pandas().set_index("doc_id")
+    inp = out.loc[1, "input_text"].split()
+    # 0-based indices 3 and 10 are masked in a 16-token doc
+    assert [i for i, w in enumerate(inp) if w == "<mask>"] == [3, 10]
+    assert out.loc[1, "target_text"] == "w3 w10"
+    assert out.loc[2, "input_text"] == "a b"      # too short: untouched
+    assert out.loc[2, "target_text"] == ""
+
+
+# ------------------------------------------------------------ compaction
+
+def test_compaction_sequential_fill_rule():
+    from weakscraper_ray.pipelines import dataops as d
+
+    # sizes 10, 7, 5, 3 with target 12: cumsum-before 0,10,17,22
+    b = np.array([10, 7, 5, 3], np.int64)
+    cs_before = np.concatenate(([0], np.cumsum(b)[:-1]))
+    assert (cs_before // 12).tolist() == [0, 0, 1, 1]
+    assert d._COMPACT_TARGET > 0
+
+
+# ---------------------------------------------------------------- rolling
+
+def test_daily_partial_routes_types():
+    from weakscraper_ray.pipelines import stats as s
+
+    batch = pa.table(
+        {
+            "event_type": pa.array(["click", "view", "error", "click"]),
+            "ts": pa.array([0, 1, 2, 86_400_000_000], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        }
+    )
+    out = s._daily_partial(batch).to_pandas().set_index("day")
+    assert out.loc[0, "x"] == 100 and out.loc[0, "y"] == 200  # error ignored
+    assert out.loc[1, "x"] == 400 and out.loc[1, "y"] == 0
+
+
 # ---------------------------------------------------------------- rules
 
 def test_rules_partial_counts():

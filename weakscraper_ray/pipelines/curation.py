@@ -1258,7 +1258,73 @@ GROUP BY d.lang, p.lang_pred
 """
 
 
+# =====================================================================
+# Deterministic masked-LM corruption (T5/BERT-style span prep)
+# =====================================================================
+
+_MASK_EVERY = 7   # 0-based token index i is masked iff i % 7 == 3
+_MASK_AT = 3
+_MASK_TOK = "<mask>"
+
+
+def _mlm_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc masking with a deterministic positional rule (so the
+    SQL twin can mirror it exactly — a seeded-RNG span sampler would
+    be rows-only). The per-doc split/join loop is inherent to
+    list-of-token reassembly (same note as chunk_documents); the rule
+    itself is O(tokens) with no backtracking."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    inputs, targets = [], []
+    for t in texts:
+        toks = (t or "").split()
+        masked = [
+            _MASK_TOK if i % _MASK_EVERY == _MASK_AT else w
+            for i, w in enumerate(toks)
+        ]
+        picked = [w for i, w in enumerate(toks) if i % _MASK_EVERY == _MASK_AT]
+        inputs.append(" ".join(masked))
+        targets.append(" ".join(picked))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "input_text": pa.array(inputs, pa.string()),
+            "target_text": pa.array(targets, pa.string()),
+        }
+    )
+
+
+def q_mlm_mask(sf_dir: str):
+    """Masked-LM training-pair prep: replace every 7th token (offset 3)
+    with a sentinel and emit (input, target) — the deterministic twin
+    of T5-style span corruption, map-only and embarrassingly parallel.
+    A production variant swaps the positional rule for a seeded
+    per-doc RNG inside the same batch fn; the plumbing (schema, 1→1
+    map, zero shuffle) is what this query locks down."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_mlm_batch, batch_format="pyarrow")
+
+
+SQL_MLM_MASK = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+e AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+SELECT doc_id,
+       coalesce(string_agg(
+         CASE WHEN (i-1) % {_MASK_EVERY} = {_MASK_AT}
+              THEN '{_MASK_TOK}' ELSE ws[i] END, ' ' ORDER BY i), '')
+           AS input_text,
+       coalesce(string_agg(
+         CASE WHEN (i-1) % {_MASK_EVERY} = {_MASK_AT}
+              THEN ws[i] END, ' ' ORDER BY i), '') AS target_text
+FROM e GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "mlm_mask": q_mlm_mask,
     "dedup_merge": q_dedup_merge,
     "lang_confusion": q_lang_confusion,
     "pii_scrub": q_pii_scrub,
@@ -1280,6 +1346,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "mlm_mask": SQL_MLM_MASK,
     "pii_scrub": SQL_PII_SCRUB,
     "dedup_merge": SQL_DEDUP_MERGE,
     "stratified_sample": SQL_STRATIFIED,

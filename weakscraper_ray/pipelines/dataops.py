@@ -650,6 +650,74 @@ FROM documents GROUP BY lang
 """
 
 
+# =====================================================================
+# Small-file compaction planning (bin packing by running size)
+# =====================================================================
+
+_COMPACT_TARGET = 16_384  # pseudo-bytes per merge bin at sf scale
+
+
+def _fsize_partial(batch: pa.Table) -> pa.Table:
+    df = pd.DataFrame(
+        {
+            "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+            "source": batch.column("source").to_numpy(zero_copy_only=False),
+            "b": batch.column("n_chars").to_numpy(zero_copy_only=False),
+        }
+    )
+    g = df.groupby(["lang", "source"], sort=False)["b"].sum().reset_index()
+    return pa.table(
+        {
+            "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+            "source": pa.array(g["source"].to_numpy(object), pa.string()),
+            "b": pa.array(g["b"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_compaction_plan(sf_dir: str):
+    """The small-files problem: plan which "files" (one per
+    (lang, source) shard here) merge into which compaction bin.
+    Sizes come from a distributed per-batch pre-aggregated sum — that
+    is the 100 TB-heavy part; the PLAN itself runs over one row per
+    file (tiny at any scale, inherently a driver/coordinator step:
+    size-descending order, running-sum-before // target = bin id —
+    the sequential-fill rule, deterministic and SQL-mirrorable, unlike
+    first-fit-decreasing)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    fs = (
+        ds.map_batches(_fsize_partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("b", alias_name="bytes"))
+        .to_pandas()  # one row per file — bounded metadata, not data
+        .sort_values(["bytes", "lang", "source"],
+                     ascending=[False, True, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    b = fs["bytes"].to_numpy(np.int64)
+    cs_before = np.concatenate(([0], np.cumsum(b)[:-1]))
+    fs["bin"] = cs_before // _COMPACT_TARGET  # non-negative: trunc == floor
+    return fs[["lang", "source", "bytes", "bin"]]
+
+
+SQL_COMPACTION = f"""
+WITH fs AS (
+  SELECT lang, source, cast(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2),
+w AS (
+  SELECT lang, source, bytes,
+         coalesce(sum(bytes) OVER (ORDER BY bytes DESC, lang, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cs
+  FROM fs)
+SELECT lang, source, bytes,
+       cast(cs // {_COMPACT_TARGET} AS BIGINT) AS bin
+FROM w
+"""
+
+
 QUERIES = {
     "upsert_snapshot": q_upsert_snapshot,
     "validate_rules": q_validate_rules,
@@ -658,6 +726,7 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "ivm_priority_totals": q_ivm_priority_totals,
     "csv_source": q_csv_source,
+    "compaction_plan": q_compaction_plan,
 }
 
 ORACLE_SQL = {
@@ -668,6 +737,7 @@ ORACLE_SQL = {
     "zorder_layout": SQL_ZORDER,
     "ivm_priority_totals": SQL_IVM,
     "csv_source": SQL_CSV_SOURCE,
+    "compaction_plan": SQL_COMPACTION,
 }
 
 # self-register into the driver-facing registries (same pattern and

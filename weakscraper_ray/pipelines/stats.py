@@ -204,14 +204,120 @@ FROM f
 """
 
 
+# =====================================================================
+# Rolling 7-day correlation between two metric streams
+# =====================================================================
+
+_US_PER_DAY = 86_400_000_000
+_CORR_W = 7
+_CORR_A, _CORR_B = "click", "view"
+
+
+def _daily_partial(batch: pa.Table) -> pa.Table:
+    et = batch.column("event_type").to_numpy(zero_copy_only=False)
+    us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    y = _i64_away(batch.column("value"), 100.0).to_numpy(zero_copy_only=False)
+    day = us // _US_PER_DAY
+    df = pd.DataFrame(
+        {
+            "day": day,
+            "x": np.where(et == _CORR_A, y, 0),
+            "y": np.where(et == _CORR_B, y, 0),
+        }
+    )
+    g = df.groupby("day", sort=False).sum()
+    return pa.table(
+        {
+            "day": pa.array(g.index.to_numpy(np.int64)),
+            "x": pa.array(g["x"].to_numpy(np.int64)),
+            "y": pa.array(g["y"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_rolling_corr(sf_dir: str):
+    """Trailing-7-row Pearson correlation between the daily cents
+    totals of two event streams (the 'do these metrics co-move' ops
+    read-out). The scan reduces to day-bounded (day, Σx, Σy) int64
+    partials — one constant-size exchange; the window pass runs over
+    one row per day (bounded metadata) with exact integer window sums
+    and ONE mirrored double expression per output row. Window is
+    row-based over the ordered daily series (frames shorter than 7
+    are not emitted), matching the SQL ROWS frame exactly."""
+    from ray.data.aggregate import Sum
+
+    daily = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(_daily_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+        .to_pandas()  # one row per day
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["x"].astype("int64").tolist()  # Python ints: exact products
+    y = daily["y"].astype("int64").tolist()
+    days = daily["day"].tolist()
+    out_day, out_corr = [], []
+    w = _CORR_W
+    for i in range(w - 1, len(daily)):
+        xs, ys = x[i - w + 1: i + 1], y[i - w + 1: i + 1]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = float(w * sxy - sx * sy)
+        den = math.sqrt(float(w * sxx - sx * sx)) * math.sqrt(
+            float(w * syy - sy * sy)
+        )
+        out_day.append(int(days[i]))
+        out_corr.append(_away(num / den * 1e6))
+    return pd.DataFrame(
+        {
+            "day": pd.array(out_day, dtype="int64"),
+            "corr_e6": pd.array(out_corr, dtype="int64"),
+        }
+    )
+
+
+SQL_ROLLING_CORR = f"""
+WITH c AS (
+  SELECT epoch_us(cast(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         cast(sum(CASE WHEN event_type = '{_CORR_A}'
+                       THEN cast(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         cast(sum(CASE WHEN event_type = '{_CORR_B}'
+                       THEN cast(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+w AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS rn,
+         sum(x)   OVER win AS sx,  sum(y)   OVER win AS sy,
+         sum(x*x) OVER win AS sxx, sum(y*y) OVER win AS syy,
+         sum(x*y) OVER win AS sxy
+  FROM c
+  WINDOW win AS (ORDER BY day ROWS BETWEEN {_CORR_W - 1} PRECEDING
+                 AND CURRENT ROW))
+SELECT day,
+       cast(round(cast({_CORR_W}*sxy - sx*sy AS DOUBLE)
+                  / (sqrt(cast({_CORR_W}*sxx - sx*sx AS DOUBLE))
+                     * sqrt(cast({_CORR_W}*syy - sy*sy AS DOUBLE)))
+                  * 1000000, 0) AS BIGINT) AS corr_e6
+FROM w WHERE rn >= {_CORR_W}
+"""
+
+
 QUERIES = {
     "zipf_slope": q_zipf_slope,
     "ab_test": q_ab_test,
+    "rolling_corr": q_rolling_corr,
 }
 
 ORACLE_SQL = {
     "zipf_slope": SQL_ZIPF,
     "ab_test": SQL_AB,
+    "rolling_corr": SQL_ROLLING_CORR,
 }
 
 # self-register into the driver-facing registries (same pattern as
