@@ -216,6 +216,40 @@ def test_daily_partial_routes_types():
     assert out.loc[1, "x"] == 400 and out.loc[1, "y"] == 0
 
 
+# ---------------------------------------------------------------- late
+
+def test_akey_scramble_bijective_and_mod_equals_mask():
+    from weakscraper_ray.pipelines import series as s
+
+    eid = np.arange(100_000, dtype=np.int64)
+    ak = s._akey(eid)
+    assert len(np.unique(ak)) == len(eid)          # odd multiplier: bijective
+    assert (ak == (eid * s._LCG_A + s._LCG_C) % s._LCG_M).all()
+    assert ak.min() >= 0
+
+
+def test_late_prefix_scan_matches_bruteforce():
+    # two-phase scan (chunk carry + within-chunk exclusive cummax) must
+    # equal the single-sequence watermark on a permuted series
+    rng = np.random.RandomState(3)
+    s = rng.randint(0, 10_000, 500).astype(np.int64)
+    ak = np.arange(500, dtype=np.int64)
+    chunk = ak // 64
+    sent = np.iinfo(np.int64).min
+    # brute force over the whole sequence
+    wm_true = np.concatenate(([sent], np.maximum.accumulate(s)[:-1]))
+    # chunked: carry = exclusive running max of per-chunk maxes
+    got = np.empty_like(wm_true)
+    carry = sent
+    for c in np.unique(chunk):
+        m = chunk == c
+        sv = s[m]
+        prev = np.concatenate(([sent], np.maximum.accumulate(sv)[:-1]))
+        got[m] = np.maximum(prev, carry)
+        carry = max(carry, int(sv.max()))
+    assert (got == wm_true).all()
+
+
 # ---------------------------------------------------------------- rules
 
 def test_rules_partial_counts():

@@ -2674,7 +2674,130 @@ FROM m
 """
 
 
+# =====================================================================
+# Watermark lateness accounting (streaming allowed-lateness read-out)
+# =====================================================================
+
+_LATE_CHUNK = 2_097_152  # arrival-key span per scan chunk; at 100 TB
+                         # the carry table is keyspace/chunk rows —
+                         # move to a two-level (chunk-of-chunks) scan
+_LATE_SEC = 60
+_SENTINEL = np.iinfo(np.int64).min
+# Arrival order = a deterministic LCG scramble of event_id (odd
+# multiplier → bijective mod 2^31, so the order is total with no
+# ties). The raw data is time-sorted by event_id, which would make
+# every watermark comparison vacuously on-time; the scramble models a
+# realistically out-of-order arrival stream while staying exactly
+# SQL-mirrorable (no seeded RNG).
+_LCG_A, _LCG_C, _LCG_M = 1_664_525, 1_013_904_223, 1 << 31
+
+
+def _akey(eid: np.ndarray) -> np.ndarray:
+    return (eid * _LCG_A + _LCG_C) & (_LCG_M - 1)
+
+
+def _late_chunk_max(batch: pa.Table) -> pa.Table:
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    s = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    ) // _US_PER_S
+    df = pd.DataFrame({"chunk": _akey(eid) // _LATE_CHUNK, "m": s})
+    g = df.groupby("chunk", sort=False)["m"].max()
+    return pa.table(
+        {
+            "chunk": pa.array(g.index.to_numpy(np.int64)),
+            "m": pa.array(g.to_numpy(np.int64)),
+        }
+    )
+
+
+def q_late_events(sf_dir: str):
+    """Streaming watermark / allowed-lateness accounting: with arrival
+    order = an LCG scramble of event_id (see _akey), the watermark
+    before event i is the running max of prior timestamps; an event is
+    late when it trails the watermark by > 60 s.
+    Distributed as the textbook two-phase PREFIX-MAX scan:
+    a cheap stats pass computes per-chunk max timestamps (bounded
+    carry table), the driver's exclusive running max supplies each
+    chunk's carry-in, and phase 2 co-locates each chunk once
+    (groupby(chunk)) for the vectorized within-chunk exclusive
+    cummax + lateness tag, reduced to per-day counts in place."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    stats = (
+        ds.map_batches(_late_chunk_max, batch_format="pyarrow")
+        .groupby("chunk")
+        .aggregate(Max("m", alias_name="m"))
+        .to_pandas()  # one row per chunk — bounded scan metadata
+        .sort_values("chunk")
+    )
+    run = np.maximum.accumulate(stats["m"].to_numpy(np.int64))
+    carry = dict(
+        zip(
+            stats["chunk"].to_numpy(np.int64).tolist(),
+            np.concatenate(([_SENTINEL], run[:-1])).tolist(),
+        )
+    )
+
+    def _tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("akey")
+        s = g["ts"].to_numpy(np.int64) // _US_PER_S  # _chunked emits int64 us
+        c = carry.get(int(g["chunk"].iloc[0]), _SENTINEL)
+        prev = np.concatenate(([_SENTINEL], np.maximum.accumulate(s)[:-1]))
+        wm = np.maximum(prev, c)
+        late = (wm != _SENTINEL) & (wm - s > _LATE_SEC)
+        df = pd.DataFrame({"day": s // 86_400, "late": late.astype(np.int64)})
+        r = df.groupby("day")["late"].agg(["sum", "size"])
+        return pd.DataFrame(
+            {
+                "day": r.index.to_numpy(np.int64),
+                "n_late": r["sum"].to_numpy(np.int64),
+                "n_events": r["size"].to_numpy(np.int64),
+            }
+        )
+
+    def _chunked(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ak = _akey(eid)
+        return pa.table(
+            {
+                "chunk": pa.array(ak // _LATE_CHUNK, pa.int64()),
+                "akey": pa.array(ak, pa.int64()),
+                "ts": pc.cast(batch.column("ts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_chunked, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(_tag, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_late", alias_name="n_late"),
+                   Sum("n_events", alias_name="n_events"))
+    )
+
+
+SQL_LATE_EVENTS = f"""
+WITH c AS (
+  SELECT (event_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS akey,
+         epoch_us(cast(ts AS TIMESTAMP)) // 1000000 AS s
+  FROM events),
+w AS (
+  SELECT s,
+         max(s) OVER (ORDER BY akey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS wm
+  FROM c)
+SELECT cast(s // 86400 AS BIGINT) AS day,
+       cast(count_if(wm - s > {_LATE_SEC}) AS BIGINT) AS n_late,
+       cast(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1
+"""
+
+
 QUERIES = {
+    "late_events": q_late_events,
     "interval_coverage": q_interval_coverage,
     "trend_slope": q_trend_slope,
     "substring_dedup": q_substring_dedup,
@@ -2712,6 +2835,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "late_events": SQL_LATE_EVENTS,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "trend_slope": SQL_TREND_SLOPE,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
