@@ -718,6 +718,99 @@ FROM w
 """
 
 
+# =====================================================================
+# Right outer join (dim side preserved against a streamed fact side)
+# =====================================================================
+
+def q_right_join(sf_dir: str):
+    """RIGHT OUTER join with the PRESERVED side being the small dim
+    (high-balance customers) and the streamed side the fact table:
+    the fact side probes a broadcast sorted key array (vectorized
+    searchsorted, one ship of the dim), while per-batch HIT-KEY
+    partials roll up to a bounded distinct set; dim rows that no probe
+    hit are appended with the -1 sentinel key. This is the distributed
+    decomposition of a right join when the preserved side fits in the
+    object store: stream-side probe + dim-side anti from the hit-set
+    roll-up — no all-to-all shuffle of the fact table.
+    The fact side is restricted to big-ticket orders so the preserved
+    side really has non-matches (every customer has SOME order in this
+    data, which would leave the anti branch vacuously untested).
+    Sentinel (-1, not NULL) on both sides keeps the driver value-hash
+    representation-stable (same rationale as q_left_join)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ray.data.aggregate import Count
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    cust = cust.filter(pc.greater(cust.column("c_acctbal"), 5000.0))
+    keys = np.asarray(cust.column("c_custkey").to_pylist(), dtype=np.int64)
+    names = np.asarray(cust.column("c_name").to_pylist(), dtype=object)
+    order = np.argsort(keys)
+    keys, names = keys[order], names[order]
+    ref = ray.put({"keys": keys, "names": names})
+
+    class _ProbeMatch:
+        def __init__(self, dim_ref):
+            d = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+            self.keys, self.names = d["keys"], d["names"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.greater(batch.column("o_totalprice"), 300_000.0)
+            )
+            probe = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, probe), 0, len(self.keys) - 1)
+            hit = self.keys[pos] == probe
+            return pa.table(
+                {
+                    "o_orderkey": batch.column("o_orderkey").filter(
+                        pa.array(hit)
+                    ),
+                    "c_name": pa.array(self.names[pos][hit], pa.string()),
+                    "ckey": pa.array(self.keys[pos][hit], pa.int64()),
+                }
+            )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    matched = ds.map_batches(
+        _ProbeMatch, fn_constructor_kwargs=dict(dim_ref=ref),
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+    # bounded distinct hit-key set (≤ dim cardinality by construction)
+    hits = (
+        matched.select_columns(["ckey"])
+        .groupby("ckey")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()["ckey"]
+        .to_numpy(np.int64)
+    )
+    unmatched = np.setdiff1d(keys, hits, assume_unique=True)
+    miss_idx = np.searchsorted(keys, unmatched)
+    missing = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.full(len(unmatched), -1, np.int64)
+                ),
+                "c_name": pa.array(names[miss_idx], pa.string()),
+            }
+        )
+    )
+    return matched.select_columns(["o_orderkey", "c_name"]).union(missing)
+
+
+SQL_RIGHT_JOIN = """
+SELECT coalesce(o.o_orderkey, -1) AS o_orderkey, c.c_name
+FROM (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+        ON o.o_custkey = c.c_custkey
+"""
+
+
 QUERIES = {
     "upsert_snapshot": q_upsert_snapshot,
     "validate_rules": q_validate_rules,
@@ -727,6 +820,7 @@ QUERIES = {
     "ivm_priority_totals": q_ivm_priority_totals,
     "csv_source": q_csv_source,
     "compaction_plan": q_compaction_plan,
+    "right_join": q_right_join,
 }
 
 ORACLE_SQL = {
@@ -738,6 +832,7 @@ ORACLE_SQL = {
     "ivm_priority_totals": SQL_IVM,
     "csv_source": SQL_CSV_SOURCE,
     "compaction_plan": SQL_COMPACTION,
+    "right_join": SQL_RIGHT_JOIN,
 }
 
 # self-register into the driver-facing registries (same pattern and

@@ -308,13 +308,131 @@ FROM w WHERE rn >= {_CORR_W}
 """
 
 
+# =====================================================================
+# Time-series densification (fill missing days with zeros)
+# =====================================================================
+
+def _day_count_partial(batch: pa.Table) -> pa.Table:
+    us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    day, cnt = np.unique(us // _US_PER_DAY, return_counts=True)
+    return pa.table(
+        {"day": pa.array(day, pa.int64()), "n": pa.array(cnt.astype(np.int64))}
+    )
+
+
+def q_fill_days(sf_dir: str):
+    """Calendar densification: daily event counts re-indexed onto the
+    full [min_day, max_day] range with explicit zeros — the
+    completeness pass every downstream window/rolling computation
+    assumes (a missing day silently shifts a ROWS frame). Day-bounded
+    count exchange; the densify runs over one row per day."""
+    from ray.data.aggregate import Sum
+
+    d = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(_day_count_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # one row per observed day
+    )
+    full = np.arange(int(d["day"].min()), int(d["day"].max()) + 1, dtype=np.int64)
+    n = (
+        d.set_index("day")["n"]
+        .reindex(full, fill_value=0)
+        .to_numpy(np.int64)
+    )
+    return pd.DataFrame({"day": full, "n": n})
+
+
+SQL_FILL_DAYS = """
+WITH d AS (
+  SELECT epoch_us(cast(ts AS TIMESTAMP)) // 86400000000 AS day,
+         cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+s AS (
+  SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                (SELECT max(day) FROM d))) AS day)
+SELECT s.day, coalesce(d.n, 0) AS n
+FROM s LEFT JOIN d USING (day)
+"""
+
+
+# =====================================================================
+# Theil–Sen robust slope over the daily click series
+# =====================================================================
+
+def q_theil_sen(sf_dir: str):
+    """Theil–Sen estimator (median of all pairwise slopes) over the
+    daily click-cents series — the robust companion to the OLS
+    trend_slope: a corrupted day shifts OLS arbitrarily but moves the
+    pairwise-slope median by at most one rank. The distributed part is
+    the day-bounded total reduction; the O(days²) pair enumeration
+    runs on bounded per-day metadata (30 days → 435 pairs; at larger
+    horizons the public randomized-median variant applies). Each
+    slope is ONE double division of exact integer diffs, and the
+    median of an even count averages two doubles — both mirrored
+    op-for-op in SQL."""
+    from ray.data.aggregate import Sum
+
+    daily = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(_daily_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    days = daily["day"].astype("int64").tolist()
+    xs = daily["x"].astype("int64").tolist()
+    slopes = []
+    for i in range(len(days)):
+        for j in range(i + 1, len(days)):
+            slopes.append(float(xs[j] - xs[i]) / float(days[j] - days[i]))
+    slopes.sort()
+    m = len(slopes)
+    med = (
+        slopes[m // 2]
+        if m % 2
+        else (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0
+    )
+    return pd.DataFrame(
+        {
+            "n_days": pd.array([len(days)], dtype="int64"),
+            "n_pairs": pd.array([m], dtype="int64"),
+            "slope_e6": pd.array([_away(med * 1e6)], dtype="int64"),
+        }
+    )
+
+
+SQL_THEIL_SEN = f"""
+WITH c AS (
+  SELECT epoch_us(cast(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         cast(sum(CASE WHEN event_type = '{_CORR_A}'
+                       THEN cast(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+p AS (
+  SELECT cast(b.x - a.x AS DOUBLE) / cast(b.day - a.day AS DOUBLE) AS sl
+  FROM c a JOIN c b ON b.day > a.day)
+SELECT (SELECT cast(count(*) AS BIGINT) FROM c) AS n_days,
+       cast(count(*) AS BIGINT) AS n_pairs,
+       cast(round(median(sl) * 1000000, 0) AS BIGINT) AS slope_e6
+FROM p
+"""
+
+
 QUERIES = {
+    "fill_days": q_fill_days,
+    "theil_sen": q_theil_sen,
     "zipf_slope": q_zipf_slope,
     "ab_test": q_ab_test,
     "rolling_corr": q_rolling_corr,
 }
 
 ORACLE_SQL = {
+    "fill_days": SQL_FILL_DAYS,
+    "theil_sen": SQL_THEIL_SEN,
     "zipf_slope": SQL_ZIPF,
     "ab_test": SQL_AB,
     "rolling_corr": SQL_ROLLING_CORR,
