@@ -94,6 +94,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "wau_rolling", "reconcile_orders", "event_path", "pmi_bigrams",
         "itemset_pairs", "upsert_snapshot", "bpe_top_pairs",
         "zorder_layout", "ivm_priority_totals", "zipf_slope", "ab_test",
+        "late_events", "right_join", "mlm_mask", "rolling_corr",
     ]
     out: dict[str, float] = {}
     for name in names:
