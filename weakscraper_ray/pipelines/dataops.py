@@ -779,7 +779,8 @@ def q_right_join(sf_dir: str):
     matched = ds.map_batches(
         _ProbeMatch, fn_constructor_kwargs=dict(dim_ref=ref),
         batch_format="pyarrow", concurrency=(1, 2),
-    )
+    ).materialize()  # consumed twice (hit roll-up + final union); without
+    # this the probe re-executes — object-store blocks spill if large
     # bounded distinct hit-key set (≤ dim cardinality by construction)
     hits = (
         matched.select_columns(["ckey"])
