@@ -1,0 +1,600 @@
+"""Round-3 continuation #10: data-quality / drift monitoring family —
+the watchdog pass a production training-data pipeline runs over every
+ingest batch before it is allowed into the corpus.  Six operators,
+each a ``queries()`` entry with a DuckDB oracle twin:
+
+- ``rolling_median``    robust per-metric daily baseline (7-row window)
+- ``cusum_changepoint`` CUSUM level-shift detector per metric stream
+- ``autocorr_daily``    lag-7 autocorrelation of the daily total series
+- ``benford_digits``    first-digit (Benford) audit of order totals
+- ``psi_drift``         population-stability index, first vs second half
+- ``winsorize_value``   order-statistic clamp (p05/p95) per event type
+
+Exactness strategy (repo conventions, see ``stats.py`` header): money
+quantized to integer cents at the edge, day = ``epoch_us // 86400e6``,
+every reduction in int64, logarithms mirrored op-for-op against the
+same libm and quantized before summation, final rounding half away
+from zero on both sides.
+
+Scale notes: each operator's exchange payload is the bounded partial
+(per-day / per-digit / per-bin counts), never the event stream;
+``winsorize_value`` alone sorts whole groups in ``map_groups`` — exact
+order statistics per type, acceptable because group payload is one
+int64 per row; at 100 TB swap the exact cut for the sampled-quantile
+partitioner and keep the clamp pass unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _i64_away, _read
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _away(v: float) -> int:
+    """round-half-away-from-zero, the DuckDB round() rule."""
+    return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+
+def _daily_type_partial(batch: pa.Table) -> pa.Table:
+    """(event_type, day, x=sum cents) per batch — the bounded partial
+    every daily-series operator here shuffles instead of raw events."""
+    et = batch.column("event_type").to_numpy(zero_copy_only=False)
+    us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    y = _i64_away(batch.column("value"), 100.0).to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({"event_type": et, "day": us // _US_PER_DAY, "x": y})
+    g = df.groupby(["event_type", "day"], sort=False)["x"].sum().reset_index()
+    return pa.table(
+        {
+            "event_type": pa.array(g["event_type"]),
+            "day": pa.array(g["day"].to_numpy(np.int64)),
+            "x": pa.array(g["x"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _daily_series(sf_dir: str):
+    """Distributed (event_type, day) → sum-cents reduction."""
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(_daily_type_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("x", alias_name="x"))
+    )
+
+
+_SQL_DAILY = f"""
+  SELECT event_type,
+         epoch_us(cast(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         cast(sum(cast(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Rolling 7-row median of the per-type daily series
+# =====================================================================
+
+_MED_W = 7
+
+
+def q_rolling_median(sf_dir: str):
+    """Per event type: the ROWS-frame rolling median (7 trailing days)
+    of daily spend — the robust baseline an anomaly monitor compares
+    each new day against (one corrupted day shifts a rolling MEAN by
+    its full weight but the median by at most one rank).  Emits
+    ``med2_cents`` = 2 × median so even-count partial windows (mean of
+    the two middle ranks) stay in exact integer arithmetic.  The
+    window pass runs per type over the bounded daily series."""
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="mergesort").reset_index(drop=True)
+        x = g["x"].to_numpy(np.int64)
+        n = len(x)
+        med2 = np.empty(n, dtype=np.int64)
+        for i in range(n):  # n = #days per type: bounded, not row-scale
+            w = np.sort(x[max(0, i - _MED_W + 1) : i + 1])
+            m = len(w)
+            med2[i] = (
+                int(w[m // 2]) * 2 if m % 2 else int(w[m // 2 - 1]) + int(w[m // 2])
+            )
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"].to_numpy(np.int64),
+                "x": x,
+                "med2_cents": med2,
+            }
+        )
+
+    return (
+        _daily_series(sf_dir)
+        .groupby("event_type")
+        .map_groups(_roll, batch_format="pandas")
+    )
+
+
+SQL_ROLLING_MEDIAN = f"""
+WITH d AS ({_SQL_DAILY})
+SELECT event_type, day, x,
+       cast(round(2 * median(x) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN {_MED_W - 1} PRECEDING AND CURRENT ROW), 0)
+            AS BIGINT) AS med2_cents
+FROM d
+"""
+
+
+# =====================================================================
+# CUSUM level-shift changepoint per metric stream
+# =====================================================================
+
+def q_cusum_changepoint(sf_dir: str):
+    """Page-style CUSUM over each type's daily series: deviation from
+    the series mean is kept integer as ``n·x_i − Σx`` (n × the usual
+    ``x_i − mean``), the running sum's |max| marks the most likely
+    level-shift day (tie → earliest).  The classic single-pass drift
+    alarm for ingest monitoring; everything after the daily reduction
+    touches one row per (type, day)."""
+
+    def _cusum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="mergesort")
+        x = g["x"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        n = len(x)
+        c = np.cumsum(n * x - x.sum())
+        a = np.abs(c)
+        i = int(np.argmax(a))  # first occurrence = earliest day
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_days": np.array([n], dtype=np.int64),
+                "cp_day": np.array([day[i]], dtype=np.int64),
+                "max_abs_cusum": np.array([a[i]], dtype=np.int64),
+            }
+        )
+
+    return (
+        _daily_series(sf_dir)
+        .groupby("event_type")
+        .map_groups(_cusum, batch_format="pandas")
+    )
+
+
+SQL_CUSUM = f"""
+WITH d AS ({_SQL_DAILY}),
+t AS (
+  SELECT event_type, cast(count(*) AS BIGINT) AS n, sum(x) AS s
+  FROM d GROUP BY event_type),
+c AS (
+  SELECT d.event_type, d.day, t.n,
+         sum(t.n * d.x - t.s) OVER (
+             PARTITION BY d.event_type ORDER BY d.day) AS cusum
+  FROM d JOIN t USING (event_type)),
+r AS (
+  SELECT event_type, n, day, abs(cusum) AS a,
+         row_number() OVER (
+             PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rn
+  FROM c)
+SELECT event_type, n AS n_days, day AS cp_day,
+       cast(a AS BIGINT) AS max_abs_cusum
+FROM r WHERE rn = 1
+"""
+
+
+# =====================================================================
+# Lag-7 autocorrelation of the global daily total series
+# =====================================================================
+
+_AC_LAG = 7
+
+
+def q_autocorr_daily(sf_dir: str):
+    """Weekly seasonality read-out: Pearson correlation between the
+    global daily-total series and itself shifted 7 days (pairs over
+    observed days only).  The distributed part is the day reduction;
+    the correlation runs on ≤#days pairs with the repo's integer-sums
+    → one mirrored double expression convention (see ``corr_stats``)."""
+    from ray.data.aggregate import Sum
+
+    def _day_partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        x = _i64_away(batch.column("value"), 100.0).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"day": us // _US_PER_DAY, "x": x})
+            .groupby("day", sort=False)["x"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "day": pa.array(g.index.to_numpy(np.int64)),
+                "x": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    d = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(_day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("x", alias_name="x"))
+        .to_pandas()  # one row per day — bounded
+    )
+    d = d.sort_values("day")
+    day = d["day"].to_numpy(np.int64)
+    x = d["x"].to_numpy(np.int64)
+    pos = {int(dd): i for i, dd in enumerate(day)}
+    a, b = [], []
+    for i, dd in enumerate(day):
+        j = pos.get(int(dd) + _AC_LAG)
+        if j is not None:
+            a.append(int(x[i]))
+            b.append(int(x[j]))
+    n = len(a)
+    sx, sy = sum(a), sum(b)
+    sxx = sum(v * v for v in a)
+    syy = sum(v * v for v in b)
+    sxy = sum(u * v for u, v in zip(a, b))
+    corr = float(n * sxy - sx * sy) / math.sqrt(
+        float((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.array([n], dtype="int64"),
+            "corr_e6": pd.array([_away(corr * 1e6)], dtype="int64"),
+        }
+    )
+
+
+SQL_AUTOCORR = f"""
+WITH d AS (
+  SELECT epoch_us(cast(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         cast(sum(cast(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+p AS (
+  SELECT a.x AS x, b.x AS y
+  FROM d a JOIN d b ON b.day = a.day + {_AC_LAG}),
+s AS (
+  SELECT cast(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM p)
+SELECT n AS n_pairs,
+       cast(round(cast(n*sxy - sx*sy AS DOUBLE)
+                  / sqrt(cast((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE))
+                  * 1000000, 0) AS BIGINT) AS corr_e6
+FROM s
+"""
+
+
+# =====================================================================
+# Benford first-digit audit of order totals
+# =====================================================================
+
+def _lead_digit(v: np.ndarray) -> np.ndarray:
+    """Vectorized leading decimal digit of positive int64 (≤13 halving
+    rounds; no float log10, whose ulp at exact powers of ten flips the
+    digit)."""
+    v = v.copy()
+    while (v >= 10).any():
+        big = v >= 10
+        v[big] //= 10
+    return v
+
+
+def q_benford_digits(sf_dir: str):
+    """First-significant-digit distribution of order totals (cents)
+    vs the Benford expectation — the standard fabricated-data /
+    broken-upstream-join audit.  Per-batch digit counts (9 partials)
+    → one tiny groupby; ``benford_e6`` = round(log10(1+1/d)·1e6)
+    mirrored against DuckDB's log10 (same libm, values far from the
+    rounding boundary)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = _i64_away(batch.column("o_totalprice"), 100.0).to_numpy(
+            zero_copy_only=False
+        )
+        d = _lead_digit(cents)
+        dig, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "digit": pa.array(dig.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤9 rows
+    )
+    out = out.sort_values("digit").reset_index(drop=True)
+    out["benford_e6"] = [
+        _away(math.log10(1.0 + 1.0 / int(d)) * 1e6) for d in out["digit"]
+    ]
+    out = out.astype({"digit": "int64", "n": "int64", "benford_e6": "int64"})
+    return out
+
+
+SQL_BENFORD = """
+WITH c AS (
+  SELECT cast(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
+SELECT cast(substr(cast(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       cast(count(*) AS BIGINT) AS n,
+       cast(round(log10(1.0 + 1.0 / cast(substr(cast(cents AS VARCHAR), 1, 1)
+                                         AS BIGINT)) * 1000000, 0) AS BIGINT)
+           AS benford_e6
+FROM c GROUP BY 1
+"""
+
+
+# =====================================================================
+# Population Stability Index: first half vs second half of the window
+# =====================================================================
+
+_PSI_BINS = 10
+
+
+def q_psi_drift(sf_dir: str):
+    """PSI per event type between the first and second half of the
+    observed day range, over 10 equal-width integer-cents bins — the
+    standard ML-monitoring drift score (PSI < 0.1 stable, > 0.25
+    action).  Two passes: a tiny min/max aggregate fixes the bin
+    edges and the day split, then per-(type, half, bin) counts —
+    the only exchange payload — reduce to ≤ 2·10·#types rows.
+    Add-1-smoothed probabilities; each bin's
+    ``(p_a − p_b)·ln(p_a/p_b)`` term is quantized to e6 before the
+    integer sum (order-independent, both engines share libm ln)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    bounds = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "day": pa.array(
+                        pc.cast(b.column("ts"), pa.int64()).to_numpy(
+                            zero_copy_only=False
+                        )
+                        // _US_PER_DAY,
+                        pa.int64(),
+                    ),
+                    "v": _i64_away(b.column("value"), 100.0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(
+            Min("v", alias_name="vmin"),
+            Max("v", alias_name="vmax"),
+            Min("day", alias_name="dmin"),
+            Max("day", alias_name="dmax"),
+        )
+        .to_pandas()  # one row per type
+    )
+    edges = {
+        r.event_type: (int(r.vmin), int(r.vmax), int(r.dmin), int(r.dmax))
+        for r in bounds.itertuples()
+    }
+
+    def _partial(batch: pa.Table, edges=edges) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        v = _i64_away(batch.column("value"), 100.0).to_numpy(zero_copy_only=False)
+        parts = []
+        for t, (vmin, vmax, dmin, dmax) in edges.items():
+            m = et == t
+            if not m.any():
+                continue
+            span = vmax - vmin + 1
+            binno = (v[m] - vmin) * _PSI_BINS // span  # 0..9, pure integer
+            mid = (dmin + dmax + 1) // 2  # positive days: floor == trunc
+            half = (day[m] >= mid).astype(np.int64)
+            df = pd.DataFrame({"half": half, "bin": binno})
+            g = df.groupby(["half", "bin"], sort=False).size().reset_index(name="n")
+            g.insert(0, "event_type", t)
+            parts.append(g)
+        if not parts:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "half": pa.array([], pa.int64()),
+                    "bin": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        allp = pd.concat(parts, ignore_index=True)
+        return pa.table(
+            {
+                "event_type": pa.array(allp["event_type"]),
+                "half": pa.array(allp["half"].to_numpy(np.int64)),
+                "bin": pa.array(allp["bin"].to_numpy(np.int64)),
+                "n": pa.array(allp["n"].to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "half", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ 2 · 10 · #types rows
+    )
+    rows = []
+    for t in sorted(edges):
+        sub = counts[counts["event_type"] == t]
+        a = np.zeros(_PSI_BINS, dtype=np.int64)
+        b = np.zeros(_PSI_BINS, dtype=np.int64)
+        for r in sub.itertuples():
+            (a if r.half == 0 else b)[int(r.bin)] = int(r.n)
+        na, nb = int(a.sum()), int(b.sum())
+        psi = 0
+        for i in range(_PSI_BINS):
+            pa_ = (int(a[i]) + 1) / (na + _PSI_BINS)
+            pb_ = (int(b[i]) + 1) / (nb + _PSI_BINS)
+            psi += _away((pa_ - pb_) * math.log(pa_ / pb_) * 1e6)
+        rows.append((t, na, nb, psi))
+    return pd.DataFrame(
+        {
+            "event_type": [r[0] for r in rows],
+            "n_first": pd.array([r[1] for r in rows], dtype="int64"),
+            "n_second": pd.array([r[2] for r in rows], dtype="int64"),
+            "psi_e6": pd.array([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
+SQL_PSI = f"""
+WITH c AS (
+  SELECT event_type,
+         epoch_us(cast(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         cast(round(value * 100, 0) AS BIGINT) AS v
+  FROM events),
+e AS (
+  SELECT event_type, min(v) AS vmin, max(v) AS vmax,
+         min(day) AS dmin, max(day) AS dmax
+  FROM c GROUP BY event_type),
+binned AS (
+  SELECT c.event_type,
+         CASE WHEN c.day >= (e.dmin + e.dmax + 1) // 2 THEN 1 ELSE 0 END AS half,
+         (c.v - e.vmin) * {_PSI_BINS} // (e.vmax - e.vmin + 1) AS bin
+  FROM c JOIN e USING (event_type)),
+cnt AS (
+  SELECT event_type, half, bin, cast(count(*) AS BIGINT) AS n
+  FROM binned GROUP BY 1, 2, 3),
+grid AS (
+  SELECT e.event_type, h.half, b.bin
+  FROM e, (VALUES (0), (1)) h(half),
+       range(0, {_PSI_BINS}) b(bin)),
+full_cnt AS (
+  SELECT g.event_type, g.half, g.bin, coalesce(cnt.n, 0) AS n
+  FROM grid g LEFT JOIN cnt
+    ON cnt.event_type = g.event_type AND cnt.half = g.half AND cnt.bin = g.bin),
+tot AS (
+  SELECT event_type,
+         sum(CASE WHEN half = 0 THEN n ELSE 0 END) AS na,
+         sum(CASE WHEN half = 1 THEN n ELSE 0 END) AS nb
+  FROM full_cnt GROUP BY event_type),
+terms AS (
+  SELECT f.event_type, t.na, t.nb,
+         cast(round(
+           (cast(af.n + 1 AS DOUBLE) / cast(t.na + {_PSI_BINS} AS DOUBLE)
+            - cast(f.n + 1 AS DOUBLE) / cast(t.nb + {_PSI_BINS} AS DOUBLE))
+           * ln((cast(af.n + 1 AS DOUBLE) / cast(t.na + {_PSI_BINS} AS DOUBLE))
+                / (cast(f.n + 1 AS DOUBLE) / cast(t.nb + {_PSI_BINS} AS DOUBLE)))
+           * 1000000, 0) AS BIGINT) AS term
+  FROM full_cnt f
+  JOIN full_cnt af ON af.event_type = f.event_type AND af.bin = f.bin
+                   AND af.half = 0
+  JOIN tot t ON t.event_type = f.event_type
+  WHERE f.half = 1)
+SELECT event_type, cast(max(na) AS BIGINT) AS n_first,
+       cast(max(nb) AS BIGINT) AS n_second,
+       cast(sum(term) AS BIGINT) AS psi_e6
+FROM terms GROUP BY event_type
+"""
+
+
+# =====================================================================
+# Winsorize at order-statistic p05 / p95 per event type
+# =====================================================================
+
+def q_winsorize_value(sf_dir: str):
+    """Per event type: clamp cents at the exact order statistics at
+    ranks ⌊0.05·(n−1)⌋ and ⌈0.95·(n−1)⌉ (pure integer rank selection —
+    no interpolation, no float percentile) and report the winsorized
+    sum — the outlier-robust revenue estimate.  Exact cut via a
+    per-type sort in ``map_groups`` (payload: one int64/row); at
+    100 TB swap the cut for a sampled-quantile pass, keep the clamp."""
+
+    def _wins(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["v"].to_numpy(np.int64))
+        n = len(v)
+        lo = int(v[(5 * (n - 1)) // 100])
+        hi = int(v[(95 * (n - 1) + 99) // 100])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": np.array([n], dtype=np.int64),
+                "lo_cents": np.array([lo], dtype=np.int64),
+                "hi_cents": np.array([hi], dtype=np.int64),
+                "sum_wins_cents": np.array(
+                    [int(np.clip(v, lo, hi).sum())], dtype=np.int64
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "v": _i64_away(b.column("value"), 100.0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .map_groups(_wins, batch_format="pandas")
+    )
+
+
+SQL_WINSORIZE = """
+WITH c AS (
+  SELECT event_type, cast(round(value * 100, 0) AS BIGINT) AS v FROM events),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c),
+b AS (
+  SELECT event_type, cast(max(n) AS BIGINT) AS n,
+         max(CASE WHEN rk = (5 * (n - 1)) // 100 THEN v END) AS lo,
+         max(CASE WHEN rk = (95 * (n - 1) + 99) // 100 THEN v END) AS hi
+  FROM r GROUP BY event_type)
+SELECT b.event_type, b.n, b.lo AS lo_cents, b.hi AS hi_cents,
+       cast(sum(CASE WHEN c.v < b.lo THEN b.lo
+                     WHEN c.v > b.hi THEN b.hi ELSE c.v END) AS BIGINT)
+           AS sum_wins_cents
+FROM c JOIN b USING (event_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+QUERIES = {
+    "rolling_median": q_rolling_median,
+    "cusum_changepoint": q_cusum_changepoint,
+    "autocorr_daily": q_autocorr_daily,
+    "benford_digits": q_benford_digits,
+    "psi_drift": q_psi_drift,
+    "winsorize_value": q_winsorize_value,
+}
+
+ORACLE_SQL = {
+    "rolling_median": SQL_ROLLING_MEDIAN,
+    "cusum_changepoint": SQL_CUSUM,
+    "autocorr_daily": SQL_AUTOCORR,
+    "benford_digits": SQL_BENFORD,
+    "psi_drift": SQL_PSI,
+    "winsorize_value": SQL_WINSORIZE,
+}
+
+# self-register (same pattern as stats.py / series.py)
+from . import relational as _rel  # noqa: E402
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

@@ -3114,3 +3114,8 @@ from . import dataops as _dataops  # noqa: E402,F401
 # round-3 corpus/experiment statistics family (Zipf rank-frequency
 # fit, Welch A/B read-out) — same self-registration pattern.
 from . import stats as _stats  # noqa: E402,F401
+
+# round-3 data-quality / drift-monitoring family (rolling median,
+# CUSUM changepoint, autocorrelation, Benford audit, PSI drift,
+# winsorize) — same self-registration pattern.
+from . import monitor as _monitor  # noqa: E402,F401
