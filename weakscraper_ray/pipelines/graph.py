@@ -419,11 +419,261 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
+# =====================================================================
+# Multi-source BFS hop distance (bounded depth)
+# =====================================================================
+
+#: every doc_id divisible by this is a BFS seed
+_BFS_SEED_MOD = 97
+#: depth cap — keeps the unrolled-join oracle and the reached set
+#: bounded (out-degree 3 → ≤ 40 walk endpoints per seed)
+_BFS_HOPS = 3
+
+
+def q_bfs_hops(sf_dir: str):
+    """Hop distance (≤ 3) from the seed set {doc_id % 97 == 0} over
+    the directed derived citation graph — the reachability pass of a
+    crawl-frontier / contamination-spread audit.  Distributed shape:
+    Bellman-Ford-style relaxation, one round per hop — each round is
+    ONE ``map_batches`` (emit ``(neighbour, hops+1)`` for every
+    labelled node; out-edges are derived arithmetically, so expansion
+    ships no edge table) followed by a ``groupby(node).min(hops)``
+    exchange over the labelled set only (never the full node table).
+    Rounds are materialized because each reach set is consumed twice
+    (union input + expansion source); payload is the labelled
+    frontier, tiny relative to the graph.  With a real edge parquet
+    the expansion becomes frontier ⋈ edges — the round structure and
+    the min-combine are unchanged."""
+    from ray.data.aggregate import Min
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()  # parquet-metadata count
+
+    def _seeds(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        s = ids[ids % _BFS_SEED_MOD == 0]
+        return pa.table(
+            {
+                "node": pa.array(s, pa.int64()),
+                "hops": pa.array(np.zeros(len(s), dtype=np.int64)),
+            }
+        )
+
+    reach = ds0.map_batches(_seeds, batch_format="pyarrow").materialize()
+
+    def _expand(t: pa.Table, n=n) -> pa.Table:
+        src = t.column("node").to_numpy()
+        h = t.column("hops").to_numpy()
+        dsts = _derived_dsts(src, n)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate(dsts), pa.int64()),
+                "hops": pa.array(
+                    np.concatenate([h + 1] * len(dsts)).astype(np.int64)
+                ),
+            }
+        )
+
+    for _ in range(_BFS_HOPS):
+        nxt = reach.map_batches(_expand, batch_format="pyarrow")
+        reach = (
+            reach.union(nxt)
+            .groupby("node")
+            .aggregate(Min("hops", alias_name="hops"))
+            .materialize()
+        )
+    return reach
+
+
+def _sql_bfs_hops() -> str:
+    # unrolled relaxation: all walks of length ≤ 3 from the seed set,
+    # min hops per endpoint == BFS distance capped at _BFS_HOPS
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+p AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes),
+e AS (SELECT n.doc_id AS src, (n.doc_id * {_PR_KNUTH} + j.j) % p.n AS dst
+      FROM nodes n, p, range(1, {_PR_OUTDEG + 1}) j(j)),
+d0 AS (SELECT doc_id AS node, cast(0 AS BIGINT) AS hops
+       FROM nodes WHERE doc_id % {_BFS_SEED_MOD} = 0),
+d1 AS (SELECT e.dst AS node, cast(1 AS BIGINT) AS hops
+       FROM d0 JOIN e ON e.src = d0.node),
+d2 AS (SELECT e.dst AS node, cast(2 AS BIGINT) AS hops
+       FROM d1 JOIN e ON e.src = d1.node),
+d3 AS (SELECT e.dst AS node, cast(3 AS BIGINT) AS hops
+       FROM d2 JOIN e ON e.src = d2.node),
+allw AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+         UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+SELECT node, min(hops) AS hops FROM allw GROUP BY node
+"""
+
+
+# =====================================================================
+# Jaccard-neighbour link prediction over the undirected derived graph
+# =====================================================================
+
+#: only emit candidate pairs sharing at least this many neighbours
+_JN_MIN_COMMON = 2
+
+
+def _is_edge_arith(b: np.ndarray, c: np.ndarray, n: int) -> np.ndarray:
+    """Adjacency test WITHOUT a join: (b, c) is an undirected edge iff
+    the modular citation rule links either endpoint to the other."""
+    hit = np.zeros(len(b), dtype=bool)
+    for j in range(1, _PR_OUTDEG + 1):
+        hit |= (b * _PR_KNUTH + j) % n == c
+        hit |= (c * _PR_KNUTH + j) % n == b
+    return hit
+
+
+def q_jaccard_neighbors(sf_dir: str):
+    """Link prediction: for every NON-adjacent pair (b < c) sharing
+    ≥ 2 neighbours, the Jaccard score |N(b) ∩ N(c)| / |N(b) ∪ N(c)|
+    (Liben-Nowell & Kleinberg 2003) — the 'suggest missing citation /
+    merge mirror hosts' primitive.  Distributed shape = the triangle
+    pipeline's wedge machinery: canonical-edge dedup exchange, wedges
+    per minimum vertex, ``groupby(b, c)`` count for common-neighbour
+    totals, adjacency decided ARITHMETICALLY per batch (no edge join;
+    with a real edge table this becomes the anti-join the repo already
+    has), then two hash joins against the degree table.  jaccard_e6 is
+    the one double op, mirrored op-for-op."""
+    from ray.data.aggregate import Count
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()
+
+    def _edges(t: pa.Table, n=n) -> pa.Table:
+        src = t.column("doc_id").to_numpy()
+        dsts = _derived_dsts(src, n)
+        s = np.concatenate([src] * len(dsts))
+        d = np.concatenate(dsts)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        t = pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+        return t.group_by(["u", "v"]).aggregate([])
+
+    edges = (
+        ds0.map_batches(_edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count())
+        .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
+        .materialize()  # consumed three times: wedges + two degree scans
+    )
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t.column("u").to_numpy(), t.column("v").to_numpy()])
+        node, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "d": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    deg = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.sort(g["v"].to_numpy())
+        if len(nb) < 2:
+            return pd.DataFrame({"b": [], "c": []}).astype(np.int64)
+        i, j = np.triu_indices(len(nb), k=1)
+        return pd.DataFrame({"b": nb[i], "c": nb[j]})
+
+    pairs = (
+        edges.groupby("u")
+        .map_groups(_wedges, batch_format="pandas")
+        .groupby(["b", "c"])
+        .aggregate(Count())
+    )
+
+    def _filt(t: pa.Table, n=n) -> pa.Table:
+        b = t.column("b").to_numpy()
+        c = t.column("c").to_numpy()
+        common = t.column("count()").to_numpy().astype(np.int64)
+        keep = (common >= _JN_MIN_COMMON) & ~_is_edge_arith(b, c, n)
+        return pa.table(
+            {
+                "b": pa.array(b[keep], pa.int64()),
+                "c": pa.array(c[keep], pa.int64()),
+                "common": pa.array(common[keep]),
+            }
+        )
+
+    cands = pairs.map_batches(_filt, batch_format="pyarrow")
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, ncpu // 2)
+    withb = cands.join(
+        deg, join_type="inner", num_partitions=nparts, on=("b",), right_on=("node",)
+    ).rename_columns({"d": "deg_b"})
+    withc = withb.join(
+        deg, join_type="inner", num_partitions=nparts, on=("c",), right_on=("node",)
+    ).rename_columns({"d": "deg_c"})
+
+    def _score(t: pa.Table) -> pa.Table:
+        common = t.column("common").to_numpy()
+        db = t.column("deg_b").to_numpy().astype(np.int64)
+        dc = t.column("deg_c").to_numpy().astype(np.int64)
+        uni = db + dc - common
+        jac = np.floor(1e6 * common / uni + 0.5).astype(np.int64)  # positive
+        return pa.table(
+            {
+                "b": t.column("b"),
+                "c": t.column("c"),
+                "common": t.column("common"),
+                "deg_b": pa.array(db),
+                "deg_c": pa.array(dc),
+                "jaccard_e6": pa.array(jac),
+            }
+        )
+
+    return withc.map_batches(_score, batch_format="pyarrow")
+
+
+def _sql_jaccard_neighbors() -> str:
+    adj = " OR ".join(
+        f"(b * {_PR_KNUTH} + {j}) % (SELECT n FROM p) = c"
+        f" OR (c * {_PR_KNUTH} + {j}) % (SELECT n FROM p) = b"
+        for j in range(1, _PR_OUTDEG + 1)
+    )
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+p AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes),
+e0 AS (SELECT n.doc_id AS src, (n.doc_id * {_PR_KNUTH} + j.j) % p.n AS dst
+       FROM nodes n, p, range(1, {_PR_OUTDEG + 1}) j(j)),
+e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0 WHERE src <> dst),
+deg AS (
+  SELECT node, cast(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node),
+w AS (
+  SELECT e1.v AS b, e2.v AS c, cast(count(*) AS BIGINT) AS common
+  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  GROUP BY 1, 2),
+cand AS (
+  SELECT b, c, common FROM w
+  WHERE common >= {_JN_MIN_COMMON} AND NOT ({adj}))
+SELECT cand.b, cand.c, cand.common, db.d AS deg_b, dc.d AS deg_c,
+       cast(round(1000000.0 * cand.common
+                  / (db.d + dc.d - cand.common), 0) AS BIGINT) AS jaccard_e6
+FROM cand JOIN deg db ON db.node = cand.b
+          JOIN deg dc ON dc.node = cand.c
+"""
+
+
 QUERIES = {
     "pagerank": q_pagerank,
     "in_degree_hist": q_in_degree_hist,
     "graph_components": q_graph_components,
     "triangles": q_triangles,
+    "bfs_hops": q_bfs_hops,
+    "jaccard_neighbors": q_jaccard_neighbors,
 }
 
 ORACLE_SQL = {
@@ -431,6 +681,8 @@ ORACLE_SQL = {
     "in_degree_hist": SQL_IN_DEGREE_HIST,
     "graph_components": _sql_graph_components(),
     "triangles": _sql_triangles(),
+    "bfs_hops": _sql_bfs_hops(),
+    "jaccard_neighbors": _sql_jaccard_neighbors(),
 }
 
 _rel.QUERIES.update(QUERIES)
