@@ -1124,6 +1124,7 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     shards_glob = f"{ensure_generated(_size_for(sf_dir))}/part-*.parquet"
     return {
         "lang_confusion": _sql_lang_confusion(),
+        "dedup_conv_structure": _sql_dedup_conv_structure(shards_glob),
         "pack_conversations": f"""
 SELECT conv_id,
        string_agg(role, ' ' ORDER BY turn_idx) AS role_seq,
@@ -1323,8 +1324,206 @@ FROM e GROUP BY doc_id
 """
 
 
+# =====================================================================
+# Structural conversation dedup (role/template flow fingerprint)
+# =====================================================================
+
+#: Mersenne-prime modulus 2^61 − 1: products (turn_idx+1)·h stay inside
+#: HUGEINT on the DuckDB side and Python ints on ours
+_STRUCT_M = (1 << 61) - 1
+
+
+def q_dedup_conv_structure(sf_dir: str):
+    """Conversation-level STRUCTURAL dedup over the mandated
+    transcripts table: fingerprint each conversation's
+    (turn_idx, role, template_id) flow and group identical flows —
+    the 'drop scripted/boilerplate conversation shapes, keep one
+    exemplar' pass that runs before expensive text-level near-dup.
+    Fingerprint is the positional modular sum
+    Σ (turn_idx+1)·(md5(role|template)%M) mod M — commutative, so each
+    batch ships ONE partial per conversation (text and turn payload
+    never shuffle; same trick as the order-independent
+    ``table_checksum``), and a conversation split across blocks still
+    reduces exactly.  Emits every conversation with its group keeper
+    (min conv_id) and group size."""
+    from ..transcripts import ensure_generated
+    from .extraction import read_transcripts
+    from .relational import _size_for
+
+    ds = read_transcripts(ensure_generated(_size_for(sf_dir)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("role"),
+            pc.cast(batch.column("template_id"), pa.string()),
+            "|",
+        ).to_pylist()
+        conv = batch.column("conv_id").to_pylist()
+        ti = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        memo: dict[str, int] = {}
+        acc: dict[str, int] = {}
+        for c, k, t in zip(conv, key, ti):
+            h = memo.get(k)
+            if h is None:
+                h = (
+                    int.from_bytes(hashlib.md5(k.encode()).digest()[8:], "little")
+                    % _STRUCT_M
+                )
+                memo[k] = h
+            # per-row modmul in Python ints: the role|template vocab is
+            # tiny (memoized md5); the multiply itself is one big-int op
+            acc[c] = (acc.get(c, 0) + (int(t) + 1) * h) % _STRUCT_M
+        return pa.table(
+            {
+                "conv_id": pa.array(list(acc.keys()), pa.string()),
+                "s": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    def _fp(g: pd.DataFrame) -> pd.DataFrame:
+        fp = 0
+        for v in g["s"]:
+            fp = (fp + int(v)) % _STRUCT_M
+        return pd.DataFrame(
+            {"conv_id": [g["conv_id"].iloc[0]], "fp": np.array([fp], dtype=np.int64)}
+        )
+
+    from .relational import _schema_guard
+
+    fps = _schema_guard(
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .map_groups(_fp, batch_format="pandas"),
+        pa.schema([("conv_id", pa.string()), ("fp", pa.int64())]),
+    ).materialize()
+    # _schema_guard alone is insufficient between chained exchanges:
+    # Ray may skip map_batches on a lone empty block, letting a
+    # zero-column block from an empty conv_id hash partition reach the
+    # fp shuffle (see functions.dedup.cluster_pairs for the original
+    # diagnosis). Equal-split repartition bounded by the measured row
+    # count leaves no empty blocks; count() is metadata-only here.
+    fps = fps.repartition(max(1, min(fps.count(), 64))).materialize()
+
+    def _group(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = min(g["conv_id"])
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "fp": g["fp"].to_numpy(np.int64),
+                "keeper_conv": keeper,
+                "is_keeper": (g["conv_id"] == keeper).to_numpy(np.int64),
+                "group_size": np.full(len(g), len(g), dtype=np.int64),
+            }
+        )
+
+    return fps.groupby("fp").map_groups(_group, batch_format="pandas")
+
+
+def _sql_dedup_conv_structure(shards_glob: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, template_id
+  FROM read_parquet('{shards_glob}')),
+f AS (
+  SELECT conv_id,
+         cast(sum((cast(turn_idx AS HUGEINT) + 1)
+                  * (cast(md5_number_lower(printf('%s|%d', role, template_id))
+                          AS HUGEINT) % {_STRUCT_M}))
+              % {_STRUCT_M} AS BIGINT) AS fp
+  FROM t GROUP BY conv_id),
+g AS (
+  SELECT fp, min(conv_id) AS keeper_conv,
+         cast(count(*) AS BIGINT) AS group_size
+  FROM f GROUP BY fp)
+SELECT f.conv_id, f.fp, g.keeper_conv,
+       cast(CASE WHEN f.conv_id = g.keeper_conv THEN 1 ELSE 0 END AS BIGINT)
+           AS is_keeper,
+       g.group_size
+FROM f JOIN g USING (fp)
+"""
+
+
+# =====================================================================
+# Tokenizer fertility (chars per token) by language
+# =====================================================================
+
+def q_fertility_by_lang(sf_dir: str):
+    """Characters-per-token by language — the tokenizer-budget
+    read-out (a high-fertility language pays more tokens per character
+    of content; drives per-language mixture weights).  Map-only
+    partials (lang, n_docs, chars, tokens) per batch via Arrow RE2
+    kernels, one tiny lang groupby; the final ratio is the single
+    mirrored double op."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _read
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column("text"), "")
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "toks": pc.cast(
+                    pc.count_substring_regex(txt, r"\S+"), pa.int64()
+                ),
+                "docs": pa.array(np.ones(len(txt), dtype=np.int64)),
+            }
+        )
+        return t.group_by("lang").aggregate(
+            [("docs", "sum"), ("chars", "sum"), ("toks", "sum")]
+        )
+
+    agg = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("docs_sum", alias_name="n_docs"),
+            Sum("chars_sum", alias_name="n_chars"),
+            Sum("toks_sum", alias_name="n_tokens"),
+        )
+    )
+
+    def _ratio(t: pa.Table) -> pa.Table:
+        ch = t.column("n_chars").to_numpy().astype(np.int64)
+        tk = t.column("n_tokens").to_numpy().astype(np.int64)
+        cpt = np.floor(1e6 * ch / tk + 0.5).astype(np.int64)  # positive
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": t.column("n_docs"),
+                "n_chars": pa.array(ch),
+                "n_tokens": pa.array(tk),
+                "cpt_e6": pa.array(cpt),
+            }
+        )
+
+    return agg.map_batches(_ratio, batch_format="pyarrow")
+
+
+SQL_FERTILITY = r"""
+WITH c AS (
+  SELECT lang,
+         cast(len(coalesce(text, '')) AS BIGINT) AS chars,
+         cast(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
+             AS toks
+  FROM documents),
+s AS (
+  SELECT lang, cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(chars) AS BIGINT) AS n_chars,
+         cast(sum(toks) AS BIGINT) AS n_tokens
+  FROM c GROUP BY lang)
+SELECT lang, n_docs, n_chars, n_tokens,
+       cast(round(1000000.0 * n_chars / n_tokens, 0) AS BIGINT) AS cpt_e6
+FROM s
+"""
+
+
 QUERIES = {
     "mlm_mask": q_mlm_mask,
+    "dedup_conv_structure": q_dedup_conv_structure,
+    "fertility_by_lang": q_fertility_by_lang,
     "dedup_merge": q_dedup_merge,
     "lang_confusion": q_lang_confusion,
     "pii_scrub": q_pii_scrub,
@@ -1347,6 +1546,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "mlm_mask": SQL_MLM_MASK,
+    "fertility_by_lang": SQL_FERTILITY,
     "pii_scrub": SQL_PII_SCRUB,
     "dedup_merge": SQL_DEDUP_MERGE,
     "stratified_sample": SQL_STRATIFIED,

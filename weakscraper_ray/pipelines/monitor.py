@@ -575,8 +575,126 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# =====================================================================
+# Count-min sketch heavy hitters (arithmetic hashing, oracle-exact)
+# =====================================================================
+
+_CMS_D = 4        #: sketch depth (hash rows)
+_CMS_W = 1024     #: sketch width (buckets per row)
+_CMS_P = 2_147_483_647  #: Mersenne prime 2^31 − 1
+_CMS_A0, _CMS_AS = 2_654_435_761, 40_503  #: row-r multiplier A0 + r·AS
+_CMS_BS, _CMS_B0 = 97, 7                  #: row-r offset r·BS + B0
+_CMS_TOPK = 15
+
+
+def _cms_bucket(u: np.ndarray, r: int) -> np.ndarray:
+    """((u·A_r + B_r) mod P) mod W — affine hashing kept inside int64
+    and expressible verbatim in SQL (Cormode & Muthukrishnan 2005 use
+    exactly this pairwise-independent family)."""
+    return ((u * (_CMS_A0 + r * _CMS_AS) + r * _CMS_BS + _CMS_B0) % _CMS_P) % _CMS_W
+
+
+def q_cms_estimate(sf_dir: str):
+    """Count-min-sketch top-15 heavy users: build a d×w=4×1024 sketch
+    over the event stream (per-batch bucket partials → one ≤4096-row
+    groupby — THE scale path: sketch size is constant regardless of
+    stream length), then rank users by their CMS estimate
+    min_r sketch[r][h_r(u)].  True counts ride along so the read-out
+    shows the sketch's one-sided overestimate.  The candidate cut is a
+    per-batch partial top-15 under the final (est DESC, user ASC)
+    order — any global winner is a batch-local winner, so the driver
+    merge over 15·#batches rows is exact."""
+    from ray.data.aggregate import Sum
+
+    def _sketch_partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        rs, bs, ns = [], [], []
+        for r in range(_CMS_D):
+            b, cnt = np.unique(_cms_bucket(u, r), return_counts=True)
+            rs.append(np.full(len(b), r, dtype=np.int64))
+            bs.append(b)
+            ns.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rs)),
+                "bucket": pa.array(np.concatenate(bs)),
+                "n": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    sk = (
+        ev.map_batches(_sketch_partial, batch_format="pyarrow")
+        .groupby(["r", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ d·w = 4096 rows
+    )
+    S = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    S[sk["r"].to_numpy(np.int64), sk["bucket"].to_numpy(np.int64)] = sk[
+        "n"
+    ].to_numpy(np.int64)
+
+    def _user_partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(uu), "true_n": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        ev.map_batches(_user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("true_n", alias_name="true_n"))
+    )
+
+    def _est_topk(batch: pa.Table, S=S) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tn = batch.column("true_n").to_numpy().astype(np.int64)
+        est = np.min(
+            np.stack([S[r, _cms_bucket(u, r)] for r in range(_CMS_D)]), axis=0
+        )
+        order = np.lexsort((u, -est))[:_CMS_TOPK]
+        return pa.table(
+            {
+                "user_id": pa.array(u[order]),
+                "est_n": pa.array(est[order]),
+                "true_n": pa.array(tn[order]),
+            }
+        )
+
+    cands = counts.map_batches(_est_topk, batch_format="pyarrow").to_pandas()
+    cands = cands.sort_values(
+        ["est_n", "user_id"], ascending=[False, True], kind="mergesort"
+    ).head(_CMS_TOPK)
+    return cands.reset_index(drop=True).astype(
+        {"user_id": "int64", "est_n": "int64", "true_n": "int64"}
+    )
+
+
+SQL_CMS = f"""
+WITH c AS (
+  SELECT r.r AS r,
+         ((user_id * ({_CMS_A0} + r.r * {_CMS_AS}) + r.r * {_CMS_BS} + {_CMS_B0})
+          % {_CMS_P}) % {_CMS_W} AS bucket,
+         cast(count(*) AS BIGINT) AS n
+  FROM events, range(0, {_CMS_D}) r(r) GROUP BY 1, 2),
+t AS (
+  SELECT user_id, cast(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY user_id),
+e AS (
+  SELECT t.user_id, t.true_n, cast(min(c.n) AS BIGINT) AS est_n
+  FROM t JOIN c
+    ON c.bucket = ((t.user_id * ({_CMS_A0} + c.r * {_CMS_AS})
+                    + c.r * {_CMS_BS} + {_CMS_B0}) % {_CMS_P}) % {_CMS_W}
+  GROUP BY t.user_id, t.true_n)
+SELECT user_id, est_n, true_n
+FROM e ORDER BY est_n DESC, user_id LIMIT {_CMS_TOPK}
+"""
+
+
 QUERIES = {
     "rolling_median": q_rolling_median,
+    "cms_estimate": q_cms_estimate,
     "cusum_changepoint": q_cusum_changepoint,
     "autocorr_daily": q_autocorr_daily,
     "benford_digits": q_benford_digits,
@@ -586,6 +704,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "rolling_median": SQL_ROLLING_MEDIAN,
+    "cms_estimate": SQL_CMS,
     "cusum_changepoint": SQL_CUSUM,
     "autocorr_daily": SQL_AUTOCORR,
     "benford_digits": SQL_BENFORD,
