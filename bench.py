@@ -95,6 +95,9 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "itemset_pairs", "upsert_snapshot", "bpe_top_pairs",
         "zorder_layout", "ivm_priority_totals", "zipf_slope", "ab_test",
         "late_events", "right_join", "mlm_mask", "rolling_corr",
+        "psi_drift", "cms_estimate", "benford_digits", "winsorize_value",
+        "bfs_hops", "jaccard_neighbors", "dedup_conv_structure",
+        "fertility_by_lang",
     ]
     out: dict[str, float] = {}
     for name in names:

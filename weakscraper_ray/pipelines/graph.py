@@ -329,6 +329,56 @@ FROM reach GROUP BY u
 # Triangle enumeration: node-iterator with canonical orientation
 # =====================================================================
 
+#: wedge generation re-keys the per-centre grouping onto a bounded
+#: shard (u mod 256): Ray's hash aggregate degrades badly on
+#: high-cardinality map_groups keys (measured: per-node groups cost
+#: ~2.5× the whole pipeline at 5k nodes; same lesson as itemset_pairs)
+_WEDGE_SHARDS = 256
+
+
+def _sharded_wedges(edges, with_center: bool):
+    """All open wedges (b < c around centre u) of a canonical edge
+    dataset — grouped per SHARD of centres, with the per-centre pair
+    expansion a local numpy run-boundary loop inside each shard."""
+
+    def _key(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        return t.append_column(
+            "shard", pa.array((u % _WEDGE_SHARDS).astype(np.int64))
+        )
+
+    def _expand(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["u", "v"], kind="mergesort")
+        u = d["u"].to_numpy(np.int64)
+        v = d["v"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        aa, bb, cc = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, k=1)
+            aa.append(np.full(len(i), u[s], dtype=np.int64))
+            bb.append(v[s:e][i])
+            cc.append(v[s:e][j])
+        if not bb:
+            cols = {"b": np.array([], np.int64), "c": np.array([], np.int64)}
+            if with_center:
+                cols = {"a": np.array([], np.int64), **cols}
+            return pd.DataFrame(cols)
+        cols = {"b": np.concatenate(bb), "c": np.concatenate(cc)}
+        if with_center:
+            cols = {"a": np.concatenate(aa), **cols}
+        return pd.DataFrame(cols)
+
+    return (
+        edges.map_batches(_key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_expand, batch_format="pandas")
+    )
+
+
 def q_triangles(sf_dir: str):
     """All triangles (a < b < c) of the undirected derived graph — the
     classic distributed triangle enumeration (node-iterator with edge
@@ -338,11 +388,12 @@ def q_triangles(sf_dir: str):
     1. EDGES: derive per batch, canonicalize (u = min, v = max), drop
        self-loops, batch-local dedup, then one ``groupby(u, v)``
        exchange for the global dedup.
-    2. WEDGES: ``groupby(u).map_groups`` — at node ``a`` every pair
-       (b, c), b < c, of its canonical (greater-id) neighbours is an
-       open wedge; because the triangle's two lesser edges both live
-       at its MINIMUM vertex under this orientation, each triangle is
-       generated exactly once.
+    2. WEDGES: shard-keyed expansion (:func:`_sharded_wedges`) — at
+       node ``a`` every pair (b, c), b < c, of its canonical
+       (greater-id) neighbours is an open wedge; because the
+       triangle's two lesser edges both live at its MINIMUM vertex
+       under this orientation, each triangle is generated exactly
+       once.
     3. CLOSE: hash-join wedges against the edge set on (b, c).
 
     Orientation by node id bounds the wedge blow-up at C(deg, 2) of
@@ -376,32 +427,25 @@ def q_triangles(sf_dir: str):
         )
     )
 
-    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
-        a = int(g["u"].iloc[0])
-        nb = np.sort(g["v"].to_numpy())
-        if len(nb) < 2:
-            return pd.DataFrame({"a": [], "b": [], "c": []}).astype(np.int64)
-        i, j = np.triu_indices(len(nb), k=1)
-        return pd.DataFrame(
+    wedges = _sharded_wedges(edges, with_center=True)
+
+    # CLOSE: the derived rule makes adjacency an O(1) arithmetic test
+    # (see _is_edge_arith), so the close step is a streaming filter —
+    # no exchange. With a real (src, dst) edge parquet this reverts to
+    # the hash join on (b, c) = (u, v) (the repo's hash_join shape).
+    def _close(t: pa.Table, n=n) -> pa.Table:
+        b = t.column("b").to_numpy()
+        c = t.column("c").to_numpy()
+        keep = _is_edge_arith(b, c, n)
+        return pa.table(
             {
-                "a": np.full(len(i), a, dtype=np.int64),
-                "b": nb[i],
-                "c": nb[j],
+                "a": pa.array(t.column("a").to_numpy()[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "c": pa.array(c[keep], pa.int64()),
             }
         )
 
-    wedges = edges.groupby("u").map_groups(_wedges, batch_format="pandas")
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    closed = wedges.join(
-        edges,
-        join_type="inner",
-        num_partitions=max(2, ncpu // 2),
-        on=("b", "c"),
-        right_on=("u", "v"),
-    )
-    return closed.map_batches(
-        lambda t: t.select(["a", "b", "c"]), batch_format="pyarrow"
-    )
+    return wedges.map_batches(_close, batch_format="pyarrow")
 
 
 def _sql_triangles() -> str:
@@ -531,11 +575,13 @@ def q_jaccard_neighbors(sf_dir: str):
     (Liben-Nowell & Kleinberg 2003) — the 'suggest missing citation /
     merge mirror hosts' primitive.  Distributed shape = the triangle
     pipeline's wedge machinery: canonical-edge dedup exchange, wedges
-    per minimum vertex, ``groupby(b, c)`` count for common-neighbour
-    totals, adjacency decided ARITHMETICALLY per batch (no edge join;
-    with a real edge table this becomes the anti-join the repo already
-    has), then two hash joins against the degree table.  jaccard_e6 is
-    the one double op, mirrored op-for-op."""
+    per minimum vertex (shard-keyed expansion, see
+    :func:`_sharded_wedges`), ``groupby(b, c)`` with batch-local
+    combine for common-neighbour totals, adjacency decided
+    ARITHMETICALLY per batch (no edge join; with a real edge table
+    this becomes the anti-join the repo already has), and degrees via
+    a broadcast dense vector (``ray.put`` once).  jaccard_e6 is the
+    one double op, mirrored op-for-op."""
     from ray.data.aggregate import Count
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
@@ -557,7 +603,7 @@ def q_jaccard_neighbors(sf_dir: str):
         .groupby(["u", "v"])
         .aggregate(Count())
         .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
-        .materialize()  # consumed three times: wedges + two degree scans
+        .materialize()  # consumed twice: wedge source + degree scan
     )
 
     def _deg_partial(t: pa.Table) -> pa.Table:
@@ -572,67 +618,56 @@ def q_jaccard_neighbors(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    deg = (
+    # node ids are dense [0, n) → the degree table broadcasts as one
+    # int64 vector (n entries; ~MBs even at 10^8 nodes). With a sparse
+    # or larger id space this becomes the repo's hash_join shape.
+    degdf = (
         edges.map_batches(_deg_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Sum("d", alias_name="d"))
+        .to_pandas()
     )
+    deg_arr = np.zeros(n, dtype=np.int64)
+    deg_arr[degdf["node"].to_numpy(np.int64)] = degdf["d"].to_numpy(np.int64)
+    deg_ref = ray.put(deg_arr)
 
-    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
-        nb = np.sort(g["v"].to_numpy())
-        if len(nb) < 2:
-            return pd.DataFrame({"b": [], "c": []}).astype(np.int64)
-        i, j = np.triu_indices(len(nb), k=1)
-        return pd.DataFrame({"b": nb[i], "c": nb[j]})
-
-    pairs = (
-        edges.groupby("u")
-        .map_groups(_wedges, batch_format="pandas")
-        .groupby(["b", "c"])
-        .aggregate(Count())
-    )
-
-    def _filt(t: pa.Table, n=n) -> pa.Table:
-        b = t.column("b").to_numpy()
-        c = t.column("c").to_numpy()
-        common = t.column("count()").to_numpy().astype(np.int64)
-        keep = (common >= _JN_MIN_COMMON) & ~_is_edge_arith(b, c, n)
+    def _pair_partial(t: pa.Table) -> pa.Table:
+        # batch-local combine before the (b, c) exchange
+        t2 = t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        g = t2.group_by(["b", "c"]).aggregate([("one", "sum")])
         return pa.table(
-            {
-                "b": pa.array(b[keep], pa.int64()),
-                "c": pa.array(c[keep], pa.int64()),
-                "common": pa.array(common[keep]),
-            }
+            {"b": g.column("b"), "c": g.column("c"), "n": g.column("one_sum")}
         )
 
-    cands = pairs.map_batches(_filt, batch_format="pyarrow")
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    nparts = max(2, ncpu // 2)
-    withb = cands.join(
-        deg, join_type="inner", num_partitions=nparts, on=("b",), right_on=("node",)
-    ).rename_columns({"d": "deg_b"})
-    withc = withb.join(
-        deg, join_type="inner", num_partitions=nparts, on=("c",), right_on=("node",)
-    ).rename_columns({"d": "deg_c"})
+    pairs = (
+        _sharded_wedges(edges, with_center=False)
+        .map_batches(_pair_partial, batch_format="pyarrow")
+        .groupby(["b", "c"])
+        .aggregate(Sum("n", alias_name="common"))
+    )
 
-    def _score(t: pa.Table) -> pa.Table:
-        common = t.column("common").to_numpy()
-        db = t.column("deg_b").to_numpy().astype(np.int64)
-        dc = t.column("deg_c").to_numpy().astype(np.int64)
+    def _score(t: pa.Table, n=n) -> pa.Table:
+        b = t.column("b").to_numpy()
+        c = t.column("c").to_numpy()
+        common = t.column("common").to_numpy().astype(np.int64)
+        keep = (common >= _JN_MIN_COMMON) & ~_is_edge_arith(b, c, n)
+        b, c, common = b[keep], c[keep], common[keep]
+        deg = ray.get(deg_ref)  # zero-copy plasma read, once per task
+        db, dc = deg[b], deg[c]
         uni = db + dc - common
         jac = np.floor(1e6 * common / uni + 0.5).astype(np.int64)  # positive
         return pa.table(
             {
-                "b": t.column("b"),
-                "c": t.column("c"),
-                "common": t.column("common"),
+                "b": pa.array(b, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+                "common": pa.array(common),
                 "deg_b": pa.array(db),
                 "deg_c": pa.array(dc),
                 "jaccard_e6": pa.array(jac),
             }
         )
 
-    return withc.map_batches(_score, batch_format="pyarrow")
+    return pairs.map_batches(_score, batch_format="pyarrow")
 
 
 def _sql_jaccard_neighbors() -> str:

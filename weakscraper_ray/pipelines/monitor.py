@@ -357,30 +357,44 @@ def q_psi_drift(sf_dir: str):
     integer sum (order-independent, both engines share libm ln)."""
     from ray.data.aggregate import Max, Min, Sum
 
+    def _bounds_partial(b: pa.Table) -> pa.Table:
+        # per-batch combine: the min/max exchange carries one row per
+        # (type, batch), never the event stream
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "day": pa.array(
+                    pc.cast(b.column("ts"), pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                    // _US_PER_DAY,
+                    pa.int64(),
+                ),
+                "v": _i64_away(b.column("value"), 100.0),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("v", "min"), ("v", "max"), ("day", "min"), ("day", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "v_min": g.column("v_min"),
+                "v_max": g.column("v_max"),
+                "day_min": g.column("day_min"),
+                "day_max": g.column("day_max"),
+            }
+        )
+
     bounds = (
         _read(sf_dir, "events", ["event_type", "ts", "value"])
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "event_type": b.column("event_type"),
-                    "day": pa.array(
-                        pc.cast(b.column("ts"), pa.int64()).to_numpy(
-                            zero_copy_only=False
-                        )
-                        // _US_PER_DAY,
-                        pa.int64(),
-                    ),
-                    "v": _i64_away(b.column("value"), 100.0),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(_bounds_partial, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
-            Min("v", alias_name="vmin"),
-            Max("v", alias_name="vmax"),
-            Min("day", alias_name="dmin"),
-            Max("day", alias_name="dmax"),
+            Min("v_min", alias_name="vmin"),
+            Max("v_max", alias_name="vmax"),
+            Min("day_min", alias_name="dmin"),
+            Max("day_max", alias_name="dmax"),
         )
         .to_pandas()  # one row per type
     )
