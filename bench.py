@@ -97,7 +97,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "late_events", "right_join", "mlm_mask", "rolling_corr",
         "psi_drift", "cms_estimate", "benford_digits", "winsorize_value",
         "bfs_hops", "jaccard_neighbors", "dedup_conv_structure",
-        "fertility_by_lang",
+        "fertility_by_lang", "qa_pairs", "tool_usage", "log2_histogram",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -1125,6 +1125,8 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     return {
         "lang_confusion": _sql_lang_confusion(),
         "dedup_conv_structure": _sql_dedup_conv_structure(shards_glob),
+        "qa_pairs": _sql_qa_pairs(shards_glob),
+        "tool_usage": _sql_tool_usage(shards_glob),
         "pack_conversations": f"""
 SELECT conv_id,
        string_agg(role, ' ' ORDER BY turn_idx) AS role_seq,
@@ -1444,6 +1446,181 @@ FROM f JOIN g USING (fp)
 
 
 # =====================================================================
+# Prompt/response pair extraction from transcripts
+# =====================================================================
+
+_QA_SHARDS = 256
+
+
+def q_qa_pairs(sf_dir: str):
+    """Build (prompt → response) training pairs from the transcripts
+    table: every user turn whose IMMEDIATELY FOLLOWING turn (by
+    turn_idx within the conversation) is an assistant turn yields one
+    pair — the instruction-tuning extraction step that follows
+    main-content extraction.  Conversations are re-keyed onto a
+    bounded crc32 shard (conv-complete by construction) and paired
+    with one vectorized adjacent-row comparison per shard — the same
+    high-cardinality-groupby avoidance as ``itemset_pairs``; text
+    never shuffles (only lengths and timestamps ride along)."""
+    import zlib
+
+    from ..transcripts import ensure_generated
+    from .extraction import read_transcripts
+    from .relational import _size_for
+
+    ds = read_transcripts(
+        ensure_generated(_size_for(sf_dir)), with_route=False
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id")
+        # crc per UNIQUE conv id (convs repeat heavily within a block)
+        codes, uvals = pd.factorize(conv.to_pandas(), sort=False)
+        shard_of = np.array(
+            [zlib.crc32(u.encode()) % _QA_SHARDS for u in uvals], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(shard_of[codes]),
+                "conv_id": conv,
+                "turn_idx": batch.column("turn_idx"),
+                "role": batch.column("role"),
+                "chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch.column("text"), "")),
+                    pa.int64(),
+                ),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = d["conv_id"].to_numpy()
+        role = d["role"].to_numpy()
+        ti = d["turn_idx"].to_numpy(np.int64)
+        ch = d["chars"].to_numpy(np.int64)
+        us = d["us"].to_numpy(np.int64)
+        if len(d) < 2:
+            m = np.zeros(0, dtype=bool)
+        else:
+            m = (conv[:-1] == conv[1:]) & (role[:-1] == "user") & (
+                role[1:] == "assistant"
+            )
+        i = np.flatnonzero(m)
+        gap = us[i + 1] - us[i]
+        return pd.DataFrame(
+            {
+                "conv_id": conv[i],
+                "user_turn_idx": ti[i],
+                "assistant_turn_idx": ti[i + 1],
+                "prompt_chars": ch[i],
+                "response_chars": ch[i + 1],
+                # trunc-division mirror of DuckDB's integer `//`
+                "gap_seconds": np.sign(gap) * (np.abs(gap) // 1_000_000),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+
+
+def _sql_qa_pairs(shards_glob: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role,
+         len(coalesce(text, '')) AS chars,
+         epoch_us(cast(ts AS TIMESTAMP)) AS us
+  FROM read_parquet('{shards_glob}')),
+w AS (
+  SELECT conv_id, turn_idx, role, chars, us,
+         lead(turn_idx) OVER win AS nti,
+         lead(role) OVER win AS nrole,
+         lead(chars) OVER win AS nchars,
+         lead(us) OVER win AS nus
+  FROM t WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id,
+       cast(turn_idx AS BIGINT) AS user_turn_idx,
+       cast(nti AS BIGINT) AS assistant_turn_idx,
+       cast(chars AS BIGINT) AS prompt_chars,
+       cast(nchars AS BIGINT) AS response_chars,
+       cast((nus - us) // 1000000 AS BIGINT) AS gap_seconds
+FROM w WHERE role = 'user' AND nrole = 'assistant'
+"""
+
+
+# =====================================================================
+# Tool-usage profile over transcripts
+# =====================================================================
+
+def q_tool_usage(sf_dir: str):
+    """Per-tool usage profile over the transcripts table (turn count,
+    distinct conversations, total payload chars) — the agent-pipeline
+    health readout for the ``tool`` column.  Batch-local combine to
+    (tool, conv) partials, one bounded exchange, then the distinct-
+    conversation count is a second tiny groupby over one row per
+    (tool, conv)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..transcripts import ensure_generated
+    from .extraction import read_transcripts
+    from .relational import _size_for
+
+    ds = read_transcripts(
+        ensure_generated(_size_for(sf_dir)), with_route=False
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "tool": batch.column("tool"),
+                "conv_id": batch.column("conv_id"),
+                "chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch.column("text"), "")),
+                    pa.int64(),
+                ),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        ).filter(pc.not_equal(batch.column("tool"), ""))
+        g = t.group_by(["tool", "conv_id"]).aggregate(
+            [("one", "sum"), ("chars", "sum")]
+        )
+        return pa.table(
+            {
+                "tool": g.column("tool"),
+                "conv_id": g.column("conv_id"),
+                "n": g.column("one_sum"),
+                "chars": g.column("chars_sum"),
+            }
+        )
+
+    per_conv = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["tool", "conv_id"])
+        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars"))
+    )
+    return per_conv.groupby("tool").aggregate(
+        Sum("n", alias_name="n_turns"),
+        Count(alias_name="n_convs"),
+        Sum("chars", alias_name="sum_chars"),
+    )
+
+
+def _sql_tool_usage(shards_glob: str) -> str:
+    return f"""
+SELECT tool,
+       cast(count(*) AS BIGINT) AS n_turns,
+       cast(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       cast(sum(len(coalesce(text, ''))) AS BIGINT) AS sum_chars
+FROM read_parquet('{shards_glob}')
+WHERE tool <> ''
+GROUP BY tool
+"""
+
+
+# =====================================================================
 # Tokenizer fertility (chars per token) by language
 # =====================================================================
 
@@ -1524,6 +1701,8 @@ QUERIES = {
     "mlm_mask": q_mlm_mask,
     "dedup_conv_structure": q_dedup_conv_structure,
     "fertility_by_lang": q_fertility_by_lang,
+    "qa_pairs": q_qa_pairs,
+    "tool_usage": q_tool_usage,
     "dedup_merge": q_dedup_merge,
     "lang_confusion": q_lang_confusion,
     "pii_scrub": q_pii_scrub,

@@ -523,6 +523,71 @@ FROM terms GROUP BY event_type
 
 
 # =====================================================================
+# Log2 (bit-length) magnitude histogram of order totals
+# =====================================================================
+
+def q_log2_histogram(sf_dir: str):
+    """Order-of-magnitude profile of order totals: bucket = bit length
+    of the cents value (a power-of-two magnitude histogram — the cheap
+    long-tail / corrupted-magnitude audit).  Bit length is computed by
+    vectorized halving (≤ ~40 rounds), never float log2, whose libm
+    rounding at 2^k boundaries is engine-dependent; the SQL twin uses
+    the binary-string length for the same exactness.  Per-batch digit
+    partials → one ≤64-row groupby."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = _i64_away(batch.column("o_totalprice"), 100.0).to_numpy(
+            zero_copy_only=False
+        ).copy()
+        bits = np.zeros(len(v), dtype=np.int64)
+        while (v > 0).any():
+            bits[v > 0] += 1
+            v >>= 1
+        b, cnt = np.unique(bits, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(b.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _ranges(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "n": t.column("n"),
+                "lo_cents": pa.array(np.int64(1) << (b - 1)),
+                "hi_cents": pa.array((np.int64(1) << b) - 1),
+            }
+        )
+
+    return agg.map_batches(_ranges, batch_format="pyarrow")
+
+
+SQL_LOG2_HIST = """
+WITH c AS (
+  SELECT cast(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+b AS (
+  SELECT cast(length(printf('%b', cents)) AS BIGINT) AS bucket,
+         cast(count(*) AS BIGINT) AS n
+  FROM c GROUP BY 1)
+SELECT bucket, n,
+       cast(1 AS BIGINT) << (bucket - 1) AS lo_cents,
+       (cast(1 AS BIGINT) << bucket) - 1 AS hi_cents
+FROM b
+"""
+
+
+# =====================================================================
 # Winsorize at order-statistic p05 / p95 per event type
 # =====================================================================
 
@@ -709,6 +774,7 @@ FROM e ORDER BY est_n DESC, user_id LIMIT {_CMS_TOPK}
 QUERIES = {
     "rolling_median": q_rolling_median,
     "cms_estimate": q_cms_estimate,
+    "log2_histogram": q_log2_histogram,
     "cusum_changepoint": q_cusum_changepoint,
     "autocorr_daily": q_autocorr_daily,
     "benford_digits": q_benford_digits,
@@ -719,6 +785,7 @@ QUERIES = {
 ORACLE_SQL = {
     "rolling_median": SQL_ROLLING_MEDIAN,
     "cms_estimate": SQL_CMS,
+    "log2_histogram": SQL_LOG2_HIST,
     "cusum_changepoint": SQL_CUSUM,
     "autocorr_daily": SQL_AUTOCORR,
     "benford_digits": SQL_BENFORD,
