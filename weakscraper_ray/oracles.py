@@ -444,3 +444,55 @@ def kmeans_twin(sf_dir: str, version: str = "v1") -> str:
         )
 
     return _cached(f"kmeans-{tag}-k{_K}-i{_ITERS}", version, build)
+
+
+def kcenter_twin(sf_dir: str, version: str = "v1") -> str:
+    """Independent single-threaded greedy k-center: a plain Python
+    scan in vec_id order computing DIRECT ``sum((x - c)^2)`` distances
+    per vector (the Ray path runs batched numpy einsum partials with a
+    lexsort pick). Only the e6 quantizer is shared math; int64
+    arithmetic end-to-end makes both sides partitioning-independent,
+    so agreement is exact."""
+    from .pipelines.clustering import _KC_K, _SCALE
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        X = np.rint(
+            np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            * _SCALE
+        ).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, X = ids[order], X[order]
+        centers = [0]  # index of min vec_id after the sort
+        ranks, sel, radii = [0], [int(ids[0])], [0]
+        mind = [None] * len(ids)
+        for rank in range(1, _KC_K):
+            c = X[centers[-1]]
+            best_i, best_d = -1, -1
+            for i in range(len(ids)):
+                d = 0
+                for a, b in zip(X[i], c):
+                    d += (int(a) - int(b)) ** 2
+                if mind[i] is None or d < mind[i]:
+                    mind[i] = d
+                if mind[i] > best_d:  # strict: ties keep earliest (min id)
+                    best_d, best_i = mind[i], i
+            centers.append(best_i)
+            ranks.append(rank)
+            sel.append(int(ids[best_i]))
+            radii.append(int(best_d))
+        return pa.table(
+            {
+                "rank": pa.array(ranks, pa.int64()),
+                "vec_id": pa.array(sel, pa.int64()),
+                "radius2_e12": pa.array(radii, pa.int64()),
+            }
+        )
+
+    return _cached(f"kcenter-{tag}-k{_KC_K}", version, build)

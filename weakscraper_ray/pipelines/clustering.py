@@ -173,9 +173,101 @@ def q_kmeans_clusters(sf_dir: str):
     return base.map_batches(_label, batch_format="pyarrow")
 
 
+# =====================================================================
+# Greedy k-center coreset selection (farthest-point traversal)
+# =====================================================================
+
+#: number of coreset exemplars selected
+_KC_K = 8
+
+
+def q_kcenter_select(sf_dir: str):
+    """Greedy k-center (farthest-point) coreset over the embedding
+    table — the diversity-maximizing data-selection primitive
+    (Gonzalez 1985 2-approximation; the 'coreset for active learning /
+    balanced finetuning subset' idiom).  Seed = the minimum vec_id;
+    each of the K−1 rounds is ONE streaming ``map_batches`` over the
+    cached quantized working set emitting a single batch-local
+    farthest candidate (dist DESC, vec_id ASC) — the driver merges
+    #blocks one-row partials and broadcasts the grown center set via
+    closure (≤ K·dim int64s).  All distances are exact int64
+    squared-L2 on the e6 grid, so the selection order is
+    partitioning-independent and hash-exact against the
+    single-threaded twin (same argument as k-means above).  Emits
+    (rank, vec_id, radius2_e12): radius2 of rank r = the covering
+    radius² of the first r centers — the classic k-center quality
+    curve."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _to_quantized(batch: pa.Table) -> pa.Table:
+        x = quantize_e6(fixed_list_to_numpy(batch.column("embedding")))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "q": pa.array(list(x), pa.list_(pa.int64())),
+            }
+        )
+
+    base = ds.map_batches(_to_quantized, batch_format="pyarrow").materialize()
+
+    def _seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:1]
+        return batch.take(keep)
+
+    cand = base.map_batches(_seed_partial, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r["vec_id"])
+    seed = cand[0]
+    centers = np.array([seed["q"]], dtype=np.int64)
+    out_rank = [0]
+    out_id = [int(seed["vec_id"])]
+    out_r2 = [0]
+
+    for rank in range(1, _KC_K):
+        Cb = centers
+
+        def _far_partial(batch: pa.Table, C=Cb) -> pa.Table:
+            X = fixed_list_to_numpy(batch.column("q"), dtype=np.int64).astype(
+                np.int64
+            )
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            # exact min squared distance to the current centers
+            d = np.full(len(X), np.iinfo(np.int64).max, dtype=np.int64)
+            for c in C:
+                diff = X - c
+                np.minimum(d, np.einsum("nd,nd->n", diff, diff), out=d)
+            i = np.lexsort((ids, -d))[0]  # farthest, tie → min vec_id
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[i])], pa.int64()),
+                    "d": pa.array([int(d[i])], pa.int64()),
+                    "q": pa.array([X[i].tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        parts = base.map_batches(_far_partial, batch_format="pyarrow").take_all()
+        parts.sort(key=lambda r: (-r["d"], r["vec_id"]))
+        best = parts[0]
+        centers = np.vstack([centers, np.asarray(best["q"], dtype=np.int64)])
+        out_rank.append(rank)
+        out_id.append(int(best["vec_id"]))
+        out_r2.append(int(best["d"]))
+
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "rank": pd.array(out_rank, dtype="int64"),
+            "vec_id": pd.array(out_id, dtype="int64"),
+            "radius2_e12": pd.array(out_r2, dtype="int64"),
+        }
+    )
+
+
 def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
-    """Expected-twin oracle (independent single-threaded Lloyd's in
-    weakscraper_ray.oracles; called from relational.build_oracle_sql)."""
+    """Expected-twin oracle (independent single-threaded Lloyd's /
+    greedy traversal in weakscraper_ray.oracles; called from
+    relational.build_oracle_sql)."""
     from .. import oracles
 
     return {
@@ -183,10 +275,17 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
             "SELECT vec_id, cluster, dist_e12 "
             f"FROM read_parquet('{oracles.kmeans_twin(sf_dir)}')"
         ),
+        "kcenter_select": (
+            "SELECT rank, vec_id, radius2_e12 "
+            f"FROM read_parquet('{oracles.kcenter_twin(sf_dir)}')"
+        ),
     }
 
 
-QUERIES = {"kmeans_clusters": q_kmeans_clusters}
+QUERIES = {
+    "kmeans_clusters": q_kmeans_clusters,
+    "kcenter_select": q_kcenter_select,
+}
 ORACLE_SQL: dict[str, str] = {}
 
 _rel.QUERIES.update(QUERIES)
