@@ -496,3 +496,94 @@ def kcenter_twin(sf_dir: str, version: str = "v1") -> str:
         )
 
     return _cached(f"kcenter-{tag}-k{_KC_K}", version, build)
+
+
+def bpe_twin(sf_dir: str, version: str = "v1") -> str:
+    """Independent single-threaded BPE train+encode (Sennrich 2016).
+    Training: Counter over tuple-words with the shared tie rule
+    (count DESC, pair ASC).  Encoding: RANK-ORDER SWEEP (apply each
+    merge left-to-right in learned order) — provably equivalent to the
+    Ray path's priority loop because a merge can only create pairs
+    involving its own new symbol, whose merges are necessarily
+    later-ranked; using the other formulation here keeps the two
+    implementations independent."""
+    import re
+    from collections import Counter
+
+    from .pipelines.tokenizer import _BPE_VOCAB, _N_MERGES
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        wc: Counter = Counter()
+        for s in texts:
+            wc.update(re.findall(r"\S+", s or ""))
+        vocab = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_VOCAB]
+
+        words = {w: tuple(w) for w, _ in vocab}
+        merges: list[tuple[str, str]] = []
+        for _ in range(_N_MERGES):
+            pc_: Counter = Counter()
+            for w, c in vocab:
+                syms = words[w]
+                for i in range(len(syms) - 1):
+                    pc_[(syms[i], syms[i + 1])] += c
+            if not pc_:
+                break
+            best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            a, b = best
+            for w in words:
+                syms = words[w]
+                i, out = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = tuple(out)
+
+        memo: dict[str, int] = {}
+
+        def enc(word: str) -> int:
+            k = memo.get(word)
+            if k is not None:
+                return k
+            syms = list(word)
+            for a, b in merges:  # rank-order sweep
+                i, out = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                if len(syms) == 1:
+                    break
+            memo[word] = len(syms)
+            return len(syms)
+
+        n_words = np.zeros(len(ids), dtype=np.int64)
+        n_bpe = np.zeros(len(ids), dtype=np.int64)
+        for j, s in enumerate(texts):
+            ws = re.findall(r"\S+", s or "")
+            n_words[j] = len(ws)
+            n_bpe[j] = sum(enc(w) for w in ws)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(n_words),
+                "n_bpe_tokens": pa.array(n_bpe),
+            }
+        )
+
+    return _cached(f"bpe-{tag}-v{_BPE_VOCAB}-m{_N_MERGES}", version, build)

@@ -2658,6 +2658,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
     from . import series as _ser
 
     out.update(_ser.dynamic_oracle_sql(sf_dir))
+    from . import tokenizer as _tok
+
+    out.update(_tok.dynamic_oracle_sql(sf_dir))
     return out
 
 
@@ -3119,3 +3122,7 @@ from . import stats as _stats  # noqa: E402,F401
 # CUSUM changepoint, autocorrelation, Benford audit, PSI drift,
 # winsorize) — same self-registration pattern.
 from . import monitor as _monitor  # noqa: E402,F401
+
+# round-3 subword tokenizer family (full BPE train + encode) — same
+# self-registration pattern.
+from . import tokenizer as _tokenizer  # noqa: E402,F401
