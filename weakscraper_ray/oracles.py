@@ -498,6 +498,89 @@ def kcenter_twin(sf_dir: str, version: str = "v1") -> str:
     return _cached(f"kcenter-{tag}-k{_KC_K}", version, build)
 
 
+def pq_twin(sf_dir: str, version: str = "v1") -> str:
+    """Independent single-threaded product quantization: per-cluster
+    loop distances (no matmul expansion), per-subspace sequential
+    Lloyd's, and DIRECT ``sum((q_sub - centroid)^2)`` asymmetric
+    distances (the Ray path precomputes an M×k lookup table). Integer
+    arithmetic end-to-end → exact agreement."""
+    from .pipelines.clustering import (
+        _PQ_DSUB,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_KSUB,
+        _PQ_M,
+        _PQ_NQ,
+        _SCALE,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        X = np.rint(
+            np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            * _SCALE
+        ).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, X = ids[order], X[order]
+
+        def assign(Xm: np.ndarray, Cm: np.ndarray) -> np.ndarray:
+            d = np.empty((len(Xm), len(Cm)), dtype=np.int64)
+            for k in range(len(Cm)):
+                diff = Xm - Cm[k]
+                d[:, k] = (diff * diff).sum(axis=1)
+            return d.argmin(axis=1)
+
+        books = []
+        for m in range(_PQ_M):
+            Xm = X[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+            Cm = Xm[:_PQ_KSUB].copy()  # ids sorted → smallest vec_ids
+            for _ in range(_PQ_ITERS):
+                a = assign(Xm, Cm)
+                for k in range(_PQ_KSUB):
+                    members = Xm[a == k]
+                    if len(members):
+                        Cm[k] = members.sum(axis=0) // len(members)
+            books.append(Cm)
+
+        codes = np.empty((len(X), _PQ_M), dtype=np.int64)
+        for m in range(_PQ_M):
+            codes[:, m] = assign(
+                X[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB], books[m]
+            )
+
+        rows_q, rows_v, rows_d = [], [], []
+        for qi in range(len(ids)):
+            if ids[qi] >= _PQ_NQ:
+                continue
+            adc = np.zeros(len(X), dtype=np.int64)
+            for m in range(_PQ_M):
+                qm = X[qi, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+                diff = books[m][codes[:, m]] - qm
+                adc += np.einsum("nd,nd->n", diff, diff)
+            picked = sorted(range(len(X)), key=lambda i: (adc[i], ids[i]))[:_PQ_K]
+            for i in picked:
+                rows_q.append(int(ids[qi]))
+                rows_v.append(int(ids[i]))
+                rows_d.append(int(adc[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "vec_id": pa.array(rows_v, pa.int64()),
+                "adc_e12": pa.array(rows_d, pa.int64()),
+            }
+        )
+
+    return _cached(
+        f"pq-{tag}-m{_PQ_M}-k{_PQ_KSUB}-i{_PQ_ITERS}-q{_PQ_NQ}", version, build
+    )
+
+
 def bpe_twin(sf_dir: str, version: str = "v1") -> str:
     """Independent single-threaded BPE train+encode (Sennrich 2016).
     Training: Counter over tuple-words with the shared tie rule

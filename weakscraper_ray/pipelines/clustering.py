@@ -46,8 +46,12 @@ through one tiny ``groupby(cluster, dim).Sum`` exchange instead
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..functions.embed import fixed_list_to_numpy
 from . import relational as _rel
@@ -264,6 +268,162 @@ def q_kcenter_select(sf_dir: str):
     )
 
 
+# =====================================================================
+# Product quantization ANN (PQ codebooks + asymmetric distance)
+# =====================================================================
+
+_PQ_M = 8       #: subspaces (64-dim embeddings → 8×8)
+_PQ_DSUB = 8    #: dims per subspace
+_PQ_KSUB = 16   #: centroids per subspace codebook
+_PQ_ITERS = 2   #: Lloyd iterations per codebook
+_PQ_NQ = 8      #: queries = vec_id < _PQ_NQ (knn_cosine convention)
+_PQ_K = 10      #: neighbours returned per query
+
+
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (Jégou, Douze & Schmid 2011): train an
+    M=8 × k=16 codebook grid by per-subspace integer Lloyd's (one
+    streaming partial pass per iteration covering ALL subspaces — the
+    reduce payload is M·k·(d_sub+1) int64s per batch), then answer the
+    standard query set by ASYMMETRIC DISTANCE: each query broadcasts
+    an M×k lookup table (||q_m − C_m[j]||², exact int64 on the e6
+    grid), every batch scores its vectors by M table lookups per
+    vector — the memory-bandwidth shape that makes PQ the 100 TB ANN
+    path (codes are 8 bytes/vector; raw floats never rescan).  Batch-
+    local top-K partials (dist ASC, vec_id ASC) merge on the driver
+    over NQ·K·#blocks rows.  Integer end-to-end → hash-exact vs the
+    single-threaded twin."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _to_quantized(batch: pa.Table) -> pa.Table:
+        x = quantize_e6(fixed_list_to_numpy(batch.column("embedding")))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "q": pa.array(list(x), pa.list_(pa.int64())),
+            }
+        )
+
+    base = ds.map_batches(_to_quantized, batch_format="pyarrow").materialize()
+
+    # --- codebook init: subvectors of the _PQ_KSUB smallest vec_ids
+    def _init_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:_PQ_KSUB]
+        return batch.take(keep)
+
+    cand = base.map_batches(_init_partial, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r["vec_id"])
+    seed = np.array([r["q"] for r in cand[:_PQ_KSUB]], dtype=np.int64)
+    # C[m]: (k, d_sub) codebook of subspace m
+    C = [
+        seed[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB].copy() for m in range(_PQ_M)
+    ]
+
+    def _sub_assign(Xm: np.ndarray, Cm: np.ndarray) -> np.ndarray:
+        cross = Xm @ Cm.T
+        c2 = np.einsum("kd,kd->k", Cm, Cm)
+        return (c2[None, :] - 2 * cross).argmin(axis=1)
+
+    for _ in range(_PQ_ITERS):
+        Cb = [c.copy() for c in C]
+
+        def _partial(batch: pa.Table, C=Cb) -> pa.Table:
+            X = fixed_list_to_numpy(batch.column("q"), dtype=np.int64).astype(
+                np.int64
+            )
+            ms, cl, dims, s = [], [], [], []
+            for m in range(_PQ_M):
+                Xm = X[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+                a = _sub_assign(Xm, C[m])
+                sums = np.zeros((_PQ_KSUB, _PQ_DSUB), dtype=np.int64)
+                np.add.at(sums, a, Xm)
+                counts = np.bincount(a, minlength=_PQ_KSUB).astype(np.int64)
+                k_ids = np.repeat(np.arange(_PQ_KSUB, dtype=np.int64), _PQ_DSUB)
+                d_ids = np.tile(np.arange(_PQ_DSUB, dtype=np.int64), _PQ_KSUB)
+                ms.append(np.full(len(k_ids) + _PQ_KSUB, m, dtype=np.int64))
+                cl.append(
+                    np.concatenate([k_ids, np.arange(_PQ_KSUB, dtype=np.int64)])
+                )
+                dims.append(
+                    np.concatenate([d_ids, np.full(_PQ_KSUB, -1, dtype=np.int64)])
+                )
+                s.append(np.concatenate([sums.ravel(), counts]))
+            return pa.table(
+                {
+                    "m": pa.array(np.concatenate(ms)),
+                    "cluster": pa.array(np.concatenate(cl)),
+                    "dim": pa.array(np.concatenate(dims)),
+                    "s": pa.array(np.concatenate(s)),
+                }
+            )
+
+        parts = base.map_batches(_partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((_PQ_M, _PQ_KSUB, _PQ_DSUB), dtype=np.int64)
+        counts = np.zeros((_PQ_M, _PQ_KSUB), dtype=np.int64)
+        for r in parts:
+            if r["dim"] < 0:
+                counts[r["m"], r["cluster"]] += r["s"]
+            else:
+                sums[r["m"], r["cluster"], r["dim"]] += r["s"]
+        for m in range(_PQ_M):
+            nonempty = counts[m] > 0
+            C[m] = C[m].copy()
+            C[m][nonempty] = sums[m][nonempty] // counts[m][nonempty, None]
+
+    # --- queries: exact quantized subvectors of vec_id < _PQ_NQ
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    qsel = qt.filter(pc.less(qt.column("vec_id"), _PQ_NQ))
+    q_ids = qsel.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    Qx = quantize_e6(
+        np.array(qsel.column("embedding").to_pylist(), dtype=np.float64)
+    )
+    # LUT[q, m, j] = ||q_m - C_m[j]||²  (exact int64)
+    lut = np.zeros((len(q_ids), _PQ_M, _PQ_KSUB), dtype=np.int64)
+    for m in range(_PQ_M):
+        Qm = Qx[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+        diff = Qm[:, None, :] - C[m][None, :, :]
+        lut[:, m, :] = np.einsum("qkd,qkd->qk", diff, diff)
+    Cf = [c.copy() for c in C]
+
+    def _adc_partial(batch: pa.Table, C=Cf, lut=lut, q_ids=q_ids) -> pa.Table:
+        X = fixed_list_to_numpy(batch.column("q"), dtype=np.int64).astype(np.int64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        codes = np.empty((len(X), _PQ_M), dtype=np.int64)
+        for m in range(_PQ_M):
+            codes[:, m] = _sub_assign(X[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB], C[m])
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            adc = np.zeros(len(X), dtype=np.int64)
+            for m in range(_PQ_M):
+                adc += lut[qi, m, codes[:, m]]
+            order = np.lexsort((ids, adc))[:_PQ_K]  # dist ASC, vec_id ASC
+            out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+            out_v.append(ids[order])
+            out_d.append(adc[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "adc_e12": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    parts = base.map_batches(_adc_partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["query_id", "adc_e12", "vec_id"], kind="mergesort")
+        .groupby("query_id", sort=True)
+        .head(_PQ_K)
+        .reset_index(drop=True)
+    )
+    return out.astype({"query_id": "int64", "vec_id": "int64", "adc_e12": "int64"})
+
+
 def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Expected-twin oracle (independent single-threaded Lloyd's /
     greedy traversal in weakscraper_ray.oracles; called from
@@ -279,12 +439,17 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
             "SELECT rank, vec_id, radius2_e12 "
             f"FROM read_parquet('{oracles.kcenter_twin(sf_dir)}')"
         ),
+        "pq_topk": (
+            "SELECT query_id, vec_id, adc_e12 "
+            f"FROM read_parquet('{oracles.pq_twin(sf_dir)}')"
+        ),
     }
 
 
 QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "kcenter_select": q_kcenter_select,
+    "pq_topk": q_pq_topk,
 }
 ORACLE_SQL: dict[str, str] = {}
 
