@@ -1678,8 +1678,102 @@ FROM c GROUP BY doc_id, nb
 """
 
 
+# =====================================================================
+# Last-touch attribution (purchase ← most recent prior click ≤ 7 d)
+# =====================================================================
+
+_ATTR_WINDOW_US = 7 * 86_400_000_000
+_ATTR_SHARDS = 256
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch marketing attribution: each purchase is credited to
+    the same user's most recent click STRICTLY BEFORE it (ties at one
+    microsecond: the click does not count; among equal-time clicks the
+    max event_id wins) and within a 7-day lookback, else the −1
+    sentinel — the temporal-credit join that asof_join's nearest-key
+    semantics cannot express (it needs per-key running state, not one
+    probe).  Users re-key onto a bounded shard (conv-complete per
+    user); one sort + segment-cummax per shard does every user's
+    forward fill vectorized."""
+    from .relational import _read
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        t = batch.filter(pa.array(keep))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(u % _ATTR_SHARDS),
+                "user_id": pa.array(u),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                # purchase sorts FIRST at equal us → strict 'before'
+                "k": pa.array((et == "click").astype(np.int64)),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            }
+        )
+
+    def _attr(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(
+            ["user_id", "us", "k", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        k = d["k"].to_numpy(np.int64)
+        us = d["us"].to_numpy(np.int64)
+        eid = d["event_id"].to_numpy(np.int64)
+        marker = np.where(k == 1, np.arange(len(d), dtype=np.int64), -1)
+        last = (
+            pd.Series(marker).groupby(d["user_id"], sort=False).cummax().to_numpy()
+        )
+        p = np.flatnonzero(k == 0)
+        m = last[p]
+        ok = m >= 0
+        lag_us = np.where(ok, us[p] - us[np.maximum(m, 0)], -1)
+        ok &= lag_us <= _ATTR_WINDOW_US
+        return pd.DataFrame(
+            {
+                "purchase_id": eid[p],
+                "user_id": d["user_id"].to_numpy(np.int64)[p],
+                "click_id": np.where(ok, eid[np.maximum(m, 0)], -1),
+                "lag_seconds": np.where(ok, lag_us // 1_000_000, -1),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_attr, batch_format="pandas")
+    )
+
+
+SQL_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT cast(event_id AS BIGINT) AS event_id, user_id,
+         epoch_us(cast(ts AS TIMESTAMP)) AS us,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS k
+  FROM events WHERE event_type IN ('click', 'purchase')),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN k = 1 THEN event_id END IGNORE NULLS) OVER win AS c_id,
+    last_value(CASE WHEN k = 1 THEN us END IGNORE NULLS) OVER win AS c_us
+  FROM e WINDOW win AS (
+    PARTITION BY user_id ORDER BY us, k, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN c_id IS NOT NULL AND us - c_us <= {_ATTR_WINDOW_US}
+            THEN c_id ELSE -1 END AS click_id,
+       CASE WHEN c_id IS NOT NULL AND us - c_us <= {_ATTR_WINDOW_US}
+            THEN (us - c_us) // 1000000 ELSE -1 END AS lag_seconds
+FROM w WHERE k = 0
+"""
+
+
 QUERIES = {
     "ks_drift": q_ks_drift,
+    "attribution": q_attribution,
     "retention_cohorts": q_retention_cohorts,
     "anomaly_zscore": q_anomaly_zscore,
     "top_ngram_fraction": q_top_ngram_fraction,
@@ -1707,6 +1801,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ks_drift": SQL_KS_DRIFT,
+    "attribution": SQL_ATTRIBUTION,
     "retention_cohorts": SQL_RETENTION,
     "anomaly_zscore": SQL_ANOMALY,
     "top_ngram_fraction": SQL_TOP_NGRAM,

@@ -523,6 +523,94 @@ FROM terms GROUP BY event_type
 
 
 # =====================================================================
+# Near-time duplicate-event audit (ingestion exactly-once check)
+# =====================================================================
+
+_EDUP_WINDOW_US = 3_600_000_000  #: 1 h rapid-fire window
+_EDUP_SHARDS = 256
+
+
+def q_event_dedup(sf_dir: str):
+    """Ingestion duplicate audit: an event is flagged when the same
+    (user, event_type) stream produced another event within the
+    trailing hour (ordered by ts, then event_id) — the retry/replay
+    signature an at-least-once collector leaves behind.  Per-type
+    summary (n_events, n_dups).  Users re-key onto a bounded shard;
+    the lag comparison is one vectorized adjacent-row check per shard
+    after a (user, type, ts) sort — gap state never crosses users
+    because the boundary mask resets it."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(u % _EDUP_SHARDS),
+                "user_id": pa.array(u),
+                "event_type": batch.column("event_type"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            }
+        )
+
+    def _flag(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(
+            ["user_id", "event_type", "us", "event_id"], kind="mergesort"
+        )
+        u = d["user_id"].to_numpy(np.int64)
+        et = d["event_type"].to_numpy()
+        us = d["us"].to_numpy(np.int64)
+        if len(d) < 2:
+            dup = np.zeros(len(d), dtype=np.int64)
+        else:
+            same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+            dup = np.concatenate(
+                [[0], (same & (us[1:] - us[:-1] <= _EDUP_WINDOW_US)).astype(np.int64)]
+            )
+        out = (
+            pd.DataFrame({"event_type": et, "dup": dup})
+            .groupby("event_type", sort=False)
+            .agg(n_events=("dup", "size"), n_dups=("dup", "sum"))
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
+
+    # final combine is driver-side over ≤ #types·#shards rows
+    pdf = (
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_flag, batch_format="pandas")
+        .to_pandas()  # bounded: one row per (shard, type)
+    )
+    out = (
+        pdf.groupby("event_type", sort=True)[["n_events", "n_dups"]]
+        .sum()
+        .reset_index()
+    )
+    return out.astype({"n_events": "int64", "n_dups": "int64"})
+
+
+SQL_EVENT_DEDUP = f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(cast(ts AS TIMESTAMP)) AS us,
+         cast(event_id AS BIGINT) AS event_id
+  FROM events),
+w AS (
+  SELECT event_type,
+         us - lag(us) OVER (PARTITION BY user_id, event_type
+                            ORDER BY us, event_id) AS d
+  FROM e)
+SELECT event_type, cast(count(*) AS BIGINT) AS n_events,
+       cast(sum(CASE WHEN d IS NOT NULL AND d <= {_EDUP_WINDOW_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+FROM w GROUP BY event_type
+"""
+
+
+# =====================================================================
 # Log2 (bit-length) magnitude histogram of order totals
 # =====================================================================
 
@@ -775,6 +863,7 @@ QUERIES = {
     "rolling_median": q_rolling_median,
     "cms_estimate": q_cms_estimate,
     "log2_histogram": q_log2_histogram,
+    "event_dedup": q_event_dedup,
     "cusum_changepoint": q_cusum_changepoint,
     "autocorr_daily": q_autocorr_daily,
     "benford_digits": q_benford_digits,
@@ -786,6 +875,7 @@ ORACLE_SQL = {
     "rolling_median": SQL_ROLLING_MEDIAN,
     "cms_estimate": SQL_CMS,
     "log2_histogram": SQL_LOG2_HIST,
+    "event_dedup": SQL_EVENT_DEDUP,
     "cusum_changepoint": SQL_CUSUM,
     "autocorr_daily": SQL_AUTOCORR,
     "benford_digits": SQL_BENFORD,
