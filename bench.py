@@ -98,7 +98,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "psi_drift", "cms_estimate", "benford_digits", "winsorize_value",
         "bfs_hops", "jaccard_neighbors", "dedup_conv_structure",
         "fertility_by_lang", "qa_pairs", "tool_usage", "log2_histogram",
-        "kcenter_select", "bpe_encode", "pq_topk",
+        "kcenter_select", "bpe_encode", "pq_topk", "attribution",
+        "event_dedup", "conv_filter", "dialog_grammar", "salt_plan",
     ]
     out: dict[str, float] = {}
     for name in names:

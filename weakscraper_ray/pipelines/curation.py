@@ -473,6 +473,170 @@ def q_pack_conversations(sf_dir: str):
 
 
 # =====================================================================
+# Conversation-quality gating + dialog grammar validation
+# =====================================================================
+
+_CF_MIN_TURNS, _CF_MAX_TURNS = 3, 50
+
+
+def _conv_role_stats(sf_dir: str):
+    """(conv_id, n_turns, n_user, n_assistant, role_seq) — the shared
+    per-conversation reduction behind the two gates below.  Same
+    shard-keyed shape as pack_conversations: the exchange carries
+    (conv_id, turn_idx, role, shard), never text."""
+    import glob
+    import os
+
+    from ..context import configure_context
+    from ..stages.ordering import _conv_hash
+    from ..transcripts import ensure_generated
+    from .relational import _size_for
+
+    configure_context()
+    shards_dir = ensure_generated(_size_for(sf_dir))
+    paths = sorted(glob.glob(os.path.join(shards_dir, "part-*.parquet")))
+    ds = ray.data.read_parquet(paths, columns=["conv_id", "turn_idx", "role"])
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        h = _conv_hash(batch.column("conv_id"))
+        return batch.append_column(
+            "shard",
+            pa.array((h % np.uint64(_PACK_SHARDS)).astype(np.int32)),
+        )
+
+    def _stats(group: pa.Table) -> pa.Table:
+        g = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).to_pandas()
+        role = g["role"]
+        out = (
+            g.assign(
+                is_user=(role == "user").astype(np.int64),
+                is_assistant=(role == "assistant").astype(np.int64),
+            )
+            .groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("role", "size"),
+                n_user=("is_user", "sum"),
+                n_assistant=("is_assistant", "sum"),
+                role_seq=("role", " ".join),
+            )
+            .reset_index()
+        )
+        for c in ("n_turns", "n_user", "n_assistant"):
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_stats, batch_format="pyarrow")
+    )
+
+
+def q_conv_filter(sf_dir: str):
+    """Conversation-quality gate: a transcript enters the training set
+    only with ≥1 user turn, ≥1 assistant turn and a total turn count
+    inside [3, 50] — the structural admission filter that runs before
+    any text-level scoring.  Emits every conversation with its counts
+    and the keep flag (downstream consumes ``keep = 1``)."""
+
+    def _flag(t: pa.Table) -> pa.Table:
+        nt = t.column("n_turns").to_numpy().astype(np.int64)
+        nu = t.column("n_user").to_numpy().astype(np.int64)
+        na = t.column("n_assistant").to_numpy().astype(np.int64)
+        keep = (
+            (nu >= 1)
+            & (na >= 1)
+            & (nt >= _CF_MIN_TURNS)
+            & (nt <= _CF_MAX_TURNS)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "n_turns": pa.array(nt),
+                "n_user": pa.array(nu),
+                "n_assistant": pa.array(na),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return _conv_role_stats(sf_dir).map_batches(_flag, batch_format="pyarrow")
+
+
+def _sql_conv_filter(shards_glob: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT conv_id,
+         cast(count(*) AS BIGINT) AS n_turns,
+         cast(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_user,
+         cast(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_assistant
+  FROM read_parquet('{shards_glob}')
+  GROUP BY conv_id)
+SELECT conv_id, n_turns, n_user, n_assistant,
+       cast(CASE WHEN n_user >= 1 AND n_assistant >= 1
+                  AND n_turns BETWEEN {_CF_MIN_TURNS} AND {_CF_MAX_TURNS}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""
+
+
+def q_dialog_grammar(sf_dir: str):
+    """Dialog-grammar validation: flags per conversation for the three
+    structural rules an SFT corpus usually enforces — opens with a
+    user turn, never two consecutive user turns, closes with an
+    assistant turn — plus the combined verdict.  The role-sequence
+    string is built once per conversation (shard-keyed, no text) and
+    each rule is a vectorized substring/prefix test mirrored by LIKE
+    patterns (roles are whole space-joined tokens, so substring
+    matches cannot straddle token boundaries)."""
+
+    def _flag(t: pa.Table) -> pa.Table:
+        seq = t.column("role_seq").to_pandas()
+        starts = seq.str.startswith("user").to_numpy().astype(np.int64)
+        double = seq.str.contains("user user", regex=False).to_numpy()
+        ends = seq.str.endswith("assistant").to_numpy().astype(np.int64)
+        ok = (starts.astype(bool) & ~double & ends.astype(bool)).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "starts_user": pa.array(starts),
+                "no_double_user": pa.array((~double).astype(np.int64)),
+                "ends_assistant": pa.array(ends),
+                "ok": pa.array(ok),
+            }
+        )
+
+    return _conv_role_stats(sf_dir).map_batches(_flag, batch_format="pyarrow")
+
+
+def _sql_dialog_grammar(shards_glob: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT conv_id,
+         string_agg(role, ' ' ORDER BY turn_idx) AS role_seq
+  FROM read_parquet('{shards_glob}')
+  GROUP BY conv_id),
+f AS (
+  SELECT conv_id,
+         CASE WHEN role_seq LIKE 'user%' THEN 1 ELSE 0 END AS starts_user,
+         CASE WHEN role_seq LIKE '%user user%' THEN 0 ELSE 1 END
+             AS no_double_user,
+         CASE WHEN role_seq LIKE '%assistant' THEN 1 ELSE 0 END
+             AS ends_assistant
+  FROM s)
+SELECT conv_id,
+       cast(starts_user AS BIGINT) AS starts_user,
+       cast(no_double_user AS BIGINT) AS no_double_user,
+       cast(ends_assistant AS BIGINT) AS ends_assistant,
+       cast(starts_user * no_double_user * ends_assistant AS BIGINT) AS ok
+FROM f
+"""
+
+
+# =====================================================================
 # Unigram LM negative log-likelihood (CCNet-style perplexity filter)
 # =====================================================================
 
@@ -1127,6 +1291,8 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
         "dedup_conv_structure": _sql_dedup_conv_structure(shards_glob),
         "qa_pairs": _sql_qa_pairs(shards_glob),
         "tool_usage": _sql_tool_usage(shards_glob),
+        "conv_filter": _sql_conv_filter(shards_glob),
+        "dialog_grammar": _sql_dialog_grammar(shards_glob),
         "pack_conversations": f"""
 SELECT conv_id,
        string_agg(role, ' ' ORDER BY turn_idx) AS role_seq,
@@ -1703,6 +1869,8 @@ QUERIES = {
     "fertility_by_lang": q_fertility_by_lang,
     "qa_pairs": q_qa_pairs,
     "tool_usage": q_tool_usage,
+    "conv_filter": q_conv_filter,
+    "dialog_grammar": q_dialog_grammar,
     "dedup_merge": q_dedup_merge,
     "lang_confusion": q_lang_confusion,
     "pii_scrub": q_pii_scrub,

@@ -812,8 +812,71 @@ RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
 """
 
 
+# =====================================================================
+# Skew salting plan (hot-key split factors for the next shuffle)
+# =====================================================================
+
+_SALT_TARGET = 25  #: target max rows per (key, salt) partition slice
+#: (sf-tier data: ~10% of users are heavy; 25 yields multi-salt factors)
+
+
+def q_salt_plan(sf_dir: str):
+    """Hot-key salting plan: per user_id row counts → every key whose
+    count exceeds the per-slice target gets ``ceil(count/target)``
+    salt splits — the planning pass that turns a measured key
+    histogram into the shuffle's salt factors (the engine's own
+    ordering-restore salt and ``salted_join`` consume exactly this
+    shape).  Per-batch key partials; only over-target keys are
+    emitted, so the plan is as small as the skew."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _read
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        k, c = np.unique(u, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(k), "n": pa.array(c.astype(np.int64))}
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _plan(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.int64)
+        keep = n > _SALT_TARGET
+        n = n[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    t.column("user_id").to_numpy().astype(np.int64)[keep]
+                ),
+                "n_rows": pa.array(n),
+                "n_salts": pa.array((n + _SALT_TARGET - 1) // _SALT_TARGET),
+            }
+        )
+
+    return agg.map_batches(_plan, batch_format="pyarrow")
+
+
+SQL_SALT_PLAN = f"""
+WITH c AS (
+  SELECT user_id, cast(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id)
+SELECT user_id, n_rows,
+       cast((n_rows + {_SALT_TARGET} - 1) // {_SALT_TARGET} AS BIGINT)
+           AS n_salts
+FROM c WHERE n_rows > {_SALT_TARGET}
+"""
+
+
 QUERIES = {
     "upsert_snapshot": q_upsert_snapshot,
+    "salt_plan": q_salt_plan,
     "validate_rules": q_validate_rules,
     "bpe_top_pairs": q_bpe_top_pairs,
     "itemset_pairs": q_itemset_pairs,
@@ -826,6 +889,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "upsert_snapshot": SQL_UPSERT,
+    "salt_plan": SQL_SALT_PLAN,
     "validate_rules": SQL_VALIDATE,
     "bpe_top_pairs": SQL_BPE,
     "itemset_pairs": SQL_ITEMSET,
