@@ -523,6 +523,101 @@ FROM terms GROUP BY event_type
 
 
 # =====================================================================
+# Exact distributed median via two-pass selection (no global sort)
+# =====================================================================
+
+_SEL_BINS = 1024
+
+
+def q_median_select(sf_dir: str):
+    """Exact lower median of event value cents WITHOUT a global sort:
+    the classic two-pass distributed selection — pass 1 histograms the
+    integer domain into 1024 equal-width bins (per-batch partials, one
+    ≤1024-row exchange) and locates the bin holding rank
+    k = (n−1)//2; pass 2 re-scans collecting ONLY that bin's values
+    (expected n/1024 of the data; a pathological all-equal bin is
+    still exact, just bigger) and picks the in-bin rank locally.
+    The mechanism a 100 TB exact-percentile needs — a full sort
+    exchange is the thing being avoided."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": _i64_away(batch.column("value"), 100.0)})
+
+    base = (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(_to_cents, batch_format="pyarrow")
+        .materialize()  # scanned three times: bounds, histogram, probe
+    )
+    n = base.count()
+    k = (n - 1) // 2
+
+    def _bounds_partial(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy()
+        return pa.table(
+            {
+                "vmin": pa.array([int(v.min())], pa.int64()),
+                "vmax": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    b = (
+        base.map_batches(_bounds_partial, batch_format="pyarrow")
+        .aggregate(Min("vmin"), Max("vmax"))
+    )
+    vmin, vmax = int(b["min(vmin)"]), int(b["max(vmax)"])
+    span = vmax - vmin + 1
+
+    def _hist_partial(t: pa.Table, vmin=vmin, span=span) -> pa.Table:
+        v = t.column("v").to_numpy()
+        binno = (v - vmin) * _SEL_BINS // span
+        bb, cnt = np.unique(binno, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(bb.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        base.map_batches(_hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    idx = int(np.searchsorted(cum, k + 1))
+    target_bin = int(hist["bin"].iloc[idx])
+    rank_in_bin = k - (int(cum[idx - 1]) if idx else 0)
+
+    def _probe(t: pa.Table, vmin=vmin, span=span, tb=target_bin) -> pa.Table:
+        v = t.column("v").to_numpy()
+        keep = (v - vmin) * _SEL_BINS // span == tb
+        return pa.table({"v": pa.array(v[keep], pa.int64())})
+
+    probe = base.map_batches(_probe, batch_format="pyarrow").to_pandas()
+    vals = probe["v"].to_numpy(np.int64)  # ≈ n/_SEL_BINS rows
+    med = int(np.partition(vals, rank_in_bin)[rank_in_bin])
+    return pd.DataFrame(
+        {
+            "n": pd.array([n], dtype="int64"),
+            "median_cents": pd.array([med], dtype="int64"),
+        }
+    )
+
+
+SQL_MEDIAN_SELECT = """
+WITH c AS (
+  SELECT cast(round(value * 100, 0) AS BIGINT) AS v FROM events),
+t AS (SELECT cast(count(*) AS BIGINT) AS n FROM c),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+SELECT t.n, r.v AS median_cents
+FROM r, t WHERE r.rn = (t.n - 1) // 2 + 1
+"""
+
+
+# =====================================================================
 # Near-time duplicate-event audit (ingestion exactly-once check)
 # =====================================================================
 
@@ -864,6 +959,7 @@ QUERIES = {
     "cms_estimate": q_cms_estimate,
     "log2_histogram": q_log2_histogram,
     "event_dedup": q_event_dedup,
+    "median_select": q_median_select,
     "cusum_changepoint": q_cusum_changepoint,
     "autocorr_daily": q_autocorr_daily,
     "benford_digits": q_benford_digits,
@@ -876,6 +972,7 @@ ORACLE_SQL = {
     "cms_estimate": SQL_CMS,
     "log2_histogram": SQL_LOG2_HIST,
     "event_dedup": SQL_EVENT_DEDUP,
+    "median_select": SQL_MEDIAN_SELECT,
     "cusum_changepoint": SQL_CUSUM,
     "autocorr_daily": SQL_AUTOCORR,
     "benford_digits": SQL_BENFORD,
