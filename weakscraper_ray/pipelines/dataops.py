@@ -48,8 +48,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
-from .relational import _i64_away, _read
+from .relational import _i64_away, _p, _read
 
 _US_PER_DAY = 86_400_000_000
 
@@ -813,6 +814,97 @@ RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
 
 
 # =====================================================================
+# Incremental view maintenance for a JOIN view (delta-join expansion)
+# =====================================================================
+
+def q_ivm_join_delta(sf_dir: str):
+    """IVM for the join view V = orders ⋈ customer: with inserts
+    ΔO (new orders; every 13th key re-keyed to −(k+1), half of them
+    referencing brand-new customers) and ΔC (one new customer
+    −(c+1) per existing one, acctbal +5.00), the maintained delta is
+    the standard expansion Δ(O⋈C) = ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC
+    (Blakeley et al. 1986; every streaming-join engine's update rule).
+    Here O⋈ΔC is STRUCTURALLY empty (existing orders cannot reference
+    the new negative custkeys), so the computed terms are
+    ΔO ⋈ (C ∪ ΔC) — one broadcast-map over the order stream; the full
+    view is never recomputed.  The DuckDB oracle takes the OTHER
+    definition — (O∪ΔO)⋈(C∪ΔC) EXCEPT O⋈C — so agreement checks the
+    delta rule itself, not a shared formulation."""
+    cust = pq.read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
+    )
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    acct = _i64_away(cust.column("c_acctbal"), 100.0).to_numpy(
+        zero_copy_only=False
+    )
+    # C ∪ ΔC as a dense lookup: broadcast once (customer ≪ orders)
+    lut = {int(k): int(a) for k, a in zip(ck, acct)}
+    lut.update({-(int(k) + 1): int(a) + 500 for k, a in zip(ck, acct)})
+    import ray as _ray
+
+    lut_ref = _ray.put(lut)
+
+    def _delta(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cust_k = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cents = _i64_away(batch.column("o_totalprice"), 100.0).to_numpy(
+            zero_copy_only=False
+        )
+        ins = k % 13 == 0
+        nk = -(k[ins] + 1)
+        nck = np.where(k[ins] % 26 == 0, -(cust_k[ins] + 1), cust_k[ins])
+        m = _ray.get(lut_ref)
+        av = np.array([m[int(c)] for c in nck], dtype=np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(nk, pa.int64()),
+                "o_custkey": pa.array(nck, pa.int64()),
+                "order_cents": pa.array(cents[ins], pa.int64()),
+                "acct_cents": pa.array(av, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        _delta, batch_format="pyarrow"
+    )
+
+
+SQL_IVM_JOIN_DELTA = """
+WITH c0 AS (
+  SELECT c_custkey AS ck,
+         cast(round(c_acctbal * 100, 0) AS BIGINT) AS acct FROM customer),
+dc AS (
+  SELECT -(c_custkey + 1) AS ck,
+         cast(round(c_acctbal * 100, 0) AS BIGINT) + 500 AS acct FROM customer),
+o0 AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck,
+         cast(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 13 <> 0),
+do_ AS (
+  SELECT -(o_orderkey + 1) AS ok,
+         CASE WHEN o_orderkey % 26 = 0 THEN -(o_custkey + 1)
+              ELSE o_custkey END AS ck,
+         cast(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 13 = 0),
+allv AS (
+  SELECT o.ok, o.ck, o.cents, c.acct
+  FROM (SELECT * FROM o0 UNION ALL SELECT * FROM do_) o
+  JOIN (SELECT * FROM c0 UNION ALL SELECT * FROM dc) c ON c.ck = o.ck),
+base AS (
+  SELECT o.ok, o.ck, o.cents, c.acct
+  FROM o0 o JOIN c0 c ON c.ck = o.ck),
+delta AS (SELECT * FROM allv EXCEPT SELECT * FROM base)
+SELECT ok AS o_orderkey, ck AS o_custkey, cents AS order_cents,
+       acct AS acct_cents
+FROM delta
+"""
+
+
+# =====================================================================
 # Skew salting plan (hot-key split factors for the next shuffle)
 # =====================================================================
 
@@ -877,6 +969,7 @@ FROM c WHERE n_rows > {_SALT_TARGET}
 QUERIES = {
     "upsert_snapshot": q_upsert_snapshot,
     "salt_plan": q_salt_plan,
+    "ivm_join_delta": q_ivm_join_delta,
     "validate_rules": q_validate_rules,
     "bpe_top_pairs": q_bpe_top_pairs,
     "itemset_pairs": q_itemset_pairs,
@@ -890,6 +983,7 @@ QUERIES = {
 ORACLE_SQL = {
     "upsert_snapshot": SQL_UPSERT,
     "salt_plan": SQL_SALT_PLAN,
+    "ivm_join_delta": SQL_IVM_JOIN_DELTA,
     "validate_rules": SQL_VALIDATE,
     "bpe_top_pairs": SQL_BPE,
     "itemset_pairs": SQL_ITEMSET,
