@@ -128,6 +128,71 @@ def test_sharded_wedges_enumerates_neighbor_pairs(ray_session):
     assert len(out2) == 3
 
 
+# ----------------------------------------------------- attribution
+
+def test_attribution_same_microsecond_click_excluded(ray_session, tmp_path):
+    """A click at the purchase's exact timestamp must NOT get credit
+    (strictly-before rule), while an earlier one within the window
+    must; among equal-time earlier clicks the max event_id wins."""
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines.analytics import q_attribution
+
+    ts = pa.array(
+        [1_000_000, 5_000_000, 5_000_000, 5_000_000, 9_000_000],
+        pa.timestamp("us"),
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 7], pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "click", "purchase", "purchase"]
+            ),
+            "value": pa.array([0.0] * 5),
+            "ts": ts,
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = q_attribution(str(d)).to_pandas().set_index("purchase_id")
+    # purchase 4 at t=5s: clicks 2,3 share t=5s (excluded) → click 1
+    assert int(out.loc[4, "click_id"]) == 1
+    assert int(out.loc[4, "lag_seconds"]) == 4
+    # purchase 5 at t=9s: latest prior clicks are 2,3 at t=5s → max id 3
+    assert int(out.loc[5, "click_id"]) == 3
+
+
+def test_event_dedup_window_boundary(ray_session, tmp_path):
+    """Exactly one hour apart counts as a duplicate (<=); one
+    microsecond beyond does not; different users never pair."""
+    import pyarrow.parquet as pq
+
+    from weakscraper_ray.pipelines.monitor import q_event_dedup
+
+    h = 3_600_000_000
+    ts = pa.array([0, h, 2 * h + 1, 0], pa.timestamp("us"))
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "event_type": pa.array(["click"] * 4),
+            "value": pa.array([0.0] * 4),
+            "ts": ts,
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = q_event_dedup(str(d))
+    row = out[out["event_type"] == "click"].iloc[0]
+    assert int(row["n_events"]) == 4
+    assert int(row["n_dups"]) == 1  # only the exact-1h gap
+
+
 # ------------------------------------------------------- struct hash
 
 def test_conv_structure_fingerprint_order_sensitive():
