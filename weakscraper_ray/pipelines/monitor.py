@@ -529,16 +529,17 @@ FROM terms GROUP BY event_type
 _SEL_BINS = 1024
 
 
-def q_median_select(sf_dir: str):
-    """Exact lower median of event value cents WITHOUT a global sort:
-    the classic two-pass distributed selection — pass 1 histograms the
-    integer domain into 1024 equal-width bins (per-batch partials, one
-    ≤1024-row exchange) and locates the bin holding rank
-    k = (n−1)//2; pass 2 re-scans collecting ONLY that bin's values
-    (expected n/1024 of the data; a pathological all-equal bin is
-    still exact, just bigger) and picks the in-bin rank locally.
-    The mechanism a 100 TB exact-percentile needs — a full sort
-    exchange is the thing being avoided."""
+def _selection_rank_values(sf_dir: str, rank_of_n) -> tuple[int, dict[int, int]]:
+    """Two-pass distributed selection: exact order statistics at the
+    ranks returned by ``rank_of_n(n)`` over event value cents, WITHOUT
+    a global sort.  Pass 1 histograms the integer domain into 1024
+    equal-width bins (per-batch partials, one ≤1024-row exchange) and
+    locates each rank's bin; pass 2 re-scans collecting ONLY the
+    needed bins (~n/1024 rows per rank; a pathological all-equal bin
+    is still exact, just bigger) and picks each in-bin rank locally.
+    Returns (n, {rank: value}) — the mechanism a 100 TB
+    exact-percentile needs, with the sort exchange being the thing
+    avoided."""
     from ray.data.aggregate import Max, Min, Sum
 
     def _to_cents(batch: pa.Table) -> pa.Table:
@@ -550,7 +551,7 @@ def q_median_select(sf_dir: str):
         .materialize()  # scanned three times: bounds, histogram, probe
     )
     n = base.count()
-    k = (n - 1) // 2
+    ranks = sorted(set(rank_of_n(n)))
 
     def _bounds_partial(t: pa.Table) -> pa.Table:
         v = t.column("v").to_numpy()
@@ -587,24 +588,74 @@ def q_median_select(sf_dir: str):
         .sort_values("bin")
     )
     cum = hist["n"].cumsum().to_numpy()
-    idx = int(np.searchsorted(cum, k + 1))
-    target_bin = int(hist["bin"].iloc[idx])
-    rank_in_bin = k - (int(cum[idx - 1]) if idx else 0)
+    need: dict[int, tuple[int, int]] = {}  # rank → (bin, rank_in_bin)
+    for k in ranks:
+        idx = int(np.searchsorted(cum, k + 1))
+        need[k] = (
+            int(hist["bin"].iloc[idx]),
+            k - (int(cum[idx - 1]) if idx else 0),
+        )
+    bins = pa.array(sorted({b for b, _ in need.values()}), pa.int64())
 
-    def _probe(t: pa.Table, vmin=vmin, span=span, tb=target_bin) -> pa.Table:
+    def _probe(t: pa.Table, vmin=vmin, span=span, bins=bins) -> pa.Table:
         v = t.column("v").to_numpy()
-        keep = (v - vmin) * _SEL_BINS // span == tb
-        return pa.table({"v": pa.array(v[keep], pa.int64())})
+        binno = (v - vmin) * _SEL_BINS // span
+        keep = np.isin(binno, bins.to_numpy())
+        return pa.table(
+            {
+                "bin": pa.array(binno[keep], pa.int64()),
+                "v": pa.array(v[keep], pa.int64()),
+            }
+        )
 
     probe = base.map_batches(_probe, batch_format="pyarrow").to_pandas()
-    vals = probe["v"].to_numpy(np.int64)  # ≈ n/_SEL_BINS rows
-    med = int(np.partition(vals, rank_in_bin)[rank_in_bin])
+    by_bin = {
+        int(bb): np.sort(g["v"].to_numpy(np.int64))
+        for bb, g in probe.groupby("bin")
+    }
+    return n, {k: int(by_bin[b][r]) for k, (b, r) in need.items()}
+
+
+def q_median_select(sf_dir: str):
+    """Exact lower median via :func:`_selection_rank_values` (see
+    there for the two-pass no-sort mechanism)."""
+    n, vals = _selection_rank_values(sf_dir, lambda n: [(n - 1) // 2])
     return pd.DataFrame(
         {
             "n": pd.array([n], dtype="int64"),
-            "median_cents": pd.array([med], dtype="int64"),
+            "median_cents": pd.array([vals[(n - 1) // 2]], dtype="int64"),
         }
     )
+
+
+def q_equidepth_bins(sf_dir: str):
+    """Exact decile boundaries (equi-depth histogram edges) of event
+    value cents — all nine order statistics resolved in the SAME two
+    passes (:func:`_selection_rank_values`): one 1024-bin histogram
+    locates every rank's bin, one probe re-scan collects the union of
+    needed bins.  Boundary j = the value at rank ⌊j·(n−1)/10⌋ — pure
+    integer rank selection, no interpolation."""
+    n, vals = _selection_rank_values(
+        sf_dir, lambda n: [(j * (n - 1)) // 10 for j in range(1, 10)]
+    )
+    ranks = [(j * (n - 1)) // 10 for j in range(1, 10)]
+    return pd.DataFrame(
+        {
+            "decile": pd.array(list(range(1, 10)), dtype="int64"),
+            "boundary_cents": pd.array([vals[k] for k in ranks], dtype="int64"),
+        }
+    )
+
+
+SQL_EQUIDEPTH = """
+WITH c AS (
+  SELECT cast(round(value * 100, 0) AS BIGINT) AS v FROM events),
+t AS (SELECT cast(count(*) AS BIGINT) AS n FROM c),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+d AS (SELECT j FROM range(1, 10) j(j))
+SELECT d.j AS decile, r.v AS boundary_cents
+FROM d, t JOIN r ON r.rn = (d.j * (t.n - 1)) // 10 + 1
+"""
 
 
 SQL_MEDIAN_SELECT = """
@@ -960,6 +1011,7 @@ QUERIES = {
     "log2_histogram": q_log2_histogram,
     "event_dedup": q_event_dedup,
     "median_select": q_median_select,
+    "equidepth_bins": q_equidepth_bins,
     "cusum_changepoint": q_cusum_changepoint,
     "autocorr_daily": q_autocorr_daily,
     "benford_digits": q_benford_digits,
@@ -973,6 +1025,7 @@ ORACLE_SQL = {
     "log2_histogram": SQL_LOG2_HIST,
     "event_dedup": SQL_EVENT_DEDUP,
     "median_select": SQL_MEDIAN_SELECT,
+    "equidepth_bins": SQL_EQUIDEPTH,
     "cusum_changepoint": SQL_CUSUM,
     "autocorr_daily": SQL_AUTOCORR,
     "benford_digits": SQL_BENFORD,
