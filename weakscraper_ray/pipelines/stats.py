@@ -422,8 +422,102 @@ FROM p
 """
 
 
+# =====================================================================
+# Mann-Whitney U (rank-based two-sample test, exact midranks)
+# =====================================================================
+
+def q_mannwhitney_u(sf_dir: str):
+    """Rank-based companion to the Welch ``ab_test``: the Mann-Whitney
+    U statistic between the user-parity variants over value cents —
+    the non-parametric read-out that survives the heavy-tailed revenue
+    distributions Welch assumes away.  Ranks never materialize:
+    because midranks depend only on per-distinct-value counts, the
+    scan reduces to (value, variant) count partials → one bounded
+    groupby(value) exchange → a prefix-scan over the distinct-value
+    table (driver-side here; a 100 TB run replaces it with the
+    repo's sort + two-phase prefix-scan, ``running_sum`` shape).
+    Everything stays integer: per-element 2×midrank at value v is
+    ``2·count(<v) + count(=v) + 1``, so ``u2_a = Σ_A 2·midrank −
+    n_a(n_a+1)`` is exact (the tie-midrank sum is always integral),
+    and the identity u2_a + u2_b = 2·n_a·n_b is asserted by the
+    oracle comparison for free."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        v = _i64_away(batch.column("value"), 100.0).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame({"v": v, "variant": (u % 2).astype(np.int64)})
+        g = df.groupby(["v", "variant"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+                "variant": pa.array(g["variant"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["v", "variant"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by distinct cents values
+    )
+    piv = (
+        counts.pivot_table(index="v", columns="variant", values="n", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    na_v = piv[0].to_numpy(np.int64)
+    nb_v = piv[1].to_numpy(np.int64)
+    cnt = na_v + nb_v
+    lo = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    mid2 = 2 * lo + cnt + 1  # 2× midrank of every element at this value
+    n_a, n_b = int(na_v.sum()), int(nb_v.sum())
+    sum2_a = int((na_v * mid2).sum())
+    u2_a = sum2_a - n_a * (n_a + 1)
+    u2_b = 2 * n_a * n_b - u2_a
+    return pd.DataFrame(
+        {
+            "n_a": pd.array([n_a], dtype="int64"),
+            "n_b": pd.array([n_b], dtype="int64"),
+            "u2_a": pd.array([u2_a], dtype="int64"),
+            "u2_b": pd.array([u2_b], dtype="int64"),
+        }
+    )
+
+
+SQL_MANNWHITNEY = """
+WITH c AS (
+  SELECT cast(round(value * 100, 0) AS BIGINT) AS v,
+         cast(user_id % 2 AS BIGINT) AS variant
+  FROM events),
+g AS (
+  SELECT v,
+         cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         cast(count(*) AS BIGINT) AS cnt
+  FROM c GROUP BY v),
+o AS (
+  SELECT v, na, cnt,
+         cast(sum(cnt) OVER (ORDER BY v) - cnt AS BIGINT) AS lo
+  FROM g),
+s AS (
+  SELECT cast(sum(na) AS BIGINT) AS n_a,
+         cast(sum(cnt - na) AS BIGINT) AS n_b,
+         cast(sum(na * (2 * lo + cnt + 1)) AS BIGINT) AS sum2_a
+  FROM o)
+SELECT n_a, n_b,
+       cast(sum2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       cast(2 * n_a * n_b - (sum2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b
+FROM s
+"""
+
+
 QUERIES = {
     "fill_days": q_fill_days,
+    "mannwhitney_u": q_mannwhitney_u,
     "theil_sen": q_theil_sen,
     "zipf_slope": q_zipf_slope,
     "ab_test": q_ab_test,
@@ -432,6 +526,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "fill_days": SQL_FILL_DAYS,
+    "mannwhitney_u": SQL_MANNWHITNEY,
     "theil_sen": SQL_THEIL_SEN,
     "zipf_slope": SQL_ZIPF,
     "ab_test": SQL_AB,
