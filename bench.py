@@ -100,7 +100,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "fertility_by_lang", "qa_pairs", "tool_usage", "log2_histogram",
         "kcenter_select", "bpe_encode", "pq_topk", "attribution",
         "event_dedup", "conv_filter", "dialog_grammar", "salt_plan",
-        "median_select", "ivm_join_delta",
+        "median_select", "ivm_join_delta", "equidepth_bins",
+        "mannwhitney_u", "clustering_coeff",
     ]
     out: dict[str, float] = {}
     for name in names:

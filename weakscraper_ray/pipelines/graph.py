@@ -464,6 +464,129 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 
 
 # =====================================================================
+# Local clustering coefficient (triangles / possible wedges per node)
+# =====================================================================
+
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node with degree ≥ 2:
+    cc = triangles-through-node / C(deg, 2) (Watts & Strogatz 1998) —
+    the cohesion metric that separates hub-spam link farms (cc → 1)
+    from organic citation neighbourhoods.  Composes the shard-keyed
+    wedge enumeration, the arithmetic-adjacency triangle close, a
+    3-way node explode + count, and the broadcast dense degree vector
+    (same pieces as ``triangles`` / ``jaccard_neighbors``); emitted
+    ``cc_e6`` is the one mirrored double op."""
+    from ray.data.aggregate import Count, Sum
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()
+
+    def _edges(t: pa.Table, n=n) -> pa.Table:
+        src = t.column("doc_id").to_numpy()
+        dsts = _derived_dsts(src, n)
+        s = np.concatenate([src] * len(dsts))
+        d = np.concatenate(dsts)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        t = pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+        return t.group_by(["u", "v"]).aggregate([])
+
+    edges = (
+        ds0.map_batches(_edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count())
+        .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t.column("u").to_numpy(), t.column("v").to_numpy()])
+        node, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"node": pa.array(node, pa.int64()), "d": pa.array(cnt.astype(np.int64))}
+        )
+
+    degdf = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+        .to_pandas()
+    )
+    deg_arr = np.zeros(n, dtype=np.int64)
+    deg_arr[degdf["node"].to_numpy(np.int64)] = degdf["d"].to_numpy(np.int64)
+    deg_ref = ray.put(deg_arr)
+
+    def _close_explode(t: pa.Table, n=n) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        c = t.column("c").to_numpy()
+        keep = _is_edge_arith(b, c, n)
+        node = np.concatenate([a[keep], b[keep], c[keep]])
+        nn, cnt = np.unique(node, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nn, pa.int64()),
+                "t": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    tri = (
+        _sharded_wedges(edges, with_center=True)
+        .map_batches(_close_explode, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("t", alias_name="n_tri"))
+        .to_pandas()  # ≤ n rows; stays a dataset map at real node scale
+    )
+    tri_map = dict(zip(tri["node"].astype(np.int64), tri["n_tri"].astype(np.int64)))
+    nodes = degdf["node"].to_numpy(np.int64)
+    deg = degdf["d"].to_numpy(np.int64)
+    keep = deg >= 2
+    nodes, deg = nodes[keep], deg[keep]
+    ntri = np.array([int(tri_map.get(int(x), 0)) for x in nodes], dtype=np.int64)
+    cc = np.floor(1e6 * (2 * ntri) / (deg * (deg - 1)) + 0.5).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "node": nodes,
+            "deg": deg,
+            "n_tri": ntri,
+            "cc_e6": cc,
+        }
+    ).sort_values("node").reset_index(drop=True)
+
+
+def _sql_clustering_coeff() -> str:
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+p AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes),
+e0 AS (SELECT n.doc_id AS src, (n.doc_id * {_PR_KNUTH} + j.j) % p.n AS dst
+       FROM nodes n, p, range(1, {_PR_OUTDEG + 1}) j(j)),
+e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0 WHERE src <> dst),
+deg AS (
+  SELECT node, cast(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+tn AS (
+  SELECT node, cast(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node)
+SELECT deg.node, deg.d AS deg,
+       coalesce(tn.n_tri, 0) AS n_tri,
+       cast(round(1000000.0 * (2 * coalesce(tn.n_tri, 0))
+                  / (deg.d * (deg.d - 1)), 0) AS BIGINT) AS cc_e6
+FROM deg LEFT JOIN tn USING (node)
+WHERE deg.d >= 2
+"""
+
+
+# =====================================================================
 # Multi-source BFS hop distance (bounded depth)
 # =====================================================================
 
@@ -709,6 +832,7 @@ QUERIES = {
     "triangles": q_triangles,
     "bfs_hops": q_bfs_hops,
     "jaccard_neighbors": q_jaccard_neighbors,
+    "clustering_coeff": q_clustering_coeff,
 }
 
 ORACLE_SQL = {
@@ -718,6 +842,7 @@ ORACLE_SQL = {
     "triangles": _sql_triangles(),
     "bfs_hops": _sql_bfs_hops(),
     "jaccard_neighbors": _sql_jaccard_neighbors(),
+    "clustering_coeff": _sql_clustering_coeff(),
 }
 
 _rel.QUERIES.update(QUERIES)
