@@ -64,6 +64,44 @@ def _decode_stub(payload: bytes, meta: dict) -> np.ndarray:
     return arr / 255.0
 
 
+def make_media_dup_table(n_base: int = 200, n_dups: int = 100) -> pa.Table:
+    """Media table with synthesized RE-UPLOADS: ``n_dups`` extra rows
+    whose payload byte-duplicates row ``i % n_base`` under a fresh
+    media_id — the corpus a perceptual-hash dedup pass exists to
+    clean."""
+    base = make_media_table(n_base)
+    payloads = base.column("payload").to_pylist()
+    metas = base.column("meta").to_pylist()
+    dup_ids = list(range(n_base, n_base + n_dups))
+    dup_payloads = [payloads[i % n_base] for i in range(n_dups)]
+    dup_metas = [metas[i % n_base] for i in range(n_dups)]
+    dup = pa.table(
+        {
+            "media_id": pa.array(dup_ids, pa.int64()),
+            "payload": pa.array(dup_payloads, pa.binary()),
+            "meta": pa.array(dup_metas, MEDIA_META_TYPE),
+        }
+    )
+    return pa.concat_tables([base, dup])
+
+
+def phash63(payload: bytes, meta: dict) -> int:
+    """63-bit dHash-style perceptual hash over the STUBBED decode:
+    bit i = pixel[i] > pixel[i+1] over a 64-sample tiling of the fake
+    pixel array (63 bits so the packed value stays a non-negative
+    int64 on both sides of the oracle).  With a real decoder this is
+    the classic difference hash (resize → 8×8 gradient); only the
+    decode underneath is fake."""
+    raw = _decode_stub(payload, meta)
+    reps = int(np.ceil(64 / raw.shape[0]))
+    px = np.tile(raw, reps)[:64]
+    bits = px[:-1] > px[1:]
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h
+
+
 class MediaFeaturizer:
     """Actor-pool stage: decode (stubbed) → fixed-size feature vector.
 

@@ -498,6 +498,40 @@ def kcenter_twin(sf_dir: str, version: str = "v1") -> str:
     return _cached(f"kcenter-{tag}-k{_KC_K}", version, build)
 
 
+def phash_twin(version: str = "v1") -> str:
+    """Independent single-threaded perceptual-hash dedup: a plain dict
+    grouping pass over the same 300-row media table (the shared math
+    is the stubbed decode + packing, like the simhash signature
+    twin)."""
+    from .functions.multimodal import make_media_dup_table, phash63
+
+    def build() -> pa.Table:
+        t = make_media_dup_table()
+        ids = t.column("media_id").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        metas = t.column("meta").to_pylist()
+        hashes = [phash63(p, m) for p, m in zip(payloads, metas)]
+        groups: dict[int, list[int]] = {}
+        for i, h in zip(ids, hashes):
+            groups.setdefault(h, []).append(int(i))
+        rows = []
+        for h, members in groups.items():
+            keeper = min(members)
+            for m in members:
+                rows.append((m, h, keeper, len(members)))
+        rows.sort()
+        return pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.int64()),
+                "phash": pa.array([r[1] for r in rows], pa.int64()),
+                "keeper_media": pa.array([r[2] for r in rows], pa.int64()),
+                "group_size": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    return _cached("phash-dedup-300", version, build)
+
+
 def pq_twin(sf_dir: str, version: str = "v1") -> str:
     """Independent single-threaded product quantization: per-cluster
     loop distances (no matmul expansion), per-subspace sequential

@@ -2448,6 +2448,48 @@ def q_multimodal_features(sf_dir: str):
     return out.drop_columns(["feature"])
 
 
+def q_phash_neardup(sf_dir: str):
+    """Media near-dup via perceptual hash: the 300-row media table
+    (200 base + 100 synthesized re-uploads) hashed by the 63-bit
+    dHash over the stubbed decode (:func:`functions.multimodal
+    .phash63` — real decoder swaps in on a production cluster), then
+    one ``groupby(phash)`` exchange assigns each duplicate group its
+    min-media_id keeper.  The image twin of ``dedup_exact``: payload
+    bytes never shuffle, only (media_id, phash)."""
+    from ..functions.multimodal import make_media_dup_table, phash63
+
+    ds = ray.data.from_arrow(make_media_dup_table())
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "phash": pa.array(
+                    [phash63(p, m) for p, m in zip(payloads, metas)], pa.int64()
+                ),
+            }
+        )
+
+    def _group(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = int(g["media_id"].min())
+        return pd.DataFrame(
+            {
+                "media_id": g["media_id"].to_numpy(np.int64),
+                "phash": g["phash"].to_numpy(np.int64),
+                "keeper_media": np.full(len(g), keeper, dtype=np.int64),
+                "group_size": np.full(len(g), len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(_hash, batch_format="pyarrow", batch_size=64)
+        .groupby("phash")
+        .map_groups(_group, batch_format="pandas")
+    )
+
+
 def q_frame_sample(sf_dir: str):
     """Video frame sampling (1→N fan-out inside map_batches; decode
     stubbed, plumbing real). Float frame features are reduced to a
@@ -2526,6 +2568,7 @@ QUERIES = {
     "training_prep": q_training_prep,
     "learned_extract": q_learned_extract,
     "multimodal_features": q_multimodal_features,
+    "phash_neardup": q_phash_neardup,
     "frame_sample": q_frame_sample,
     "decontaminate": q_decontaminate,
     "split_assign": q_split_assign,
@@ -2639,6 +2682,10 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
 """
+    out["phash_neardup"] = (
+        "SELECT media_id, phash, keeper_media, group_size "
+        f"FROM read_parquet('{oracles.phash_twin()}')"
+    )
     out["multimodal_features"] = (
         f"SELECT * FROM read_parquet('{oracles.multimodal_twin()}')"
     )
