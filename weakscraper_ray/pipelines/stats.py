@@ -515,9 +515,90 @@ FROM s
 """
 
 
+# =====================================================================
+# Leave-one-out target encoding (categorical → numeric feature)
+# =====================================================================
+
+def q_target_encode_loo(sf_dir: str):
+    """Leave-one-out target encoding of event_type against value
+    cents: each event's feature is the mean of the OTHER events of its
+    category, (S_t − v) / (n_t − 1) — the standard leakage-free
+    categorical encoder for tree/linear models.  Two-phase: a tiny
+    per-type (S, n) aggregate broadcasts via closure, then one
+    streaming map emits the per-event encodings — no second exchange,
+    no per-row Python.  The division is the one mirrored double op
+    (e6-quantized, half away from zero)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = _i64_away(batch.column("value"), 100.0).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"event_type": et, "s": v})
+            .groupby("event_type", sort=False)
+            .agg(s=("s", "sum"), n=("s", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"]),
+                "s": pa.array(g["s"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    stats = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # one row per type
+    )
+    sn = {
+        r.event_type: (int(r.s), int(r.n)) for r in stats.itertuples()
+    }
+
+    def _encode(batch: pa.Table, sn=sn) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = _i64_away(batch.column("value"), 100.0).to_numpy(zero_copy_only=False)
+        s = np.array([sn[t][0] for t in et], dtype=np.int64)
+        n = np.array([sn[t][1] for t in et], dtype=np.int64)
+        enc = 1e6 * (s - v) / (n - 1)
+        out = (np.sign(enc) * np.floor(np.abs(enc) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "event_type": batch.column("event_type"),
+                "v_cents": pa.array(v),
+                "loo_mean_e6": pa.array(out),
+            }
+        )
+
+    return _read(
+        sf_dir, "events", ["event_id", "event_type", "value"]
+    ).map_batches(_encode, batch_format="pyarrow")
+
+
+SQL_TARGET_ENCODE = """
+WITH c AS (
+  SELECT cast(event_id AS BIGINT) AS event_id, event_type,
+         cast(round(value * 100, 0) AS BIGINT) AS v
+  FROM events),
+t AS (
+  SELECT event_type, cast(sum(v) AS BIGINT) AS s,
+         cast(count(*) AS BIGINT) AS n
+  FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type, c.v AS v_cents,
+       cast(round(1000000.0 * (t.s - c.v) / (t.n - 1), 0) AS BIGINT)
+           AS loo_mean_e6
+FROM c JOIN t USING (event_type)
+"""
+
+
 QUERIES = {
     "fill_days": q_fill_days,
     "mannwhitney_u": q_mannwhitney_u,
+    "target_encode_loo": q_target_encode_loo,
     "theil_sen": q_theil_sen,
     "zipf_slope": q_zipf_slope,
     "ab_test": q_ab_test,
@@ -527,6 +608,7 @@ QUERIES = {
 ORACLE_SQL = {
     "fill_days": SQL_FILL_DAYS,
     "mannwhitney_u": SQL_MANNWHITNEY,
+    "target_encode_loo": SQL_TARGET_ENCODE,
     "theil_sen": SQL_THEIL_SEN,
     "zipf_slope": SQL_ZIPF,
     "ab_test": SQL_AB,
