@@ -652,6 +652,117 @@ FROM documents GROUP BY lang
 
 
 # =====================================================================
+# Custom binary-framed source (length-prefixed records)
+# =====================================================================
+
+_BIN_SHARDS = 8
+
+
+def _bin_twin(sf_dir: str) -> str:
+    """One-time materialization of ``documents`` as 8 length-prefixed
+    binary shard files (frame = i64 doc_id · u32 lang_len · lang ·
+    u32 text_len · text) — the TFRecord-ish framing every custom
+    ingest eventually meets. Shard = doc_id % 8 so the read
+    parallelizes; atomic per-file rename + _SUCCESS marker."""
+    import os
+    import struct
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/weakscraper_oracles/bin-documents-{tag}"
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "text"]
+    ).sort_by("doc_id")
+    ids = t.column("doc_id").to_pylist()
+    langs = t.column("lang").to_pylist()
+    texts = t.column("text").to_pylist()
+    bufs = [bytearray() for _ in range(_BIN_SHARDS)]
+    for i, lang, text in zip(ids, langs, texts):
+        lb = (lang or "").encode()
+        tb = (text or "").encode()
+        b = bufs[int(i) % _BIN_SHARDS]
+        b += struct.pack("<qI", int(i), len(lb))
+        b += lb
+        b += struct.pack("<I", len(tb))
+        b += tb
+    for s, b in enumerate(bufs):
+        tmp = os.path.join(d, f"shard-{s:02d}.bin.tmp")
+        with open(tmp, "wb") as f:
+            f.write(bytes(b))
+        os.replace(tmp, os.path.join(d, f"shard-{s:02d}.bin"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def q_binary_source(sf_dir: str):
+    """Source-surface equivalence for a CUSTOM binary format:
+    ``ray.data.read_binary_files`` over the length-prefixed shards
+    (one block per file), a per-file frame-parse ``map_batches`` (the
+    per-record loop is inherent to custom framing — this is the
+    deserializer, not a hot transform), and the same per-lang
+    aggregate the CSV/JSONL/parquet paths produce.  Completes the
+    source matrix: parquet, JSONL, CSV, hive-partitioned,
+    schema-evolved, and now opaque binary framing."""
+    import struct
+
+    import ray.data
+
+    from ..context import configure_context
+
+    configure_context()
+    d = _bin_twin(sf_dir)
+    ds = ray.data.read_binary_files(d, file_extensions=["bin"])
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        langs, chars = [], []
+        for blob in batch.column("bytes").to_pylist():
+            off, n = 0, len(blob)
+            while off < n:
+                (_doc_id, lang_len) = struct.unpack_from("<qI", blob, off)
+                off += 12
+                lang = blob[off : off + lang_len].decode()
+                off += lang_len
+                (text_len,) = struct.unpack_from("<I", blob, off)
+                off += 4
+                text = blob[off : off + text_len].decode()
+                off += text_len
+                langs.append(lang)
+                chars.append(len(text))
+        g = (
+            pd.DataFrame({"lang": langs, "chars": np.array(chars, np.int64)})
+            .groupby("lang", sort=False)
+            .agg(n=("chars", "size"), s=("chars", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"]),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "s": pa.array(g["s"].to_numpy(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(_parse, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("s", alias_name="sum_chars"))
+    )
+
+
+SQL_BINARY_SOURCE = """
+SELECT lang, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+# =====================================================================
 # Small-file compaction planning (bin packing by running size)
 # =====================================================================
 
@@ -970,6 +1081,7 @@ QUERIES = {
     "upsert_snapshot": q_upsert_snapshot,
     "salt_plan": q_salt_plan,
     "ivm_join_delta": q_ivm_join_delta,
+    "binary_source": q_binary_source,
     "validate_rules": q_validate_rules,
     "bpe_top_pairs": q_bpe_top_pairs,
     "itemset_pairs": q_itemset_pairs,
@@ -984,6 +1096,7 @@ ORACLE_SQL = {
     "upsert_snapshot": SQL_UPSERT,
     "salt_plan": SQL_SALT_PLAN,
     "ivm_join_delta": SQL_IVM_JOIN_DELTA,
+    "binary_source": SQL_BINARY_SOURCE,
     "validate_rules": SQL_VALIDATE,
     "bpe_top_pairs": SQL_BPE,
     "itemset_pairs": SQL_ITEMSET,
