@@ -529,27 +529,39 @@ FROM terms GROUP BY event_type
 _SEL_BINS = 1024
 
 
-def _selection_rank_values(sf_dir: str, rank_of_n) -> tuple[int, dict[int, int]]:
-    """Two-pass distributed selection: exact order statistics at the
-    ranks returned by ``rank_of_n(n)`` over event value cents, WITHOUT
-    a global sort.  Pass 1 histograms the integer domain into 1024
-    equal-width bins (per-batch partials, one ≤1024-row exchange) and
-    locates each rank's bin; pass 2 re-scans collecting ONLY the
-    needed bins (~n/1024 rows per rank; a pathological all-equal bin
-    is still exact, just bigger) and picks each in-bin rank locally.
-    Returns (n, {rank: value}) — the mechanism a 100 TB
-    exact-percentile needs, with the sort exchange being the thing
-    avoided."""
-    from ray.data.aggregate import Max, Min, Sum
+def _events_cents_ds(sf_dir: str):
+    """Materialized single-column ``v`` (event value cents) dataset —
+    the shared base the selection operators re-scan."""
 
     def _to_cents(batch: pa.Table) -> pa.Table:
         return pa.table({"v": _i64_away(batch.column("value"), 100.0)})
 
-    base = (
+    return (
         _read(sf_dir, "events", ["value"])
         .map_batches(_to_cents, batch_format="pyarrow")
         .materialize()  # scanned three times: bounds, histogram, probe
     )
+
+
+def _selection_rank_values(sf_dir: str, rank_of_n) -> tuple[int, dict[int, int]]:
+    """Two-pass selection over event value cents (see
+    :func:`_select_ranks_ds` for the mechanism)."""
+    return _select_ranks_ds(_events_cents_ds(sf_dir), rank_of_n)
+
+
+def _select_ranks_ds(base, rank_of_n) -> tuple[int, dict[int, int]]:
+    """Two-pass distributed selection: exact order statistics at the
+    ranks returned by ``rank_of_n(n)`` over a materialized int64
+    column ``v``, WITHOUT a global sort.  Pass 1 histograms the
+    integer domain into 1024 equal-width bins (per-batch partials, one
+    ≤1024-row exchange) and locates each rank's bin; pass 2 re-scans
+    collecting ONLY the needed bins (~n/1024 rows per rank; a
+    pathological all-equal bin is still exact, just bigger) and picks
+    each in-bin rank locally.  Returns (n, {rank: value}) — the
+    mechanism a 100 TB exact-percentile needs, with the sort exchange
+    being the thing avoided."""
+    from ray.data.aggregate import Max, Min, Sum
+
     n = base.count()
     ranks = sorted(set(rank_of_n(n)))
 
@@ -1005,7 +1017,169 @@ FROM e ORDER BY est_n DESC, user_id LIMIT {_CMS_TOPK}
 """
 
 
+# =====================================================================
+# Robust outlier gate: median / MAD via the same two-pass selection
+# =====================================================================
+
+def q_mad_outliers(sf_dir: str):
+    """Median-absolute-deviation outlier audit over event value cents
+    — the robust (quartile-free) anomaly gate a monitoring pass runs
+    when means/stddevs are poisoned by the very outliers it hunts.
+    Both order statistics (median of v, then median of |v − med|) are
+    exact TWO-PASS SELECTIONS (:func:`_select_ranks_ds`) — four
+    bounded scans total, no global sort; the final outlier count
+    (|v − med| > 3·MAD, pure integer compare) is a per-batch partial
+    sum.  At 100 TB each scan streams and the exchanges stay ≤1024
+    rows."""
+    from ray.data.aggregate import Sum
+
+    base = _events_cents_ds(sf_dir)
+    n, vals = _select_ranks_ds(base, lambda n: [(n - 1) // 2])
+    med = vals[(n - 1) // 2]
+
+    def _dev(t: pa.Table, med=med) -> pa.Table:
+        v = t.column("v").to_numpy()
+        return pa.table({"v": pa.array(np.abs(v - med))})
+
+    devs = base.map_batches(_dev, batch_format="pyarrow").materialize()
+    _, dvals = _select_ranks_ds(devs, lambda n: [(n - 1) // 2])
+    mad = dvals[(n - 1) // 2]
+
+    def _flag(t: pa.Table, cut=3 * mad) -> pa.Table:
+        v = t.column("v").to_numpy()
+        return pa.table({"k": pa.array([int((v > cut).sum())], pa.int64())})
+
+    n_out = int(
+        devs.map_batches(_flag, batch_format="pyarrow").aggregate(Sum("k"))["sum(k)"]
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.array([n], dtype="int64"),
+            "median_cents": pd.array([med], dtype="int64"),
+            "mad_cents": pd.array([mad], dtype="int64"),
+            "n_outliers": pd.array([n_out], dtype="int64"),
+        }
+    )
+
+
+SQL_MAD = """
+WITH c AS (
+  SELECT cast(round(value * 100, 0) AS BIGINT) AS v FROM events),
+t AS (SELECT cast(count(*) AS BIGINT) AS n FROM c),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+med AS (SELECT r.v AS m FROM r, t WHERE r.rn = (t.n - 1) // 2 + 1),
+d AS (SELECT abs(c.v - med.m) AS dv FROM c, med),
+rd AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM d),
+mad AS (SELECT rd.dv AS m FROM rd, t WHERE rd.rn = (t.n - 1) // 2 + 1)
+SELECT t.n, med.m AS median_cents, mad.m AS mad_cents,
+       (SELECT cast(count(*) AS BIGINT) FROM d, mad WHERE d.dv > 3 * mad.m)
+           AS n_outliers
+FROM t, med, mad
+"""
+
+
+# =====================================================================
+# Weighted median (quantity-weighted price) — weighted selection
+# =====================================================================
+
+def q_weighted_median(sf_dir: str):
+    """Exact lower WEIGHTED median of lineitem price cents, weighted
+    by quantity — the duplicate-aware central-price read-out (a row
+    counts ``w`` times without ever being expanded ``w``-fold).  Same
+    two-pass no-sort selection as :func:`_select_ranks_ds`, with the
+    histogram accumulating WEIGHT MASS per bin instead of row counts;
+    the target rank is the smallest v whose cumulative weight cw
+    satisfies 2·cw ≥ W."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": _i64_away(t.column("l_extendedprice"), 100.0),
+                "w": pc.cast(t.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    base = (
+        _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+        .map_batches(_proj, batch_format="pyarrow")
+        .materialize()  # scanned three times: bounds, histogram, probe
+    )
+    W = int(base.aggregate(Sum("w"))["sum(w)"])
+    target = (W + 1) // 2  # 2·cw ≥ W  ⇔  cw ≥ ⌈W/2⌉ for integer cw
+
+    def _bounds(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy()
+        return pa.table(
+            {
+                "vmin": pa.array([int(v.min())], pa.int64()),
+                "vmax": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    b = base.map_batches(_bounds, batch_format="pyarrow").aggregate(
+        Min("vmin"), Max("vmax")
+    )
+    vmin, vmax = int(b["min(vmin)"]), int(b["max(vmax)"])
+    span = vmax - vmin + 1
+
+    def _hist(t: pa.Table, vmin=vmin, span=span) -> pa.Table:
+        v = t.column("v").to_numpy()
+        w = t.column("w").to_numpy()
+        binno = (v - vmin) * _SEL_BINS // span
+        acc = np.zeros(_SEL_BINS, dtype=np.int64)
+        np.add.at(acc, binno, w)  # exact int64 scatter-add
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)), "m": pa.array(acc[nz])}
+        )
+
+    hist = (
+        base.map_batches(_hist, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    cum = hist["m"].cumsum().to_numpy()
+    idx = int(np.searchsorted(cum, target))
+    the_bin = int(hist["bin"].iloc[idx])
+    prior = int(cum[idx - 1]) if idx else 0
+
+    def _probe(t: pa.Table, vmin=vmin, span=span, the_bin=the_bin) -> pa.Table:
+        v = t.column("v").to_numpy()
+        w = t.column("w").to_numpy()
+        keep = (v - vmin) * _SEL_BINS // span == the_bin
+        return pa.table({"v": pa.array(v[keep]), "w": pa.array(w[keep])})
+
+    probe = base.map_batches(_probe, batch_format="pyarrow").to_pandas()
+    order = np.argsort(probe["v"].to_numpy(np.int64), kind="stable")
+    vv = probe["v"].to_numpy(np.int64)[order]
+    cw = prior + np.cumsum(probe["w"].to_numpy(np.int64)[order])
+    wmed = int(vv[int(np.searchsorted(cw, target))])
+    return pd.DataFrame(
+        {
+            "total_weight": pd.array([W], dtype="int64"),
+            "wmedian_cents": pd.array([wmed], dtype="int64"),
+        }
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH c AS (
+  SELECT cast(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+         cast(l_quantity AS BIGINT) AS w
+  FROM lineitem),
+t AS (SELECT cast(sum(w) AS BIGINT) AS W FROM c),
+r AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM c)
+SELECT t.W AS total_weight, cast(min(r.v) AS BIGINT) AS wmedian_cents
+FROM r, t WHERE 2 * r.cw >= t.W GROUP BY t.W
+"""
+
+
 QUERIES = {
+    "mad_outliers": q_mad_outliers,
+    "weighted_median": q_weighted_median,
     "rolling_median": q_rolling_median,
     "cms_estimate": q_cms_estimate,
     "log2_histogram": q_log2_histogram,
@@ -1020,6 +1194,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "mad_outliers": SQL_MAD,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
     "rolling_median": SQL_ROLLING_MEDIAN,
     "cms_estimate": SQL_CMS,
     "log2_histogram": SQL_LOG2_HIST,

@@ -595,7 +595,108 @@ FROM c JOIN t USING (event_type)
 """
 
 
+# =====================================================================
+# Chi-square test of independence (lang × source contingency)
+# =====================================================================
+
+def q_chisq_independence(sf_dir: str):
+    """Pearson chi-square test of independence over the documents
+    lang × source contingency table — the corpus-composition audit
+    ("is language mix independent of source?") run before fixing
+    sampling weights.  The ONLY distributed work is a bounded partial
+    count per batch keyed on (lang, source) followed by one tiny
+    groupby-sum exchange (payload = observed vocabulary of the cross
+    product, never the documents); the statistic itself runs on the
+    driver over the full grid INCLUDING zero cells (O=0, E>0 cells
+    contribute E — textbook definition).  Per-cell terms are e6-
+    quantized then integer-summed (the psi_drift convention), so the
+    result is partitioning-independent and hash-exact vs SQL."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": t.column("lang").to_numpy(zero_copy_only=False),
+                    "source": t.column("source").to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["lang", "source"], sort=False)
+            .size()
+            .reset_index(name="o")
+        )
+        return pa.table(
+            {
+                "key": pa.array(g["lang"] + "\x1f" + g["source"]),
+                "o": pa.array(g["o"].to_numpy(np.int64)),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()
+    )
+    obs: dict[tuple[str, str], int] = {}
+    for k, o in zip(cnt["key"], cnt["o"]):
+        lang, source = k.split("\x1f")
+        obs[(lang, source)] = int(o)
+    langs = sorted({l for l, _ in obs})
+    sources = sorted({s for _, s in obs})
+    rt = {l: sum(obs.get((l, s), 0) for s in sources) for l in langs}
+    ct = {s: sum(obs.get((l, s), 0) for l in langs) for s in sources}
+    n = sum(rt.values())
+    chi2_e6 = 0
+    for l in langs:
+        for s in sources:
+            e = float(rt[l] * ct[s]) / float(n)
+            d = float(obs.get((l, s), 0)) - e
+            chi2_e6 += _q_e6(d * d / e)
+    return pd.DataFrame(
+        {
+            "n": pd.array([n], dtype="int64"),
+            "n_lang": pd.array([len(langs)], dtype="int64"),
+            "n_source": pd.array([len(sources)], dtype="int64"),
+            "dof": pd.array(
+                [(len(langs) - 1) * (len(sources) - 1)], dtype="int64"
+            ),
+            "chi2_e6": pd.array([chi2_e6], dtype="int64"),
+        }
+    )
+
+
+SQL_CHISQ = """
+WITH o AS (
+  SELECT lang, source, cast(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, cast(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+ct AS (SELECT source, cast(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+t AS (SELECT cast(sum(o) AS BIGINT) AS n FROM o),
+grid AS (
+  SELECT rt.lang, ct.source, rt.rt, ct.ct, coalesce(o.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source),
+terms AS (
+  SELECT cast(round(
+           (cast(o AS DOUBLE) - cast(rt * ct AS DOUBLE) / cast(t.n AS DOUBLE))
+           * (cast(o AS DOUBLE) - cast(rt * ct AS DOUBLE) / cast(t.n AS DOUBLE))
+           / (cast(rt * ct AS DOUBLE) / cast(t.n AS DOUBLE))
+           * 1000000, 0) AS BIGINT) AS term
+  FROM grid, t)
+SELECT t.n,
+       (SELECT cast(count(*) AS BIGINT) FROM rt) AS n_lang,
+       (SELECT cast(count(*) AS BIGINT) FROM ct) AS n_source,
+       ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS dof,
+       (SELECT cast(sum(term) AS BIGINT) FROM terms) AS chi2_e6
+FROM t
+"""
+
+
 QUERIES = {
+    "chisq_independence": q_chisq_independence,
     "fill_days": q_fill_days,
     "mannwhitney_u": q_mannwhitney_u,
     "target_encode_loo": q_target_encode_loo,
@@ -606,6 +707,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "chisq_independence": SQL_CHISQ,
     "fill_days": SQL_FILL_DAYS,
     "mannwhitney_u": SQL_MANNWHITNEY,
     "target_encode_loo": SQL_TARGET_ENCODE,
