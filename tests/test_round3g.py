@@ -115,3 +115,119 @@ def test_mad_all_equal_values_zero_mad_zero_outliers():
     dev = np.abs(v - med)
     mad = int(np.sort(dev)[(len(dev) - 1) // 2])
     assert mad == 0 and int((dev > 0).sum()) == 0
+
+
+# ------------------------------------------- kcore / MST contracts
+
+def _peel(adj):
+    """Reference peel (the twin's rule) over an adjacency dict."""
+    alive = {u: set(ns) for u, ns in adj.items()}
+    core, k = {}, 1
+    while alive:
+        dying = [u for u, ns in alive.items() if len(ns) < k]
+        if not dying:
+            k += 1
+            continue
+        for u in dying:
+            core[u] = k - 1
+            for w in alive.pop(u):
+                if w in alive:
+                    alive[w].discard(u)
+    return core
+
+
+def test_kcore_star_center_dies_with_leaves():
+    # star K1,5: every node core 1 (center's degree collapses to 0
+    # mid-peel at k=2 and must still be caught)
+    adj = {0: {1, 2, 3, 4, 5}}
+    for i in range(1, 6):
+        adj[i] = {0}
+    assert _peel(adj) == {i: 1 for i in range(6)}
+
+
+def test_kcore_clique_plus_tail():
+    # K4 with a pendant path: clique nodes core 3, path nodes core 1
+    adj = {i: {j for j in range(4) if j != i} for i in range(4)}
+    adj[3] = adj[3] | {4}
+    adj[4] = {3, 5}
+    adj[5] = {4}
+    core = _peel(adj)
+    assert core[0] == core[1] == core[2] == core[3] == 3
+    assert core[4] == core[5] == 1
+
+
+def test_mst_packed_key_orders_by_weight_then_endpoints():
+    from weakscraper_ray.pipelines.graph import _MST_ID_BITS
+
+    def pack(w, u, v):
+        return (w << (2 * _MST_ID_BITS)) | (u << _MST_ID_BITS) | v
+
+    assert pack(2, 0, 1) > pack(1, 9, 9)          # weight dominates
+    assert pack(1, 0, 2) < pack(1, 1, 0)          # then u
+    assert pack(1, 0, 1) < pack(1, 0, 2)          # then v
+
+
+def test_boruvka_equals_kruskal_on_random_graphs():
+    from weakscraper_ray.pipelines.graph import _edge_weight
+
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        n = int(rng.integers(4, 16))
+        # random undirected simple graph
+        es = set()
+        for _ in range(int(rng.integers(n, 3 * n))):
+            a, b = int(rng.integers(n)), int(rng.integers(n))
+            if a != b:
+                es.add((min(a, b), max(a, b)))
+        uu = np.array([a for a, _ in sorted(es)], dtype=np.int64)
+        vv = np.array([b for _, b in sorted(es)], dtype=np.int64)
+        w = _edge_weight(uu, vv)
+
+        def kruskal():
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            out = []
+            for i in sorted(range(len(uu)), key=lambda i: (int(w[i]), int(uu[i]), int(vv[i]))):
+                a, b = find(int(uu[i])), find(int(vv[i]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+                    out.append((int(uu[i]), int(vv[i]), int(w[i])))
+            return sorted(out)
+
+        def boruvka():
+            parent = np.arange(n)
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = int(parent[x])
+                return x
+
+            key = (w.astype(object) * (1 << 42)) + (uu.astype(object) << 21) + vv
+            out = []
+            for _ in range(32):
+                comp_u = np.array([find(int(x)) for x in uu])
+                comp_v = np.array([find(int(x)) for x in vv])
+                inter = comp_u != comp_v
+                if not inter.any():
+                    break
+                best = {}
+                for i in np.flatnonzero(inter):
+                    for c in (comp_u[i], comp_v[i]):
+                        if c not in best or key[i] < best[c]:
+                            best[c] = key[i]
+                for kk in sorted(best.values()):
+                    i = int(np.flatnonzero(key == kk)[0])
+                    a, b = find(int(uu[i])), find(int(vv[i]))
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+                        out.append((int(uu[i]), int(vv[i]), int(w[i])))
+            return sorted(out)
+
+        assert kruskal() == boruvka()

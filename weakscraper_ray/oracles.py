@@ -704,3 +704,104 @@ def bpe_twin(sf_dir: str, version: str = "v1") -> str:
         )
 
     return _cached(f"bpe-{tag}-v{_BPE_VOCAB}-m{_N_MERGES}", version, build)
+
+
+# ------------------------------------------------ graph fixpoint twins
+
+def _twin_edges(sf_dir: str) -> tuple[int, "np.ndarray", "np.ndarray"]:
+    """Canonical distinct (u < v) edges of the derived citation graph,
+    built single-threaded from the SAME public modular rule the Ray
+    path uses (pipelines/graph.py:_canonical_edges) — shared CONSTANTS
+    only, independent mechanism (python set, no numpy dedup)."""
+    from .pipelines.graph import _PR_KNUTH, _PR_OUTDEG
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    n = len(ids)
+    es = set()
+    for u in ids:
+        u = int(u)
+        for j in range(1, _PR_OUTDEG + 1):
+            d = (u * _PR_KNUTH + j) % n
+            if d != u:
+                es.add((min(u, d), max(u, d)))
+    uu = np.array([a for a, _ in sorted(es)], dtype=np.int64)
+    vv = np.array([b for _, b in sorted(es)], dtype=np.int64)
+    return n, uu, vv
+
+
+def kcore_twin(sf_dir: str, version: str = "v1") -> str:
+    """Independent single-threaded core decomposition: adjacency-list
+    peeling with an explicit per-level worklist (the Ray path runs
+    bitmap-filtered degree exchanges). k-core numbers are
+    partitioning- and order-independent, so agreement is exact."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        _, uu, vv = _twin_edges(sf_dir)
+        adj: dict[int, set] = {}
+        for a, b in zip(uu.tolist(), vv.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        core: dict[int, int] = {}
+        alive = dict(adj)  # node -> live neighbour set (copied below)
+        alive = {u: set(ns) for u, ns in adj.items()}
+        k = 1
+        while alive:
+            dying = [u for u, ns in alive.items() if len(ns) < k]
+            if not dying:
+                k += 1
+                continue
+            for u in dying:
+                core[u] = k - 1
+                for w in alive.pop(u):
+                    if w in alive:
+                        alive[w].discard(u)
+        nodes = sorted(core)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "core": pa.array([core[u] for u in nodes], pa.int64()),
+            }
+        )
+
+    return _cached(f"kcore-{tag}", version, build)
+
+
+def mst_twin(sf_dir: str, version: str = "v1") -> str:
+    """Independent single-threaded Kruskal over the packed (w, u, v)
+    total order (the Ray path runs Borůvka rounds — distinct effective
+    weights make the minimum spanning forest unique, so the two
+    algorithms must agree edge-for-edge)."""
+    from .pipelines.graph import _edge_weight
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        n, uu, vv = _twin_edges(sf_dir)
+        w = _edge_weight(uu, vv)
+        order = sorted(range(len(uu)), key=lambda i: (int(w[i]), int(uu[i]), int(vv[i])))
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for i in order:
+            a, b = find(int(uu[i])), find(int(vv[i]))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+                out.append((int(uu[i]), int(vv[i]), int(w[i])))
+        out.sort()
+        return pa.table(
+            {
+                "u": pa.array([e[0] for e in out], pa.int64()),
+                "v": pa.array([e[1] for e in out], pa.int64()),
+                "weight": pa.array([e[2] for e in out], pa.int64()),
+            }
+        )
+
+    return _cached(f"mst-{tag}", version, build)

@@ -825,7 +825,277 @@ FROM cand JOIN deg db ON db.node = cand.b
 """
 
 
+# =====================================================================
+# Shared canonical undirected edge set (same rule as triangles/jaccard)
+# =====================================================================
+
+def _canonical_edges(ds0, n):
+    """Distinct canonical (u < v) edges of the derived graph — the
+    q_triangles step 1 shape factored out: per-batch derive +
+    canonicalize + local dedup, one ``groupby(u, v)`` exchange for the
+    global dedup."""
+    from ray.data.aggregate import Count
+
+    def _edges(t: pa.Table, n=n) -> pa.Table:
+        src = t.column("doc_id").to_numpy()
+        dsts = _derived_dsts(src, n)
+        s = np.concatenate([src] * len(dsts))
+        d = np.concatenate(dsts)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        t = pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+        return t.group_by(["u", "v"]).aggregate([])  # batch-local dedup
+
+    return (
+        ds0.map_batches(_edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count())
+        .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
+    )
+
+
+# =====================================================================
+# k-core decomposition (full core numbers via iterative peeling)
+# =====================================================================
+
+#: hard guard on peeling rounds (each is one degree exchange); the
+#: derived graph's max core is ~2·OUTDEG so real round counts are tiny
+_KCORE_MAX_ROUNDS = 10_000
+
+
+def q_kcore(sf_dir: str):
+    """Core number of every node touching an edge — the standard
+    density peel (Matula & Beck 1983; Batagelj–Zaveršnik): at level k,
+    repeatedly delete nodes whose CURRENT degree < k; a node deleted
+    while peeling level k has core k−1.  The curation read-out is
+    "how deeply is this page embedded in the link mesh" — a spam-farm
+    filter one notch stronger than raw degree.
+
+    Scale shape: the edge set is derived + deduped ONCE and
+    materialized; each peeling round is one streaming ``map_batches``
+    over edge blocks (both-endpoints-alive filter against a broadcast
+    ``ray.put`` liveness bitmap — one object-store read per task, the
+    q_jaccard_neighbors degree-vector pattern) followed by one bounded
+    ``groupby(node).Sum`` degree exchange.  Only the survivor ID list
+    returns to the driver to rebuild the bitmap (O(alive) per round;
+    at 10^9+ nodes the documented swap is keeping alive-ness as a
+    Dataset and anti-joining, trading driver memory for one extra
+    exchange per round).  Zero-current-degree nodes never appear in
+    the degree table and so die automatically — exactly the peel rule.
+    Integer end-to-end: the result is partitioning-independent and
+    hash-exact vs the single-threaded twin."""
+    from ray.data.aggregate import Sum
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()
+    edges = _canonical_edges(ds0, n).materialize()
+
+    def _survivors(alive_ref, k: int) -> np.ndarray:
+        def _partial(t: pa.Table, alive_ref=alive_ref) -> pa.Table:
+            alive = ray.get(alive_ref)  # zero-copy plasma read
+            u = t.column("u").to_numpy()
+            v = t.column("v").to_numpy()
+            keep = alive[u] & alive[v]
+            node = np.concatenate([u[keep], v[keep]])
+            nn, cnt = np.unique(node, return_counts=True)
+            return pa.table(
+                {
+                    "node": pa.array(nn.astype(np.int64)),
+                    "d": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        def _filt(t: pa.Table, k=k) -> pa.Table:
+            return t.filter(pc.greater_equal(t.column("d"), pa.scalar(k)))
+
+        deg = (
+            edges.map_batches(_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("d", alias_name="d"))
+            .map_batches(_filt, batch_format="pyarrow")
+        )
+        ids = [
+            b.column("node").to_numpy()
+            for b in deg.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        return (
+            np.concatenate(ids) if ids else np.array([], dtype=np.int64)
+        )
+
+    # initial alive = nodes touching an edge (deg ≥ 1 with everyone up)
+    all_up = ray.put(np.ones(n, dtype=bool))
+    present = _survivors(all_up, 1)
+    alive = np.zeros(n, dtype=bool)
+    alive[present] = True
+    core = np.full(n, -1, dtype=np.int64)
+    core[present] = 0  # overwritten at death; 0 only if peeled at k=1
+
+    k = 1
+    for _ in range(_KCORE_MAX_ROUNDS):
+        if not alive.any():
+            break
+        surv = _survivors(ray.put(alive), k)
+        new_alive = np.zeros(n, dtype=bool)
+        new_alive[surv] = True
+        dying = alive & ~new_alive
+        if dying.any():
+            core[dying] = k - 1
+            alive = new_alive
+        else:
+            k += 1
+    else:  # pragma: no cover — guard only
+        raise RuntimeError("kcore: round guard exceeded")
+
+    nodes = np.flatnonzero(core >= 0)
+    return pd.DataFrame(
+        {
+            "node": pd.array(nodes.astype(np.int64), dtype="int64"),
+            "core": pd.array(core[nodes], dtype="int64"),
+        }
+    )
+
+
+# =====================================================================
+# Minimum spanning forest (Borůvka rounds over the derived graph)
+# =====================================================================
+
+#: deterministic integer edge weight — second scrambling constant so
+#: w depends on both endpoints (u alone fixes _PR_KNUTH·u)
+_MST_C2 = 2654435789
+_MST_WMOD = 1_000_000
+#: packed total order (w, u, v) in one int64: 21 bits per endpoint
+_MST_ID_BITS = 21
+
+
+def _edge_weight(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """w(u,v) ∈ [1, 1e6] — int64-safe for n < 2^21 (products ≤ ~6e15)."""
+    return (u * _PR_KNUTH + v * _MST_C2) % _MST_WMOD + 1
+
+
+def q_mst_forest(sf_dir: str):
+    """Minimum spanning forest of the weighted derived graph via
+    Borůvka rounds (the textbook distributed MST; Borůvka 1926,
+    the MapReduce formulation in Lattanzi et al. SPAA'11 "Filtering"):
+    every component picks its minimum outgoing edge, the driver's
+    union-find contracts the ≤#components picks, repeat — ≤log₂(n)
+    rounds, each ONE streaming pass over edge blocks (component labels
+    read from a broadcast ``ray.put`` array, per-batch partial min per
+    component) plus ONE bounded ``groupby(comp).Min`` exchange whose
+    payload is components, not edges.
+
+    Ties: the per-component minimum is taken over the PACKED key
+    (w, u, v) — a strict total order, so the forest is the unique MSF
+    of that order and Borůvka provably agrees with the single-threaded
+    Kruskal twin edge-for-edge.  Packing needs n < 2^21; beyond that
+    the documented swap is a two-stage min (min w, then min (u,v)
+    among that w) or widening to decimal128.  The driver union-find
+    holds one int per node — same bounded-driver-state contract as
+    cluster_pairs; the forest itself is O(n) rows."""
+    from ray.data.aggregate import Min
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()
+    if n >= 1 << _MST_ID_BITS:  # pragma: no cover — scale guard
+        raise NotImplementedError(
+            "packed (w,u,v) key needs n < 2^21; swap to two-stage min"
+        )
+    edges = _canonical_edges(ds0, n).materialize()
+
+    parent = np.arange(n, dtype=np.int64)
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = int(parent[x])
+        return x
+
+    mst: list[tuple[int, int, int]] = []
+    for _ in range(64):  # ≥ log2(2^21) rounds is unreachable
+        comp = parent.copy()  # full pointer-jump → root labels
+        while True:
+            nxt = comp[comp]
+            if np.array_equal(nxt, comp):
+                break
+            comp = nxt
+        comp_ref = ray.put(comp)
+
+        def _cand(t: pa.Table, comp_ref=comp_ref) -> pa.Table:
+            comp = ray.get(comp_ref)
+            u = t.column("u").to_numpy()
+            v = t.column("v").to_numpy()
+            cu, cv = comp[u], comp[v]
+            keep = cu != cv
+            u, v, cu, cv = u[keep], v[keep], cu[keep], cv[keep]
+            w = _edge_weight(u, v)
+            key = (
+                (w << (2 * _MST_ID_BITS)) | (u << _MST_ID_BITS) | v
+            )
+            c = np.concatenate([cu, cv])
+            kk = np.concatenate([key, key])
+            order = np.lexsort((kk, c))
+            c, kk = c[order], kk[order]
+            first = np.ones(len(c), dtype=bool)
+            first[1:] = c[1:] != c[:-1]
+            return pa.table(
+                {
+                    "comp": pa.array(c[first], pa.int64()),
+                    "key": pa.array(kk[first], pa.int64()),
+                }
+            )
+
+        mins = (
+            edges.map_batches(_cand, batch_format="pyarrow")
+            .groupby("comp")
+            .aggregate(Min("key", alias_name="key"))
+            .to_pandas()
+        )
+        if len(mins) == 0:
+            break
+        merged = False
+        mask = (1 << _MST_ID_BITS) - 1
+        for key in sorted(int(x) for x in mins["key"]):
+            w = key >> (2 * _MST_ID_BITS)
+            u = (key >> _MST_ID_BITS) & mask
+            v = key & mask
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+                mst.append((u, v, w))
+                merged = True
+        if not merged:  # pragma: no cover — exhausted inter-comp edges
+            break
+
+    mst.sort()
+    return pd.DataFrame(
+        {
+            "u": pd.array([e[0] for e in mst], dtype="int64"),
+            "v": pd.array([e[1] for e in mst], dtype="int64"),
+            "weight": pd.array([e[2] for e in mst], dtype="int64"),
+        }
+    )
+
+
+def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Twin-parquet oracles for the iterative operators no reasonable
+    SQL expresses (peeling / Borůvka fixpoints)."""
+    from .. import oracles
+
+    return {
+        "kcore": (
+            f"SELECT node, core FROM read_parquet('{oracles.kcore_twin(sf_dir)}')"
+        ),
+        "mst_forest": (
+            "SELECT u, v, weight "
+            f"FROM read_parquet('{oracles.mst_twin(sf_dir)}')"
+        ),
+    }
+
+
 QUERIES = {
+    "kcore": q_kcore,
+    "mst_forest": q_mst_forest,
     "pagerank": q_pagerank,
     "in_degree_hist": q_in_degree_hist,
     "graph_components": q_graph_components,

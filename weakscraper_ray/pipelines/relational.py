@@ -2708,6 +2708,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
     from . import tokenizer as _tok
 
     out.update(_tok.dynamic_oracle_sql(sf_dir))
+    from . import graph as _gr
+
+    out.update(_gr.dynamic_oracle_sql(sf_dir))
     return out
 
 
