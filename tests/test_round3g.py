@@ -231,3 +231,56 @@ def test_boruvka_equals_kruskal_on_random_graphs():
             return sorted(out)
 
         assert kruskal() == boruvka()
+
+
+# ------------------------------------------- embedding_rp / label kNN
+
+def test_rp_sign_matrix_matches_sql_hash():
+    import duckdb
+
+    from weakscraper_ray.pipelines.embedding_ops import (
+        _RP_A,
+        _RP_B,
+        _RP_C,
+        _RP_K,
+        _RP_P,
+        _rp_signs,
+    )
+
+    signs = _rp_signs()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT i.i, j.j, CASE WHEN ((i.i * {_RP_A} + j.j * {_RP_B} + {_RP_C})"
+        f" % {_RP_P}) % 2 = 0 THEN 1 ELSE -1 END"
+        f" FROM range(0, 64) i(i), range(0, {_RP_K}) j(j)"
+    ).fetchall()
+    for i, j, s in rows:
+        assert signs[i, j] == s
+    # both signs actually occur (a degenerate all-+1 matrix would be a
+    # projection onto the all-ones direction 16 times)
+    assert (signs == 1).any() and (signs == -1).any()
+
+
+def test_drop_self_topk_equals_exclude_self_topk():
+    # the k+1-then-drop-self rule must equal exclude-self top-k under
+    # the (score desc, id asc) rank — including when duplicates tie at
+    # score 1.0 with ids lower than self (self pushed out of the k+1)
+    rng = np.random.default_rng(3)
+    k = 3
+    for _ in range(50):
+        n = int(rng.integers(4, 10))
+        scores = np.round(rng.random((n, n)) * 4, 1)
+        scores = (scores + scores.T) / 2
+        np.fill_diagonal(scores, 1.0)
+        # force duplicate groups: some rows identical → mutual score 1.0
+        if n >= 6:
+            scores[1] = scores[0]
+            scores[:, 1] = scores[:, 0]
+            scores[0, 1] = scores[1, 0] = 1.0
+            np.fill_diagonal(scores, 1.0)
+        for q in range(n):
+            order = sorted(range(n), key=lambda v: (-scores[q, v], v))
+            exclude_self = [v for v in order if v != q][:k]
+            top_k1 = order[: k + 1]
+            dropped = [v for v in top_k1 if v != q][:k]
+            assert dropped == exclude_self, (q, order)

@@ -30,6 +30,7 @@ variance-spectrum invariants.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -191,13 +192,192 @@ def q_embedding_pca(sf_dir: str):
     return ds.map_batches(_project, batch_format="pyarrow")
 
 
+# =====================================================================
+# Johnson–Lindenstrauss sign projection (oracle-exact dim reduction)
+# =====================================================================
+
+#: output dimensionality of the random projection
+_RP_K = 16
+#: affine-hash constants for the ±1 sign matrix — the repo's
+#: "expressible verbatim in SQL" sketch-hash pattern (see cms_estimate)
+_RP_A, _RP_B, _RP_C = 2654435761, 40503, 12345
+_RP_P = 2147483647
+
+
+def _rp_signs() -> np.ndarray:
+    """(d_in × d_out) ±1 matrix: s(i,j) = +1 iff
+    ((i·A + j·B + C) mod P) is even — Achlioptas-style database-
+    friendly JL projection (Achlioptas, JCSS 2003) with the sign drawn
+    from an affine hash instead of an RNG so the SQL twin can generate
+    the SAME matrix."""
+    i = np.arange(_DIM, dtype=np.int64)[:, None]
+    j = np.arange(_RP_K, dtype=np.int64)[None, :]
+    h = (i * _RP_A + j * _RP_B + _RP_C) % _RP_P
+    return np.where(h % 2 == 0, 1, -1).astype(np.int64)
+
+
+def q_embedding_rp(sf_dir: str):
+    """Project every embedding from 64 → 16 dims with a deterministic
+    ±1 Johnson–Lindenstrauss matrix — the cheap dimensionality-
+    reduction step before LSH bucketing when PCA's data pass is too
+    expensive.  INTEGER-EXACT (unusual for an embedding op): each
+    component is e6-quantized FIRST, the projection is then a pure
+    int64 matmul against the hash-generated sign matrix, so the result
+    is partitioning-independent and hash-exact vs SQL.  Embarrassingly
+    parallel — one streaming map, no exchange, nothing on the driver."""
+    signs = _rp_signs()
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _project(batch: pa.Table, signs=signs) -> pa.Table:
+        x = fixed_list_to_numpy(batch.column("embedding"), np.float64)
+        q = _i64_away_np(x, 1e6)  # e6 ints; |q| ≤ ~2e6 → matmul ≤ 1.3e8
+        out = q @ signs  # int64-exact
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        nr = len(vid)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, _RP_K).astype(np.int64)),
+                "dim_out": pa.array(
+                    np.tile(np.arange(_RP_K, dtype=np.int64), nr)
+                ),
+                "proj_e6": pa.array(out.reshape(-1)),
+            }
+        )
+
+    return ds.map_batches(_project, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_RP = f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS i,
+         cast(round(cast(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS e
+  FROM embeddings, range(1, {_DIM + 1}) t(i))
+SELECT q.vec_id, j.j AS dim_out,
+       cast(sum(CASE WHEN ((q.i * {_RP_A} + j.j * {_RP_B} + {_RP_C})
+                           % {_RP_P}) % 2 = 0
+                     THEN q.e ELSE -q.e END) AS BIGINT) AS proj_e6
+FROM q, range(0, {_RP_K}) j(j)
+GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# kNN label agreement (mislabel / label-noise detection)
+# =====================================================================
+
+#: neighbours per vector for the agreement vote
+_LKA_K = 5
+
+
+def q_label_knn_agreement(sf_dir: str):
+    """Per-vector label-noise signal: of the k=5 cosine-nearest
+    neighbours (self excluded), how many share the vector's label —
+    the confident-learning-style read-out (Northcutt et al., JAIR
+    2021) a curation pass runs before trusting a labeled set.
+
+    Exactness: neighbour rank = (score rounded e4 DESC, vec_id ASC) —
+    the green knn_cosine contract; Ray asks the brute-force stage for
+    k+1 and drops self, which provably equals SQL's exclude-self
+    top-k (self is either inside the k+1 or strictly dominated by it).
+    The match count is integer.  This all-queries brute-force is the
+    VERIFICATION path (every vector vs the broadcast matrix, O(N²/B)
+    per batch); the production path at corpus scale is the same vote
+    over IVF buckets (knn_ivf's partitioning), swap documented."""
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import knn_brute_force
+    from .relational import _p
+
+    qt = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"])
+    ids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = np.zeros(int(ids.max()) + 1, dtype=np.int64)
+    labels[ids] = qt.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    labels_ref = ray.put(labels)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    nn = knn_brute_force(
+        ds,
+        ids.tolist(),
+        qt.column("embedding").to_pylist(),
+        k=_LKA_K + 1,
+    )
+
+    def _vote(t: pa.Table, labels_ref=labels_ref) -> pa.Table:
+        labels = ray.get(labels_ref)
+        qid = t.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = _i64_away_np(t.column("score").to_numpy(zero_copy_only=False), 1e4)
+        keep = qid != vid  # drop self
+        qid, vid, sc = qid[keep], vid[keep], sc[keep]
+        # trim to k per query under the (score_e4 DESC, vec_id ASC) rank
+        order = np.lexsort((vid, -sc, qid))
+        qid, vid = qid[order], vid[order]
+        first = np.ones(len(qid), dtype=bool)
+        first[1:] = qid[1:] != qid[:-1]
+        rank = np.arange(len(qid)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(qid)), 0)
+        )
+        keep = rank < _LKA_K
+        qid, vid = qid[keep], vid[keep]
+        df = pd.DataFrame(
+            {
+                "vec_id": qid,
+                "match": (labels[vid] == labels[qid]).astype(np.int64),
+            }
+        )
+        g = df.groupby("vec_id", sort=False).agg(
+            n_match=("match", "sum"), n_neighbors=("match", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "vec_id": pa.array(g["vec_id"].to_numpy(np.int64)),
+                "label": pa.array(labels[g["vec_id"].to_numpy(np.int64)]),
+                "n_match": pa.array(g["n_match"].to_numpy(np.int64)),
+                "n_neighbors": pa.array(g["n_neighbors"].to_numpy(np.int64)),
+            }
+        )
+
+    # global_topk already produced ≤ k+1 rows per query in one group —
+    # batches may split queries, but each query's rows stay within one
+    # map_groups output block, so the per-batch vote never splits a query
+    return nn.map_batches(_vote, batch_format="pyarrow", batch_size=None)
+
+
+SQL_LABEL_KNN = f"""
+WITH nn AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding, e.embedding)
+                            * 10000, 0) DESC,
+                      e.vec_id ASC) AS rn
+    FROM embeddings q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.vec_id)
+  WHERE rn <= {_LKA_K})
+SELECT nn.query_id AS vec_id,
+       cast(max(ql.label) AS BIGINT) AS label,
+       cast(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+       cast(count(*) AS BIGINT) AS n_neighbors
+FROM nn
+JOIN embeddings ql ON ql.vec_id = nn.query_id
+JOIN embeddings nl ON nl.vec_id = nn.vec_id
+GROUP BY nn.query_id
+"""
+
+
 QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "embedding_pca": q_embedding_pca,
+    "embedding_rp": q_embedding_rp,
+    "label_knn_agreement": q_label_knn_agreement,
 }
 
 ORACLE_SQL = {
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+    "embedding_rp": SQL_EMBEDDING_RP,
+    "label_knn_agreement": SQL_LABEL_KNN,
 }
 
 _rel.QUERIES.update(QUERIES)
