@@ -284,3 +284,50 @@ def test_drop_self_topk_equals_exclude_self_topk():
             top_k1 = order[: k + 1]
             dropped = [v for v in top_k1 if v != q][:k]
             assert dropped == exclude_self, (q, order)
+
+
+# ------------------------------------------- prefix-filter theorem
+
+def test_prefix_filter_candidate_generation_is_lossless():
+    """Brute force vs the prefix rule on random small universes: every
+    pair with J >= 4/5 must share a token within both prefixes of
+    length |x| - ceil(4|x|/5) + 1 under the (df, token) global order
+    (the exact rule q_ssjoin_prefix indexes with)."""
+    from weakscraper_ray.pipelines.ssjoin import _prefix_len
+
+    rng = np.random.default_rng(5)
+    for trial in range(200):
+        vocab = int(rng.integers(6, 20))
+        nsets = int(rng.integers(3, 10))
+        sets = []
+        for _ in range(nsets):
+            k = int(rng.integers(1, vocab + 1))
+            sets.append(frozenset(rng.choice(vocab, k, replace=False).tolist()))
+        # global order: document frequency ascending, then token
+        df = {t: sum(t in s for s in sets) for t in range(vocab)}
+        order = sorted(range(vocab), key=lambda t: (df[t], t))
+        rank = {t: i for i, t in enumerate(order)}
+        pref = [
+            set(sorted((rank[t] for t in s))[: _prefix_len(len(s))])
+            for s in sets
+        ]
+        for i in range(nsets):
+            for j in range(i + 1, nsets):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if union and 5 * inter >= 4 * union:  # J >= 0.8
+                    assert pref[i] & pref[j], (
+                        trial, sorted(sets[i]), sorted(sets[j])
+                    )
+
+
+def test_prefix_len_boundaries():
+    from weakscraper_ray.pipelines.ssjoin import _prefix_len
+
+    # |x|=5: ceil(4) = 4 → prefix 2; |x|=1: ceil(0.8)=1 → prefix 1
+    assert _prefix_len(5) == 2
+    assert _prefix_len(1) == 1
+    assert _prefix_len(10) == 3
+    for n in range(1, 200):
+        p = _prefix_len(n)
+        assert 1 <= p <= n

@@ -3176,3 +3176,7 @@ from . import monitor as _monitor  # noqa: E402,F401
 # round-3 subword tokenizer family (full BPE train + encode) — same
 # self-registration pattern.
 from . import tokenizer as _tokenizer  # noqa: E402,F401
+
+# round-3 exact set-similarity join (prefix filtering) — same
+# self-registration pattern.
+from . import ssjoin as _ssjoin  # noqa: E402,F401
