@@ -101,7 +101,10 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "kcenter_select", "bpe_encode", "pq_topk", "attribution",
         "event_dedup", "conv_filter", "dialog_grammar", "salt_plan",
         "median_select", "ivm_join_delta", "equidepth_bins",
-        "mannwhitney_u", "clustering_coeff",
+        "mannwhitney_u", "clustering_coeff", "phash_neardup",
+        "target_encode_loo", "binary_source", "mad_outliers",
+        "weighted_median", "chisq_independence", "kcore", "mst_forest",
+        "embedding_rp", "label_knn_agreement", "ssjoin_prefix",
     ]
     out: dict[str, float] = {}
     for name in names:
