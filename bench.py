@@ -105,6 +105,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "target_encode_loo", "binary_source", "mad_outliers",
         "weighted_median", "chisq_independence", "kcore", "mst_forest",
         "embedding_rp", "label_knn_agreement", "ssjoin_prefix",
+        "kanon_audit", "scd2_intervals", "transition_probs", "ewma_daily",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -3180,3 +3180,7 @@ from . import tokenizer as _tokenizer  # noqa: E402,F401
 # round-3 exact set-similarity join (prefix filtering) — same
 # self-registration pattern.
 from . import ssjoin as _ssjoin  # noqa: E402,F401
+
+# round-3 governance / history-tracking family (k-anonymity, SCD2,
+# Markov transitions, integer EWMA) — same self-registration pattern.
+from . import audit as _audit  # noqa: E402,F401
