@@ -3184,3 +3184,7 @@ from . import ssjoin as _ssjoin  # noqa: E402,F401
 # round-3 governance / history-tracking family (k-anonymity, SCD2,
 # Markov transitions, integer EWMA) — same self-registration pattern.
 from . import audit as _audit  # noqa: E402,F401
+
+# round-3 statistical-inference / drift family (Poisson bootstrap,
+# mutual information, Kaplan–Meier, exact 1-D Wasserstein).
+from . import inference as _inference  # noqa: E402,F401
