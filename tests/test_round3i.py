@@ -188,3 +188,65 @@ def test_emd_identical_halves_zero(tmp_path, ray_session):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     out = I.QUERIES["emd_drift"](str(tmp_path)).iloc[0]
     assert out["emd_scaled"] == 0 and out["emd_e6"] == 0
+
+
+# --------------------------------------------- isotonic regression
+
+
+def _pav_fit(s, c):
+    import weakscraper_ray.pipelines.fitting as F
+
+    blocks = []
+    for si, ci in zip(s, c):
+        blocks.append([int(si), int(ci), 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    out = []
+    for bs, bc, bn in blocks:
+        out.extend([F._away(1_000_000.0 * (bs / bc))] * bn)
+    return out
+
+
+def test_pav_equals_minimax_bruteforce_random():
+    """PAV (the engine path) vs the minimax identity (the oracle path)
+    on random integer series — the theorem the isotonic_daily pair
+    rests on, pinned without any SQL in the loop."""
+    import weakscraper_ray.pipelines.fitting as F
+
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        n = int(rng.integers(1, 12))
+        s = rng.integers(-50, 51, n).astype(np.int64)
+        c = rng.integers(1, 6, n).astype(np.int64)
+        pav = _pav_fit(s, c)
+        ps = np.concatenate([[0], np.cumsum(s)])
+        pc_ = np.concatenate([[0], np.cumsum(c)])
+        minimax = []
+        for i in range(n):
+            best = -np.inf
+            for j in range(i + 1):
+                worst = np.inf
+                for k in range(i, n):
+                    worst = min(
+                        worst, (ps[k + 1] - ps[j]) / (pc_[k + 1] - pc_[j])
+                    )
+                best = max(best, worst)
+            minimax.append(F._away(1_000_000.0 * best))
+        assert pav == minimax, (list(s), list(c))
+        assert all(a <= b for a, b in zip(pav, pav[1:]))  # monotone
+
+
+def test_llr_nonnegative_and_sorted(ray_session):
+    import weakscraper_ray.pipelines.fitting as F
+
+    out = F.QUERIES["llr_bigrams"]("/root/testdata/sf0.001")
+    # G² ≥ 0 up to per-cell quantization slack (4 cells × 0.5 ulp × 2)
+    assert (out["llr_e6"] >= -4).all()
+    v = out["llr_e6"].to_numpy()
+    assert (v[:-1] >= v[1:]).all()
+    assert (out["n"] >= 5).all()

@@ -3188,3 +3188,7 @@ from . import audit as _audit  # noqa: E402,F401
 # round-3 statistical-inference / drift family (Poisson bootstrap,
 # mutual information, Kaplan–Meier, exact 1-D Wasserstein).
 from . import inference as _inference  # noqa: E402,F401
+
+# round-3 model-fitting / lexicon-statistics family (exact isotonic
+# regression, Dunning G² collocations).
+from . import fitting as _fitting  # noqa: E402,F401
