@@ -107,7 +107,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "embedding_rp", "label_knn_agreement", "ssjoin_prefix",
         "kanon_audit", "scd2_intervals", "transition_probs", "ewma_daily",
         "bootstrap_ci", "mutual_info", "survival_km", "emd_drift",
-        "isotonic_daily", "llr_bigrams",
+        "isotonic_daily", "llr_bigrams", "hits", "best_split",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -1077,6 +1077,177 @@ def q_mst_forest(sf_dir: str):
     )
 
 
+#: total hub/authority mass per half-step (output columns are *_e6);
+#: kept at e6 — not pagerank's e12 — so the normalization product
+#: val·MASS stays far inside int64 even with in-degree pile-up
+_HITS_MASS = 10**6
+#: full (authority, hub) rounds, unrolled in both engines
+_HITS_ITERS = 2
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999, JACM) over a derived
+    VARIABLE-DEGREE citation graph — the mutual-reinforcement twin
+    read-out (a page is a good hub if it points at good authorities,
+    and vice versa).  Pagerank's 3-regular modular graph is regular in
+    BOTH directions, which collapses HITS to the uniform vector, so
+    this operator's rule gives node u out-degree 1 + (u mod 3):
+    edges u → (u·K + j) mod n for j = 1..1+(u mod 3).  INTEGER-EXACT:
+    L1 normalization to a fixed integer mass after every half-step
+    with truncating division (both engines), so scores are
+    partitioning-independent and hash-exact; 2 full rounds unrolled.
+    Nodes the rule leaves without in-edges keep an explicit zero row
+    (pagerank's (node, 0) union trick), matching the SQL LEFT JOIN +
+    coalesce.
+
+    The hub step gathers along REVERSED edges; the candidate
+    in-neighbour under slot j is locally enumerable as
+    u = (v − j)·K⁻¹ mod n (Knuth's constant is PRIME, so K is
+    invertible mod any n < K), kept iff u's degree admits slot j —
+    one exchange per half-step, no edge-list join.
+
+    Shape per half-step: streaming contribution map (per-batch partial
+    combine before the exchange) → ``groupby(doc_id)`` sum → scalar
+    mass aggregate → normalization map; payload always 2 int64
+    columns."""
+    from ray.data.aggregate import Sum
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()  # parquet-metadata count; no scan
+    kinv = pow(_PR_KNUTH, -1, n)  # K prime → invertible for any n < K
+
+    scores = ds0.map_batches(
+        lambda t, v=_HITS_MASS // n: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "val": pa.array(np.full(t.num_rows, v, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _half(scores, invert: bool):
+        """One normalized gather: invert=False flows hub mass forward
+        onto authorities; invert=True flows authority mass backward
+        onto hubs (targets enumerated via the modular inverse)."""
+
+        def _contrib(t: pa.Table, n=n, invert=invert, kinv=kinv) -> pa.Table:
+            node = t.column("doc_id").to_numpy()
+            val = t.column("val").to_numpy()
+            tgts, vals = [], []
+            for j in range(1, _PR_OUTDEG + 1):
+                if invert:
+                    # candidate in-neighbour for slot j, kept iff its
+                    # degree 1 + (u mod 3) admits the slot
+                    u = ((node - j) * kinv) % n
+                    keep = (1 + u % 3) >= j
+                    tgts.append(u[keep])
+                else:
+                    keep = (1 + node % 3) >= j
+                    tgts.append(((node[keep] * _PR_KNUTH) + j) % n)
+                vals.append(val[keep])
+            doc = np.concatenate([node] + tgts)
+            val_out = np.concatenate(
+                [np.zeros(len(node), dtype=np.int64)] + vals
+            )
+            out = pa.table(
+                {
+                    "doc_id": pa.array(doc, pa.int64()),
+                    "c": pa.array(val_out, pa.int64()),
+                }
+            )
+            return (
+                out.group_by("doc_id")
+                .aggregate([("c", "sum")])
+                .rename_columns(["doc_id", "c"])
+            )
+
+        gathered = (
+            scores.map_batches(_contrib, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("c", alias_name="val"))
+            .materialize()
+        )
+        s = int(gathered.aggregate(Sum("val"))["sum(val)"])
+        return gathered.map_batches(
+            lambda t, s=s: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "val": pa.array(
+                        t.column("val").to_numpy() * _HITS_MASS // s,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    auth = hub = scores
+    for _ in range(_HITS_ITERS):
+        auth = _half(hub, invert=False)  # authorities gather hub mass
+        hub = _half(auth, invert=True)  # hubs gather authority mass
+
+    a_pd = auth.to_pandas().rename(columns={"val": "auth_e6"})
+    h_pd = hub.to_pandas().rename(columns={"val": "hub_e6"})
+    return (
+        a_pd.merge(h_pd, on="doc_id").sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "hub_e6", "auth_e6"]]
+    )
+
+
+def _sql_hits() -> str:
+    """Chained-CTE mirror: the same unrolled half-steps with LEFT JOIN
+    + coalesce for in-edge-free nodes and HUGEINT-safe truncating
+    normalization."""
+    mass, K, deg = _HITS_MASS, _PR_KNUTH, _PR_OUTDEG
+    jvals = ", ".join(f"({j})" for j in range(1, deg + 1))
+    parts = [
+        f"""WITH docs AS (SELECT doc_id FROM documents),
+nn AS (SELECT cast(count(*) AS BIGINT) AS n FROM docs),
+e AS (SELECT d.doc_id AS u, (d.doc_id * {K} + j.j) % nn.n AS v
+      FROM docs d, nn, (VALUES {jvals}) j(j)
+      WHERE 1 + d.doc_id % 3 >= j.j),
+h0 AS (SELECT doc_id, cast({mass} AS BIGINT) // nn.n AS val FROM docs, nn)"""
+    ]
+    prev = "h0"
+    names = []
+    for it in range(_HITS_ITERS):
+        a, h = f"a{it + 1}", f"h{it + 1}"
+        # authority gather: sum hub mass over in-edges (e.v = node)
+        parts.append(
+            f"""{a}u AS (
+  SELECT d.doc_id, cast(coalesce(sum(p.val), 0) AS BIGINT) AS val
+  FROM docs d
+  LEFT JOIN e ON e.v = d.doc_id
+  LEFT JOIN {prev} p ON p.doc_id = e.u
+  GROUP BY d.doc_id),
+{a}s AS (SELECT cast(sum(val) AS BIGINT) AS s FROM {a}u),
+{a} AS (SELECT doc_id, cast(val * {mass} // {a}s.s AS BIGINT) AS val
+        FROM {a}u, {a}s)"""
+        )
+        # hub gather: sum authority mass over out-edges (e.u = node)
+        parts.append(
+            f"""{h}u AS (
+  SELECT d.doc_id, cast(coalesce(sum(p.val), 0) AS BIGINT) AS val
+  FROM docs d
+  LEFT JOIN e ON e.u = d.doc_id
+  LEFT JOIN {a} p ON p.doc_id = e.v
+  GROUP BY d.doc_id),
+{h}s AS (SELECT cast(sum(val) AS BIGINT) AS s FROM {h}u),
+{h} AS (SELECT doc_id, cast(val * {mass} // {h}s.s AS BIGINT) AS val
+        FROM {h}u, {h}s)"""
+        )
+        prev = h
+        names = [a, h]
+    a, h = names
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT {h}.doc_id, {h}.val AS hub_e6, {a}.val AS auth_e6
+FROM {h} JOIN {a} USING (doc_id)"""
+    )
+
+
 def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Twin-parquet oracles for the iterative operators no reasonable
     SQL expresses (peeling / Borůvka fixpoints)."""
@@ -1094,6 +1265,7 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
 
 
 QUERIES = {
+    "hits": q_hits,
     "kcore": q_kcore,
     "mst_forest": q_mst_forest,
     "pagerank": q_pagerank,
@@ -1106,6 +1278,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "hits": _sql_hits(),
     "pagerank": _sql_pagerank(),
     "in_degree_hist": SQL_IN_DEGREE_HIST,
     "graph_components": _sql_graph_components(),

@@ -1177,7 +1177,141 @@ FROM r, t WHERE 2 * r.cw >= t.W GROUP BY t.W
 """
 
 
+# =====================================================================
+# Optimal 2-segment split (exact 1-changepoint DP)
+# =====================================================================
+
+
+def q_best_split(sf_dir: str):
+    """The EXACT single changepoint of the daily cent-total-per-event
+    series under the least-squares criterion: the split day t
+    minimizing SSE(1..t) + SSE(t+1..n) — the k=2 case of optimal
+    v-optimal-histogram / Bellman segmentation DP, and the
+    model-based complement of ``cusum_changepoint`` (which scans a
+    running deviation, not a fitted two-mean model).  SSE derives
+    from integer prefix sums (Σv, Σv², count); the per-candidate SSE
+    is the one mirrored double expression, e6-quantized, and the
+    argmin breaks ties toward the earliest day on both engines.
+
+    Shape: per-batch (day, Σv, Σv², n) partials → one bounded
+    ``groupby(day)`` exchange → the O(#days) candidate sweep on the
+    driver.  At 100-TB row counts Σv² outgrows int64 — switch the
+    moment columns to float partials there and keep the sweep."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = _i64_away(batch.column("value"), 100.0).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pd.DataFrame({"day": us // _US_PER_DAY, "v": v, "q": v * v})
+            .groupby("day", sort=False)
+            .agg(s=("v", "sum"), q=("q", "sum"), c=("v", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(np.int64)),
+                "s": pa.array(g["s"].to_numpy(np.int64)),
+                "q": pa.array(g["q"].to_numpy(np.int64)),
+                "c": pa.array(g["c"].to_numpy(np.int64)),
+            }
+        )
+
+    daily = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("q", alias_name="q"),
+            Sum("c", alias_name="c"),
+        )
+        .to_pandas()  # bounded: #days rows
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    days = daily["day"].to_numpy(np.int64)
+    ps = daily["s"].to_numpy(np.int64).cumsum()
+    pq_ = daily["q"].to_numpy(np.int64).cumsum()
+    pn = daily["c"].to_numpy(np.int64).cumsum()
+    ts, tq, tc = int(ps[-1]), int(pq_[-1]), int(pn[-1])
+    best = None
+    for i in range(len(days) - 1):  # split AFTER days[i]
+        s1, q1, n1 = int(ps[i]), int(pq_[i]), int(pn[i])
+        s2, q2, n2 = ts - s1, tq - q1, tc - n1
+        sse = _away(
+            1_000_000.0
+            * (
+                (float(q1) - float(s1) * float(s1) / float(n1))
+                + (float(q2) - float(s2) * float(s2) / float(n2))
+            )
+        )
+        key = (sse, int(days[i]))
+        if best is None or key < best[0]:
+            best = (key, s1, n1, s2, n2)
+    (sse, day), s1, n1, s2, n2 = best
+    return pd.DataFrame(
+        {
+            "split_day": pd.array([day], dtype="int64"),
+            "n_left": pd.array([n1], dtype="int64"),
+            "n_right": pd.array([n2], dtype="int64"),
+            "sse_e6": pd.array([sse], dtype="int64"),
+            "mean_left_e6": pd.array(
+                [_away(1_000_000.0 * (float(s1) / float(n1)))], dtype="int64"
+            ),
+            "mean_right_e6": pd.array(
+                [_away(1_000_000.0 * (float(s2) / float(n2)))], dtype="int64"
+            ),
+        }
+    )
+
+
+SQL_BEST_SPLIT = f"""
+WITH c AS (
+  SELECT epoch_us(cast(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         cast(round(value * 100, 0) AS BIGINT) AS v
+  FROM events),
+d AS (SELECT day, cast(sum(v) AS BIGINT) AS s,
+             cast(sum(v * v) AS BIGINT) AS q,
+             cast(count(*) AS BIGINT) AS c
+      FROM c GROUP BY day),
+pre AS (
+  SELECT day,
+         cast(sum(s) OVER w AS BIGINT) AS ps,
+         cast(sum(q) OVER w AS BIGINT) AS pq,
+         cast(sum(c) OVER w AS BIGINT) AS pn,
+         row_number() OVER (ORDER BY day) AS rn,
+         count(*) OVER () AS m
+  FROM d WINDOW w AS (ORDER BY day)),
+tot AS (SELECT cast(sum(s) AS BIGINT) AS ts, cast(sum(q) AS BIGINT) AS tq,
+               cast(sum(c) AS BIGINT) AS tc
+        FROM d),
+cand AS (
+  SELECT day AS split_day, pn AS n_left, tc - pn AS n_right,
+         ps, ts,
+         cast(round(1000000.0 * (
+             (cast(pq AS DOUBLE)
+              - cast(ps AS DOUBLE) * cast(ps AS DOUBLE) / cast(pn AS DOUBLE))
+           + (cast(tq - pq AS DOUBLE)
+              - cast(ts - ps AS DOUBLE) * cast(ts - ps AS DOUBLE)
+                / cast(tc - pn AS DOUBLE))), 0) AS BIGINT) AS sse_e6
+  FROM pre, tot WHERE rn < m)
+SELECT split_day, n_left, n_right, sse_e6,
+       cast(round(1000000.0 * (cast(ps AS DOUBLE) / cast(n_left AS DOUBLE)),
+                  0) AS BIGINT) AS mean_left_e6,
+       cast(round(1000000.0 * (cast(ts - ps AS DOUBLE)
+                               / cast(n_right AS DOUBLE)), 0) AS BIGINT)
+         AS mean_right_e6
+FROM cand ORDER BY sse_e6, split_day LIMIT 1
+"""
+
+
 QUERIES = {
+    "best_split": q_best_split,
     "mad_outliers": q_mad_outliers,
     "weighted_median": q_weighted_median,
     "rolling_median": q_rolling_median,
@@ -1194,6 +1328,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "best_split": SQL_BEST_SPLIT,
     "mad_outliers": SQL_MAD,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "rolling_median": SQL_ROLLING_MEDIAN,
