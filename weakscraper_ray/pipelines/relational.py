@@ -2711,6 +2711,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
     from . import graph as _gr
 
     out.update(_gr.dynamic_oracle_sql(sf_dir))
+    from . import retrieval as _ret
+
+    out.update(_ret.dynamic_oracle_sql(sf_dir))
     return out
 
 
@@ -3192,3 +3195,7 @@ from . import inference as _inference  # noqa: E402,F401
 # round-3 model-fitting / lexicon-statistics family (exact isotonic
 # regression, Dunning G² collocations).
 from . import fitting as _fitting  # noqa: E402,F401
+
+# round-3 retrieval / LM-curation family (reciprocal-rank fusion,
+# Stupid-Backoff held-out scoring, skip-gram pair generation).
+from . import retrieval as _retrieval  # noqa: E402,F401
