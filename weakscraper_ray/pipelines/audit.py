@@ -450,11 +450,216 @@ SELECT event_type, day, ewma FROM e
 """
 
 
+# =====================================================================
+# Differentially-private count release (hash-exact discrete Laplace)
+# =====================================================================
+
+#: two-sided-geometric (discrete Laplace) noise with p = 1/2
+#: (ε = ln 2).  GRID = 3·2^20 makes every CDF value an EXACT integer:
+#: P(|X| ≤ k) = 1 − (2/3)·2^−k  ⟹  T_k = GRID − 2^(21−k), k = 0..20 —
+#: magnitude = #{k : T_k ≤ g}, capped at 21 (residual mass 2^−21·2/3).
+#: The noise draw derives from md5 of the group key (the cms/bootstrap
+#: affine-hash idiom), so the WHOLE release is expressible verbatim in
+#: SQL and the oracle is hash-exact — contrast seeded rows-only noise.
+_DP_GRID = 3 * (1 << 20)
+_DP_MOD = 2_305_843_009_213_693_951  # 2^61 − 1 (HUGEINT-safe modulus)
+_DP_T = [_DP_GRID - (1 << (21 - k)) for k in range(21)]
+
+
+def q_dp_counts(sf_dir: str):
+    """Per-event-type counts released with deterministic discrete-
+    Laplace noise (ε = ln 2) — the differential-privacy publication
+    primitive (Ghosh, Roughgarden & Sundararajan 2009: the two-sided
+    geometric mechanism is the OPTIMAL ε-DP noise for counts).  The
+    noise is derived from ``md5(event_type)`` pushed through integer
+    inverse-CDF thresholds, so both engines draw the SAME noise and
+    the release is oracle-exact.  (A production release derives the
+    hash from a secret salt + the key and drops ``n_true``; both are
+    kept here so the mechanism itself is driver-verified.)
+
+    Shape: per-batch partial type counts → one exchange bounded by
+    #types; the noise map touches only the tiny aggregate."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("event_type").combine_chunks())
+        return pa.table(
+            {
+                "event_type": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by #types
+        .sort_values("event_type", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    thr = np.asarray(_DP_T, dtype=np.int64)
+    u = np.array(
+        [
+            int.from_bytes(
+                hashlib.md5(s.encode()).digest()[8:], "little"
+            )
+            % _DP_MOD
+            for s in counts["event_type"]
+        ],
+        dtype=np.int64,
+    )
+    g = u % _DP_GRID
+    mag = np.searchsorted(thr, g, side="right").astype(np.int64)
+    sgn = 1 - 2 * (u % 2)
+    noise = sgn * mag
+    n = counts["n"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "event_type": counts["event_type"].to_numpy(),
+            "n_true": pd.array(n, dtype="int64"),
+            "noise": pd.array(noise, dtype="int64"),
+            "n_released": pd.array(n + noise, dtype="int64"),
+        }
+    )
+
+
+_DP_CASE = " ".join(
+    f"WHEN g < {t} THEN {k}" for k, t in enumerate(_DP_T)
+)
+
+SQL_DP_COUNTS = f"""
+WITH c AS (
+  SELECT event_type, cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+h AS (
+  SELECT event_type, n,
+         cast(md5_number_lower(event_type) % {_DP_MOD} AS BIGINT) AS u
+  FROM c),
+g AS (
+  SELECT event_type, n, u % {_DP_GRID} AS g,
+         1 - 2 * (u % 2) AS sgn
+  FROM h),
+m AS (
+  SELECT event_type, n,
+         sgn * (CASE {_DP_CASE} ELSE 21 END) AS noise
+  FROM g)
+SELECT event_type, n AS n_true, cast(noise AS BIGINT) AS noise,
+       cast(n + noise AS BIGINT) AS n_released
+FROM m
+"""
+
+
+# =====================================================================
+# Holt linear (level + trend) integer smoother
+# =====================================================================
+
+
+def _tdiv2(v: int) -> int:
+    """``v // 2`` with TRUNCATION toward zero — DuckDB's integer ``//``
+    (Python's floors; they differ on negative odd values, and the Holt
+    trend term goes negative on any downswing)."""
+    return (abs(v) // 2) * (1 if v >= 0 else -1)
+
+
+def q_holt_linear(sf_dir: str):
+    """Holt's linear (double-exponential) smoothing of the global
+    daily cent totals with α = β = 1/2, kept INTEGER-EXACT by the
+    truncating halving recurrences
+
+        l_d = (l_{d−1} + b_{d−1} + x_d) // 2
+        b_d = (b_{d−1} + (l_d − l_{d−1})) // 2
+
+    (l_0 = x_0, b_0 = 0) — the trend-aware upgrade of ``ewma_daily``:
+    the level track follows a ramp with bounded lag instead of the
+    EWMA's growing one.  Like the EWMA, integer state makes the
+    inherently serial recursion partitioning-independent and the
+    oracle a recursive CTE, not a float race.
+
+    Shape: distributed per-day cent reduction (one bounded exchange);
+    the recursion runs on the driver over ≤ #days rows."""
+    from ray.data.aggregate import Sum
+
+    def _day_partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = us // _US_PER_DAY
+        c = _i64_away_np(
+            batch.column("value").to_numpy(zero_copy_only=False), 100.0
+        )
+        uday, inv = np.unique(day, return_inverse=True)
+        return pa.table(
+            {
+                "day": pa.array(uday, pa.int64()),
+                "x": pa.array(
+                    np.bincount(inv, weights=c.astype(np.float64)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    daily = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(_day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("x", alias_name="x"))
+        .to_pandas()  # bounded: #days
+        .sort_values("day", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    x = daily["x"].to_numpy(np.int64)
+    lvl = np.empty(len(x), dtype=np.int64)
+    trd = np.empty(len(x), dtype=np.int64)
+    l, b = int(x[0]), 0
+    lvl[0], trd[0] = l, b
+    for i in range(1, len(x)):
+        l_new = _tdiv2(l + b + int(x[i]))
+        b = _tdiv2(b + (l_new - l))
+        l = l_new
+        lvl[i], trd[i] = l, b
+    return pd.DataFrame(
+        {
+            "day": daily["day"].to_numpy(np.int64),
+            "x": pd.array(x, dtype="int64"),
+            "level": pd.array(lvl, dtype="int64"),
+            "trend": pd.array(trd, dtype="int64"),
+        }
+    )
+
+
+SQL_HOLT = f"""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(cast(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         cast(sum(cast(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+r AS (
+  SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+e AS (
+  SELECT rn, day, x, x AS level, cast(0 AS BIGINT) AS trend
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.day, r.x,
+         (e.level + e.trend + r.x) // 2,
+         (e.trend + ((e.level + e.trend + r.x) // 2 - e.level)) // 2
+  FROM e JOIN r ON r.rn = e.rn + 1
+)
+SELECT day, x, level, trend FROM e
+"""
+
+
 QUERIES = {
     "kanon_audit": q_kanon_audit,
     "scd2_intervals": q_scd2_intervals,
     "transition_probs": q_transition_probs,
     "ewma_daily": q_ewma_daily,
+    "dp_counts": q_dp_counts,
+    "holt_linear": q_holt_linear,
 }
 
 ORACLE_SQL = {
@@ -462,6 +667,8 @@ ORACLE_SQL = {
     "scd2_intervals": SQL_SCD2,
     "transition_probs": SQL_TRANSITION,
     "ewma_daily": SQL_EWMA,
+    "dp_counts": SQL_DP_COUNTS,
+    "holt_linear": SQL_HOLT,
 }
 
 # self-register (same pattern as monitor.py / stats.py)

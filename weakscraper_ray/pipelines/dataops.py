@@ -1077,8 +1077,118 @@ FROM c WHERE n_rows > {_SALT_TARGET}
 """
 
 
+# =====================================================================
+# Rendezvous (highest-random-weight) placement audit
+# =====================================================================
+
+#: 16 synthetic placement nodes; per-node weights via the repo's
+#: affine-hash idiom (cms/bootstrap constants, P = 2^31 − 1)
+_HRW_NODES = 16
+_HRW_P = 2_147_483_647
+_HRW_A0, _HRW_AS = 2_654_435_761, 40_503
+_HRW_B0, _HRW_BS = 7, 97
+
+
+def q_rendezvous_assign(sf_dir: str):
+    """Per-node load under rendezvous (highest-random-weight) hashing
+    of ``user_id`` across 16 nodes — the decentralized placement rule
+    (Thaler & Ravishankar 1998) behind consistent cache/shard
+    assignment: every writer computes w(u, node) independently and
+    picks the argmax, and removing a node only remaps that node's
+    keys.  The weight is TWO rounds of the repo's affine hash with the
+    per-node multiplier ``a = (A₀ + node·A_s) mod P``:
+    ``w = ((u·a + b) mod P · a + b) mod P`` — the composed multiplier
+    is ``a²``, which varies QUADRATICALLY with the node, so the 16
+    weights are not an arithmetic progression in ``node`` (ONE affine
+    round is: its argmax degenerates to a wrap pattern — measured all
+    load on node 15 for small uids).  Expressible verbatim in SQL, so
+    the assignment (argmax, ties to the smaller node) is hash-exact on
+    both engines; measured load at 50k sequential uids: 16 nodes
+    within ±2.5 % of uniform.  Companion of ``salt_plan`` (what to
+    split) and ``key_skew`` (why): this is WHERE each key lands,
+    summarized as per-node event counts and cent mass.
+
+    Shape: the node is a pure function of ``user_id``, so assignment
+    is one streaming map (an n×16 int64 argmax per batch);
+    the only exchange is the 16-row per-node aggregate."""
+    from ray.data.aggregate import Sum
+
+    A = np.array(
+        [(_HRW_A0 + nd * _HRW_AS) % _HRW_P for nd in range(_HRW_NODES)],
+        dtype=np.int64,
+    )
+    B = np.array(
+        [_HRW_B0 + nd * _HRW_BS for nd in range(_HRW_NODES)], dtype=np.int64
+    )
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        u = (
+            batch.column("user_id").to_numpy(zero_copy_only=False)
+            % _HRW_P
+        )
+        # (n, 16): operands < 2^31 → products < 2^62, no overflow
+        v = (u[:, None] * A[None, :] + B[None, :]) % _HRW_P
+        w = (v * A[None, :] + B[None, :]) % _HRW_P
+        node = np.argmax(w, axis=1).astype(np.int64)  # first max = low node
+        c = _i64_away(batch.column("value"), 100.0).to_numpy(
+            zero_copy_only=False
+        )
+        uniq, inv = np.unique(node, return_inverse=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "n_events": pa.array(
+                    np.bincount(inv).astype(np.int64), pa.int64()
+                ),
+                "value_cents": pa.array(
+                    np.bincount(inv, weights=c.astype(np.float64)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .map_batches(_assign, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+SQL_RENDEZVOUS = f"""
+WITH nodes AS (
+  SELECT cast(unnest(range(0, {_HRW_NODES})) AS BIGINT) AS node),
+v AS (
+  SELECT e.event_id,
+         cast(round(e.value * 100, 0) AS BIGINT) AS c,
+         n.node,
+         (({_HRW_A0} + n.node * {_HRW_AS}) % {_HRW_P}) AS a,
+         ({_HRW_B0} + n.node * {_HRW_BS}) AS b,
+         ((e.user_id % {_HRW_P})
+          * (({_HRW_A0} + n.node * {_HRW_AS}) % {_HRW_P})
+          + {_HRW_B0} + n.node * {_HRW_BS}) % {_HRW_P} AS v1
+  FROM events e CROSS JOIN nodes n),
+w AS (
+  SELECT event_id, c, node, (v1 * a + b) % {_HRW_P} AS wt FROM v),
+a AS (
+  SELECT event_id, c, node,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY wt DESC, node) AS rk
+  FROM w)
+SELECT node, cast(count(*) AS BIGINT) AS n_events,
+       cast(sum(c) AS BIGINT) AS value_cents
+FROM a WHERE rk = 1 GROUP BY node
+"""
+
+
 QUERIES = {
     "upsert_snapshot": q_upsert_snapshot,
+    "rendezvous_assign": q_rendezvous_assign,
     "salt_plan": q_salt_plan,
     "ivm_join_delta": q_ivm_join_delta,
     "binary_source": q_binary_source,
@@ -1094,6 +1204,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "upsert_snapshot": SQL_UPSERT,
+    "rendezvous_assign": SQL_RENDEZVOUS,
     "salt_plan": SQL_SALT_PLAN,
     "ivm_join_delta": SQL_IVM_JOIN_DELTA,
     "binary_source": SQL_BINARY_SOURCE,
