@@ -108,6 +108,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "kanon_audit", "scd2_intervals", "transition_probs", "ewma_daily",
         "bootstrap_ci", "mutual_info", "survival_km", "emd_drift",
         "isotonic_daily", "llr_bigrams", "hits", "best_split",
+        "rrf_fusion", "stupid_backoff", "skipgram_pairs",
+        "dp_counts", "holt_linear", "rendezvous_assign",
     ]
     out: dict[str, float] = {}
     for name in names:
