@@ -3199,3 +3199,7 @@ from . import fitting as _fitting  # noqa: E402,F401
 # round-3 retrieval / LM-curation family (reciprocal-rank fusion,
 # Stupid-Backoff held-out scoring, skip-gram pair generation).
 from . import retrieval as _retrieval  # noqa: E402,F401
+
+# round-3 membership/cardinality sketches made hash-exact (HyperLogLog
+# registers + raw estimate, Bloom-filter semi-join pruning audit).
+from . import membership as _membership  # noqa: E402,F401
