@@ -3207,3 +3207,7 @@ from . import membership as _membership  # noqa: E402,F401
 # round-3 semiring path-relaxation family (weighted SSSP, widest path,
 # walk counting — one Bellman-Ford skeleton, three semirings).
 from . import paths as _paths  # noqa: E402,F401
+
+# round-3 product-analytics family (funnel, exact OLS trend, no-sort
+# ntile assignment, pivot crosstab, rollup grouping sets).
+from . import product as _product  # noqa: E402,F401
