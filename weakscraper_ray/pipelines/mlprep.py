@@ -1,0 +1,505 @@
+"""Round-3 continuation #13: ML-prep family — the label/feature
+hygiene passes that precede model training, each a ``queries()`` entry
+with a DuckDB oracle:
+
+- ``nb_classify``  held-out multinomial Naive Bayes (train on even
+                   ``doc_id``, classify odd) releasing the confusion
+                   matrix — the classifier-based curation filter
+                   (fastText-style lang/quality gating), calibrated
+                   sibling of the rule-based ``lang_id``
+- ``gini_stump``   histogram-based decision-stump split finding
+                   (the LightGBM/XGBoost "histogram" idiom: 64 bins,
+                   exact rational Gini comparison — no float argmax)
+- ``edit1_join``   Levenshtein<=1 self-join via FastSS deletion
+                   neighborhoods (Bocek et al. 2007) — candidate
+                   generation is LOSSLESS, verification exact
+
+Exactness strategy (repo conventions): every ln term e6-quantized
+via ``_i64_away_np(…, 1e6)`` before integer summation (the
+``stupid_backoff`` idiom, retrieval.py:190); Gini split candidates
+compared by HUGEINT cross-multiplication on BOTH engines, never by a
+float score; the edit-join name column is DERIVED deterministically
+from ``doc_id`` (base-5 letter encoding + occasional truncation for
+indel pairs) because the synthetic corpus has a 31-word vocabulary
+with no natural typos — the derivation is mirrored verbatim in SQL,
+same precedent as the derived citation graph (graph.py header).
+
+Scale shapes: NB's model is the vocabulary×|langs| count grid —
+trained with one bounded exchange, broadcast once via ``ray.put``,
+scoring is a single streaming map (vectorized bincount per lang, no
+per-token Python); the stump reduces the stream to 64×2 bin counts
+before its only exchange; the edit join's blocking keys fan out
+len+1 per name, buckets are bounded by the neighborhood structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .analytics import _WS
+from .relational import _i64_away_np, _read
+
+# ---------------------------------------------------------- NB traits
+
+def _doc_token_runs(batch: pa.Table):
+    """(ids, flat tokens, offsets) for per-doc vectorized scoring —
+    whitespace tokenization identical to the SQL ``\\S+`` extract."""
+    ids = batch.column("doc_id").to_numpy()
+    toks = pc.split_pattern_regex(batch.column("text"), pattern=_WS)
+    counts = pc.list_value_length(toks).fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    doc_of = np.repeat(np.arange(len(ids)), counts)[keep]
+    return ids, flat[keep], doc_of
+
+
+def q_nb_classify(sf_dir: str):
+    """Held-out multinomial Naive Bayes over document tokens
+    predicting ``lang``: add-one likelihoods and document priors
+    trained on the even-``doc_id`` half, odd half classified, output
+    the (lang, pred_lang, n) confusion matrix.  Every log term is
+    e6-quantized before the integer per-document sum, argmax ties
+    break to the lexicographically smallest lang — both rules
+    mirrored in SQL, so the entire classifier decision is hash-exact.
+
+    Shape: ONE vocabulary×|langs|-bounded count exchange + one
+    |langs|-bounded prior exchange train the model; the model matrix
+    broadcasts once via ``ray.put``; scoring is a single streaming
+    map (token→row lookup + one bincount per lang)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _even_terms(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0))
+        _, flat, doc_of = _doc_token_runs(t)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)[doc_of]
+        df = pd.DataFrame({"lang": lang, "term": flat})
+        g = df.groupby(["lang", "term"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"]),
+                "term": pa.array(g["term"]),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def _even_docs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0))
+        vc = pc.value_counts(t.column("lang").combine_chunks())
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "nd": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    tc = (
+        ds.map_batches(_even_terms, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: vocabulary x |langs|
+    )
+    pr = (
+        ds.map_batches(_even_docs, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .to_pandas()
+        .sort_values("lang", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    langs = pr["lang"].to_numpy()
+    nd = pr["nd"].to_numpy(np.int64)
+    nd_tot = int(nd.sum())
+    lang_ix = {l: j for j, l in enumerate(langs)}
+    vocab = sorted(tc["term"].unique())
+    vix = {t: i for i, t in enumerate(vocab)}
+    v = len(vocab)
+    nt = np.zeros(len(langs), dtype=np.int64)  # train tokens per lang
+    cnt = np.zeros((v, len(langs)), dtype=np.int64)
+    for lang, term, n in tc.itertuples(index=False):
+        cnt[vix[term], lang_ix[lang]] = n
+    nt = cnt.sum(axis=0)
+    # logp[i, j] = qln6((cnt+1)/(N_j + V)); extra row v = unseen term
+    full = np.vstack([cnt, np.zeros((1, len(langs)), dtype=np.int64)])
+    logp = _i64_away_np(
+        np.log((full + 1.0) / (nt.astype(np.float64) + v)), 1e6
+    ).astype(np.int64)
+    prior = _i64_away_np(np.log(nd / float(nd_tot)), 1e6).astype(np.int64)
+    model_ref = ray.put((langs, vix, logp, prior))
+
+    def _classify(t: pa.Table) -> pa.Table:
+        langs, vix, logp, prior = ray.get(model_ref)
+        t = t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1))
+        ids, flat, doc_of = _doc_token_runs(t)
+        true_lang = t.column("lang").to_numpy(zero_copy_only=False)
+        tix = (
+            pd.Series(flat).map(vix).fillna(logp.shape[0] - 1).to_numpy(np.int64)
+        )
+        scores = np.tile(prior.astype(np.float64), (len(ids), 1))
+        for j in range(len(langs)):
+            # e6 ints << 2^53: float bincount accumulation is exact
+            scores[:, j] += np.bincount(
+                doc_of, weights=logp[tix, j].astype(np.float64),
+                minlength=len(ids),
+            )
+        pred = langs[np.argmax(scores, axis=1)]  # first max = min lang
+        df = (
+            pd.DataFrame({"lang": true_lang, "pred_lang": pred})
+            .groupby(["lang", "pred_lang"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"]),
+                "pred_lang": pa.array(df["pred_lang"]),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(_classify, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_NB_CLASSIFY = r"""
+WITH l AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(regexp_replace(coalesce(text, ''),
+                                           '^\s+|\s+$', '', 'g'),
+                            '\S+') AS toks
+  FROM documents),
+tr AS (SELECT lang, unnest(toks) AS term FROM l WHERE doc_id % 2 = 0),
+tc AS (SELECT lang, term, cast(count(*) AS BIGINT) AS n
+       FROM tr GROUP BY lang, term),
+nl AS (SELECT lang, cast(count(*) AS BIGINT) AS nt FROM tr GROUP BY lang),
+vv AS (SELECT cast(count(DISTINCT term) AS BIGINT) AS v FROM tr),
+pr AS (SELECT lang, cast(count(*) AS BIGINT) AS nd
+       FROM l WHERE doc_id % 2 = 0 GROUP BY lang),
+pt AS (SELECT cast(count(*) AS BIGINT) AS nd FROM l WHERE doc_id % 2 = 0),
+odd AS (SELECT doc_id, lang AS true_lang, toks FROM l WHERE doc_id % 2 = 1),
+occ AS (SELECT doc_id, unnest(toks) AS term FROM odd),
+term_s AS (
+  SELECT occ.doc_id, nl.lang,
+         cast(round(ln((cast(coalesce(tc.n, 0) AS DOUBLE) + 1.0)
+                       / (cast(nl.nt AS DOUBLE) + vv.v)) * 1000000, 0)
+              AS BIGINT) AS s_e6
+  FROM occ CROSS JOIN nl CROSS JOIN vv
+  LEFT JOIN tc ON tc.lang = nl.lang AND tc.term = occ.term),
+dsum AS (SELECT doc_id, lang, cast(sum(s_e6) AS BIGINT) AS s
+         FROM term_s GROUP BY doc_id, lang),
+score AS (
+  SELECT o.doc_id, o.true_lang, pr.lang,
+         cast(round(ln(cast(pr.nd AS DOUBLE) / pt.nd) * 1000000, 0)
+              AS BIGINT) + coalesce(dsum.s, 0) AS s
+  FROM odd o CROSS JOIN pr CROSS JOIN pt
+  LEFT JOIN dsum ON dsum.doc_id = o.doc_id AND dsum.lang = pr.lang),
+pick AS (
+  SELECT doc_id, true_lang, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, lang) AS r
+  FROM score)
+SELECT true_lang AS lang, pred_lang, cast(count(*) AS BIGINT) AS n
+FROM pick WHERE r = 1 GROUP BY true_lang, pred_lang
+"""
+
+
+# -------------------------------------------------------------- stump
+
+_STUMP_BINS = 64
+
+
+def q_gini_stump(sf_dir: str):
+    """Histogram-based decision-stump training: best binary split of
+    ``is_purchase`` on event value cents, candidates at the 63
+    equal-width bin edges (the published histogram split-finding
+    idiom — LightGBM/XGBoost 'hist').  The split objective
+    maximizes SL²/nL + SR²/nR (equivalent to minimizing weighted
+    Gini); candidates are compared by EXACT integer
+    cross-multiplication (Python bigints here, HUGEINT in the
+    mirror), ties to the smallest edge — no float argmax anywhere.
+
+    Shape: one streaming pass reduces the stream to 64 (bin, pos,
+    neg) partials; the candidate fold is a 63-row driver loop."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = _i64_away_np(
+            t.column("value").to_numpy(zero_copy_only=False), 100.0
+        )
+        y = (
+            t.column("event_type").to_numpy(zero_copy_only=False)
+            == "purchase"
+        ).astype(np.int64)
+        return pa.table({"v": pa.array(v), "y": pa.array(y)})
+
+    cents = ds.map_batches(_cents, batch_format="pyarrow").materialize()
+    bounds = cents.aggregate(Min("v"), Max("v"))
+    vmin, vmax = int(bounds["min(v)"]), int(bounds["max(v)"])
+    width = vmax - vmin + 1
+
+    def _bin_counts(t: pa.Table, vmin=vmin, width=width) -> pa.Table:
+        v = t.column("v").to_numpy()
+        y = t.column("y").to_numpy()
+        b = (v - vmin) * _STUMP_BINS // width
+        pos = np.bincount(b, weights=y.astype(np.float64),
+                          minlength=_STUMP_BINS).astype(np.int64)
+        tot = np.bincount(b, minlength=_STUMP_BINS).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(_STUMP_BINS, dtype=np.int64)),
+                "pos": pa.array(pos),
+                "neg": pa.array(tot - pos),
+            }
+        )
+
+    g = (
+        cents.map_batches(_bin_counts, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+        .to_pandas()  # bounded: 64 rows
+        .sort_values("bin", kind="mergesort")
+    )
+    pos = np.zeros(_STUMP_BINS, dtype=np.int64)
+    neg = np.zeros(_STUMP_BINS, dtype=np.int64)
+    pos[g["bin"].to_numpy(np.int64)] = g["pos"].to_numpy(np.int64)
+    neg[g["bin"].to_numpy(np.int64)] = g["neg"].to_numpy(np.int64)
+    tp, tn = int(pos.sum()), int(neg.sum())
+    cp, cn = np.cumsum(pos), np.cumsum(neg)
+
+    best = None  # (num, den, k) under exact rational comparison
+    for k in range(1, _STUMP_BINS):
+        pl, ngl = int(cp[k - 1]), int(cn[k - 1])
+        nl = pl + ngl
+        pr_, ngr = tp - pl, tn - ngl
+        nr = pr_ + ngr
+        if nl == 0 or nr == 0:
+            continue
+        num = (pl * pl + ngl * ngl) * nr + (pr_ * pr_ + ngr * ngr) * nl
+        den = nl * nr
+        if best is None or num * best[1] > best[0] * den:
+            best = (num, den, k, nl, nr, pl, pr_)
+    num, den, k, nl, nr, pl, pr_ = best
+    thr = vmin + (k * width + _STUMP_BINS - 1) // _STUMP_BINS
+    return pa.table(
+        {
+            "split_bin": pa.array([k], pa.int64()),
+            "thr_cents": pa.array([thr], pa.int64()),
+            "n_left": pa.array([nl], pa.int64()),
+            "n_right": pa.array([nr], pa.int64()),
+            "pos_left": pa.array([pl], pa.int64()),
+            "pos_right": pa.array([pr_], pa.int64()),
+        }
+    )
+
+
+SQL_GINI_STUMP = f"""
+WITH c AS (
+  SELECT cast(round(value * 100, 0) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+b AS (SELECT min(v) AS vmin, max(v) AS vmax,
+             max(v) - min(v) + 1 AS w FROM c),
+g AS (SELECT ((v - vmin) * {_STUMP_BINS}) // w AS bin,
+             cast(sum(y) AS BIGINT) AS pos,
+             cast(count(*) - sum(y) AS BIGINT) AS neg
+      FROM c, b GROUP BY bin),
+tot AS (SELECT cast(sum(pos) AS BIGINT) AS tp,
+               cast(sum(neg) AS BIGINT) AS tn FROM g),
+cand AS (
+  SELECT k.k,
+         cast(coalesce(sum(g.pos) FILTER (WHERE g.bin < k.k), 0) AS BIGINT) AS pl,
+         cast(coalesce(sum(g.neg) FILTER (WHERE g.bin < k.k), 0) AS BIGINT) AS ngl
+  FROM range(1, {_STUMP_BINS}) k(k) LEFT JOIN g ON true
+  GROUP BY k.k),
+scored AS (
+  SELECT k, pl, ngl,
+         pl + ngl AS nl,
+         (tot.tp - pl) AS pr, (tot.tn - ngl) AS ngr,
+         (tot.tp - pl) + (tot.tn - ngl) AS nr,
+         (cast(pl AS HUGEINT) * pl + cast(ngl AS HUGEINT) * ngl)
+             * ((tot.tp - pl) + (tot.tn - ngl))
+         + (cast(tot.tp - pl AS HUGEINT) * (tot.tp - pl)
+            + cast(tot.tn - ngl AS HUGEINT) * (tot.tn - ngl))
+             * (pl + ngl) AS num,
+         cast(pl + ngl AS HUGEINT)
+             * ((tot.tp - pl) + (tot.tn - ngl)) AS den
+  FROM cand, tot
+  WHERE pl + ngl > 0 AND (tot.tp - pl) + (tot.tn - ngl) > 0)
+SELECT s1.k AS split_bin,
+       (SELECT vmin + (s1.k * w + {_STUMP_BINS} - 1) // {_STUMP_BINS}
+        FROM b) AS thr_cents,
+       s1.nl AS n_left, s1.nr AS n_right,
+       s1.pl AS pos_left, s1.pr AS pos_right
+FROM scored s1
+WHERE NOT EXISTS (
+  SELECT 1 FROM scored s2
+  WHERE s2.num * s1.den > s1.num * s2.den
+     OR (s2.num * s1.den = s1.num * s2.den AND s2.k < s1.k))
+"""
+
+
+# ---------------------------------------------------------- edit join
+
+#: derived-name parameters: 6 base-5 letters of a doc_id hash (a..e),
+#: truncated to 5 when h % 7 == 0 so indel (not just substitution)
+#: pairs occur; mirrored verbatim in SQL.
+_E1_KNUTH = 2654435761
+_E1_LEN = 6
+_E1_ALPHA = 5
+
+
+def _names_from_ids(ids: np.ndarray) -> np.ndarray:
+    h = (ids.astype(np.int64) * _E1_KNUTH) % (_E1_ALPHA ** _E1_LEN)
+    digits = np.empty((len(ids), _E1_LEN), dtype=np.int64)
+    hh = h.copy()
+    for i in range(_E1_LEN):
+        digits[:, i] = hh % _E1_ALPHA
+        hh //= _E1_ALPHA
+    chars = (digits + 97).astype(np.uint8)
+    names = chars.view(f"S{_E1_LEN}").ravel().astype(str)
+    trunc = (h % 7) == 0
+    out = names.astype(object)
+    out[trunc] = [s[: _E1_LEN - 1] for s in names[trunc]]
+    return out
+
+
+def _edit1(a: str, b: str) -> bool:
+    """exact Levenshtein == 1 for candidate pairs (|len diff| <= 1)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def q_edit1_join(sf_dir: str):
+    """Levenshtein<=1 self-join over the derived username column via
+    FastSS deletion-neighborhood blocking (Bocek et al. 2007): each
+    distinct name keys itself plus its |name| single-deletion
+    variants; any pair at edit distance 1 shares at least one key
+    (substitution → the deletion at the differing position;
+    indel → the shorter string itself), so candidate generation is
+    LOSSLESS; pairs verify with an exact distance check and dedupe
+    across buckets with one groupby-first.  Output (name_a, name_b),
+    name_a < name_b.
+
+    Shape: distinct-name reduction → (len+1)-fold key fan-out →
+    bucket ``map_groups`` (buckets bounded by the neighborhood
+    structure: alphabet x length, not corpus size) → pair dedupe
+    exchange.  The oracle cross-joins the bounded distinct-name set
+    with ``levenshtein()`` — the engine never does."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _names(t: pa.Table) -> pa.Table:
+        names = np.unique(
+            _names_from_ids(t.column("doc_id").to_numpy()).astype(str)
+        )
+        return pa.table({"name": pa.array(names)})
+
+    distinct = (
+        ds.map_batches(_names, batch_format="pyarrow")
+        .groupby("name")
+        .count()
+        .select_columns(["name"])
+    )
+
+    def _keys(t: pa.Table) -> pa.Table:
+        ks, ns = [], []
+        for name in t.column("name").to_pylist():
+            ks.append(name)
+            ns.append(name)
+            for i in range(len(name)):
+                ks.append(name[:i] + name[i + 1 :])
+                ns.append(name)
+        return pa.table({"key": pa.array(ks), "name": pa.array(ns)})
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(set(g["name"]))
+        a_out, b_out = [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                if _edit1(names[i], names[j]):
+                    a_out.append(names[i])
+                    b_out.append(names[j])
+        # "string" dtype keeps the Arrow schema stable on empty buckets
+        return pd.DataFrame(
+            {
+                "name_a": pd.Series(a_out, dtype="string"),
+                "name_b": pd.Series(b_out, dtype="string"),
+            }
+        )
+
+    pairs = (
+        distinct.map_batches(_keys, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    )
+    # dedupe identical pairs found via multiple shared keys
+    return (
+        pairs.groupby(["name_a", "name_b"])
+        .aggregate(Count(alias_name="_k"))
+        .select_columns(["name_a", "name_b"])
+    )
+
+
+def _sql_name_expr() -> str:
+    chars = " || ".join(
+        f"chr(97 + cast((h // {_E1_ALPHA ** i}) % {_E1_ALPHA} AS INTEGER))"
+        for i in range(_E1_LEN)
+    )
+    return f"""
+WITH h0 AS (SELECT (doc_id * {_E1_KNUTH}) % {_E1_ALPHA ** _E1_LEN} AS h
+            FROM documents),
+nm0 AS (SELECT h, {chars} AS full_name FROM h0),
+nm AS (SELECT DISTINCT CASE WHEN h % 7 = 0
+                            THEN substr(full_name, 1, {_E1_LEN - 1})
+                            ELSE full_name END AS name
+       FROM nm0)
+"""
+
+
+SQL_EDIT1_JOIN = (
+    _sql_name_expr()
+    + """
+SELECT a.name AS name_a, b.name AS name_b
+FROM nm a JOIN nm b
+  ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+"""
+)
+
+
+QUERIES = {
+    "nb_classify": q_nb_classify,
+    "gini_stump": q_gini_stump,
+    "edit1_join": q_edit1_join,
+}
+
+ORACLE_SQL = {
+    "nb_classify": SQL_NB_CLASSIFY,
+    "gini_stump": SQL_GINI_STUMP,
+    "edit1_join": SQL_EDIT1_JOIN,
+}
+
+# self-register (same pattern as monitor.py)
+from . import relational as _rel  # noqa: E402
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

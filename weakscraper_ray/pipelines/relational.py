@@ -3211,3 +3211,7 @@ from . import paths as _paths  # noqa: E402,F401
 # round-3 product-analytics family (funnel, exact OLS trend, no-sort
 # ntile assignment, pivot crosstab, rollup grouping sets).
 from . import product as _product  # noqa: E402,F401
+
+# round-3 ML-prep family (held-out Naive Bayes confusion matrix,
+# histogram Gini stump, FastSS edit-distance-1 join).
+from . import mlprep as _mlprep  # noqa: E402,F401
