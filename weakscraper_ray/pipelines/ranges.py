@@ -1,0 +1,232 @@
+"""Round-3 continuation #13: range / spatial-locality family — the
+two range-query mechanisms a lakehouse layout engine needs, each a
+``queries()`` entry with a DuckDB oracle:
+
+- ``zorder_cells``      Morton (Z-order) curve indexing of a derived
+                        2-D point set + a rectangle count per coarse
+                        cell — the data-skipping layout idiom
+                        (Delta/Iceberg Z-ORDER clustering)
+- ``interval_overlap``  per-user count of overlapping activity
+                        intervals — the interval self-join, resolved
+                        with a sort-sweep identity instead of the
+                        quadratic join the oracle runs
+
+Exactness: Z-order bit interleaving is pure integer arithmetic
+(each output bit an explicit shift-and-mask term, generated
+identically into the SQL string); interval endpoints are int64
+microseconds with a CONSTANT duration, which turns the overlap count
+into an order-statistics identity (see ``q_interval_overlap``) —
+no float, no RNG.
+
+Scale shapes: zorder is map-only plus one exchange bounded by the
+coarse-cell count (2^12); interval_overlap shards by ``user_id % 256``
+and does ONE vectorized segment-searchsorted per shard — the pair set
+itself never materializes anywhere (the oracle's self-join is the
+thing the operator avoids).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _read
+
+# ------------------------------------------------------------ Z-order
+
+#: 2-D derived coordinates: 10 bits each from two multiplicative
+#: hashes of event_id (the graph.py derived-input precedent).
+_Z_BITS = 10
+_Z_SIDE = 1 << _Z_BITS
+_Z_KX = 2654435761  # Knuth multiplicative constants (public, TAOCP)
+_Z_KY = 2246822519
+#: coarse cell = z >> 8 (4096 cells); rectangle under audit
+_Z_CELL_SHIFT = 8
+_Z_RECT = (128, 383, 256, 767)  # x1, x2, y1, y2 inclusive
+
+
+def _morton_expr_sql(xe: str, ye: str) -> str:
+    """SQL for bit-interleave(x, y) — one explicit term per bit."""
+    terms = []
+    for i in range(_Z_BITS):
+        # every term fully parenthesized: DuckDB's `+` binds tighter
+        # than `<<`, so a bare chain of `a << k + b << k2` misparses
+        terms.append(f"(((({xe}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({ye}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _morton_np(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    z = np.zeros(len(x), dtype=np.int64)
+    for i in range(_Z_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def q_zorder_cells(sf_dir: str):
+    """Z-order (Morton) clustering audit: derive a 2-D point per event
+    (x, y = two multiplicative hashes of ``event_id`` mod 1024),
+    interleave bits into the Morton code, and report per COARSE CELL
+    (z >> 8) the point count and how many of those points fall inside
+    the audit rectangle — exactly the min/max-pruning statistics a
+    Z-ordered layout keeps per file.  The locality property under
+    audit: a rectangle touches few coarse cells, so ``n_rect > 0``
+    rows are sparse.
+
+    Shape: map-only code computation; one exchange bounded by the
+    4096-cell grid, never by the point count."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    x1, x2, y1, y2 = _Z_RECT
+
+    def _cells(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        x = (eid * _Z_KX) % _Z_SIDE
+        y = (eid * _Z_KY) % _Z_SIDE
+        z = _morton_np(x, y)
+        cell = z >> _Z_CELL_SHIFT
+        in_rect = ((x >= x1) & (x <= x2) & (y >= y1) & (y <= y2)).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"cell": cell, "r": in_rect})
+        g = df.groupby("cell", sort=False).agg(
+            n=("r", "size"), n_rect=("r", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "cell": pa.array(g["cell"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "n_rect": pa.array(g["n_rect"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_rect", alias_name="n_rect"))
+    )
+
+
+SQL_ZORDER = f"""
+WITH p AS (
+  SELECT (event_id * {_Z_KX}) % {_Z_SIDE} AS x,
+         (event_id * {_Z_KY}) % {_Z_SIDE} AS y
+  FROM events),
+z AS (SELECT ({_morton_expr_sql('x', 'y')}) AS z,
+             CASE WHEN x BETWEEN {_Z_RECT[0]} AND {_Z_RECT[1]}
+                   AND y BETWEEN {_Z_RECT[2]} AND {_Z_RECT[3]}
+                  THEN 1 ELSE 0 END AS r
+      FROM p)
+SELECT z >> {_Z_CELL_SHIFT} AS cell,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(r) AS BIGINT) AS n_rect
+FROM z GROUP BY cell
+"""
+
+
+# --------------------------------------------------------- intervals
+
+#: constant activity-interval duration (microseconds): 30 min
+_IV_DUR_US = 1_800_000_000
+
+
+def q_interval_overlap(sf_dir: str):
+    """Per-user count of OVERLAPPING activity-interval pairs, where
+    each event opens the interval [ts, ts + 30 min) — the interval
+    self-join.  Because the duration is constant, interval ends are
+    sorted whenever starts are, and the overlap count collapses to an
+    order-statistics identity: with per-user starts sorted
+    (s_1 <= ... <= s_k),
+
+        n_overlap = sum_j ( j-1  -  #{i : s_i <= s_j - D} )
+
+    (every earlier interval overlaps j unless it started at least D
+    before).  One vectorized ``searchsorted`` per shard computes the
+    whole sum — the pair set NEVER materializes, while the oracle
+    runs the literal quadratic self-join with the lexicographic
+    (ts, event_id) pair-ordering rule mirrored exactly.
+
+    Shape: shard by ``user_id % 256``; per-shard one sort + one
+    segment-offset searchsorted (users separated by a +shard*2^44
+    offset so a single call serves every user in the shard)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        u = t.column("user_id")
+        return t.append_column(
+            "shard",
+            pc.bit_wise_and(pc.cast(u, pa.int64()), pa.scalar(255)),
+        )
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        # normalize to int64 MICROSECONDS explicitly (pandas may hand
+        # the batch over as datetime64[us] or [ns] depending on version)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dur = _IV_DUR_US
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid, us = uid[order], us[order]
+        # offset each user's timeline into a disjoint range so ONE
+        # searchsorted call handles every segment in the shard
+        _, seg = np.unique(uid, return_inverse=True)
+        # 2^52 us >> the 30-day data span + duration, and
+        # 256 * 2^52 < 2^63, so segments stay disjoint without overflow
+        # and key_j - dur still clears every previous segment's keys.
+        base = seg.astype(np.int64) << 52
+        key = base + (us - us.min())
+        cnt_leq = np.searchsorted(key, base + (us - us.min()) - dur,
+                                  side="right")
+        seg_start = np.concatenate(([0], np.flatnonzero(np.diff(seg)) + 1))
+        j_local = np.arange(len(us)) - seg_start[seg]
+        n_olap = j_local - (cnt_leq - seg_start[seg])
+        df = pd.DataFrame({"user_id": uid, "n": n_olap})
+        out = df.groupby("user_id", sort=False)["n"].sum().reset_index()
+        out = out[out["n"] > 0]
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "n_overlaps": out["n"].to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(_key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_count, batch_format="pandas")
+    )
+    return out
+
+
+SQL_INTERVAL_OVERLAP = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+SELECT a.user_id, cast(count(*) AS BIGINT) AS n_overlaps
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+ AND a.us + {_IV_DUR_US} > b.us
+GROUP BY a.user_id
+"""
+
+
+QUERIES = {
+    "zorder_cells": q_zorder_cells,
+    "interval_overlap": q_interval_overlap,
+}
+
+ORACLE_SQL = {
+    "zorder_cells": SQL_ZORDER,
+    "interval_overlap": SQL_INTERVAL_OVERLAP,
+}
+
+# self-register (same pattern as monitor.py)
+from . import relational as _rel  # noqa: E402
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

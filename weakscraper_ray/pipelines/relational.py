@@ -3215,3 +3215,7 @@ from . import product as _product  # noqa: E402,F401
 # round-3 ML-prep family (held-out Naive Bayes confusion matrix,
 # histogram Gini stump, FastSS edit-distance-1 join).
 from . import mlprep as _mlprep  # noqa: E402,F401
+
+# round-3 range / spatial-locality family (Z-order cells, interval
+# overlap via sort-sweep identity).
+from . import ranges as _ranges  # noqa: E402,F401
