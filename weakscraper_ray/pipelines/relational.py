@@ -3219,3 +3219,7 @@ from . import mlprep as _mlprep  # noqa: E402,F401
 # round-3 range / spatial-locality family (Z-order cells, interval
 # overlap via sort-sweep identity).
 from . import ranges as _ranges  # noqa: E402,F401
+
+# round-3 engagement / stream-hygiene family (cohort retention,
+# integer recency decay, watermark late-arrival audit).
+from . import engagement as _engagement  # noqa: E402,F401
