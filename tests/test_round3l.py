@@ -22,6 +22,21 @@ from weakscraper_ray.pipelines.mlprep import _edit1, _names_from_ids
 from weakscraper_ray.pipelines.ranges import _morton_np, _Z_BITS
 
 
+def test_paths_constants_match_graph():
+    """paths.py duplicates graph.py's derived-graph literals (to stay
+    import-cycle-free on workers); they must never drift."""
+    from weakscraper_ray.pipelines import graph as G
+    from weakscraper_ray.pipelines import paths as P
+
+    assert P._KNUTH == G._PR_KNUTH
+    assert P._OUTDEG == G._PR_OUTDEG
+    assert P._MASS == G._PR_MASS
+    assert (P._DAMP_NUM, P._DAMP_DEN) == (G._PR_DAMP_NUM, G._PR_DAMP_DEN)
+    src = np.arange(17, dtype=np.int64)
+    for a, b in zip(P._dsts(src, 601), G._derived_dsts(src, 601)):
+        assert (a == b).all()
+
+
 def test_md5_u64_known_value():
     # must equal DuckDB md5_number_lower (probed live in round 2)
     assert _md5_u64("12345") == int.from_bytes(

@@ -32,9 +32,27 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .graph import _PR_KNUTH, _PR_OUTDEG, _derived_dsts
 from .relational import _read
+
+# Derived-graph parameters, numerically identical to graph.py's
+# _PR_KNUTH/_PR_OUTDEG/_PR_MASS/_PR_DAMP_* (pinned equal by
+# tests/test_round3l.py).  Duplicated as literals instead of imported:
+# graph.py imports relational BEFORE defining them, so a module-level
+# `from .graph import ...` here deadlocks when a WORKER unpickles a
+# paths closure first (graph is then mid-import, names unbound).
+_KNUTH = 2654435761
+_OUTDEG = 3
+_MASS = 10**12
+_DAMP_NUM, _DAMP_DEN = 17, 20
+
+
+def _dsts(src: np.ndarray, n: int) -> list[np.ndarray]:
+    # out-neighbours under the modular citation rule (== graph.py
+    # _derived_dsts)
+    return [(src * _KNUTH + j) % n for j in range(1, _OUTDEG + 1)]
+
 
 _SEED_MOD = 97
 _ROUNDS = 3
@@ -76,7 +94,7 @@ def _relax(sf_dir: str, combine: str, init_val: int, step):
     def _expand(t: pa.Table, n=n) -> pa.Table:
         src = t.column("node").to_numpy()
         val = t.column("val").to_numpy()
-        dsts = _derived_dsts(src, n)
+        dsts = _dsts(src, n)
         nodes, vals = [], []
         for d in dsts:
             nodes.append(d)
@@ -144,7 +162,7 @@ def q_walk_counts(sf_dir: str):
     def _expand(t: pa.Table, n=n) -> pa.Table:
         src = t.column("node").to_numpy()
         val = t.column("val").to_numpy()
-        dsts = _derived_dsts(src, n)
+        dsts = _dsts(src, n)
         return pa.table(
             {
                 "node": pa.array(np.concatenate(dsts), pa.int64()),
@@ -170,6 +188,134 @@ def q_walk_counts(sf_dir: str):
     )
 
 
+def q_ppr_seeded(sf_dir: str):
+    """Personalized PageRank (topic-sensitive PageRank, Haveliwala
+    2002): the damped-walk stationary mass when EVERY teleport returns
+    to the seed set (doc_id % 97 == 0) instead of the uniform vector —
+    the seed-proximity score crawl curation uses to rank pages near
+    trusted seeds.  Same integer scheme as ``pagerank``
+    (graph.py:71 — mass 1e12, d = 17/20, per-edge ``(r*17)//60``),
+    3 unrolled iterations; teleport is an arithmetic function of
+    doc_id, so no seed table ships with the tasks.  One exchange per
+    iteration; all-integer → partitioning-independent and hash-exact
+    vs the chained-CTE mirror."""
+    from ray.data.aggregate import Sum
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()
+
+    def _nseeds(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table(
+            {"k": pa.array([int((ids % _SEED_MOD == 0).sum())], pa.int64())}
+        )
+
+    ns = int(
+        ds0.map_batches(_nseeds, batch_format="pyarrow").sum("k")
+    )
+    per_edge_den = _DAMP_DEN * _OUTDEG
+    tele = ((_DAMP_DEN - _DAMP_NUM) * _MASS) // (_DAMP_DEN * ns)
+    r0 = _MASS // ns
+
+    ranks = ds0.map_batches(
+        lambda t, r0=r0: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "rank": pa.array(
+                    np.where(
+                        t.column("doc_id").to_numpy() % _SEED_MOD == 0, r0, 0
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _contrib(t: pa.Table, n=n, den=per_edge_den) -> pa.Table:
+        src = t.column("doc_id").to_numpy()
+        rk = t.column("rank").to_numpy()
+        c = (rk * _DAMP_NUM) // den
+        dsts = _dsts(src, n)
+        doc = np.concatenate([src] + dsts)
+        val = np.concatenate(
+            [np.zeros(len(src), dtype=np.int64)] + [c] * len(dsts)
+        )
+        out = pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "contrib": pa.array(val, pa.int64()),
+            }
+        )
+        return (
+            out.group_by("doc_id")
+            .aggregate([("contrib", "sum")])
+            .rename_columns(["doc_id", "contrib"])
+        )
+
+    def _finalize(t: pa.Table, tele=tele) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        base = np.where(ids % _SEED_MOD == 0, tele, 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "rank": pa.array(
+                    base
+                    + pc.cast(t.column("sum(contrib)"), pa.int64()).to_numpy()
+                ),
+            }
+        )
+
+    for _ in range(_ROUNDS):
+        ranks = (
+            ranks.map_batches(_contrib, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("contrib"))
+            .map_batches(_finalize, batch_format="pyarrow")
+        )
+    return ranks.map_batches(
+        lambda t: t.rename_columns(["doc_id", "ppr_e12"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_ppr() -> str:
+    per_edge_den = _DAMP_DEN * _OUTDEG
+    tele_expr = (
+        f"(CASE WHEN n.doc_id % {_SEED_MOD} = 0 THEN "
+        f"{(_DAMP_DEN - _DAMP_NUM) * _MASS}"
+        f" // ({_DAMP_DEN} * ns.k) ELSE 0 END)"
+    )
+    ctes = [
+        "nodes AS (SELECT doc_id FROM documents)",
+        "p AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes)",
+        f"ns AS (SELECT cast(count(*) AS BIGINT) AS k FROM nodes"
+        f" WHERE doc_id % {_SEED_MOD} = 0)",
+        f"edges AS (SELECT n.doc_id AS src,"
+        f" (n.doc_id * {_KNUTH} + j.j) % p.n AS dst"
+        f" FROM nodes n, p, range(1, {_OUTDEG + 1}) j(j))",
+        f"r0 AS (SELECT doc_id, CASE WHEN doc_id % {_SEED_MOD} = 0"
+        f" THEN {_MASS} // ns.k ELSE 0 END AS pr FROM nodes, ns)",
+    ]
+    prev = "r0"
+    for i in range(1, _ROUNDS + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS doc_id,"
+            f" sum((r.pr * {_DAMP_NUM}) // {per_edge_den}) AS s"
+            f" FROM edges e JOIN {prev} r ON r.doc_id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.doc_id,"
+            f" cast({tele_expr} + coalesce(s.s, 0) AS BIGINT) AS pr"
+            f" FROM nodes n CROSS JOIN ns LEFT JOIN s{i} s USING (doc_id))"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, pr AS ppr_e12 FROM {prev}"
+    )
+
+
 def _walks_cte() -> str:
     """shared unrolled-walk CTE prefix: the weighted edge set and the
     per-round relaxation tables d0..d3 carrying (node, dist, band)."""
@@ -178,8 +324,8 @@ WITH nodes AS (SELECT doc_id FROM documents),
 p AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes),
 e AS (SELECT src, dst, 1 + (src + dst) % 7 AS w
       FROM (SELECT n.doc_id AS src,
-                   (n.doc_id * {_PR_KNUTH} + j.j) % p.n AS dst
-            FROM nodes n, p, range(1, {_PR_OUTDEG + 1}) j(j))),
+                   (n.doc_id * {_KNUTH} + j.j) % p.n AS dst
+            FROM nodes n, p, range(1, {_OUTDEG + 1}) j(j))),
 d0 AS (SELECT doc_id AS node, cast(0 AS BIGINT) AS dist,
               cast({_WIDEST_INF} AS BIGINT) AS band
        FROM nodes WHERE doc_id % {_SEED_MOD} = 0),
@@ -218,12 +364,14 @@ QUERIES = {
     "sssp_weighted": q_sssp_weighted,
     "widest_path": q_widest_path,
     "walk_counts": q_walk_counts,
+    "ppr_seeded": q_ppr_seeded,
 }
 
 ORACLE_SQL = {
     "sssp_weighted": SQL_SSSP,
     "widest_path": SQL_WIDEST,
     "walk_counts": SQL_WALK_COUNTS,
+    "ppr_seeded": _sql_ppr(),
 }
 
 # self-register (same pattern as graph.py)

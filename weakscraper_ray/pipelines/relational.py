@@ -3223,3 +3223,11 @@ from . import ranges as _ranges  # noqa: E402,F401
 # round-3 engagement / stream-hygiene family (cohort retention,
 # integer recency decay, watermark late-arrival audit).
 from . import engagement as _engagement  # noqa: E402,F401
+
+# round-3 activity-inequality family (Gini via the value-census rank
+# identity, Theil entropy index, Herfindahl concentration).
+from . import inequality as _inequality  # noqa: E402,F401
+
+# round-3 term-weighting / sampling family (TF-IDF top terms,
+# deterministic stratified downsample).
+from . import weighting as _weighting  # noqa: E402,F401
