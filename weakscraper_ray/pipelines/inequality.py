@@ -89,7 +89,15 @@ def q_gini_concentration(sf_dir: str):
     """Exact Gini coefficient of per-user event counts:
     G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), ranks by (x, user_id) —
     computed WITHOUT ranking via the equal-value run identity (module
-    docstring).  Output (n_users, gini_num, gini_den, gini_e6)."""
+    docstring).  Output (n_users, gini_num, gini_den, gini_e6).
+
+    Contrast ``key_skew`` (series.py:544), which computes the same G
+    by sorting the per-key count table ON THE DRIVER and explicitly
+    documents that its exact path needs the key cardinality to fit
+    there: this operator IS the unbounded-cardinality exact path it
+    points at — the driver fold here is over distinct activity
+    LEVELS (≲ max per-user count), not distinct keys, and the ratio
+    is released as an integer num/den instead of one double."""
     cen = _value_census(sf_dir)
     v = cen["v"].to_numpy(np.int64)
     c = cen["c"].to_numpy(np.int64)

@@ -1,29 +1,32 @@
 """Round-3 continuation #13: product-analytics family — the reporting
 pass a training-data/product pipeline runs over the event stream after
-ingestion.  Five operators, each a ``queries()`` entry with a DuckDB
+ingestion.  Three operators, each a ``queries()`` entry with a DuckDB
 oracle:
 
 - ``funnel_conversion``  ordered view→click→purchase funnel per user
 - ``ols_daily``          exact least-squares trend of daily revenue
                          (integer normal equations — num/den released)
-- ``ntile_assign``       decile bin assignment WITHOUT a global sort
-                         (selection-pass boundaries + broadcast compare)
-- ``pivot_wide``         event_type × weekday crosstab (wide output)
-- ``rollup_totals``      (lang, source) rollup — 3 grouping levels in
-                         one partial pass, '(all)' sentinel not NULL
+- ``decile_census``      GLOBAL decile bin census WITHOUT a global
+                         sort (selection-pass boundaries + broadcast
+                         compare) — contrast ``ntile_assign``
+                         (series.py:452), which assigns per-type
+                         quartiles inside a group sort, and
+                         ``equidepth_bins``, which emits only the
+                         boundaries: this one labels EVERY row against
+                         global boundaries and reduces to the 10-row
+                         census, the shape a 100 TB binning pass needs
 
 Exactness strategy (repo conventions): cents via ``_i64_away``
-(DuckDB round-half-away), day = ``epoch_us // 86400e6``, weekday as
-pure ``day % 7`` arithmetic on BOTH engines (no calendar API), OLS
+(DuckDB round-half-away), day = ``epoch_us // 86400e6``, OLS
 released as exact integer numerator/denominator plus a truncating
 ``slope_e6`` mirroring DuckDB's toward-zero ``//``.
 
 Scale shapes: funnel shards users (user_id % 256) and does per-shard
-vectorized merges, never a per-user Python loop; OLS and pivot reduce
-to bounded partials (days / type×7) before their single exchange;
-ntile reuses the two-pass selection helper (monitor.py:552) — the
-whole point is that decile assignment costs two scans + a 10-row
-exchange, not a sort.
+vectorized merges, never a per-user Python loop; OLS reduces to
+bounded (day, total) partials before its single exchange;
+the decile census reuses the two-pass selection helper
+(monitor.py:552) — the whole point is that global binning costs two
+scans + a 10-row exchange, not a sort.
 """
 
 from __future__ import annotations
@@ -207,7 +210,7 @@ FROM m
 
 # -------------------------------------------------------------- ntile
 
-def q_ntile_assign(sf_dir: str):
+def q_decile_census(sf_dir: str):
     """Decile assignment without a global sort: the nine equi-depth
     boundaries resolve via the two-pass selection helper
     (monitor.py:552 — histogram pass + probe pass), then ONE broadcast
@@ -246,7 +249,7 @@ def q_ntile_assign(sf_dir: str):
     return out.filter(expr="n > 0")
 
 
-SQL_NTILE = """
+SQL_DECILE_CENSUS = """
 WITH c AS (
   SELECT cast(round(value * 100, 0) AS BIGINT) AS v FROM events),
 t AS (SELECT cast(count(*) AS BIGINT) AS n FROM c),
@@ -260,149 +263,16 @@ FROM c GROUP BY bin HAVING count(*) > 0
 """
 
 
-# -------------------------------------------------------------- pivot
-
-def q_pivot_wide(sf_dir: str):
-    """event_type × weekday crosstab, WIDE output (wd0..wd6 columns) —
-    the pivot/unpivot surface.  Weekday = ``(epoch_us // day) % 7`` on
-    both engines (pure arithmetic; day 0 ≡ Thursday 1970-01-01 — a
-    label-free convention shared with the oracle, no calendar API
-    drift).  Per-batch (type, wd) partials → one ≤|types|×7 exchange →
-    driver pivot of the bounded grid."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "events", ["event_type", "ts"])
-
-    def _partial(t: pa.Table) -> pa.Table:
-        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-        wd = (us // _US_PER_DAY) % 7
-        df = pd.DataFrame(
-            {"event_type": t.column("event_type").to_numpy(zero_copy_only=False),
-             "wd": wd}
-        )
-        g = df.groupby(["event_type", "wd"], sort=False).size().reset_index(name="n")
-        return pa.table(
-            {
-                "event_type": pa.array(g["event_type"]),
-                "wd": pa.array(g["wd"].to_numpy(np.int64)),
-                "n": pa.array(g["n"].to_numpy(np.int64)),
-            }
-        )
-
-    grid = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["event_type", "wd"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # bounded: |types| x 7
-    )
-    wide = grid.pivot_table(
-        index="event_type", columns="wd", values="n", fill_value=0
-    ).astype(np.int64)
-    out = {"event_type": pa.array(wide.index.to_numpy())}
-    for w in range(7):
-        col = (
-            wide[w].to_numpy(np.int64)
-            if w in wide.columns
-            else np.zeros(len(wide), dtype=np.int64)
-        )
-        out[f"wd{w}"] = pa.array(col)
-    return pa.table(out)
-
-
-SQL_PIVOT = """
-SELECT event_type,
-""" + ",\n".join(
-    f"       cast(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 7 = {w}"
-    f" THEN 1 ELSE 0 END) AS BIGINT) AS wd{w}"
-    for w in range(7)
-) + """
-FROM events GROUP BY event_type
-"""
-
-
-# ------------------------------------------------------------- rollup
-
-def q_rollup_totals(sf_dir: str):
-    """(lang, source) ROLLUP over documents — per-pair, per-lang, and
-    grand totals in ONE partial pass (each batch emits all three
-    grouping levels, '(all)' as the sentinel so the output is
-    NULL-free and hash-comparable) followed by one bounded exchange.
-    The grouping-sets surface without the planner: at 100 TB this is
-    strictly one scan regardless of how many levels roll up."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
-
-    def _partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "lang": t.column("lang").to_numpy(zero_copy_only=False),
-                "source": t.column("source").to_numpy(zero_copy_only=False),
-                "n_chars": t.column("n_chars").to_numpy(zero_copy_only=False),
-            }
-        )
-        lvl2 = (
-            df.groupby(["lang", "source"], sort=False)
-            .agg(n=("n_chars", "size"), chars=("n_chars", "sum"))
-            .reset_index()
-        )
-        lvl1 = (
-            lvl2.groupby("lang", sort=False)
-            .agg(n=("n", "sum"), chars=("chars", "sum"))
-            .reset_index()
-        )
-        lvl1["source"] = "(all)"
-        lvl0 = pd.DataFrame(
-            {
-                "lang": ["(all)"],
-                "source": ["(all)"],
-                "n": [lvl1["n"].sum()],
-                "chars": [lvl1["chars"].sum()],
-            }
-        )
-        allv = pd.concat(
-            [lvl2, lvl1[["lang", "source", "n", "chars"]], lvl0],
-            ignore_index=True,
-        )
-        return pa.table(
-            {
-                "lang": pa.array(allv["lang"]),
-                "source": pa.array(allv["source"]),
-                "n": pa.array(allv["n"].to_numpy(np.int64)),
-                "chars": pa.array(allv["chars"].to_numpy(np.int64)),
-            }
-        )
-
-    return (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["lang", "source"])
-        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars"))
-    )
-
-
-SQL_ROLLUP = """
-SELECT coalesce(lang, '(all)') AS lang,
-       coalesce(source, '(all)') AS source,
-       cast(count(*) AS BIGINT) AS n,
-       cast(sum(n_chars) AS BIGINT) AS chars
-FROM documents GROUP BY ROLLUP (lang, source)
-"""
-
-
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "ols_daily": q_ols_daily,
-    "ntile_assign": q_ntile_assign,
-    "pivot_wide": q_pivot_wide,
-    "rollup_totals": q_rollup_totals,
+    "decile_census": q_decile_census,
 }
 
 ORACLE_SQL = {
     "funnel_conversion": SQL_FUNNEL,
     "ols_daily": SQL_OLS,
-    "ntile_assign": SQL_NTILE,
-    "pivot_wide": SQL_PIVOT,
-    "rollup_totals": SQL_ROLLUP,
+    "decile_census": SQL_DECILE_CENSUS,
 }
 
 # self-register (same pattern as monitor.py)

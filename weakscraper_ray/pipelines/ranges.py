@@ -77,7 +77,14 @@ def q_zorder_cells(sf_dir: str):
     rows are sparse.
 
     Shape: map-only code computation; one exchange bounded by the
-    4096-cell grid, never by the point count."""
+    4096-cell grid, never by the point count.
+
+    Contrast ``zorder_layout`` (dataops.py:454), the LAYOUT-side audit
+    (per-tile min/max spans of both dimensions over (custkey, day)):
+    this is the QUERY-side audit — given a rectangle predicate, how
+    many rows would each cell contribute vs scan — i.e. the
+    selectivity statistics a reader uses to prune, not the span
+    statistics a writer clusters by."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["event_id"])
