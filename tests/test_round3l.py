@@ -22,6 +22,37 @@ from weakscraper_ray.pipelines.mlprep import _edit1, _names_from_ids
 from weakscraper_ray.pipelines.ranges import _morton_np, _Z_BITS
 
 
+def test_no_query_name_collisions_across_modules():
+    """every pipeline module self-registers into relational.QUERIES
+    via dict.update — a duplicate name silently SHADOWS an earlier
+    operator (bit continuation #13: stratified_sample/ntile_assign).
+    Assert global uniqueness so the next collision fails loudly."""
+    import importlib
+    import pkgutil
+
+    import weakscraper_ray.pipelines as pk
+    from weakscraper_ray.pipelines import relational
+
+    seen: dict[str, str] = {}
+    for m in pkgutil.iter_modules(pk.__path__):
+        mod = importlib.import_module(f"weakscraper_ray.pipelines.{m.name}")
+        if mod is relational or not hasattr(mod, "QUERIES"):
+            continue
+        for k in mod.QUERIES:
+            assert k not in seen, (
+                f"query '{k}' defined in both {seen[k]} and {m.name}"
+            )
+            seen[k] = m.name
+    # none may shadow relational's own base entries either
+    base = {
+        k
+        for k, v in relational.QUERIES.items()
+        if getattr(v, "__module__", "").endswith(".relational")
+    }
+    dup = base & set(seen)
+    assert not dup, f"module queries shadow relational base entries: {dup}"
+
+
 def test_paths_constants_match_graph():
     """paths.py duplicates graph.py's derived-graph literals (to stay
     import-cycle-free on workers); they must never drift."""
