@@ -111,12 +111,10 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "rrf_fusion", "stupid_backoff", "skipgram_pairs",
         "dp_counts", "holt_linear", "rendezvous_assign",
         "hll_exact", "bloom_semijoin", "sssp_weighted", "widest_path",
-        "walk_counts", "ppr_seeded", "funnel_conversion", "ols_daily",
-        "decile_census", "nb_classify",
+        "walk_counts", "ppr_seeded", "decile_census", "nb_classify",
         "gini_stump", "edit1_join", "zorder_cells", "interval_overlap",
-        "cohort_retention", "recency_score", "watermark_late",
+        "cohort_retention", "recency_score",
         "gini_concentration", "theil_index", "hhi_concentration",
-        "lang_rebalance",
     ]
     out: dict[str, float] = {}
     for name in names:

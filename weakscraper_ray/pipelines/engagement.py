@@ -1,7 +1,6 @@
-"""Round-3 continuation #13: engagement / stream-hygiene family over
-the event log — the user-lifecycle reporting and ingestion-order
-audits of a product warehouse, each a ``queries()`` entry with a
-DuckDB oracle:
+"""Round-3 continuation #13: engagement family over the event log —
+user-lifecycle reporting for a product warehouse, each a ``queries()``
+entry with a DuckDB oracle:
 
 - ``cohort_retention``  weekly cohort × week-offset active-user grid
                         (the classic retention triangle)
@@ -9,24 +8,17 @@ DuckDB oracle:
                         score (weight 2^(day - day_min) — EXACT, the
                         halving-decay idiom of ``ewma_daily`` inverted
                         so recency weighs more, no float decay)
-- ``watermark_late``    per-type late-arrival census under a 5-minute
-                        watermark in INGESTION order (event_id) — the
-                        out-of-orderness audit that sizes streaming
-                        watermark delays
 
 Exactness: day = ``epoch_us // 86400e6``; weights are powers of two
-over a ≤31-day span (max 2^30, per-user sums << 2^63); watermark
-comparison is strict integer microseconds; cohort weeks floor-divide
-non-negative day offsets identically in both engines.
+over a ≤31-day span (max 2^30, per-user sums << 2^63); cohort weeks
+floor-divide non-negative day offsets identically in both engines.
 
 Scale shapes: cohort_retention's first exchange is the distinct
 (user, week) grid (per-batch dedupe first), the second keys by user
 with a bounded per-user week list; recency_score pre-aggregates per
-batch so the exchange carries (user, partial) rows; watermark_late
-shards by event_type and does one vectorized running-max per shard —
-an ingestion-ordered re-sort per type is inherent to the semantics
-(at 10^12 rows you'd range-partition by event_id and carry the
-per-range max forward, same arithmetic).
+batch so the exchange carries (user, partial) rows.  (A watermark /
+late-arrival audit already exists as ``late_events``, series.py:2714,
+with the two-phase prefix-max scan.)
 """
 
 from __future__ import annotations
@@ -39,7 +31,6 @@ import pyarrow.compute as pc
 from .relational import _read
 
 _US_PER_DAY = 86_400_000_000
-_WM_LAG_US = 300_000_000  # 5-minute watermark
 
 
 def _day_col(t: pa.Table) -> np.ndarray:
@@ -48,9 +39,13 @@ def _day_col(t: pa.Table) -> np.ndarray:
 
 
 def q_cohort_retention(sf_dir: str):
-    """Retention triangle: users bucket into the week of their first
+    """Retention triangle: users bucket into the week of their FIRST
     event (cohort); each later active week counts them at offset
     ``week - cohort``.  Output (cohort_week, week_offset, n_users).
+    Contrast ``retention_cohorts`` (analytics.py:1417), which reports
+    only adjacent-week (active → active next week) retention per
+    calendar week: the triangle keys every user to their acquisition
+    cohort and follows it across ALL offsets.
 
     Two keyed exchanges: distinct (user, week) — deduped per batch
     first, so the payload is the activity GRID, not the stream — then
@@ -166,59 +161,14 @@ FROM d, m GROUP BY user_id
 """
 
 
-def q_watermark_late(sf_dir: str):
-    """Late-arrival census: scanning each event_type's stream in
-    INGESTION order (event_id), an event is late when its timestamp
-    trails the running max by more than the 5-minute watermark
-    (strictly: ``us + lag < watermark``).  Output (event_type,
-    n_events, n_late) — the measurement that sizes a streaming
-    pipeline's allowed-lateness.  One vectorized running-max per
-    type shard; the first event of a type is never late."""
-
-    ds = _read(sf_dir, "events", ["event_type", "event_id", "ts"])
-
-    def _audit(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g["event_id"].to_numpy(np.int64), kind="stable")
-        us = (
-            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        )[order]
-        wm = np.maximum.accumulate(us)
-        late = us + _WM_LAG_US < wm
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_events": np.array([len(us)], dtype=np.int64),
-                "n_late": np.array([int(late.sum())], dtype=np.int64),
-            }
-        )
-
-    return ds.groupby("event_type").map_groups(_audit, batch_format="pandas")
-
-
-SQL_WATERMARK = f"""
-WITH o AS (
-  SELECT event_type, epoch_us(ts) AS us,
-         max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
-                                 ROWS UNBOUNDED PRECEDING) AS wm
-  FROM events)
-SELECT event_type,
-       cast(count(*) AS BIGINT) AS n_events,
-       cast(sum(CASE WHEN us + {_WM_LAG_US} < wm THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_late
-FROM o GROUP BY event_type
-"""
-
-
 QUERIES = {
     "cohort_retention": q_cohort_retention,
     "recency_score": q_recency_score,
-    "watermark_late": q_watermark_late,
 }
 
 ORACLE_SQL = {
     "cohort_retention": SQL_COHORT,
     "recency_score": SQL_RECENCY,
-    "watermark_late": SQL_WATERMARK,
 }
 
 # self-register (same pattern as monitor.py)

@@ -97,7 +97,13 @@ def q_hll_exact(sf_dir: str):
     Distributed shape: per-batch distinct → ≤m (bucket, rho) partials,
     one m-bounded ``groupby(bucket).Max`` exchange, 1024-row driver
     fold.  ``exact_distinct`` reuses the engine's distinct machinery
-    (per-batch unique → groupby count) purely for the audit column."""
+    (per-batch unique → groupby count) purely for the audit column.
+
+    Contrast ``approx_distinct_users`` (relational.py:2109), the
+    classic float-estimate HLL that can only be rows-only checked
+    (DuckDB's own sketch differs): this variant pins the REGISTERS
+    to a SQL-expressible hash and releases an integer estimate, so
+    the sketch state itself is driver-verified."""
     from ray.data.aggregate import Max
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey"])
@@ -228,7 +234,14 @@ def q_bloom_semijoin(sf_dir: str):
     At 100 TB the true-match broadcast set disappears (that's the
     `semi_join` operator's job); the bitmap itself stays 8 KiB
     regardless of build-side row count — that invariance is the whole
-    point of the sketch."""
+    point of the sketch.
+
+    Contrast ``semi_join_bloom`` (analytics.py:1058), which USES a
+    numpy-hashed Bloom filter as a prefilter inside a semi-join (its
+    oracle can only check the join result): here the k bit positions
+    are ``md5`` printf expressions DuckDB evaluates too, so the
+    driver verifies the FILTER itself — pass/true/false-positive
+    counts — not just the survivors."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
     def _build(batch: pa.Table) -> pa.Table:

@@ -6,7 +6,10 @@ with a DuckDB oracle:
                    ``doc_id``, classify odd) releasing the confusion
                    matrix — the classifier-based curation filter
                    (fastText-style lang/quality gating), calibrated
-                   sibling of the rule-based ``lang_id``
+                   sibling of the rule-based ``lang_id`` — contrast
+                   ``lang_confusion`` (curation.py:1378), which scores
+                   that fixed heuristic: this one TRAINS its model
+                   from the held-out corpus half
 - ``gini_stump``   histogram-based decision-stump split finding
                    (the LightGBM/XGBoost "histogram" idiom: 64 bins,
                    exact rational Gini comparison — no float argmax)
@@ -403,7 +406,13 @@ def q_edit1_join(sf_dir: str):
     bucket ``map_groups`` (buckets bounded by the neighborhood
     structure: alphabet x length, not corpus size) → pair dedupe
     exchange.  The oracle cross-joins the bounded distinct-name set
-    with ``levenshtein()`` — the engine never does."""
+    with ``levenshtein()`` — the engine never does.
+
+    Contrast ``dedup_edit`` (indexing.py:203), which blocks on a
+    shared 20-char PREFIX and so misses pairs whose edit falls inside
+    the prefix: FastSS candidate generation is provably complete for
+    d<=1 (pinned in tests/test_round3l.py) — recall-exact blocking vs
+    a heuristic block."""
     from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", ["doc_id"])

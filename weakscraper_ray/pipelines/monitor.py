@@ -1310,6 +1310,64 @@ FROM cand ORDER BY sse_e6, split_day LIMIT 1
 """
 
 
+# =====================================================================
+# Global decile census (no-sort binning over the selection passes)
+# =====================================================================
+
+def q_decile_census(sf_dir: str):
+    """Decile assignment without a global sort: the nine equi-depth
+    boundaries resolve via the two-pass selection helper
+    (monitor.py:552 — histogram pass + probe pass), then ONE broadcast
+    ``searchsorted`` labels every row; output is the 10-row (bin, n)
+    census.  bin(v) = #{boundaries < v}, a pure function of the value,
+    so ties land deterministically on both engines (unlike SQL NTILE,
+    which splits ties by row position)."""
+    from ray.data.aggregate import Sum
+
+    n, vals = _selection_rank_values(
+        sf_dir, lambda n: [(j * (n - 1)) // 10 for j in range(1, 10)]
+    )
+    bounds = np.array(
+        sorted(vals[(j * (n - 1)) // 10] for j in range(1, 10)),
+        dtype=np.int64,
+    )
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def _assign(t: pa.Table, bounds=bounds) -> pa.Table:
+        v = _i64_away(t.column("value"), 100.0).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, v, side="left")  # == #{bounds < v}
+        bc = np.bincount(b, minlength=10).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(10, dtype=np.int64)),
+                "n": pa.array(bc),
+            }
+        )
+
+    out = (
+        ds.map_batches(_assign, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return out.filter(expr="n > 0")
+
+
+SQL_DECILE_CENSUS = """
+WITH c AS (
+  SELECT cast(round(value * 100, 0) AS BIGINT) AS v FROM events),
+t AS (SELECT cast(count(*) AS BIGINT) AS n FROM c),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+bounds AS (
+  SELECT r.v AS b FROM range(1, 10) j(j), t
+  JOIN r ON r.rn = (j.j * (t.n - 1)) // 10 + 1)
+SELECT (SELECT cast(count(*) AS BIGINT) FROM bounds WHERE b < c.v) AS bin,
+       cast(count(*) AS BIGINT) AS n
+FROM c GROUP BY bin HAVING count(*) > 0
+"""
+
+
+
 QUERIES = {
     "best_split": q_best_split,
     "mad_outliers": q_mad_outliers,
@@ -1325,6 +1383,7 @@ QUERIES = {
     "benford_digits": q_benford_digits,
     "psi_drift": q_psi_drift,
     "winsorize_value": q_winsorize_value,
+    "decile_census": q_decile_census,
 }
 
 ORACLE_SQL = {
@@ -1342,6 +1401,7 @@ ORACLE_SQL = {
     "benford_digits": SQL_BENFORD,
     "psi_drift": SQL_PSI,
     "winsorize_value": SQL_WINSORIZE,
+    "decile_census": SQL_DECILE_CENSUS,
 }
 
 # self-register (same pattern as stats.py / series.py)

@@ -158,8 +158,14 @@ def q_interval_overlap(sf_dir: str):
     (ts, event_id) pair-ordering rule mirrored exactly.
 
     Shape: shard by ``user_id % 256``; per-shard one sort + one
-    segment-offset searchsorted (users separated by a +shard*2^44
-    offset so a single call serves every user in the shard)."""
+    segment-offset searchsorted (users separated into disjoint key
+    ranges so a single call serves every user in the shard).
+
+    Contrast ``interval_coverage`` (series.py:101), which measures the
+    UNION of a user's intervals (covered seconds + merged spans):
+    this operator counts the overlapping PAIRS — the self-join
+    cardinality — which is what a pairwise conflict/collision audit
+    needs and what the naive quadratic join computes."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])

@@ -3208,9 +3208,6 @@ from . import membership as _membership  # noqa: E402,F401
 # walk counting — one Bellman-Ford skeleton, three semirings).
 from . import paths as _paths  # noqa: E402,F401
 
-# round-3 product-analytics family (funnel, exact OLS trend, no-sort
-# ntile assignment, pivot crosstab, rollup grouping sets).
-from . import product as _product  # noqa: E402,F401
 
 # round-3 ML-prep family (held-out Naive Bayes confusion matrix,
 # histogram Gini stump, FastSS edit-distance-1 join).
@@ -3228,6 +3225,3 @@ from . import engagement as _engagement  # noqa: E402,F401
 # identity, Theil entropy index, Herfindahl concentration).
 from . import inequality as _inequality  # noqa: E402,F401
 
-# round-3 term-weighting / sampling family (TF-IDF top terms,
-# deterministic stratified downsample).
-from . import weighting as _weighting  # noqa: E402,F401
