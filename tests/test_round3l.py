@@ -208,6 +208,47 @@ def test_interval_overlap_identity_vs_quadratic():
     assert fast == slow
 
 
+def test_mis_is_independent_and_matching_is_disjoint():
+    """algorithm-level invariants, checked on the SQL mirror (the
+    engine equals the mirror via the driver-mimic harness): no two
+    MIS nodes are adjacent; no node has two match partners."""
+    import duckdb
+
+    from weakscraper_ray.pipelines.rounds import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    con.execute(f"CREATE TABLE mis AS {ORACLE_SQL['mis_luby']}")
+    (viol,) = con.execute(
+        """
+        WITH p AS (SELECT cast(count(*) AS BIGINT) AS n FROM documents),
+        e AS (SELECT d.doc_id AS src,
+                     (d.doc_id * 2654435761 + j.j) % p.n AS dst
+              FROM documents d, p, range(1, 4) j(j))
+        SELECT count(*) FROM e
+        JOIN mis a ON a.node = e.src JOIN mis b ON b.node = e.dst
+        WHERE e.src <> e.dst  -- the UNION across rounds is independent
+        """
+    ).fetchone()
+    assert viol == 0
+    con.execute(f"CREATE TABLE m AS {ORACLE_SQL['greedy_matching']}")
+    (dup,) = con.execute(
+        """
+        SELECT count(*) FROM (
+          SELECT node FROM (SELECT node_a AS node FROM m
+                            UNION ALL SELECT node_b FROM m)
+          GROUP BY node HAVING count(*) > 1)
+        """
+    ).fetchone()
+    assert dup == 0
+    (n_mis,) = con.execute("SELECT count(*) FROM mis").fetchone()
+    (n_m,) = con.execute("SELECT count(*) FROM m").fetchone()
+    assert n_mis > 0 and n_m > 0
+
+
 def test_morton_round_trip():
     rng = random.Random(2)
     x = np.array([rng.randrange(1 << _Z_BITS) for _ in range(300)],

@@ -43,8 +43,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from .analytics import _WS
 from .relational import _i64_away_np, _read
+
+#: whitespace tokenizer pattern — same literal as analytics._WS,
+#: duplicated because a module-level `from .analytics import ...`
+#: deadlocks worker unpickling (analytics is then mid-import via
+#: relational's tail; bit test_relational[argmax_events] in CI).
+_WS = r"\s+"
 
 # ---------------------------------------------------------- NB traits
 

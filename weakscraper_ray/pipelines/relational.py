@@ -3204,6 +3204,10 @@ from . import retrieval as _retrieval  # noqa: E402,F401
 # registers + raw estimate, Bloom-filter semi-join pruning audit).
 from . import membership as _membership  # noqa: E402,F401
 
+# round-3 round-synchronous distributed algorithms (Luby MIS,
+# handshake matching, HyperBall neighborhood estimation).
+from . import rounds as _rounds  # noqa: E402,F401
+
 # round-3 semiring path-relaxation family (weighted SSSP, widest path,
 # walk counting — one Bellman-Ford skeleton, three semirings).
 from . import paths as _paths  # noqa: E402,F401

@@ -1,0 +1,583 @@
+"""Round-3 continuation #13b: round-synchronous distributed-algorithm
+family over the derived citation graph — the three classic
+symmetry-breaking / sketch-merge algorithms whose whole point is that
+they run in O(log n) BSP rounds of pure message aggregation (no locks,
+no sequential scan), each a ``queries()`` entry with a DuckDB oracle:
+
+- ``mis_luby``         Luby's maximal-independent-set rounds (1986) —
+                       the distributed scheduling/symmetry-breaking
+                       primitive
+- ``greedy_matching``  handshake (mutual-proposal) weighted matching —
+                       one round of it is the classic parallel matching
+                       step (Preis/Manne-Bisseling idiom)
+- ``hyperball_reach``  HyperBall (Boldi-Vigna 2013): per-node 2-hop
+                       neighborhood-size estimate by merging hash-exact
+                       HyperLogLog registers along out-edges — the
+                       algorithm behind the "four degrees of
+                       separation" measurement
+
+Graph: the repo's derived citation rule (graph.py header), symmetrized
+and self-loop-free for MIS/matching, raw directed for HyperBall;
+in-neighbors enumerate arithmetically via the modular inverse of the
+prime Knuth constant (the ``hits`` trick, graph.py:1117), so NO edge
+table ever ships.
+
+Exactness: priorities and registers derive from
+``md5_number_lower(printf(...))`` (the repo's hash-exact idiom);
+every per-round decision is expressed as a pure integer aggregate —
+see the odd/even encoding below — so K unrolled rounds are
+bit-identical to the chained-CTE mirrors under any partitioning.
+
+The aggregate-only trick (no high-cardinality ``map_groups``
+anywhere): to test "is my priority strictly below every active
+neighbour's?", a node contributes its OWN priority encoded ``2p+1``
+and every neighbour's as ``2p``; after one ``groupby(node).Min`` the
+node is selected iff the minimum is ODD (2p_v+1 < 2p_u  ⟺  p_v < p_u,
+exactly strict).  Matching packs its argmin as ``w·2^40 + candidate``
+(lexicographic (w, v) order in one int64) plus a Max(flag) that keeps
+inactive receivers from proposing.  Ties in the raw md5 priorities
+select NOBODY on either engine (NOT EXISTS p_u <= p_v), which keeps
+the set independent and the mirror exact without a tie-break column.
+
+Rounds: K=3 for MIS/matching (the fixed-round prefix of the fixpoint;
+Luby needs O(log n) expected rounds to finish — at scale the loop
+runs until the active set is empty, same per-round plan), 2 for
+HyperBall (radius-2 neighborhoods).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .relational import _read
+
+# derived-graph literals (== graph.py's _PR_KNUTH/_PR_OUTDEG; pinned by
+# tests/test_round3l.py for paths.py — same values, same reason: a
+# module-level `from .graph import ...` deadlocks worker unpickling)
+_KNUTH = 2654435761
+_OUTDEG = 3
+#: priority modulus (2^61 - 1): 2p+1 stays inside int64
+_PRI_MOD = (1 << 61) - 1
+_ROUNDS = 3
+#: matching argmin packing: key = w * 2^40 + candidate (w <= 7, so the
+#: packed key is < 2^43; at >2^40 nodes widen the shift)
+_PACK = 1 << 40
+_SENTINEL = 1 << 45
+
+
+def _md5_u64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
+def _pri_np(round_no: int, ids: np.ndarray) -> np.ndarray:
+    return np.array(
+        [_md5_u64(f"{round_no}|{int(v)}") % _PRI_MOD for v in ids],
+        dtype=np.int64,
+    )
+
+
+def _nbrs(ids: np.ndarray, n: int, kinv: int) -> list[np.ndarray]:
+    """all ≤6 arithmetic neighbours (3 out + 3 in) per node — the
+    symmetrized adjacency, enumerated locally."""
+    outs = [(ids * _KNUTH + j) % n for j in range(1, _OUTDEG + 1)]
+    ins = [((ids - j) * kinv) % n for j in range(1, _OUTDEG + 1)]
+    return outs + ins
+
+
+def _edges_cte() -> str:
+    """shared SQL prefix: node set + symmetrized self-loop-free edges."""
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+p AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes),
+base AS (SELECT n.doc_id AS src, (n.doc_id * {_KNUTH} + j.j) % p.n AS dst
+         FROM nodes n, p, range(1, {_OUTDEG + 1}) j(j)),
+e AS (SELECT src, dst FROM base WHERE src <> dst
+      UNION
+      SELECT dst, src FROM base WHERE src <> dst)
+"""
+
+
+# ------------------------------------------------------------ Luby MIS
+
+def q_mis_luby(sf_dir: str):
+    """Luby's MIS, 3 rounds (module docstring).  Per round: fresh md5
+    priorities; a node joins the MIS iff its priority is strictly
+    below every ACTIVE neighbour's (odd/even Min-encoding — one
+    exchange); selected nodes and their whole neighbourhoods leave the
+    active set (flag-Max anti-join — one more exchange).  Output
+    (node, mis_round); independence is pinned in tests."""
+    from ray.data.aggregate import Max, Min
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()
+    kinv = pow(_KNUTH, -1, n)
+
+    active = ds0.map_batches(
+        lambda t: pa.table({"node": pa.array(t.column("doc_id").to_numpy(),
+                                             pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    picked = []
+
+    for r in range(1, _ROUNDS + 1):
+        def _msgs(t: pa.Table, r=r, n=n, kinv=kinv) -> pa.Table:
+            v = t.column("node").to_numpy()
+            p = _pri_np(r, v)
+            nodes = [v]
+            vals = [2 * p + 1]  # own row: odd
+            for u in _nbrs(v, n, kinv):
+                m = u != v  # drop self-loops
+                nodes.append(u[m])
+                vals.append((2 * p)[m])  # neighbour rows: even
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate(nodes), pa.int64()),
+                    "val": pa.array(np.concatenate(vals), pa.int64()),
+                }
+            )
+
+        sel = (
+            active.map_batches(_msgs, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("val", alias_name="val"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": pa.array(
+                            t.column("node").to_numpy()[
+                                t.column("val").to_numpy() % 2 == 1
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        picked.append((r, sel))
+
+        def _removed(t: pa.Table, n=n, kinv=kinv) -> pa.Table:
+            v = t.column("node").to_numpy()
+            nodes = [v] + [u[u != v] for u in _nbrs(v, n, kinv)]
+            out = np.unique(np.concatenate(nodes)) if len(v) else v
+            return pa.table(
+                {
+                    "node": pa.array(out, pa.int64()),
+                    "flag": pa.array(np.ones(len(out), dtype=np.int64)),
+                }
+            )
+
+        removed = sel.map_batches(_removed, batch_format="pyarrow")
+        keep = active.map_batches(
+            lambda t: t.append_column(
+                "flag", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        active = (
+            keep.union(removed)
+            .groupby("node")
+            .aggregate(Max("flag", alias_name="flag"))
+            .filter(expr="flag == 0")
+            .select_columns(["node"])
+            .materialize()
+        )
+
+    out = None
+    for r, sel in picked:
+        tagged = sel.map_batches(
+            lambda t, r=r: t.append_column(
+                "mis_round", pa.array(np.full(t.num_rows, r, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def _sql_mis() -> str:
+    ctes = [
+        "a1 AS (SELECT doc_id AS node FROM nodes)",
+    ]
+    for r in range(1, _ROUNDS + 1):
+        ctes.append(
+            f"p{r} AS (SELECT node,"
+            f" md5_number_lower(printf('{r}|%d', node)) % {_PRI_MOD} AS p"
+            f" FROM a{r})"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT v.node FROM p{r} v WHERE NOT EXISTS ("
+            f"SELECT 1 FROM e JOIN p{r} u ON u.node = e.dst"
+            f" WHERE e.src = v.node AND u.p <= v.p))"
+        )
+        if r < _ROUNDS:
+            ctes.append(
+                f"rm{r} AS (SELECT node FROM s{r} UNION"
+                f" SELECT e.dst FROM e JOIN s{r} s ON s.node = e.src)"
+            )
+            ctes.append(
+                f"a{r + 1} AS (SELECT node FROM a{r}"
+                f" EXCEPT SELECT node FROM rm{r})"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT node, cast({r} AS BIGINT) AS mis_round FROM s{r}"
+        for r in range(1, _ROUNDS + 1)
+    )
+    return _edges_cte() + ", " + ",\n".join(ctes) + "\n" + sel
+
+
+# ----------------------------------------------------------- matching
+
+def q_greedy_matching(sf_dir: str):
+    """Handshake weighted matching, 3 rounds: every active node
+    proposes to its (w, id)-minimal active neighbour (argmin packed as
+    ``w·2^40 + candidate`` so ONE Min aggregate resolves it; a Max
+    own-flag keeps inactive receivers silent); an edge matches iff the
+    proposals are mutual (its canonical pair key receives exactly two
+    rows); matched endpoints retire.  Edge weight ``1 + (u+v) % 7`` is
+    symmetric and arithmetic.  Output (node_a, node_b, w,
+    match_round); partner-uniqueness is pinned in tests."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()
+    kinv = pow(_KNUTH, -1, n)
+
+    active = ds0.map_batches(
+        lambda t: pa.table({"node": pa.array(t.column("doc_id").to_numpy(),
+                                             pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    rounds_out = []
+
+    for r in range(1, _ROUNDS + 1):
+        def _msgs(t: pa.Table, n=n, kinv=kinv) -> pa.Table:
+            v = t.column("node").to_numpy()
+            nodes = [v]
+            keys = [np.full(len(v), _SENTINEL, dtype=np.int64)]
+            flags = [np.ones(len(v), dtype=np.int64)]
+            for u in _nbrs(v, n, kinv):
+                m = u != v
+                w = 1 + (v + u) % 7
+                # sender v advertises itself to receiver u
+                nodes.append(u[m])
+                keys.append((w * _PACK + v)[m])
+                flags.append(np.zeros(int(m.sum()), dtype=np.int64))
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate(nodes), pa.int64()),
+                    "key": pa.array(np.concatenate(keys), pa.int64()),
+                    "flag": pa.array(np.concatenate(flags), pa.int64()),
+                }
+            )
+
+        props = (
+            active.map_batches(_msgs, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("key", alias_name="key"),
+                       Max("flag", alias_name="flag"))
+            .filter(expr="flag == 1")
+            .filter(expr=f"key < {_SENTINEL}")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "a": pa.array(
+                            np.minimum(
+                                t.column("node").to_numpy(),
+                                t.column("key").to_numpy() % _PACK,
+                            ),
+                            pa.int64(),
+                        ),
+                        "b": pa.array(
+                            np.maximum(
+                                t.column("node").to_numpy(),
+                                t.column("key").to_numpy() % _PACK,
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        matched = (
+            props.groupby(["a", "b"])
+            .aggregate(Count(alias_name="c"))
+            .filter(expr="c == 2")
+            .select_columns(["a", "b"])
+            .materialize()
+        )
+        rounds_out.append((r, matched))
+
+        gone = matched.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.array(
+                        np.concatenate(
+                            [t.column("a").to_numpy(), t.column("b").to_numpy()]
+                        ),
+                        pa.int64(),
+                    ),
+                    "flag": pa.array(
+                        np.ones(2 * t.num_rows, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        keep = active.map_batches(
+            lambda t: t.append_column(
+                "flag", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        active = (
+            keep.union(gone)
+            .groupby("node")
+            .aggregate(Max("flag", alias_name="flag"))
+            .filter(expr="flag == 0")
+            .select_columns(["node"])
+            .materialize()
+        )
+
+    out = None
+    for r, matched in rounds_out:
+        tagged = matched.map_batches(
+            lambda t, r=r: pa.table(
+                {
+                    "node_a": t.column("a"),
+                    "node_b": t.column("b"),
+                    "w": pa.array(
+                        1
+                        + (t.column("a").to_numpy() + t.column("b").to_numpy())
+                        % 7,
+                        pa.int64(),
+                    ),
+                    "match_round": pa.array(
+                        np.full(t.num_rows, r, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def _sql_matching() -> str:
+    ctes = ["a1 AS (SELECT doc_id AS node FROM nodes)"]
+    for r in range(1, _ROUNDS + 1):
+        ctes.append(
+            f"c{r} AS (SELECT e.src AS u, e.dst AS v,"
+            f" 1 + (e.src + e.dst) % 7 AS w"
+            f" FROM e JOIN a{r} x ON x.node = e.src"
+            f" JOIN a{r} y ON y.node = e.dst)"
+        )
+        ctes.append(
+            f"pr{r} AS (SELECT u, v, w FROM ("
+            f"SELECT u, v, w, row_number() OVER"
+            f" (PARTITION BY u ORDER BY w, v) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT p1.u AS a, p1.v AS b, p1.w"
+            f" FROM pr{r} p1 JOIN pr{r} p2"
+            f" ON p1.v = p2.u AND p2.v = p1.u AND p1.u < p2.u)"
+        )
+        if r < _ROUNDS:
+            ctes.append(
+                f"a{r + 1} AS (SELECT node FROM a{r} EXCEPT"
+                f" (SELECT a FROM m{r} UNION SELECT b FROM m{r}))"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT a AS node_a, b AS node_b, cast(w AS BIGINT) AS w,"
+        f" cast({r} AS BIGINT) AS match_round FROM m{r}"
+        for r in range(1, _ROUNDS + 1)
+    )
+    return _edges_cte() + ", " + ",\n".join(ctes) + "\n" + sel
+
+
+# ----------------------------------------------------------- HyperBall
+
+_HB_M = 64  # registers per node
+_HB_R = 20  # rank bits
+_HB_SCALE = _HB_R + 1
+#: Flajolet alpha_64 = 0.7213/(1 + 1.079/64), e6-quantized literal
+_HB_ALPHA_E6 = 709_375
+_HB_ROUNDS = 2
+#: integer numerator of the raw estimate: alpha*m^2*2^(R+1)
+_HB_NUM = _HB_ALPHA_E6 * _HB_M * _HB_M * (1 << _HB_SCALE)
+
+
+def _bitlen_u64(v: np.ndarray) -> np.ndarray:
+    """vectorized bit_length (same shift ladder as membership._hll_rho,
+    duplicated to keep this module worker-unpickle-safe)."""
+    bl = np.zeros(len(v), dtype=np.int64)
+    x = v.astype(np.uint64).copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        x[big] >>= np.uint64(shift)
+    bl[v > 0] += 1
+    return bl
+
+
+def q_hyperball_reach(sf_dir: str):
+    """HyperBall (Boldi-Vigna 2013): each node keeps an m=64-register
+    HyperLogLog of the nodes it can reach; round r+1 Max-merges every
+    out-neighbour's registers into its own (reach_{r+1}(v) = {v} ∪
+    ⋃_{u∈out(v)} reach_r(u)).  After 2 rounds the register set
+    describes the radius-2 out-neighborhood; the raw estimate is the
+    same all-integer formula as ``hll_exact`` (membership.py) at
+    m=64.  Registers are sparse (≤13 reachable nodes at radius 2), so
+    a round's exchange carries ≤13 rows/node, Max-combined per
+    (node, bucket); the per-node harmonic sum folds with ONE
+    Sum-aggregate via S = m·2^(R+1) + Σ_present(2^(R+1-rho) - 2^(R+1))
+    — no per-node group loop anywhere.  Output (node, nonzero_regs,
+    sum_scaled, est_raw), hash-exact vs the unrolled mirror."""
+    from ray.data.aggregate import Max, Sum
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()
+    kinv = pow(_KNUTH, -1, n)
+
+    def _reg0(t: pa.Table) -> pa.Table:
+        v = t.column("doc_id").to_numpy()
+        h = np.array([_md5_u64(f"h|{int(x)}") for x in v], dtype=np.uint64)
+        bucket = (h % np.uint64(_HB_M)).astype(np.int64)
+        rest = ((h >> np.uint64(6)) % (np.uint64(1) << np.uint64(_HB_R)))
+        rho = np.where(
+            rest > 0, _HB_R - _bitlen_u64(rest) + 1, _HB_R + 1
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(v, pa.int64()),
+                "bucket": pa.array(bucket),
+                "rho": pa.array(rho),
+            }
+        )
+
+    regs = ds0.map_batches(_reg0, batch_format="pyarrow").materialize()
+
+    def _push(t: pa.Table, n=n, kinv=kinv) -> pa.Table:
+        u = t.column("node").to_numpy()
+        b = t.column("bucket").to_numpy()
+        rho = t.column("rho").to_numpy()
+        nodes, bs, rs = [u], [b], [rho]
+        for j in range(1, _OUTDEG + 1):
+            # u's registers flow to every v with u ∈ out(v):
+            # v = (u - j) * K^-1 mod n  (self-loops flow to self, a no-op)
+            nodes.append(((u - j) * kinv) % n)
+            bs.append(b)
+            rs.append(rho)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate(nodes), pa.int64()),
+                "bucket": pa.array(np.concatenate(bs), pa.int64()),
+                "rho": pa.array(np.concatenate(rs), pa.int64()),
+            }
+        )
+
+    for _ in range(_HB_ROUNDS):
+        regs = (
+            regs.map_batches(_push, batch_format="pyarrow")
+            .groupby(["node", "bucket"])
+            .aggregate(Max("rho", alias_name="rho"))
+            .materialize()
+        )
+
+    def _terms(t: pa.Table) -> pa.Table:
+        rho = t.column("rho").to_numpy()
+        term2 = (np.int64(1) << (_HB_SCALE - rho)) - (1 << _HB_SCALE)
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "nz": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "term2": pa.array(term2.astype(np.int64)),
+            }
+        )
+
+    folded = (
+        regs.map_batches(_terms, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("nz", alias_name="nz"), Sum("term2", alias_name="t2"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        s = _HB_M * (1 << _HB_SCALE) + t.column("t2").to_numpy()
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "nonzero_regs": t.column("nz"),
+                "sum_scaled": pa.array(s.astype(np.int64)),
+                "est_raw": pa.array((_HB_NUM // (10**6 * s)).astype(np.int64)),
+            }
+        )
+
+    return folded.map_batches(_final, batch_format="pyarrow")
+
+
+def _sql_hyperball() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, _HB_ROUNDS + 1):
+        rounds.append(
+            f"g{i} AS (SELECT node, bucket, rho FROM {prev}"
+            f" UNION ALL SELECT ed.src AS node, r.bucket, r.rho"
+            f" FROM ed JOIN {prev} r ON r.node = ed.dst)"
+        )
+        rounds.append(
+            f"r{i} AS (SELECT node, bucket, max(rho) AS rho"
+            f" FROM g{i} GROUP BY node, bucket)"
+        )
+        prev = f"r{i}"
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+p AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes),
+ed AS (SELECT n.doc_id AS src, (n.doc_id * {_KNUTH} + j.j) % p.n AS dst
+       FROM nodes n, p, range(1, {_OUTDEG + 1}) j(j)),
+h0 AS (SELECT doc_id AS node,
+              md5_number_lower(printf('h|%d', doc_id)) AS h
+       FROM nodes),
+rest AS (SELECT node, cast(h % {_HB_M} AS BIGINT) AS bucket,
+                cast((h // {_HB_M}) % {1 << _HB_R} AS BIGINT) AS rest
+         FROM h0),
+r0 AS (SELECT node, bucket,
+              CASE WHEN rest = 0 THEN {_HB_R + 1}
+                   ELSE {_HB_R} - length(printf('%b', rest)) + 1 END AS rho
+       FROM rest),
+{", ".join(rounds)},
+s AS (SELECT node, cast(count(*) AS BIGINT) AS nz,
+             cast(sum((cast(1 AS BIGINT) << ({_HB_SCALE} - rho))
+                      - {1 << _HB_SCALE}) AS BIGINT) AS t2
+      FROM {prev} GROUP BY node)
+SELECT node,
+       nz AS nonzero_regs,
+       cast({_HB_M * (1 << _HB_SCALE)} + t2 AS BIGINT) AS sum_scaled,
+       cast({_HB_NUM} // (1000000 *
+            cast({_HB_M * (1 << _HB_SCALE)} + t2 AS HUGEINT)) AS BIGINT)
+           AS est_raw
+FROM s
+"""
+
+
+QUERIES = {
+    "mis_luby": q_mis_luby,
+    "greedy_matching": q_greedy_matching,
+    "hyperball_reach": q_hyperball_reach,
+}
+
+ORACLE_SQL = {
+    "mis_luby": _sql_mis(),
+    "greedy_matching": _sql_matching(),
+    "hyperball_reach": _sql_hyperball(),
+}
+
+# self-register (same pattern as monitor.py)
+from . import relational as _rel  # noqa: E402
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)
