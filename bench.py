@@ -115,6 +115,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "gini_stump", "edit1_join", "zorder_cells", "interval_overlap",
         "cohort_retention", "recency_score",
         "gini_concentration", "theil_index", "hhi_concentration",
+        "mis_luby", "greedy_matching", "hyperball_reach",
+        "stream_join_60s", "sax_daily",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -1368,6 +1368,100 @@ FROM c GROUP BY bin HAVING count(*) > 0
 
 
 
+
+# =====================================================================
+# SAX symbolization of the daily revenue series (Lin & Keogh 2003)
+# =====================================================================
+
+#: SAX parameters: 6 PAA segments, 3-symbol alphabet (tercile breaks)
+_SAX_SEGS = 6
+_SAX_ALPHA = 3
+
+
+def q_sax_daily(sf_dir: str):
+    """SAX (Symbolic Aggregate approXimation, Lin & Keogh 2003) of the
+    daily revenue-cents series: days split into 6 equal PAA segments
+    (remainder days on the tail segment), each segment's mean compared
+    against the series' tercile breakpoints — symbol = #{breaks <
+    mean}, with the comparison done as the EXACT cross-multiplication
+    ``b·n_days < sum`` so no division ever happens.  Breakpoints are
+    the rank-⌊j·(n−1)/3⌋ order statistics of the daily totals (the
+    ``equidepth_bins`` convention).  The symbolic string is what motif
+    / anomaly mining consumes instead of the raw series.
+
+    Shape: one (day, total) exchange bounded by #days; the PAA fold is
+    a constant-size driver loop.  Output (segment, n_days, sum_cents,
+    symbol)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        y = _i64_away(t.column("value"), 100.0).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": us // _US_PER_DAY, "y": y})
+        g = df.groupby("day", sort=False)["y"].sum().reset_index()
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(np.int64)),
+                "y": pa.array(g["y"].to_numpy(np.int64)),
+            }
+        )
+
+    daily = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("y", alias_name="y"))
+        .to_pandas()  # bounded by #days
+        .sort_values("day", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    y = daily["y"].to_numpy(np.int64)
+    n = len(y)
+    ys = np.sort(y)
+    breaks = [int(ys[(j * (n - 1)) // _SAX_ALPHA]) for j in (1, 2)]
+    seg_len = n // _SAX_SEGS
+    rows = []
+    for s in range(_SAX_SEGS):
+        lo = s * seg_len
+        hi = (s + 1) * seg_len if s < _SAX_SEGS - 1 else n
+        seg_y = y[lo:hi]
+        cnt, tot = len(seg_y), int(seg_y.sum())
+        sym = sum(1 for b in breaks if b * cnt < tot)
+        rows.append((s, cnt, tot, sym))
+    return pa.table(
+        {
+            "segment": pa.array([r[0] for r in rows], pa.int64()),
+            "n_days": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "symbol": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_SAX = f"""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         cast(sum(cast(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY day),
+t AS (SELECT cast(count(*) AS BIGINT) AS n FROM d),
+r AS (SELECT y, row_number() OVER (ORDER BY y) AS rn FROM d),
+brk AS (SELECT r.y AS b FROM range(1, {_SAX_ALPHA}) j(j), t
+        JOIN r ON r.rn = (j.j * (t.n - 1)) // {_SAX_ALPHA} + 1),
+o AS (SELECT y, row_number() OVER (ORDER BY day) - 1 AS i FROM d),
+segd AS (SELECT least(i // (t.n // {_SAX_SEGS}), {_SAX_SEGS - 1}) AS segment,
+                y
+         FROM o, t),
+segs AS (SELECT segment, cast(count(*) AS BIGINT) AS n_days,
+                cast(sum(y) AS BIGINT) AS sum_cents
+         FROM segd GROUP BY segment)
+SELECT segment, n_days, sum_cents,
+       (SELECT cast(count(*) AS BIGINT) FROM brk
+        WHERE b * segs.n_days < segs.sum_cents) AS symbol
+FROM segs
+"""
+
+
 QUERIES = {
     "best_split": q_best_split,
     "mad_outliers": q_mad_outliers,
@@ -1384,6 +1478,7 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "winsorize_value": q_winsorize_value,
     "decile_census": q_decile_census,
+    "sax_daily": q_sax_daily,
 }
 
 ORACLE_SQL = {
@@ -1402,6 +1497,7 @@ ORACLE_SQL = {
     "psi_drift": SQL_PSI,
     "winsorize_value": SQL_WINSORIZE,
     "decile_census": SQL_DECILE_CENSUS,
+    "sax_daily": SQL_SAX,
 }
 
 # self-register (same pattern as stats.py / series.py)

@@ -228,14 +228,147 @@ GROUP BY a.user_id
 """
 
 
+# ------------------------------------------------- stream-stream join
+
+#: band width for the cross-user purchase-pair join (microseconds)
+_SJ_BAND_US = 60_000_000
+#: key packing inside one 2-minute window: (ts - base) * 2^20 + eid.
+#: event_id must fit 20 bits at this SF (asserted); at >2^20 events
+#: widen the shift — the delta-ts term leaves 43 spare bits.
+_SJ_EID_BITS = 20
+
+
+def q_stream_join_60s(sf_dir: str):
+    """Stream-stream (banded temporal) join: pairs of PURCHASES by
+    DIFFERENT users within 60 s of each other, counted per day of the
+    earlier event — the windowed cross-entity correlation a streaming
+    engine expresses as a double-windowed join.  Pair rule mirrored
+    exactly: (ts_a, id_a) < (ts_b, id_b) lexicographic, ts_b ≤ ts_a +
+    60 s, user_a ≠ user_b.
+
+    Mechanism (the bucket-replication idiom): each row serves minute
+    bucket ``ts//60s`` as HOST and bucket-1 as GUEST, so every
+    qualifying pair lives entirely inside the earlier event's bucket
+    group; buckets re-key onto 256 segments-per-shard shards (bounded
+    ``map_groups`` keys).  Inside a shard ONE searchsorted sweep per
+    ordering (packed (Δts, event_id) keys with per-segment offsets)
+    counts each host's in-band successors, and a second
+    per-(segment, user) sweep subtracts same-user pairs — the pair
+    set never materializes; the oracle runs the literal band
+    self-join."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def _rep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy()
+        uid = t.column("user_id").to_numpy()
+        bucket = us // _SJ_BAND_US
+        host = pa.table(
+            {
+                "seg": pa.array(bucket, pa.int64()),
+                "us": pa.array(us),
+                "eid": pa.array(eid, pa.int64()),
+                "uid": pa.array(uid, pa.int64()),
+                "is_host": pa.array(np.ones(len(us), dtype=np.int64)),
+            }
+        )
+        guest = pa.table(
+            {
+                "seg": pa.array(bucket - 1, pa.int64()),
+                "us": pa.array(us),
+                "eid": pa.array(eid, pa.int64()),
+                "uid": pa.array(uid, pa.int64()),
+                "is_host": pa.array(np.zeros(len(us), dtype=np.int64)),
+            }
+        )
+        both = pa.concat_tables([host, guest])
+        return both.append_column(
+            "shard",
+            pc.bit_wise_and(both.column("seg"), pa.scalar(255)),
+        )
+
+    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["us"].to_numpy(np.int64)
+        eid = g["eid"].to_numpy(np.int64)
+        uid = g["uid"].to_numpy(np.int64)
+        seg = g["seg"].to_numpy(np.int64)
+        host = g["is_host"].to_numpy(np.int64) == 1
+        assert int(eid.max()) < (1 << _SJ_EID_BITS)
+        # key RELATIVE TO THE SEGMENT's own base: a row serves segment
+        # seg with us - seg*BAND in [0, 2*BAND), so the local key is
+        # < 2^47 and the segment index gets the bits above (a
+        # shard-global base would overflow: buckets mod 256 span the
+        # whole month).
+        rel = us - seg * _SJ_BAND_US
+        key = rel * (1 << _SJ_EID_BITS) + eid
+        _, si = np.unique(seg, return_inverse=True)
+        sk = si.astype(np.int64) * (1 << 48) + key
+        sks = np.sort(sk, kind="stable")
+        up_local = (rel + _SJ_BAND_US) * (1 << _SJ_EID_BITS) + (
+            (1 << _SJ_EID_BITS) - 1
+        )
+        up = si.astype(np.int64) * (1 << 48) + up_local
+        total = np.searchsorted(sks, up, side="right") - np.searchsorted(
+            sks, sk, side="right"
+        )
+        # same-user subtraction: (segment, user) joint segments
+        _, sui = np.unique(
+            si.astype(np.int64) * (1 << 32) + uid, return_inverse=True
+        )
+        suk = sui.astype(np.int64) * (1 << 48) + key
+        suks = np.sort(suk, kind="stable")
+        sup = sui.astype(np.int64) * (1 << 48) + up_local
+        same = np.searchsorted(suks, sup, side="right") - np.searchsorted(
+            suks, suk, side="right"
+        )
+        cross = (total - same)[host]
+        day = (us[host] // 86_400_000_000)
+        df = pd.DataFrame({"day": day, "n": cross})
+        out = df.groupby("day", sort=False)["n"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "day": out["day"].to_numpy(np.int64),
+                "n": out["n"].to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(_rep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_sweep, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+        .filter(expr="n_pairs > 0")
+    )
+    return out
+
+
+SQL_STREAM_JOIN = f"""
+WITH pur AS (SELECT event_id, user_id, epoch_us(ts) AS us
+             FROM events WHERE event_type = 'purchase')
+SELECT cast(a.us // 86400000000 AS BIGINT) AS day,
+       cast(count(*) AS BIGINT) AS n_pairs
+FROM pur a JOIN pur b
+  ON (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+ AND b.us <= a.us + {_SJ_BAND_US}
+ AND a.user_id <> b.user_id
+GROUP BY day
+"""
+
+
 QUERIES = {
     "zorder_cells": q_zorder_cells,
     "interval_overlap": q_interval_overlap,
+    "stream_join_60s": q_stream_join_60s,
 }
 
 ORACLE_SQL = {
     "zorder_cells": SQL_ZORDER,
     "interval_overlap": SQL_INTERVAL_OVERLAP,
+    "stream_join_60s": SQL_STREAM_JOIN,
 }
 
 # self-register (same pattern as monitor.py)
