@@ -116,7 +116,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "cohort_retention", "recency_score",
         "gini_concentration", "theil_index", "hhi_concentration",
         "mis_luby", "greedy_matching", "hyperball_reach",
-        "stream_join_60s", "sax_daily",
+        "stream_join_60s", "sax_daily", "theta_join_cdf", "kmv_intersect",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -328,14 +328,172 @@ FROM flags
 """
 
 
+# ----------------------------------------------------------- KMV/theta
+
+#: sketch size: the k smallest md5 values represent each set
+_KMV_K = 64
+#: hash modulus for KMV (2^61-1, the repo's priority modulus — keeps
+#: every hash and every (k-1)*M product inside HUGEINT in the mirror)
+_PRI = (1 << 61) - 1
+
+
+def q_kmv_intersect(sf_dir: str):
+    """KMV / theta-sketch set intersection (Beyer et al. 2007;
+    Dasgupta et al.'s theta sketch): the k=64 smallest
+    ``md5(user_id)`` values summarize each of two user sets
+    (purchasers vs clickers); cardinalities estimate as
+    ``(k-1)·M // h_(k)`` and the intersection via the common values
+    below the UNION sketch's k-th threshold — every quantity an
+    integer function of the same hashes DuckDB computes, so the whole
+    sketch state is driver-verified (the ``hll_exact`` upgrade
+    applied to set ALGEBRA: HLL only unions, theta sketches
+    intersect).  Output one row: (k, tau, n_common, est_a, est_b,
+    est_intersect) plus the exact |A∩B| audit column.
+
+    Shape: per-batch distinct → per-batch k-minima (≤k rows per batch
+    per side) → one bounded exchange; the fold is over ≤2k values.
+    Hashes are taken mod 2^61-1 so every value fits signed int64 on
+    both engines."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sides, hs = [], []
+        for etype, side in (("purchase", "a"), ("click", "b")):
+            mask = pc.equal(t.column("event_type"), etype)
+            uids = np.unique(
+                pc.filter(t.column("user_id"), mask).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            h = np.sort(
+                np.array(
+                    [_md5_u64(str(int(u))) % _PRI for u in uids],
+                    dtype=np.int64,
+                )
+            )[:_KMV_K]
+            sides.extend([side] * len(h))
+            hs.append(h)
+        return pa.table(
+            {
+                "side": pa.array(sides),
+                "h": pa.array(
+                    np.concatenate(hs) if hs else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["side", "h"])
+        .count()
+        .select_columns(["side", "h"])
+        .to_pandas()  # bounded: <= 2k per batch, deduped
+    )
+    a = np.sort(rows[rows["side"] == "a"]["h"].to_numpy(np.int64))[:_KMV_K]
+    b = np.sort(rows[rows["side"] == "b"]["h"].to_numpy(np.int64))[:_KMV_K]
+    hk_a, hk_b = int(a[-1]), int(b[-1])
+    est_a = (_KMV_K - 1) * _PRI // hk_a
+    est_b = (_KMV_K - 1) * _PRI // hk_b
+    union = np.sort(np.unique(np.concatenate([a, b])))[:_KMV_K]
+    tau = int(union[-1])
+    common = np.intersect1d(a, b)
+    n_common = int((common <= tau).sum())
+    est_union = (_KMV_K - 1) * _PRI // tau
+    est_intersect = n_common * est_union // _KMV_K
+
+    # exact audit: |A ∩ B| via the distinct (side, user) grid
+    def _users(t: pa.Table) -> pa.Table:
+        out_side, out_u = [], []
+        for etype, side in (("purchase", "a"), ("click", "b")):
+            mask = pc.equal(t.column("event_type"), etype)
+            u = np.unique(
+                pc.filter(t.column("user_id"), mask).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            out_side.extend([side] * len(u))
+            out_u.append(u)
+        return pa.table(
+            {
+                "side": pa.array(out_side),
+                "u": pa.array(
+                    np.concatenate(out_u) if out_u else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    grid = (
+        ds.map_batches(_users, batch_format="pyarrow")
+        .groupby(["side", "u"])
+        .count()
+        .select_columns(["side", "u"])
+        .to_pandas()
+    )
+    exact = int(
+        np.intersect1d(
+            grid[grid["side"] == "a"]["u"].to_numpy(np.int64),
+            grid[grid["side"] == "b"]["u"].to_numpy(np.int64),
+        ).size
+    )
+    return pa.table(
+        {
+            "k": pa.array([_KMV_K], pa.int64()),
+            "tau": pa.array([tau], pa.int64()),
+            "n_common": pa.array([n_common], pa.int64()),
+            "est_a": pa.array([est_a], pa.int64()),
+            "est_b": pa.array([est_b], pa.int64()),
+            "est_intersect": pa.array([est_intersect], pa.int64()),
+            "exact_intersect": pa.array([exact], pa.int64()),
+        }
+    )
+
+
+SQL_KMV = f"""
+WITH au AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase'),
+bu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+ah AS (SELECT md5_number_lower(printf('%d', user_id)) % {_PRI} AS h
+       FROM au ORDER BY h LIMIT {_KMV_K}),
+bh AS (SELECT md5_number_lower(printf('%d', user_id)) % {_PRI} AS h
+       FROM bu ORDER BY h LIMIT {_KMV_K}),
+hka AS (SELECT max(h) AS hk FROM ah),
+hkb AS (SELECT max(h) AS hk FROM bh),
+un AS (SELECT h FROM (SELECT h FROM ah UNION SELECT h FROM bh)
+       ORDER BY h LIMIT {_KMV_K}),
+tau AS (SELECT max(h) AS tau FROM un),
+com AS (SELECT count(*) AS n_common
+        FROM (SELECT h FROM ah INTERSECT SELECT h FROM bh) c, tau
+        WHERE c.h <= tau.tau),
+eu AS (SELECT cast(({_KMV_K} - 1) * cast({_PRI} AS HUGEINT) // tau
+              AS BIGINT) AS est_union FROM tau),
+ex AS (SELECT cast(count(*) AS BIGINT) AS exact_intersect
+       FROM (SELECT user_id FROM au INTERSECT SELECT user_id FROM bu))
+SELECT cast({_KMV_K} AS BIGINT) AS k,
+       cast(tau.tau AS BIGINT) AS tau,
+       cast(com.n_common AS BIGINT) AS n_common,
+       cast(({_KMV_K} - 1) * cast({_PRI} AS HUGEINT) // hka.hk AS BIGINT)
+           AS est_a,
+       cast(({_KMV_K} - 1) * cast({_PRI} AS HUGEINT) // hkb.hk AS BIGINT)
+           AS est_b,
+       cast(cast(com.n_common AS HUGEINT) * eu.est_union // {_KMV_K}
+            AS BIGINT) AS est_intersect,
+       ex.exact_intersect
+FROM tau, com, hka, hkb, eu, ex
+"""
+
+
 QUERIES = {
     "hll_exact": q_hll_exact,
     "bloom_semijoin": q_bloom_semijoin,
+    "kmv_intersect": q_kmv_intersect,
 }
 
 ORACLE_SQL = {
     "hll_exact": SQL_HLL_EXACT,
     "bloom_semijoin": SQL_BLOOM_SEMIJOIN,
+    "kmv_intersect": SQL_KMV,
 }
 
 # self-register (same pattern as stats.py / monitor.py)

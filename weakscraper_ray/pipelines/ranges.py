@@ -359,16 +359,126 @@ GROUP BY day
 """
 
 
+# --------------------------------------------------- theta (CDF) join
+
+def q_theta_join_cdf(sf_dir: str):
+    """Pure-inequality (theta) join as a broadcast-CDF aggregation:
+    per order priority, the number of (order, lineitem) pairs with
+    ``l_extendedprice < o_totalprice`` — the classic non-equi join
+    that has NO key to hash on.  Instead of pairing, the lineitem side
+    reduces to its exact value CDF (distinct cents + cumulative
+    counts, one bounded exchange — bounded by the price DOMAIN, not
+    the row count), broadcast once; each order then resolves its pair
+    count with one ``searchsorted``.  The oracle runs the literal
+    inequality join (DuckDB IEJoin).  At 100 TB the exact CDF swaps
+    for the ``equidepth_bins`` boundaries + per-bin counts with the
+    same probe — the mechanism (broadcast monotone structure, local
+    binary search) is the point."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def _census(t: pa.Table) -> pa.Table:
+        from .relational import _i64_away_np
+
+        c = _i64_away_np(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False), 100.0
+        )
+        v, n = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "c": pa.array(v.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    cdf = (
+        li.map_batches(_census, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by the distinct price domain
+        .sort_values("c", kind="mergesort")
+    )
+    vals = cdf["c"].to_numpy(np.int64)
+    cum = np.concatenate(([0], np.cumsum(cdf["n"].to_numpy(np.int64))))
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def _probe(t: pa.Table, vals=vals, cum=cum) -> pa.Table:
+        from .relational import _i64_away_np
+
+        oc = _i64_away_np(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False), 100.0
+        )
+        below = cum[np.searchsorted(vals, oc, side="left")]
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t.column("o_orderpriority").to_numpy(
+                    zero_copy_only=False
+                ),
+                "below": below,
+            }
+        )
+        g = df.groupby("o_orderpriority", sort=False).agg(
+            n_orders=("below", "size"), pairs_below=("below", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"]),
+                "n_orders": pa.array(g["n_orders"].to_numpy(np.int64)),
+                "pairs_below": pa.array(g["pairs_below"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(_probe, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("pairs_below", alias_name="pairs_below"),
+        )
+    )
+
+
+# merge-window formulation of the strict-< pair count (the literal
+# `o LEFT JOIN l ON l.c < o.c` gives identical results but costs the
+# oracle ~80 s at sf0.01): tag both sides, sort by (c, tag) with order
+# rows (tag 0) BEFORE lineitem rows (tag 1) at equal c, and each order
+# row's running lineitem-count over strictly-preceding rows is exactly
+# #{l.c < o.c} — equal-c lineitems sort after and never count.
+SQL_THETA_JOIN = """
+WITH l AS (SELECT cast(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+           FROM lineitem),
+o AS (SELECT o_orderpriority,
+             cast(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders),
+m AS (SELECT c, 1 AS lcnt, NULL AS pri FROM l
+      UNION ALL
+      SELECT c, 0 AS lcnt, o_orderpriority AS pri FROM o),
+w AS (SELECT pri,
+             coalesce(sum(lcnt) OVER (ORDER BY c, lcnt
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS below
+      FROM m)
+SELECT pri AS o_orderpriority,
+       cast(count(*) AS BIGINT) AS n_orders,
+       cast(sum(below) AS BIGINT) AS pairs_below
+FROM w WHERE pri IS NOT NULL GROUP BY pri
+"""
+
+
 QUERIES = {
     "zorder_cells": q_zorder_cells,
     "interval_overlap": q_interval_overlap,
     "stream_join_60s": q_stream_join_60s,
+    "theta_join_cdf": q_theta_join_cdf,
 }
 
 ORACLE_SQL = {
     "zorder_cells": SQL_ZORDER,
     "interval_overlap": SQL_INTERVAL_OVERLAP,
     "stream_join_60s": SQL_STREAM_JOIN,
+    "theta_join_cdf": SQL_THETA_JOIN,
 }
 
 # self-register (same pattern as monitor.py)
