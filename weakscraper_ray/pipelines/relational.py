@@ -3205,8 +3205,12 @@ from . import retrieval as _retrieval  # noqa: E402,F401
 from . import membership as _membership  # noqa: E402,F401
 
 # round-3 round-synchronous distributed algorithms (Luby MIS,
-# handshake matching, HyperBall neighborhood estimation).
+# handshake matching, HyperBall neighborhood estimation, k-truss).
 from . import rounds as _rounds  # noqa: E402,F401
+
+# round-3 sequential-analysis family (Wald SPRT first-crossing via
+# two-phase prefix partials).
+from . import sequential as _sequential  # noqa: E402,F401
 
 # round-3 semiring path-relaxation family (weighted SSSP, widest path,
 # walk counting — one Bellman-Ford skeleton, three semirings).

@@ -564,16 +564,182 @@ FROM s
 """
 
 
+
+
+# ------------------------------------------------------------- k-truss
+
+#: truss threshold: every surviving edge sits in >= _TRUSS_SUP triangles
+_TRUSS_SUP = 2
+_TRUSS_ROUNDS = 3
+#: planted dense pockets: nodes sharing doc_id // _TRUSS_BLK form a
+#: clique (a K4 is a 4-truss, so the peel RETAINS the planted blocks
+#: while stripping the triangle-sparse modular noise — without them
+#: the derived graph's truss is empty, measured: 3000->160->0 edges)
+_TRUSS_BLK = 4
+
+
+def _block_peers(v: np.ndarray, n: int) -> list[np.ndarray]:
+    """the node's K4 block peers; a trailing partial block simply has
+    fewer peers — callers mask with ``< n`` (and ``!= v``)."""
+    base = (v // _TRUSS_BLK) * _TRUSS_BLK
+    return [base + j for j in range(_TRUSS_BLK)]
+
+
+def q_k_truss(sf_dir: str):
+    """k-truss peeling (Cohen 2008), k = 4 (support >= 2), 3 rounds —
+    the EDGE-centric density peel that complements the node-centric
+    ``kcore``: each round recomputes every live edge's triangle
+    support and drops edges below threshold.  Candidate common
+    neighbours of (a, b) always come from the ARITHMETIC full
+    neighbourhood (<= 12 slots, no wedge join); liveness checks probe
+    a broadcast sorted array of packed live edges (bounded by 3n —
+    at 10^12 nodes this becomes the wedge-join the ``triangles``
+    operator demonstrates, same peel loop).  Output: surviving
+    canonical edges (node_a, node_b).  Hash-exact vs the unrolled
+    triangle-join mirror."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds0 = _read(sf_dir, "documents", ["doc_id"])
+    n = ds0.count()
+    kinv = pow(_KNUTH, -1, n)
+
+    def _canon(t: pa.Table, n=n) -> pa.Table:
+        v = t.column("doc_id").to_numpy()
+        cands = [(v * _KNUTH + j) % n for j in range(1, _OUTDEG + 1)]
+        cands += _block_peers(v, n)
+        a_all, b_all = [], []
+        for d in cands:
+            m = (d != v) & (d < n)
+            a_all.append(np.minimum(v[m], d[m]))
+            b_all.append(np.maximum(v[m], d[m]))
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_all), pa.int64()),
+                "b": pa.array(np.concatenate(b_all), pa.int64()),
+            }
+        )
+
+    edges = (
+        ds0.map_batches(_canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    for _ in range(_TRUSS_ROUNDS):
+        live = edges.to_pandas()  # bounded: <= 3n canonical edges
+        packed = np.sort(
+            live["a"].to_numpy(np.int64) * (np.int64(1) << 32)
+            + live["b"].to_numpy(np.int64)
+        )
+        packed_ref = ray.put(packed)
+
+        def _support(t: pa.Table, n=n, kinv=kinv,
+                     packed_ref=packed_ref) -> pa.Table:
+            packed = ray.get(packed_ref)
+
+            def _is_live(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+                key = (
+                    np.minimum(x, y) * (np.int64(1) << 32)
+                    + np.maximum(x, y)
+                )
+                i = np.searchsorted(packed, key)
+                i = np.clip(i, 0, len(packed) - 1)
+                return packed[i] == key
+
+            a = t.column("a").to_numpy()
+            b = t.column("b").to_numpy()
+            # candidate common neighbours: full arithmetic hood of a
+            # (out + in slots) plus a's block peers
+            cands = [(a * _KNUTH + j) % n for j in range(1, _OUTDEG + 1)]
+            cands += [((a - j) * kinv) % n for j in range(1, _OUTDEG + 1)]
+            cands += _block_peers(a, n)
+            # tile (not repeat): cc concatenates slot-by-slot, so the
+            # edge index pattern is [0..m-1, 0..m-1, ...]
+            idx = np.tile(np.arange(len(a)), len(cands))
+            cc = np.concatenate(cands)
+            aa = np.concatenate([a] * len(cands))
+            bb = np.concatenate([b] * len(cands))
+            ok = (cc != aa) & (cc != bb) & (cc < n)
+            # dedupe (edge, candidate) pairs — a node can appear in
+            # several arithmetic slots
+            pk = idx * (np.int64(1) << 40) + cc
+            _, first = np.unique(pk, return_index=True)
+            keep = np.zeros(len(pk), dtype=bool)
+            keep[first] = True
+            ok &= keep
+            ok &= _is_live(aa, cc) & _is_live(bb, cc)
+            sup = np.bincount(idx[ok], minlength=len(a)).astype(np.int64)
+            m = sup >= _TRUSS_SUP
+            return pa.table(
+                {
+                    "a": pa.array(a[m], pa.int64()),
+                    "b": pa.array(b[m], pa.int64()),
+                }
+            )
+
+        edges = edges.map_batches(
+            _support, batch_format="pyarrow"
+        ).materialize()
+
+    return edges.map_batches(
+        lambda t: t.rename_columns(["node_a", "node_b"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_truss() -> str:
+    ctes = [
+        f"blk AS (SELECT x.doc_id AS src, y.doc_id AS dst"
+        f" FROM nodes x JOIN nodes y"
+        f" ON x.doc_id // {_TRUSS_BLK} = y.doc_id // {_TRUSS_BLK}"
+        f" AND x.doc_id < y.doc_id)",
+        "e1 AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b"
+        " FROM (SELECT src, dst FROM base WHERE src <> dst"
+        " UNION ALL SELECT src, dst FROM blk) GROUP BY 1, 2)",
+    ]
+    prev = "e1"
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        ctes.append(
+            f"tr{r} AS (SELECT x.a AS u, x.b AS v, y.b AS w"
+            f" FROM {prev} x JOIN {prev} y ON y.a = x.a AND y.b > x.b"
+            f" JOIN {prev} z ON z.a = x.b AND z.b = y.b)"
+        )
+        ctes.append(
+            f"sup{r} AS (SELECT a, b, cast(count(*) AS BIGINT) AS s FROM ("
+            f"SELECT u AS a, v AS b FROM tr{r}"
+            f" UNION ALL SELECT u, w FROM tr{r}"
+            f" UNION ALL SELECT v, w FROM tr{r}) GROUP BY a, b)"
+        )
+        nxt = f"e{r + 1}"
+        ctes.append(
+            f"{nxt} AS (SELECT e.a, e.b FROM {prev} e"
+            f" JOIN sup{r} s ON s.a = e.a AND s.b = e.b"
+            f" WHERE s.s >= {_TRUSS_SUP})"
+        )
+        prev = nxt
+    return (
+        _edges_cte()
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT a AS node_a, b AS node_b FROM {prev}"
+    )
+
+
 QUERIES = {
     "mis_luby": q_mis_luby,
     "greedy_matching": q_greedy_matching,
     "hyperball_reach": q_hyperball_reach,
+    "k_truss": q_k_truss,
 }
 
 ORACLE_SQL = {
     "mis_luby": _sql_mis(),
     "greedy_matching": _sql_matching(),
     "hyperball_reach": _sql_hyperball(),
+    "k_truss": _sql_truss(),
 }
 
 # self-register (same pattern as monitor.py)
