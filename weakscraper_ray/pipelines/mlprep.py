@@ -500,16 +500,248 @@ FROM nm a JOIN nm b
 )
 
 
+
+
+# ----------------------------------------------- NB-score evaluation
+
+def _nb_en_census(sf_dir: str) -> pd.DataFrame:
+    """(s, n, n_pos) census of the held-out binary 'en'-vs-rest NB
+    score over odd docs — the bounded reduct both evaluation
+    operators (exact AUC, calibration bins) fold over.  Trains the
+    same add-one model as ``nb_classify`` (same exchanges; the
+    smoothing denominator uses the FULL train vocabulary), scores
+    only the 'en' column, and reduces scores to a distinct-value
+    census per batch, so the exchange is bounded by distinct score
+    values, never by document count."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _even_terms(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0))
+        _, flat, doc_of = _doc_token_runs(t)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)[doc_of]
+        df = pd.DataFrame({"lang": lang, "term": flat})
+        g = df.groupby(["lang", "term"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"]),
+                "term": pa.array(g["term"]),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def _even_docs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0))
+        vc = pc.value_counts(t.column("lang").combine_chunks())
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "nd": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    tc = (
+        ds.map_batches(_even_terms, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    pr = (
+        ds.map_batches(_even_docs, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .to_pandas()
+    )
+    v = tc["term"].nunique()  # FULL train vocabulary, all langs
+    en = tc[tc["lang"] == "en"]
+    nt_en = int(en["n"].sum())
+    logp_en = dict(
+        zip(
+            en["term"],
+            _i64_away_np(
+                np.log((en["n"].to_numpy(np.int64) + 1.0) / (nt_en + v)), 1e6
+            ).astype(np.int64),
+        )
+    )
+    unseen = int(_i64_away_np(np.log(np.array([1.0 / (nt_en + v)])), 1e6)[0])
+    nd_en = int(pr.loc[pr["lang"] == "en", "nd"].iloc[0])
+    nd_tot = int(pr["nd"].sum())
+    prior = int(
+        _i64_away_np(np.log(np.array([nd_en / nd_tot])), 1e6)[0]
+    )
+    model_ref = ray.put((logp_en, unseen, prior))
+
+    def _score(t: pa.Table) -> pa.Table:
+        logp_en, unseen, prior = ray.get(model_ref)
+        t = t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1))
+        ids, flat, doc_of = _doc_token_runs(t)
+        term_s = (
+            pd.Series(flat).map(logp_en).fillna(unseen).to_numpy(np.float64)
+        )
+        # e6 ints << 2^53: float bincount accumulation is exact
+        s = prior + np.bincount(
+            doc_of, weights=term_s, minlength=len(ids)
+        ).astype(np.int64)
+        is_en = (
+            t.column("lang").to_numpy(zero_copy_only=False) == "en"
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"s": s, "pos": is_en})
+            .groupby("s", sort=False)
+            .agg(n=("pos", "size"), n_pos=("pos", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "s": pa.array(df["s"].to_numpy(np.int64)),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+                "n_pos": pa.array(df["n_pos"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(_score, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_pos", alias_name="n_pos"))
+        .to_pandas()  # bounded by distinct score values
+        .sort_values("s", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def q_auc_nb(sf_dir: str):
+    """EXACT ROC AUC of the held-out 'en'-vs-rest NB score — the
+    model-evaluation twin of ``mannwhitney_u`` (AUC == U/(PN)):
+    midranks never materialize; they derive from the score census as
+    2·midrank(s) = 2·below(s) + n(s) + 1, so
+    2·ΣR_pos = Σ_s n_pos(s)·(2·below(s)+n(s)+1) is a pure integer
+    fold over distinct score values.  Output (n_pos, n_neg,
+    auc_num2 = 2ΣR_pos − P(P+1), auc_den2 = 2PN, auc_e6)."""
+    cen = _nb_en_census(sf_dir)
+    n = cen["n"].to_numpy(np.int64)
+    npos = cen["n_pos"].to_numpy(np.int64)
+    below = np.concatenate(([0], np.cumsum(n)[:-1]))
+    two_rpos = int((npos * (2 * below + n + 1)).sum())
+    p = int(npos.sum())
+    q = int(n.sum()) - p
+    num2 = two_rpos - p * (p + 1)
+    den2 = 2 * p * q
+    return pa.table(
+        {
+            "n_pos": pa.array([p], pa.int64()),
+            "n_neg": pa.array([q], pa.int64()),
+            "auc_num2": pa.array([num2], pa.int64()),
+            "auc_den2": pa.array([den2], pa.int64()),
+            "auc_e6": pa.array([(10**6 * num2) // den2], pa.int64()),
+        }
+    )
+
+
+def q_calibration_bins(sf_dir: str):
+    """Score-binned reliability table for the same held-out binary
+    score: 10 equal-width bins over [smin, smax], each reporting
+    (n, n_en) — the input of a reliability diagram / ECE.  Bin
+    arithmetic is pure integer: bin = (s−smin)·10 // (smax−smin+1),
+    mirrored verbatim.  Folds over the same bounded census."""
+    cen = _nb_en_census(sf_dir)
+    s = cen["s"].to_numpy(np.int64)
+    n = cen["n"].to_numpy(np.int64)
+    npos = cen["n_pos"].to_numpy(np.int64)
+    smin, smax = int(s.min()), int(s.max())
+    width = smax - smin + 1
+    b = (s - smin) * 10 // width
+    df = (
+        pd.DataFrame({"bin": b, "n": n, "n_en": npos})
+        .groupby("bin", sort=False)
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "bin": pa.array(df["bin"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "n_en": pa.array(df["n_en"].to_numpy(np.int64)),
+        }
+    )
+
+
+_SQL_NB_EN_SCORES = r"""
+WITH l AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(regexp_replace(coalesce(text, ''),
+                                           '^\s+|\s+$', '', 'g'),
+                            '\S+') AS toks
+  FROM documents),
+tr AS (SELECT lang, unnest(toks) AS term FROM l WHERE doc_id % 2 = 0),
+vv AS (SELECT cast(count(DISTINCT term) AS BIGINT) AS v FROM tr),
+tce AS (SELECT term, cast(count(*) AS BIGINT) AS n
+        FROM tr WHERE lang = 'en' GROUP BY term),
+nte AS (SELECT cast(coalesce(sum(n), 0) AS BIGINT) AS nt FROM tce),
+pre AS (SELECT cast(count(*) AS BIGINT) AS nd
+        FROM l WHERE doc_id % 2 = 0 AND lang = 'en'),
+pt AS (SELECT cast(count(*) AS BIGINT) AS nd FROM l WHERE doc_id % 2 = 0),
+odd AS (SELECT doc_id, lang, toks FROM l WHERE doc_id % 2 = 1),
+occ AS (SELECT doc_id, unnest(toks) AS term FROM odd),
+term_s AS (
+  SELECT occ.doc_id,
+         cast(round(ln((cast(coalesce(tce.n, 0) AS DOUBLE) + 1.0)
+                       / (cast(nte.nt AS DOUBLE) + vv.v)) * 1000000, 0)
+              AS BIGINT) AS s_e6
+  FROM occ CROSS JOIN nte CROSS JOIN vv
+  LEFT JOIN tce ON tce.term = occ.term),
+dsum AS (SELECT doc_id, cast(sum(s_e6) AS BIGINT) AS s
+         FROM term_s GROUP BY doc_id),
+score AS (
+  SELECT o.doc_id,
+         CASE WHEN o.lang = 'en' THEN 1 ELSE 0 END AS pos,
+         cast(round(ln(cast(pre.nd AS DOUBLE) / pt.nd) * 1000000, 0)
+              AS BIGINT) + coalesce(dsum.s, 0) AS s
+  FROM odd o CROSS JOIN pre CROSS JOIN pt
+  LEFT JOIN dsum ON dsum.doc_id = o.doc_id)
+"""
+
+SQL_AUC_NB = _SQL_NB_EN_SCORES + """,
+r AS (SELECT pos, s,
+             rank() OVER (ORDER BY s) AS rk,
+             count(*) OVER (PARTITION BY s) AS c
+      FROM score),
+agg AS (SELECT cast(sum(CASE WHEN pos = 1 THEN 2 * rk + c - 1 ELSE 0 END)
+                    AS BIGINT) AS two_rpos,
+               cast(sum(pos) AS BIGINT) AS p,
+               cast(count(*) - sum(pos) AS BIGINT) AS q
+        FROM r)
+SELECT p AS n_pos, q AS n_neg,
+       cast(two_rpos - p * (p + 1) AS BIGINT) AS auc_num2,
+       cast(2 * p * q AS BIGINT) AS auc_den2,
+       cast((1000000 * cast(two_rpos - p * (p + 1) AS HUGEINT))
+            // (2 * cast(p AS HUGEINT) * q) AS BIGINT) AS auc_e6
+FROM agg
+"""
+
+SQL_CALIBRATION = _SQL_NB_EN_SCORES + """,
+b AS (SELECT min(s) AS smin, max(s) - min(s) + 1 AS w FROM score)
+SELECT (s - smin) * 10 // w AS bin,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(pos) AS BIGINT) AS n_en
+FROM score, b GROUP BY bin
+"""
+
+
 QUERIES = {
     "nb_classify": q_nb_classify,
     "gini_stump": q_gini_stump,
     "edit1_join": q_edit1_join,
+    "auc_nb": q_auc_nb,
+    "calibration_bins": q_calibration_bins,
 }
 
 ORACLE_SQL = {
     "nb_classify": SQL_NB_CLASSIFY,
     "gini_stump": SQL_GINI_STUMP,
     "edit1_join": SQL_EDIT1_JOIN,
+    "auc_nb": SQL_AUC_NB,
+    "calibration_bins": SQL_CALIBRATION,
 }
 
 # self-register (same pattern as monitor.py)
