@@ -117,7 +117,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "gini_concentration", "theil_index", "hhi_concentration",
         "mis_luby", "greedy_matching", "hyperball_reach",
         "stream_join_60s", "sax_daily", "theta_join_cdf", "kmv_intersect",
-        "k_truss", "sprt_test", "auc_nb", "calibration_bins",
+        "k_truss", "sprt_test", "auc_nb", "calibration_bins", "ndcg_bm25",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -2714,6 +2714,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
     from . import retrieval as _ret
 
     out.update(_ret.dynamic_oracle_sql(sf_dir))
+    from . import ranking as _rank
+
+    out.update(_rank.dynamic_oracle_sql(sf_dir))
     return out
 
 
@@ -3211,6 +3214,10 @@ from . import rounds as _rounds  # noqa: E402,F401
 # round-3 sequential-analysis family (Wald SPRT first-crossing via
 # two-phase prefix partials).
 from . import sequential as _sequential  # noqa: E402,F401
+
+# round-3 ranking-evaluation family (NDCG@10 / P@10 of the BM25
+# ranking against term-coverage relevance).
+from . import ranking as _ranking  # noqa: E402,F401
 
 # round-3 semiring path-relaxation family (weighted SSSP, widest path,
 # walk counting — one Bellman-Ford skeleton, three semirings).
