@@ -143,6 +143,9 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # worker prints otherwise leak onto STDOUT and corrupt the
+        # one-line JSON contract the driver parses (seen in BENCH_r02)
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

@@ -119,8 +119,17 @@ def q_ssjoin_prefix(sf_dir: str):
         (BLAS float32 — counts ≤ |set| ≤ 2²⁴, exactly representable),
         chunked over rows so a hot bucket of b docs costs
         O(b²·v/chunk) memory instead of a b² Python loop with set
-        intersections (the loop version measured 387 s at sf0.1 on a
-        highly self-similar corpus; this one ~7 s)."""
+        intersections (the loop version measured 387 s at sf0.1 on
+        this highly self-similar corpus).
+
+        OWNERSHIP dedupe (the decisive fix on a corpus with ~3M
+        qualifying pairs at sf0.1): a pair is emitted ONLY by its
+        minimum shared PREFIX token's bucket — a second incidence
+        matmul over prefix tokens ranked below this bucket tests
+        "no earlier shared prefix token" — so every pair leaves the
+        stage exactly once and the 5×-replicated pair dedupe
+        exchange disappears (emitting in every shared bucket and
+        Min-deduping measured ~500 s at sf0.1; this path ~30 s)."""
         g = g.sort_values(["size", "doc_id"]).reset_index(drop=True)
         b = len(g)
         if b < 2:
@@ -133,6 +142,7 @@ def q_ssjoin_prefix(sf_dir: str):
                     "size_b": pd.array([], dtype="int64"),
                 }
             )
+        bkt = int(g["bucket"].iloc[0])
         ids = g["doc_id"].to_numpy(np.int64)
         szs = g["size"].to_numpy(np.int64)
         flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in g["toks"]])
@@ -141,14 +151,30 @@ def q_ssjoin_prefix(sf_dir: str):
         rows = np.repeat(np.arange(b, dtype=np.int64), lens)
         A = np.zeros((b, len(loc_vocab)), dtype=np.float32)
         A[rows, loc] = 1.0
+        # prefix incidence restricted to ranks BELOW this bucket: the
+        # ownership test (shared-earlier-prefix count == 0)
+        pl = np.fromiter(
+            (_prefix_len(len(t)) for t in g["toks"]), np.int64, b
+        )
+        pf = np.concatenate(
+            [np.asarray(t[: int(p)], np.int64) for t, p in zip(g["toks"], pl)]
+        )
+        prow = np.repeat(np.arange(b, dtype=np.int64), pl)
+        early = pf < bkt
+        L = np.zeros((b, len(loc_vocab)), dtype=np.float32)
+        L[prow[early], np.searchsorted(loc_vocab, pf[early])] = 1.0
         oa, ob, common, sa_l, sb_l = [], [], [], [], []
         chunk = max(1, min(b, 1 << 22) // max(1, len(loc_vocab)))
         for lo in range(0, b, chunk):
             hi = min(lo + chunk, b)
             inter = (A[lo:hi] @ A.T).astype(np.int64)  # (hi-lo, b)
+            shared_early = L[lo:hi] @ L.T  # exact small ints in f32
             ii, jj = np.nonzero(
                 # upper triangle only (j > global row index i)
                 (np.arange(b)[None, :] > np.arange(lo, hi)[:, None])
+                # this bucket owns the pair: no shared prefix token
+                # ranked below it
+                & (shared_early == 0)
                 # length filter: sizes ascending → τ·|b| ≤ |a|
                 & (_TAU_NUM * szs[None, :] <= _TAU_DEN * szs[lo:hi, None])
                 # exact integer Jaccard threshold
@@ -195,17 +221,12 @@ def q_ssjoin_prefix(sf_dir: str):
                 ("size_b", pa.int64()),
             ]
         ),
-    ).materialize()
-    # equal-split repartition between the two keyed exchanges: buckets
-    # with no qualifying pair emit empty blocks, and _schema_guard
-    # alone does not protect a chained hash shuffle (the
-    # dedup_conv_structure / cluster_pairs lesson)
-    verified = verified.repartition(max(1, min(verified.count(), 64)))
-    pairs = verified.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("n_common", alias_name="n_common"),
-        Min("size_a", alias_name="size_a"),
-        Min("size_b", alias_name="size_b"),
     )
+    # ownership dedupe means every pair leaves the bucket stage
+    # exactly once — no second keyed exchange (which also retires the
+    # chained-hash-shuffle empty-block hazard this stage used to
+    # repartition around)
+    pairs = verified
 
     def _score(t: pa.Table) -> pa.Table:
         i = t.column("n_common").to_numpy().astype(np.float64)
