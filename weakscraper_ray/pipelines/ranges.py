@@ -238,6 +238,53 @@ _SJ_BAND_US = 60_000_000
 _SJ_EID_BITS = 20
 
 
+def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+    us = g["us"].to_numpy(np.int64)
+    eid = g["eid"].to_numpy(np.int64)
+    uid = g["uid"].to_numpy(np.int64)
+    seg = g["seg"].to_numpy(np.int64)
+    host = g["is_host"].to_numpy(np.int64) == 1
+    assert int(eid.max()) < (1 << _SJ_EID_BITS)
+    # key RELATIVE TO THE SEGMENT's own base: a row serves segment
+    # seg with us - seg*BAND in [0, 2*BAND), so the local key is
+    # < 2^47 and the segment index gets the bits above (a
+    # shard-global base would overflow: buckets mod 256 span the
+    # whole month).
+    rel = us - seg * _SJ_BAND_US
+    key = rel * (1 << _SJ_EID_BITS) + eid
+    _, si = np.unique(seg, return_inverse=True)
+    sk = si.astype(np.int64) * (1 << 48) + key
+    sks = np.sort(sk, kind="stable")
+    up_local = (rel + _SJ_BAND_US) * (1 << _SJ_EID_BITS) + (
+        (1 << _SJ_EID_BITS) - 1
+    )
+    up = si.astype(np.int64) * (1 << 48) + up_local
+    total = np.searchsorted(sks, up, side="right") - np.searchsorted(
+        sks, sk, side="right"
+    )
+    # same-user subtraction: (segment, user) joint segments
+    _, sui = np.unique(
+        si.astype(np.int64) * (1 << 32) + uid, return_inverse=True
+    )
+    suk = sui.astype(np.int64) * (1 << 48) + key
+    suks = np.sort(suk, kind="stable")
+    sup = sui.astype(np.int64) * (1 << 48) + up_local
+    same = np.searchsorted(suks, sup, side="right") - np.searchsorted(
+        suks, suk, side="right"
+    )
+    cross = (total - same)[host]
+    day = (us[host] // 86_400_000_000)
+    df = pd.DataFrame({"day": day, "n": cross})
+    out = df.groupby("day", sort=False)["n"].sum().reset_index()
+    return pd.DataFrame(
+        {
+            "day": out["day"].to_numpy(np.int64),
+            "n": out["n"].to_numpy(np.int64),
+        }
+    )
+
+
+
 def q_stream_join_60s(sf_dir: str):
     """Stream-stream (banded temporal) join: pairs of PURCHASES by
     DIFFERENT users within 60 s of each other, counted per day of the
@@ -288,51 +335,6 @@ def q_stream_join_60s(sf_dir: str):
         return both.append_column(
             "shard",
             pc.bit_wise_and(both.column("seg"), pa.scalar(255)),
-        )
-
-    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
-        us = g["us"].to_numpy(np.int64)
-        eid = g["eid"].to_numpy(np.int64)
-        uid = g["uid"].to_numpy(np.int64)
-        seg = g["seg"].to_numpy(np.int64)
-        host = g["is_host"].to_numpy(np.int64) == 1
-        assert int(eid.max()) < (1 << _SJ_EID_BITS)
-        # key RELATIVE TO THE SEGMENT's own base: a row serves segment
-        # seg with us - seg*BAND in [0, 2*BAND), so the local key is
-        # < 2^47 and the segment index gets the bits above (a
-        # shard-global base would overflow: buckets mod 256 span the
-        # whole month).
-        rel = us - seg * _SJ_BAND_US
-        key = rel * (1 << _SJ_EID_BITS) + eid
-        _, si = np.unique(seg, return_inverse=True)
-        sk = si.astype(np.int64) * (1 << 48) + key
-        sks = np.sort(sk, kind="stable")
-        up_local = (rel + _SJ_BAND_US) * (1 << _SJ_EID_BITS) + (
-            (1 << _SJ_EID_BITS) - 1
-        )
-        up = si.astype(np.int64) * (1 << 48) + up_local
-        total = np.searchsorted(sks, up, side="right") - np.searchsorted(
-            sks, sk, side="right"
-        )
-        # same-user subtraction: (segment, user) joint segments
-        _, sui = np.unique(
-            si.astype(np.int64) * (1 << 32) + uid, return_inverse=True
-        )
-        suk = sui.astype(np.int64) * (1 << 48) + key
-        suks = np.sort(suk, kind="stable")
-        sup = sui.astype(np.int64) * (1 << 48) + up_local
-        same = np.searchsorted(suks, sup, side="right") - np.searchsorted(
-            suks, suk, side="right"
-        )
-        cross = (total - same)[host]
-        day = (us[host] // 86_400_000_000)
-        df = pd.DataFrame({"day": day, "n": cross})
-        out = df.groupby("day", sort=False)["n"].sum().reset_index()
-        return pd.DataFrame(
-            {
-                "day": out["day"].to_numpy(np.int64),
-                "n": out["n"].to_numpy(np.int64),
-            }
         )
 
     out = (

@@ -30,8 +30,9 @@ Scale design:
   driver, no second keyed exchange (contrast: dedup_minhash's verify
   re-read).
 - Duplicate candidates (a pair sharing several prefix tokens) are
-  collapsed by one final ``groupby(doc_a, doc_b)`` over the verified
-  (tiny) pair set.
+  prevented at the source: the bucket of the pair's MINIMUM shared
+  prefix token is its sole owner (a prefix-incidence matmul tests
+  "no earlier shared prefix token"), so no dedupe exchange exists.
 - Rare tokens lead the order, so hot-token buckets only contain the
   docs whose prefixes reach them; the published hardening for skewed
   corpora is PPJoin's positional filter (documented swap-in).
@@ -57,6 +58,101 @@ _TAU_NUM, _TAU_DEN = 4, 5
 def _prefix_len(n: int) -> int:
     """|x| − ⌈τ·|x|⌉ + 1 with τ = 4/5."""
     return n - (_TAU_NUM * n + _TAU_DEN - 1) // _TAU_DEN + 1
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Exact verification inside one bucket, VECTORIZED: pairwise
+    intersection counts come from a doc×token incidence matmul
+    (BLAS float32 — counts ≤ |set| ≤ 2²⁴, exactly representable),
+    chunked over rows so a hot bucket of b docs costs
+    O(b²·v/chunk) memory instead of a b² Python loop with set
+    intersections (the loop version measured 387 s at sf0.1 on
+    this highly self-similar corpus).
+
+    OWNERSHIP dedupe (the decisive fix on a corpus with ~3M
+    qualifying pairs at sf0.1): a pair is emitted ONLY by its
+    minimum shared PREFIX token's bucket — a second incidence
+    matmul over prefix tokens ranked below this bucket tests
+    "no earlier shared prefix token" — so every pair leaves the
+    stage exactly once and the 5×-replicated pair dedupe
+    exchange disappears (emitting in every shared bucket and
+    Min-deduping measured ~500 s at sf0.1; this path ~30 s)."""
+    g = g.sort_values(["size", "doc_id"]).reset_index(drop=True)
+    b = len(g)
+    if b < 2:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.array([], dtype="int64"),
+                "doc_b": pd.array([], dtype="int64"),
+                "n_common": pd.array([], dtype="int64"),
+                "size_a": pd.array([], dtype="int64"),
+                "size_b": pd.array([], dtype="int64"),
+            }
+        )
+    bkt = int(g["bucket"].iloc[0])
+    ids = g["doc_id"].to_numpy(np.int64)
+    szs = g["size"].to_numpy(np.int64)
+    flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in g["toks"]])
+    lens = np.fromiter((len(t) for t in g["toks"]), np.int64, b)
+    loc_vocab, loc = np.unique(flat, return_inverse=True)
+    rows = np.repeat(np.arange(b, dtype=np.int64), lens)
+    A = np.zeros((b, len(loc_vocab)), dtype=np.float32)
+    A[rows, loc] = 1.0
+    # prefix incidence restricted to ranks BELOW this bucket: the
+    # ownership test (shared-earlier-prefix count == 0)
+    pl = np.fromiter(
+        (_prefix_len(len(t)) for t in g["toks"]), np.int64, b
+    )
+    pf = np.concatenate(
+        [np.asarray(t[: int(p)], np.int64) for t, p in zip(g["toks"], pl)]
+    )
+    prow = np.repeat(np.arange(b, dtype=np.int64), pl)
+    early = pf < bkt
+    L = np.zeros((b, len(loc_vocab)), dtype=np.float32)
+    L[prow[early], np.searchsorted(loc_vocab, pf[early])] = 1.0
+    oa, ob, common, sa_l, sb_l = [], [], [], [], []
+    chunk = max(1, min(b, 1 << 22) // max(1, len(loc_vocab)))
+    for lo in range(0, b, chunk):
+        hi = min(lo + chunk, b)
+        inter = (A[lo:hi] @ A.T).astype(np.int64)  # (hi-lo, b)
+        shared_early = L[lo:hi] @ L.T  # exact small ints in f32
+        ii, jj = np.nonzero(
+            # upper triangle only (j > global row index i)
+            (np.arange(b)[None, :] > np.arange(lo, hi)[:, None])
+            # this bucket owns the pair: no shared prefix token
+            # ranked below it
+            & (shared_early == 0)
+            # length filter: sizes ascending → τ·|b| ≤ |a|
+            & (_TAU_NUM * szs[None, :] <= _TAU_DEN * szs[lo:hi, None])
+            # exact integer Jaccard threshold
+            & (
+                (_TAU_DEN + _TAU_NUM) * inter
+                >= _TAU_NUM * (szs[lo:hi, None] + szs[None, :])
+            )
+        )
+        gi = ii + lo
+        a_ids, b_ids = ids[gi], ids[jj]
+        lo_ids = np.minimum(a_ids, b_ids)
+        hi_ids = np.maximum(a_ids, b_ids)
+        swap = a_ids != lo_ids
+        sa = np.where(swap, szs[jj], szs[gi])
+        sb = np.where(swap, szs[gi], szs[jj])
+        oa.append(lo_ids)
+        ob.append(hi_ids)
+        common.append(inter[ii, jj])
+        sa_l.append(sa)
+        sb_l.append(sb)
+    cat = lambda xs: np.concatenate(xs) if xs else np.array([], np.int64)
+    return pd.DataFrame(
+        {
+            "doc_a": pd.array(cat(oa), dtype="int64"),
+            "doc_b": pd.array(cat(ob), dtype="int64"),
+            "n_common": pd.array(cat(common), dtype="int64"),
+            "size_a": pd.array(cat(sa_l), dtype="int64"),
+            "size_b": pd.array(cat(sb_l), dtype="int64"),
+        }
+    )
+
 
 
 def q_ssjoin_prefix(sf_dir: str):
@@ -110,99 +206,6 @@ def q_ssjoin_prefix(sf_dir: str):
                 "doc_id": pa.array(docs, pa.int64()),
                 "size": pa.array(sizes, pa.int64()),
                 "toks": pa.array(toks, pa.list_(pa.int64())),
-            }
-        )
-
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Exact verification inside one bucket, VECTORIZED: pairwise
-        intersection counts come from a doc×token incidence matmul
-        (BLAS float32 — counts ≤ |set| ≤ 2²⁴, exactly representable),
-        chunked over rows so a hot bucket of b docs costs
-        O(b²·v/chunk) memory instead of a b² Python loop with set
-        intersections (the loop version measured 387 s at sf0.1 on
-        this highly self-similar corpus).
-
-        OWNERSHIP dedupe (the decisive fix on a corpus with ~3M
-        qualifying pairs at sf0.1): a pair is emitted ONLY by its
-        minimum shared PREFIX token's bucket — a second incidence
-        matmul over prefix tokens ranked below this bucket tests
-        "no earlier shared prefix token" — so every pair leaves the
-        stage exactly once and the 5×-replicated pair dedupe
-        exchange disappears (emitting in every shared bucket and
-        Min-deduping measured ~500 s at sf0.1; this path ~30 s)."""
-        g = g.sort_values(["size", "doc_id"]).reset_index(drop=True)
-        b = len(g)
-        if b < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.array([], dtype="int64"),
-                    "doc_b": pd.array([], dtype="int64"),
-                    "n_common": pd.array([], dtype="int64"),
-                    "size_a": pd.array([], dtype="int64"),
-                    "size_b": pd.array([], dtype="int64"),
-                }
-            )
-        bkt = int(g["bucket"].iloc[0])
-        ids = g["doc_id"].to_numpy(np.int64)
-        szs = g["size"].to_numpy(np.int64)
-        flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in g["toks"]])
-        lens = np.fromiter((len(t) for t in g["toks"]), np.int64, b)
-        loc_vocab, loc = np.unique(flat, return_inverse=True)
-        rows = np.repeat(np.arange(b, dtype=np.int64), lens)
-        A = np.zeros((b, len(loc_vocab)), dtype=np.float32)
-        A[rows, loc] = 1.0
-        # prefix incidence restricted to ranks BELOW this bucket: the
-        # ownership test (shared-earlier-prefix count == 0)
-        pl = np.fromiter(
-            (_prefix_len(len(t)) for t in g["toks"]), np.int64, b
-        )
-        pf = np.concatenate(
-            [np.asarray(t[: int(p)], np.int64) for t, p in zip(g["toks"], pl)]
-        )
-        prow = np.repeat(np.arange(b, dtype=np.int64), pl)
-        early = pf < bkt
-        L = np.zeros((b, len(loc_vocab)), dtype=np.float32)
-        L[prow[early], np.searchsorted(loc_vocab, pf[early])] = 1.0
-        oa, ob, common, sa_l, sb_l = [], [], [], [], []
-        chunk = max(1, min(b, 1 << 22) // max(1, len(loc_vocab)))
-        for lo in range(0, b, chunk):
-            hi = min(lo + chunk, b)
-            inter = (A[lo:hi] @ A.T).astype(np.int64)  # (hi-lo, b)
-            shared_early = L[lo:hi] @ L.T  # exact small ints in f32
-            ii, jj = np.nonzero(
-                # upper triangle only (j > global row index i)
-                (np.arange(b)[None, :] > np.arange(lo, hi)[:, None])
-                # this bucket owns the pair: no shared prefix token
-                # ranked below it
-                & (shared_early == 0)
-                # length filter: sizes ascending → τ·|b| ≤ |a|
-                & (_TAU_NUM * szs[None, :] <= _TAU_DEN * szs[lo:hi, None])
-                # exact integer Jaccard threshold
-                & (
-                    (_TAU_DEN + _TAU_NUM) * inter
-                    >= _TAU_NUM * (szs[lo:hi, None] + szs[None, :])
-                )
-            )
-            gi = ii + lo
-            a_ids, b_ids = ids[gi], ids[jj]
-            lo_ids = np.minimum(a_ids, b_ids)
-            hi_ids = np.maximum(a_ids, b_ids)
-            swap = a_ids != lo_ids
-            sa = np.where(swap, szs[jj], szs[gi])
-            sb = np.where(swap, szs[gi], szs[jj])
-            oa.append(lo_ids)
-            ob.append(hi_ids)
-            common.append(inter[ii, jj])
-            sa_l.append(sa)
-            sb_l.append(sb)
-        cat = lambda xs: np.concatenate(xs) if xs else np.array([], np.int64)
-        return pd.DataFrame(
-            {
-                "doc_a": pd.array(cat(oa), dtype="int64"),
-                "doc_b": pd.array(cat(ob), dtype="int64"),
-                "n_common": pd.array(cat(common), dtype="int64"),
-                "size_a": pd.array(cat(sa_l), dtype="int64"),
-                "size_b": pd.array(cat(sb_l), dtype="int64"),
             }
         )
 
