@@ -2717,6 +2717,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
     from . import ranking as _rank
 
     out.update(_rank.dynamic_oracle_sql(sf_dir))
+    from . import rounds as _rnd
+
+    out.update(_rnd.dynamic_oracle_sql(sf_dir))
     return out
 
 

@@ -728,11 +728,65 @@ def _sql_truss() -> str:
     )
 
 
+
+
+# ------------------------------------- composite: seed selection
+
+_SEEDSEL_K = 20
+
+
+def q_seed_select(sf_dir: str):
+    """Composite curation pipeline — diversity-constrained seed
+    selection: rank pages by seed-proximity authority
+    (``ppr_seeded``), admit only members of the independent set
+    (``mis_luby``: no two selected pages may cite each other —
+    the diversity constraint), take the top-20 by (ppr desc,
+    doc_id).  The driver verifies the CHAIN end-to-end, not just
+    each stage (the ``training_prep`` precedent).
+
+    Shape: the MIS member set is bounded (a maximal independent set
+    of a degree-<=6 graph is large, but ids-only) and broadcasts via
+    ``ray.put``; the PPR table streams through one filter + a
+    distributed sort-limit."""
+    import ray as _ray
+
+    from .paths import q_ppr_seeded
+
+    mis = q_mis_luby(sf_dir).to_pandas()
+    mis_ref = _ray.put(np.sort(mis["node"].to_numpy(np.int64)))
+
+    ppr = q_ppr_seeded(sf_dir)
+
+    def _member(t: pa.Table) -> pa.Table:
+        m = _ray.get(mis_ref)
+        keep = np.isin(t.column("doc_id").to_numpy(), m)
+        return t.filter(pa.array(keep))
+
+    return (
+        ppr.map_batches(_member, batch_format="pyarrow")
+        .sort(["ppr_e12", "doc_id"], descending=[True, False])
+        .limit(_SEEDSEL_K)
+    )
+
+
+def _sql_seed_select() -> str:
+    from .paths import _sql_ppr
+
+    return f"""
+SELECT p.doc_id, p.ppr_e12
+FROM ({_sql_ppr()}) p
+JOIN (SELECT node FROM ({_sql_mis()})) m ON m.node = p.doc_id
+ORDER BY p.ppr_e12 DESC, p.doc_id
+LIMIT {_SEEDSEL_K}
+"""
+
+
 QUERIES = {
     "mis_luby": q_mis_luby,
     "greedy_matching": q_greedy_matching,
     "hyperball_reach": q_hyperball_reach,
     "k_truss": q_k_truss,
+    "seed_select": q_seed_select,
 }
 
 ORACLE_SQL = {
@@ -741,6 +795,13 @@ ORACLE_SQL = {
     "hyperball_reach": _sql_hyperball(),
     "k_truss": _sql_truss(),
 }
+
+
+def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """seed_select's twin embeds paths._sql_ppr — resolved lazily in
+    relational.build_oracle_sql (a module-import-time call deadlocks
+    worker unpickling when the chain enters via paths)."""
+    return {"seed_select": _sql_seed_select()}
 
 # self-register (same pattern as monitor.py)
 from . import relational as _rel  # noqa: E402
