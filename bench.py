@@ -118,7 +118,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "mis_luby", "greedy_matching", "hyperball_reach",
         "stream_join_60s", "sax_daily", "theta_join_cdf", "kmv_intersect",
         "k_truss", "sprt_test", "auc_nb", "calibration_bins", "ndcg_bm25",
-        "seed_select",
+        "seed_select", "gram_matrix", "hill_tail", "markov_entropy",
     ]
     out: dict[str, float] = {}
     for name in names:

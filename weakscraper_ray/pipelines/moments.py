@@ -1,0 +1,253 @@
+"""Round-3 continuation #13c: second-moment / tail / entropy
+estimators — three statistics that reduce big inputs to tiny exact
+summaries, each a ``queries()`` entry with a DuckDB oracle:
+
+- ``gram_matrix``     exact integer Gram (Xᵀ X) of the e6-quantized
+                      embedding matrix — the input PCA/whitening/
+                      linear-probe steps actually consume (the
+                      oracle-exact complement of the rows-only
+                      ``embedding_pca``: quantize first, THEN take
+                      moments, and the 64×64 matrix is hash-exact)
+- ``hill_tail``       Hill (1975) tail-index estimator of per-user
+                      activity — the MLE complement of the
+                      regression-based ``zipf_slope``
+- ``markov_entropy``  empirical entropy rate of the per-user
+                      event-type Markov chain — the scalar read-out
+                      of ``transition_probs``' matrix
+
+Exactness: Gram entries are pure int64 sums of quantized products
+(|q| ≤ ~2e6, 5000-row sums ≪ 2^63); Hill and entropy quantize each
+ln term at e9 before integer summation (the ``psi_drift`` idiom) and
+release integer numerator/denominator.
+
+Scale shapes: the Gram pass emits ONE 64×64 partial per batch
+(bounded exchange: 2080 upper-triangle cells × #batches — the
+classic distributed covariance shape); Hill folds over the
+activity-level census (``inequality.py`` — unbounded key
+cardinality safe); the entropy pass reuses the user-sharded
+consecutive-pair reduction (exchange ≤ |types|²).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _i64_away_np, _read
+
+_GRAM_DIM = 64
+_GRAM_SCALE = 1e6
+
+
+def q_gram_matrix(sf_dir: str):
+    """Exact integer Gram matrix of the quantized embeddings (module
+    docstring).  Output: (i, j, gram) upper triangle, 1-based dims."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        from ..functions.embed import fixed_list_to_numpy
+
+        x = fixed_list_to_numpy(t.column("embedding"), dtype=np.float64)
+        q = _i64_away_np(x, _GRAM_SCALE).astype(np.int64)
+        g = q.T @ q  # (64, 64) int64 — exact
+        iu, ju = np.triu_indices(_GRAM_DIM)
+        return pa.table(
+            {
+                "i": pa.array((iu + 1).astype(np.int64)),
+                "j": pa.array((ju + 1).astype(np.int64)),
+                "gram": pa.array(g[iu, ju]),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("gram", alias_name="gram"))
+    )
+
+
+# cast(... AS DOUBLE) BEFORE the multiply: embedding is FLOAT and
+# DuckDB would otherwise scale in float32, mis-rounding ~0.4% of
+# elements by one ulp (diagnosed: 0.1686684936*1e6 -> 168669 in f32)
+SQL_GRAM = f"""
+SELECT i.i, j.j,
+       cast(sum(cast(round(cast(embedding[i.i] AS DOUBLE)
+                           * {int(_GRAM_SCALE)}, 0) AS BIGINT)
+                * cast(round(cast(embedding[j.j] AS DOUBLE)
+                             * {int(_GRAM_SCALE)}, 0)
+                       AS BIGINT)) AS BIGINT) AS gram
+FROM embeddings,
+     range(1, {_GRAM_DIM + 1}) i(i),
+     range(1, {_GRAM_DIM + 1}) j(j)
+WHERE j.j >= i.i
+GROUP BY i.i, j.j
+"""
+
+
+def q_hill_tail(sf_dir: str):
+    """Hill estimator of the activity tail index: with per-user event
+    counts sorted descending (x₁ ≥ x₂ ≥ ...) and k = ⌊n/10⌋,
+    H = (1/k)·Σ_{i≤k} ln(x_i / x_{k+1}) — heavy-tail exponent
+    α ≈ 1/H.  Folds over the distinct-activity-level census
+    (inequality.py machinery: exact at unbounded key cardinality),
+    where the top-(k+1) value MULTISET is tie-order-independent, so
+    no rank tie-break is needed on either engine.  Each ln term
+    e9-quantized.  Output (n_users, k, hill_num_e9, hill_e6)."""
+    from .inequality import _value_census
+
+    cen = _value_census(sf_dir)  # ascending by v
+    v = cen["v"].to_numpy(np.int64)
+    c = cen["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    k = n // 10
+    # walk the census from the top until k+1 users are covered
+    top_vals = []
+    need = k + 1
+    for vi, ci in zip(v[::-1], c[::-1]):
+        take = min(int(ci), need)
+        top_vals.extend([int(vi)] * take)
+        need -= take
+        if need == 0:
+            break
+    xk1 = top_vals[k]  # x_(k+1)
+    t9 = _i64_away_np(
+        np.log(np.array(top_vals[:k], dtype=np.float64) / xk1), 1e9
+    ).astype(np.int64)
+    num = int(t9.sum())
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "hill_num_e9": pa.array([num], pa.int64()),
+            "hill_e6": pa.array([num // (k * 1000)], pa.int64()),
+        }
+    )
+
+
+SQL_HILL = """
+WITH u AS (SELECT user_id, cast(count(*) AS BIGINT) AS x
+           FROM events GROUP BY user_id),
+t AS (SELECT cast(count(*) AS BIGINT) AS n,
+             cast(count(*) // 10 AS BIGINT) AS k FROM u),
+r AS (SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rn FROM u),
+xk1 AS (SELECT r.x AS xk1 FROM r, t WHERE r.rn = t.k + 1),
+terms AS (SELECT cast(round(ln(cast(r.x AS DOUBLE) / xk1.xk1)
+                            * 1000000000, 0) AS BIGINT) AS t9
+          FROM r, t, xk1 WHERE r.rn <= t.k)
+SELECT t.n AS n_users, t.k AS k,
+       (SELECT cast(sum(t9) AS BIGINT) FROM terms) AS hill_num_e9,
+       (SELECT cast(sum(t9) AS BIGINT) FROM terms) // (t.k * 1000)
+           AS hill_e6
+FROM t
+"""
+
+
+def q_markov_entropy(sf_dir: str):
+    """Empirical entropy rate of the per-user event-type chain:
+    H = −Σ_{s,t} (n_{st}/N)·ln(n_{st}/n_{s·}) — the scalar that says
+    how predictable the next event type is (0 = deterministic chain,
+    ln|types| = memoryless uniform).  Pairs are consecutive events in
+    (ts, event_id) order per user (the ``transition_probs`` pair
+    reduction: user shard → vectorized adjacent rows → ≤|types|²
+    exchange); each ln term e9-quantized, the fold runs over the
+    bounded transition grid.  Output (n_pairs, h_num_e9, h_e6)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shard",
+            pc.bit_wise_and(
+                pc.cast(t.column("user_id"), pa.int64()), pa.scalar(255)
+            ),
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort(
+            (g["event_id"].to_numpy(np.int64), us,
+             g["user_id"].to_numpy(np.int64))
+        )
+        uid = g["user_id"].to_numpy(np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        same = uid[1:] == uid[:-1]
+        df = (
+            pd.DataFrame({"s": et[:-1][same], "t": et[1:][same]})
+            .groupby(["s", "t"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pd.DataFrame(
+            {
+                "s": df["s"],
+                "t": df["t"],
+                "n": df["n"].to_numpy(np.int64),
+            }
+        )
+
+    grid = (
+        ds.map_batches(_key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["s", "t"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: |types|^2
+    )
+    n = grid["n"].to_numpy(np.int64)
+    ns = grid.groupby("s")["n"].transform("sum").to_numpy(np.int64)
+    t9 = _i64_away_np(
+        np.log(n.astype(np.float64) / ns.astype(np.float64)), 1e9
+    ).astype(np.int64)
+    num = -int((n * t9).sum())
+    total = int(n.sum())
+    return pa.table(
+        {
+            "n_pairs": pa.array([total], pa.int64()),
+            "h_num_e9": pa.array([num], pa.int64()),
+            "h_e6": pa.array([num // (total * 1000)], pa.int64()),
+        }
+    )
+
+
+SQL_MARKOV_ENTROPY = """
+WITH o AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+g AS (SELECT event_type AS s, nxt AS t, cast(count(*) AS BIGINT) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY s, t),
+w AS (SELECT n,
+             cast(round(ln(cast(n AS DOUBLE)
+                           / sum(n) OVER (PARTITION BY s))
+                        * 1000000000, 0) AS BIGINT) AS t9
+      FROM g),
+a AS (SELECT cast(sum(n) AS BIGINT) AS total,
+             cast(-sum(n * t9) AS BIGINT) AS num FROM w)
+SELECT total AS n_pairs, num AS h_num_e9,
+       cast(num // (total * 1000) AS BIGINT) AS h_e6
+FROM a
+"""
+
+
+QUERIES = {
+    "gram_matrix": q_gram_matrix,
+    "hill_tail": q_hill_tail,
+    "markov_entropy": q_markov_entropy,
+}
+
+ORACLE_SQL = {
+    "gram_matrix": SQL_GRAM,
+    "hill_tail": SQL_HILL,
+    "markov_entropy": SQL_MARKOV_ENTROPY,
+}
+
+# self-register (same pattern as monitor.py)
+from . import relational as _rel  # noqa: E402
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

@@ -3222,6 +3222,10 @@ from . import sequential as _sequential  # noqa: E402,F401
 # ranking against term-coverage relevance).
 from . import ranking as _ranking  # noqa: E402,F401
 
+# round-3 second-moment / tail / entropy estimators (exact integer
+# Gram matrix, Hill tail index, Markov entropy rate).
+from . import moments as _moments  # noqa: E402,F401
+
 # round-3 semiring path-relaxation family (weighted SSSP, widest path,
 # walk counting — one Bellman-Ford skeleton, three semirings).
 from . import paths as _paths  # noqa: E402,F401
