@@ -38,6 +38,22 @@ def _day_col(t: pa.Table) -> np.ndarray:
     return us // _US_PER_DAY
 
 
+def _global_day_min(ds) -> int:
+    """Global min day. Per-batch minima are one row each, so Dataset
+    ``.min()`` (a full aggregate exchange, ~2 s operator startup) is
+    pure overhead — stream the one-row partials and fold driver-side
+    (bounded by #batches at any scale)."""
+    return min(
+        int(t.column("d")[0].as_py())
+        for t in ds.map_batches(
+            lambda t: pa.table(
+                {"d": pa.array([int(_day_col(t).min())], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+
+
 def q_cohort_retention(sf_dir: str):
     """Retention triangle: users bucket into the week of their FIRST
     event (cohort); each later active week counts them at offset
@@ -55,14 +71,7 @@ def q_cohort_retention(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    d0 = int(
-        ds.map_batches(
-            lambda t: pa.table(
-                {"d": pa.array([int(_day_col(t).min())], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ).min("d")
-    )
+    d0 = _global_day_min(ds)
 
     def _user_weeks(t: pa.Table, d0=d0) -> pa.Table:
         week = (_day_col(t) - d0) // 7
@@ -123,14 +132,7 @@ def q_recency_score(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    d0 = int(
-        ds.map_batches(
-            lambda t: pa.table(
-                {"d": pa.array([int(_day_col(t).min())], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ).min("d")
-    )
+    d0 = _global_day_min(ds)
 
     def _partial(t: pa.Table, d0=d0) -> pa.Table:
         w = np.int64(1) << (_day_col(t) - d0)

@@ -2722,14 +2722,17 @@ def q_late_events(sf_dir: str):
     chunk's carry-in, and phase 2 co-locates each chunk once
     (groupby(chunk)) for the vectorized within-chunk exclusive
     cummax + lateness tag, reduced to per-day counts in place."""
-    from ray.data.aggregate import Max, Sum
-
     ds = _read(sf_dir, "events", ["event_id", "ts"])
+    # phase-1 carry table: per-batch chunk maxima are already bounded
+    # scan metadata (<= #chunks rows per batch), so the keyed exchange
+    # the groupby(chunk).Max form paid (~2 s operator startup) is pure
+    # overhead — Max is associative; fold the partials on the driver.
     stats = (
         ds.map_batches(_late_chunk_max, batch_format="pyarrow")
-        .groupby("chunk")
-        .aggregate(Max("m", alias_name="m"))
-        .to_pandas()  # one row per chunk — bounded scan metadata
+        .to_pandas()  # per-batch chunk maxima — bounded scan metadata
+        .groupby("chunk", sort=True)["m"]
+        .max()
+        .reset_index()
         .sort_values("chunk")
     )
     run = np.maximum.accumulate(stats["m"].to_numpy(np.int64))
@@ -2768,13 +2771,24 @@ def q_late_events(sf_dir: str):
             }
         )
 
-    return (
+    # each chunk group already reduced to per-day counts (day domain
+    # is fixed by the dataset's time span), so the final Sum is a
+    # driver fold, not a second keyed exchange.
+    parts = (
         ds.map_batches(_chunked, batch_format="pyarrow")
         .groupby("chunk")
         .map_groups(_tag, batch_format="pandas")
-        .groupby("day")
-        .aggregate(Sum("n_late", alias_name="n_late"),
-                   Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+        .groupby("day", sort=True)[["n_late", "n_events"]]
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "day": pa.array(parts["day"].to_numpy(np.int64)),
+            "n_late": pa.array(parts["n_late"].to_numpy(np.int64)),
+            "n_events": pa.array(parts["n_events"].to_numpy(np.int64)),
+        }
     )
 
 
