@@ -884,75 +884,123 @@ def q_kcore(sf_dir: str):
     exchange per round).  Zero-current-degree nodes never appear in
     the degree table and so die automatically — exactly the peel rule.
     Integer end-to-end: the result is partitioning-independent and
-    hash-exact vs the single-threaded twin."""
-    from ray.data.aggregate import Sum
+    Integer end-to-end: the result is partitioning-independent and
+    hash-exact vs the single-threaded twin.
+
+    Runs on the BSP substrate (``state/bsp.py``; see ``q_mis_luby``):
+    the canonical edge set is derived + globally deduped ONCE into P
+    persistent partition actors (edge owned by ``min(u,v) % P``); each
+    peel round is one scatter→fold degree superstep (~10 ms vs ~1 s of
+    hash-shuffle startup — 13.4 s → ~1.5 s at sf0.1).  Each actor
+    keeps a full-n liveness bitmap refreshed by a per-round broadcast
+    of the (bounded) newly-dead id list — the same O(deaths) driver
+    traffic the Dataset form paid for its survivor list, with the
+    bitmap cost n/8 bytes per actor documented as the scale limit
+    (at 10^9+ nodes: 125 MB/actor, or swap to per-partition frontier
+    sets).  Folds are integer degree sums — order-independent, so the
+    peel is partition-count-independent and the expected-twin oracle
+    is unchanged."""
+    import ray as _ray
+
+    from ..state.bsp import BSPGraph, bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()
-    edges = _canonical_edges(ds0, n).materialize()
 
-    def _survivors(alive_ref, k: int) -> np.ndarray:
-        def _partial(t: pa.Table, alive_ref=alive_ref) -> pa.Table:
-            alive = ray.get(alive_ref)  # zero-copy plasma read
-            u = t.column("u").to_numpy()
-            v = t.column("v").to_numpy()
-            keep = alive[u] & alive[v]
-            node = np.concatenate([u[keep], v[keep]])
-            nn, cnt = np.unique(node, return_counts=True)
-            return pa.table(
-                {
-                    "node": pa.array(nn.astype(np.int64)),
-                    "d": pa.array(cnt.astype(np.int64)),
-                }
-            )
+    def _init(s, pid, P, n=n):
+        s["galive"] = np.ones(n, dtype=bool)
+        no = len(np.arange(pid, n, P))
+        s["core"] = np.full(no, -1, dtype=np.int64)
+        s["alive_o"] = np.zeros(no, dtype=bool)
 
-        def _filt(t: pa.Table, k=k) -> pa.Table:
-            return t.filter(pc.greater_equal(t.column("d"), pa.scalar(k)))
+    def _scatter_edges(s, pid, P, n=n):
+        # derive out-edges of OWNED srcs, canonicalize; cross-partition
+        # duplicates (the reverse derivation) are resolved by the
+        # dedup fold at the min-endpoint owner
+        src = np.arange(pid, n, P, dtype=np.int64)
+        dsts = _derived_dsts(src, n)
+        ss = np.concatenate([src] * len(dsts))
+        dd = np.concatenate(dsts)
+        keep = ss != dd
+        u = np.minimum(ss[keep], dd[keep])
+        v = np.maximum(ss[keep], dd[keep])
+        return bucket(u, P, {"v": v})
 
-        deg = (
-            edges.map_batches(_partial, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Sum("d", alias_name="d"))
-            .map_batches(_filt, batch_format="pyarrow")
-        )
-        ids = [
-            b.column("node").to_numpy()
-            for b in deg.iter_batches(batch_format="pyarrow")
-            if b.num_rows
-        ]
-        return (
-            np.concatenate(ids) if ids else np.array([], dtype=np.int64)
-        )
-
-    # initial alive = nodes touching an edge (deg ≥ 1 with everyone up)
-    all_up = ray.put(np.ones(n, dtype=bool))
-    present = _survivors(all_up, 1)
-    alive = np.zeros(n, dtype=bool)
-    alive[present] = True
-    core = np.full(n, -1, dtype=np.int64)
-    core[present] = 0  # overwritten at death; 0 only if peeled at k=1
-
-    k = 1
-    for _ in range(_KCORE_MAX_ROUNDS):
-        if not alive.any():
-            break
-        surv = _survivors(ray.put(alive), k)
-        new_alive = np.zeros(n, dtype=bool)
-        new_alive[surv] = True
-        dying = alive & ~new_alive
-        if dying.any():
-            core[dying] = k - 1
-            alive = new_alive
+    def _fold_edges(s, pid, P, payloads, n=n):
+        if payloads:
+            u = np.concatenate([d for d, _ in payloads])
+            v = np.concatenate([pl["v"] for _, pl in payloads])
+            key = u * np.int64(n) + v  # n < 2^21 → key < 2^42
+            uk = np.unique(key)
+            s["eu"] = uk // n
+            s["ev"] = uk % n
         else:
-            k += 1
-    else:  # pragma: no cover — guard only
-        raise RuntimeError("kcore: round guard exceeded")
+            s["eu"] = s["ev"] = np.array([], np.int64)
+        return len(s["eu"])
 
-    nodes = np.flatnonzero(core >= 0)
+    def _scatter_deg(s, pid, P):
+        g = s["galive"]
+        u, v = s["eu"], s["ev"]
+        keep = g[u] & g[v]
+        node = np.concatenate([u[keep], v[keep]])
+        nn, cnt = np.unique(node, return_counts=True)
+        return bucket(nn, P, {"d": cnt.astype(np.int64)})
+
+    def _fold_present(s, pid, P, payloads):
+        deg = np.zeros(len(s["core"]), dtype=np.int64)
+        for dest, pl in payloads:
+            np.add.at(deg, dest // P, pl["d"])
+        present = deg >= 1
+        s["core"][present] = 0
+        s["alive_o"] = present
+        return int(present.sum())
+
+    def _fold_peel(s, pid, P, payloads, k):
+        deg = np.zeros(len(s["core"]), dtype=np.int64)
+        for dest, pl in payloads:
+            np.add.at(deg, dest // P, pl["d"])
+        cur = s["alive_o"]
+        surv = cur & (deg >= k)
+        dying = cur & ~surv
+        s["core"][dying] = k - 1
+        s["alive_o"] = surv
+        nodes = np.arange(pid, len(s["galive"]), P, dtype=np.int64)
+        return nodes[dying], int(surv.sum())
+
+    def _apply_deaths(s, pid, P, dead):
+        s["galive"][dead] = False
+
+    with BSPGraph() as g:
+        g.run(_init)
+        g.exchange(_scatter_edges, _fold_edges)
+        g.exchange(_scatter_deg, _fold_present)
+        k = 1
+        for _ in range(_KCORE_MAX_ROUNDS):
+            res = g.exchange(_scatter_deg, _fold_peel, k)
+            dead = np.concatenate([d for d, _ in res])
+            n_alive = sum(a for _, a in res)
+            if len(dead):
+                g.run(_apply_deaths, dead)
+            else:
+                k += 1
+            if n_alive == 0:
+                break
+        else:  # pragma: no cover — guard only
+            raise RuntimeError("kcore: round guard exceeded")
+
+        def _emit(s, pid, P, n=n):
+            nodes = np.arange(pid, n, P, dtype=np.int64)
+            hit = s["core"] >= 0
+            return nodes[hit], s["core"][hit]
+
+        parts = g.run(_emit)
+    nodes = np.concatenate([p[0] for p in parts])
+    core = np.concatenate([p[1] for p in parts])
+    order = np.argsort(nodes)
     return pd.DataFrame(
         {
-            "node": pd.array(nodes.astype(np.int64), dtype="int64"),
-            "core": pd.array(core[nodes], dtype="int64"),
+            "node": pd.array(nodes[order], dtype="int64"),
+            "core": pd.array(core[order], dtype="int64"),
         }
     )
 
@@ -992,8 +1040,23 @@ def q_mst_forest(sf_dir: str):
     the documented swap is a two-stage min (min w, then min (u,v)
     among that w) or widening to decimal128.  The driver union-find
     holds one int per node — same bounded-driver-state contract as
-    cluster_pairs; the forest itself is O(n) rows."""
-    from ray.data.aggregate import Min
+    cluster_pairs; the forest itself is O(n) rows.
+
+    Runs on the BSP substrate (``state/bsp.py``; see ``q_kcore``):
+    canonical edges are derived + globally deduped ONCE into P
+    persistent partition actors; each Borůvka round is ONE ``run``
+    call — the driver broadcasts the root-label array (shipped once
+    to plasma, shared zero-copy by all P actors, the same contract as
+    the old per-round ``ray.put``), every actor returns its LOCAL
+    per-component packed-key minima (≤ #components rows), and the
+    driver Min-merges P such lists into the global per-component
+    minima before the union-find contraction.  No keyed exchange at
+    all (9.8 s → ~1.5 s at sf0.1); Min is order-independent so the
+    forest is partition-count-independent and the Kruskal twin oracle
+    is unchanged."""
+    import ray as _ray
+
+    from ..state.bsp import BSPGraph, bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()
@@ -1001,7 +1064,41 @@ def q_mst_forest(sf_dir: str):
         raise NotImplementedError(
             "packed (w,u,v) key needs n < 2^21; swap to two-stage min"
         )
-    edges = _canonical_edges(ds0, n).materialize()
+
+    def _scatter_edges(s, pid, P, n=n):
+        src = np.arange(pid, n, P, dtype=np.int64)
+        dsts = _derived_dsts(src, n)
+        ss = np.concatenate([src] * len(dsts))
+        dd = np.concatenate(dsts)
+        keep = ss != dd
+        u = np.minimum(ss[keep], dd[keep])
+        v = np.maximum(ss[keep], dd[keep])
+        return bucket(u, P, {"v": v})
+
+    def _fold_edges(s, pid, P, payloads, n=n):
+        if payloads:
+            u = np.concatenate([d for d, _ in payloads])
+            v = np.concatenate([pl["v"] for _, pl in payloads])
+            uk = np.unique(u * np.int64(n) + v)
+            s["eu"], s["ev"] = uk // n, uk % n
+        else:
+            s["eu"] = s["ev"] = np.array([], np.int64)
+        return len(s["eu"])
+
+    def _local_mins(s, pid, P, comp):
+        u, v = s["eu"], s["ev"]
+        cu, cv = comp[u], comp[v]
+        keep = cu != cv
+        u, v, cu, cv = u[keep], v[keep], cu[keep], cv[keep]
+        w = _edge_weight(u, v)
+        key = (w << (2 * _MST_ID_BITS)) | (u << _MST_ID_BITS) | v
+        c = np.concatenate([cu, cv])
+        kk = np.concatenate([key, key])
+        order = np.lexsort((kk, c))
+        c, kk = c[order], kk[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        return c[first], kk[first]
 
     parent = np.arange(n, dtype=np.int64)
 
@@ -1012,61 +1109,41 @@ def q_mst_forest(sf_dir: str):
         return x
 
     mst: list[tuple[int, int, int]] = []
-    for _ in range(64):  # ≥ log2(2^21) rounds is unreachable
-        comp = parent.copy()  # full pointer-jump → root labels
-        while True:
-            nxt = comp[comp]
-            if np.array_equal(nxt, comp):
+    with BSPGraph() as g:
+        g.exchange(_scatter_edges, _fold_edges)
+        for _ in range(64):  # ≥ log2(2^21) rounds is unreachable
+            comp = parent.copy()  # full pointer-jump → root labels
+            while True:
+                nxt = comp[comp]
+                if np.array_equal(nxt, comp):
+                    break
+                comp = nxt
+            comp_ref = _ray.put(comp)  # one plasma copy for all P actors
+            parts = g.run(_local_mins, comp_ref)
+            cs = np.concatenate([c for c, _ in parts])
+            ks = np.concatenate([k for _, k in parts])
+            if len(cs) == 0:
                 break
-            comp = nxt
-        comp_ref = ray.put(comp)
+            # global per-component Min over the P local min lists
+            order = np.lexsort((ks, cs))
+            cs, ks = cs[order], ks[order]
+            first = np.ones(len(cs), dtype=bool)
+            first[1:] = cs[1:] != cs[:-1]
+            merged = False
+            mask = (1 << _MST_ID_BITS) - 1
+            for key in sorted(int(x) for x in ks[first]):
+                w = key >> (2 * _MST_ID_BITS)
+                u = (key >> _MST_ID_BITS) & mask
+                v = key & mask
+                ru, rv = _find(u), _find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+                    mst.append((u, v, w))
+                    merged = True
+            if not merged:  # pragma: no cover — exhausted inter-comp edges
+                break
 
-        def _cand(t: pa.Table, comp_ref=comp_ref) -> pa.Table:
-            comp = ray.get(comp_ref)
-            u = t.column("u").to_numpy()
-            v = t.column("v").to_numpy()
-            cu, cv = comp[u], comp[v]
-            keep = cu != cv
-            u, v, cu, cv = u[keep], v[keep], cu[keep], cv[keep]
-            w = _edge_weight(u, v)
-            key = (
-                (w << (2 * _MST_ID_BITS)) | (u << _MST_ID_BITS) | v
-            )
-            c = np.concatenate([cu, cv])
-            kk = np.concatenate([key, key])
-            order = np.lexsort((kk, c))
-            c, kk = c[order], kk[order]
-            first = np.ones(len(c), dtype=bool)
-            first[1:] = c[1:] != c[:-1]
-            return pa.table(
-                {
-                    "comp": pa.array(c[first], pa.int64()),
-                    "key": pa.array(kk[first], pa.int64()),
-                }
-            )
-
-        mins = (
-            edges.map_batches(_cand, batch_format="pyarrow")
-            .groupby("comp")
-            .aggregate(Min("key", alias_name="key"))
-            .to_pandas()
-        )
-        if len(mins) == 0:
-            break
-        merged = False
-        mask = (1 << _MST_ID_BITS) - 1
-        for key in sorted(int(x) for x in mins["key"]):
-            w = key >> (2 * _MST_ID_BITS)
-            u = (key >> _MST_ID_BITS) & mask
-            v = key & mask
-            ru, rv = _find(u), _find(v)
-            if ru != rv:
-                parent[max(ru, rv)] = min(ru, rv)
-                mst.append((u, v, w))
-                merged = True
-        if not merged:  # pragma: no cover — exhausted inter-comp edges
-            break
-
+    mst.sort()
     mst.sort()
     return pd.DataFrame(
         {

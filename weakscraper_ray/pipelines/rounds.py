@@ -107,96 +107,103 @@ def q_mis_luby(sf_dir: str):
     priorities; a node joins the MIS iff its priority is strictly
     below every ACTIVE neighbour's (odd/even Min-encoding — one
     exchange); selected nodes and their whole neighbourhoods leave the
-    active set (flag-Max anti-join — one more exchange).  Output
-    (node, mis_round); independence is pinned in tests."""
-    from ray.data.aggregate import Max, Min
+    active set (one more exchange).  Output (node, mis_round);
+    independence is pinned in tests.
+
+    Runs on the BSP substrate (``state/bsp.py``): the active set and
+    per-round priorities live in P persistent partition actors (node
+    owned by ``id % P``), each superstep is scatter→fold with message
+    refs flowing actor→actor — the same 2 exchanges per round the
+    Dataset form paid, at ~10 ms instead of ~1 s of hash-shuffle
+    operator startup each (10.4 s → ~1 s at sf0.1).  The fold is a
+    Min over incoming evens vs the own odd row — order-independent,
+    so the result is partition-count-independent and the DuckDB
+    mirror is unchanged by the port."""
+    import ray as _ray
+
+    from ..state.bsp import BSPGraph, bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()
     kinv = pow(_KNUTH, -1, n)
 
-    active = ds0.map_batches(
-        lambda t: pa.table({"node": pa.array(t.column("doc_id").to_numpy(),
-                                             pa.int64())}),
-        batch_format="pyarrow",
-    ).materialize()
-    picked = []
+    def _init(s, pid, P, n=n):
+        s["nodes"] = np.arange(pid, n, P, dtype=np.int64)  # owner = id % P
+        s["active"] = np.ones(len(s["nodes"]), dtype=bool)
+        s["picked"] = []  # (round, selected ids) per round
 
-    for r in range(1, _ROUNDS + 1):
-        def _msgs(t: pa.Table, r=r, n=n, kinv=kinv) -> pa.Table:
-            v = t.column("node").to_numpy()
-            p = _pri_np(r, v)
-            nodes = [v]
-            vals = [2 * p + 1]  # own row: odd
-            for u in _nbrs(v, n, kinv):
-                m = u != v  # drop self-loops
-                nodes.append(u[m])
-                vals.append((2 * p)[m])  # neighbour rows: even
+    with BSPGraph() as g:
+        P = g.P
+        g.run(_init)
+        for r in range(1, _ROUNDS + 1):
+
+            def _scatter_pri(s, pid, P, r=r, n=n, kinv=kinv):
+                v = s["nodes"][s["active"]]
+                p = _pri_np(r, v)
+                s["pri"] = p  # consumed by the fold on this actor
+                dest, val = [], []
+                for u in _nbrs(v, n, kinv):
+                    m = u != v  # drop self-loops
+                    dest.append(u[m])
+                    val.append((2 * p)[m])  # neighbour rows: even
+                dest = np.concatenate(dest) if dest else np.array([], np.int64)
+                val = np.concatenate(val) if val else np.array([], np.int64)
+                return bucket(dest, P, {"val": val})
+
+            def _fold_sel(s, pid, P, payloads, r=r):
+                act = s["active"]
+                v = s["nodes"][act]
+                p = s.pop("pri")
+                best = 2 * p + 1  # own row: odd
+                if payloads:
+                    dest = np.concatenate([d for d, _ in payloads])
+                    val = np.concatenate([pl["val"] for _, pl in payloads])
+                    arr = np.full(len(s["nodes"]), np.iinfo(np.int64).max, np.int64)
+                    np.minimum.at(arr, dest // P, val)
+                    best = np.minimum(best, arr[act])
+                sel = v[best % 2 == 1]  # odd min ⟺ strictly smallest pri
+                s["sel"] = sel
+                s["picked"].append((r, sel))
+                return len(sel)
+
+            g.exchange(_scatter_pri, _fold_sel)
+
+            def _scatter_rm(s, pid, P, n=n, kinv=kinv):
+                v = s["sel"]
+                nbr = [u[u != v] for u in _nbrs(v, n, kinv)]
+                dest = (
+                    np.unique(np.concatenate(nbr))
+                    if nbr and len(v)
+                    else np.array([], np.int64)
+                )
+                return bucket(dest, P, {})
+
+            def _fold_rm(s, pid, P, payloads):
+                s["active"][s.pop("sel") // P] = False
+                for dest, _ in payloads:
+                    s["active"][dest // P] = False
+
+            g.exchange(_scatter_rm, _fold_rm)
+
+        def _emit(s, pid, P):
+            node = [sel for _, sel in s["picked"]]
+            rnd = [np.full(len(sel), r, np.int64) for r, sel in s["picked"]]
             return pa.table(
                 {
-                    "node": pa.array(np.concatenate(nodes), pa.int64()),
-                    "val": pa.array(np.concatenate(vals), pa.int64()),
+                    "node": pa.array(
+                        np.concatenate(node) if node else np.array([], np.int64),
+                        pa.int64(),
+                    ),
+                    "mis_round": pa.array(
+                        np.concatenate(rnd) if rnd else np.array([], np.int64),
+                        pa.int64(),
+                    ),
                 }
             )
 
-        sel = (
-            active.map_batches(_msgs, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("val", alias_name="val"))
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "node": pa.array(
-                            t.column("node").to_numpy()[
-                                t.column("val").to_numpy() % 2 == 1
-                            ],
-                            pa.int64(),
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
-        picked.append((r, sel))
-
-        def _removed(t: pa.Table, n=n, kinv=kinv) -> pa.Table:
-            v = t.column("node").to_numpy()
-            nodes = [v] + [u[u != v] for u in _nbrs(v, n, kinv)]
-            out = np.unique(np.concatenate(nodes)) if len(v) else v
-            return pa.table(
-                {
-                    "node": pa.array(out, pa.int64()),
-                    "flag": pa.array(np.ones(len(out), dtype=np.int64)),
-                }
-            )
-
-        removed = sel.map_batches(_removed, batch_format="pyarrow")
-        keep = active.map_batches(
-            lambda t: t.append_column(
-                "flag", pa.array(np.zeros(t.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
-        )
-        active = (
-            keep.union(removed)
-            .groupby("node")
-            .aggregate(Max("flag", alias_name="flag"))
-            .filter(expr="flag == 0")
-            .select_columns(["node"])
-            .materialize()
-        )
-
-    out = None
-    for r, sel in picked:
-        tagged = sel.map_batches(
-            lambda t, r=r: t.append_column(
-                "mis_round", pa.array(np.full(t.num_rows, r, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
-        )
-        out = tagged if out is None else out.union(tagged)
-    return out
+        refs = [p.call.remote(_emit) for p in g.parts]
+        _ray.wait(refs, num_returns=len(refs))
+    return _ray.data.from_arrow_refs(refs)
 
 
 def _sql_mis() -> str:
@@ -240,132 +247,112 @@ def q_greedy_matching(sf_dir: str):
     proposals are mutual (its canonical pair key receives exactly two
     rows); matched endpoints retire.  Edge weight ``1 + (u+v) % 7`` is
     symmetric and arithmetic.  Output (node_a, node_b, w,
-    match_round); partner-uniqueness is pinned in tests."""
-    from ray.data.aggregate import Count, Max, Min
+    match_round); partner-uniqueness is pinned in tests.
+
+    Runs on the BSP substrate (``state/bsp.py``; see ``q_mis_luby``):
+    3 supersteps per round — advertise→argmin (receiver keeps the Min
+    packed key iff it is itself active), proposal→mutuality (each
+    canonical pair routed to its ``a``-owner; a pair matches iff
+    exactly two proposals arrive), retire-matched — identical
+    aggregates to the Dataset-exchange form it replaces (11.3 s →
+    ~1 s at sf0.1), DuckDB mirror unchanged."""
+    import ray as _ray
+
+    from ..state.bsp import BSPGraph, bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()
     kinv = pow(_KNUTH, -1, n)
 
-    active = ds0.map_batches(
-        lambda t: pa.table({"node": pa.array(t.column("doc_id").to_numpy(),
-                                             pa.int64())}),
-        batch_format="pyarrow",
-    ).materialize()
-    rounds_out = []
+    def _init(s, pid, P, n=n):
+        s["nodes"] = np.arange(pid, n, P, dtype=np.int64)
+        s["active"] = np.ones(len(s["nodes"]), dtype=bool)
+        s["matched"] = []  # (round, a ids, b ids)
 
-    for r in range(1, _ROUNDS + 1):
-        def _msgs(t: pa.Table, n=n, kinv=kinv) -> pa.Table:
-            v = t.column("node").to_numpy()
-            nodes = [v]
-            keys = [np.full(len(v), _SENTINEL, dtype=np.int64)]
-            flags = [np.ones(len(v), dtype=np.int64)]
-            for u in _nbrs(v, n, kinv):
-                m = u != v
-                w = 1 + (v + u) % 7
-                # sender v advertises itself to receiver u
-                nodes.append(u[m])
-                keys.append((w * _PACK + v)[m])
-                flags.append(np.zeros(int(m.sum()), dtype=np.int64))
+    with BSPGraph() as g:
+        P = g.P
+        g.run(_init)
+        for r in range(1, _ROUNDS + 1):
+
+            def _scatter_adv(s, pid, P, n=n, kinv=kinv):
+                v = s["nodes"][s["active"]]
+                dest, key = [], []
+                for u in _nbrs(v, n, kinv):
+                    m = u != v
+                    w = 1 + (v + u) % 7
+                    dest.append(u[m])  # sender v advertises itself to u
+                    key.append((w * _PACK + v)[m])
+                dest = np.concatenate(dest) if dest else np.array([], np.int64)
+                key = np.concatenate(key) if key else np.array([], np.int64)
+                return bucket(dest, P, {"key": key})
+
+            def _fold_prop(s, pid, P, payloads):
+                arr = np.full(len(s["nodes"]), _SENTINEL, np.int64)
+                if payloads:
+                    dest = np.concatenate([d for d, _ in payloads])
+                    key = np.concatenate([pl["key"] for _, pl in payloads])
+                    np.minimum.at(arr, dest // P, key)
+                # active receivers with >=1 advertisement propose to the
+                # (w, id)-minimal advertiser (the packed-Min argmin)
+                ok = s["active"] & (arr < _SENTINEL)
+                s["prop"] = (s["nodes"][ok], arr[ok] % _PACK)
+                return int(ok.sum())
+
+            g.exchange(_scatter_adv, _fold_prop)
+
+            def _scatter_pair(s, pid, P):
+                u, c = s.pop("prop")
+                a = np.minimum(u, c)
+                b = np.maximum(u, c)
+                return bucket(a, P, {"b": b})
+
+            def _fold_match(s, pid, P, payloads, r=r):
+                if payloads:
+                    a = np.concatenate([d for d, _ in payloads])
+                    b = np.concatenate([pl["b"] for _, pl in payloads])
+                    pair = a * (np.int64(1) << 32) + b  # n < 2^21 « 2^32
+                    up, cnt = np.unique(pair, return_counts=True)
+                    hit = up[cnt == 2]  # mutual ⟺ exactly two proposals
+                    ma = (hit >> 32).astype(np.int64)
+                    mb = (hit & ((1 << 32) - 1)).astype(np.int64)
+                else:
+                    ma = mb = np.array([], np.int64)
+                s["matched"].append((r, ma, mb))
+                s["gone"] = np.concatenate([ma, mb])
+                return len(ma)
+
+            g.exchange(_scatter_pair, _fold_match)
+
+            def _scatter_retire(s, pid, P):
+                return bucket(s.pop("gone"), P, {})
+
+            def _fold_retire(s, pid, P, payloads):
+                for dest, _ in payloads:
+                    s["active"][dest // P] = False
+
+            g.exchange(_scatter_retire, _fold_retire)
+
+        def _emit(s, pid, P):
+            a = [ma for _, ma, _ in s["matched"]]
+            b = [mb for _, _, mb in s["matched"]]
+            rnd = [np.full(len(ma), r, np.int64) for r, ma, _ in s["matched"]]
+            ca = np.concatenate(a) if a else np.array([], np.int64)
+            cb = np.concatenate(b) if b else np.array([], np.int64)
             return pa.table(
                 {
-                    "node": pa.array(np.concatenate(nodes), pa.int64()),
-                    "key": pa.array(np.concatenate(keys), pa.int64()),
-                    "flag": pa.array(np.concatenate(flags), pa.int64()),
-                }
-            )
-
-        props = (
-            active.map_batches(_msgs, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("key", alias_name="key"),
-                       Max("flag", alias_name="flag"))
-            .filter(expr="flag == 1")
-            .filter(expr=f"key < {_SENTINEL}")
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "a": pa.array(
-                            np.minimum(
-                                t.column("node").to_numpy(),
-                                t.column("key").to_numpy() % _PACK,
-                            ),
-                            pa.int64(),
-                        ),
-                        "b": pa.array(
-                            np.maximum(
-                                t.column("node").to_numpy(),
-                                t.column("key").to_numpy() % _PACK,
-                            ),
-                            pa.int64(),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-        )
-        matched = (
-            props.groupby(["a", "b"])
-            .aggregate(Count(alias_name="c"))
-            .filter(expr="c == 2")
-            .select_columns(["a", "b"])
-            .materialize()
-        )
-        rounds_out.append((r, matched))
-
-        gone = matched.map_batches(
-            lambda t: pa.table(
-                {
-                    "node": pa.array(
-                        np.concatenate(
-                            [t.column("a").to_numpy(), t.column("b").to_numpy()]
-                        ),
-                        pa.int64(),
-                    ),
-                    "flag": pa.array(
-                        np.ones(2 * t.num_rows, dtype=np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        keep = active.map_batches(
-            lambda t: t.append_column(
-                "flag", pa.array(np.zeros(t.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
-        )
-        active = (
-            keep.union(gone)
-            .groupby("node")
-            .aggregate(Max("flag", alias_name="flag"))
-            .filter(expr="flag == 0")
-            .select_columns(["node"])
-            .materialize()
-        )
-
-    out = None
-    for r, matched in rounds_out:
-        tagged = matched.map_batches(
-            lambda t, r=r: pa.table(
-                {
-                    "node_a": t.column("a"),
-                    "node_b": t.column("b"),
-                    "w": pa.array(
-                        1
-                        + (t.column("a").to_numpy() + t.column("b").to_numpy())
-                        % 7,
-                        pa.int64(),
-                    ),
+                    "node_a": pa.array(ca, pa.int64()),
+                    "node_b": pa.array(cb, pa.int64()),
+                    "w": pa.array(1 + (ca + cb) % 7, pa.int64()),
                     "match_round": pa.array(
-                        np.full(t.num_rows, r, dtype=np.int64)
+                        np.concatenate(rnd) if rnd else np.array([], np.int64),
+                        pa.int64(),
                     ),
                 }
-            ),
-            batch_format="pyarrow",
-        )
-        out = tagged if out is None else out.union(tagged)
-    return out
+            )
+
+        refs = [p.call.remote(_emit) for p in g.parts]
+        _ray.wait(refs, num_returns=len(refs))
+    return _ray.data.from_arrow_refs(refs)
 
 
 def _sql_matching() -> str:

@@ -1,0 +1,160 @@
+"""Pregel-style BSP substrate for iterative graph algorithms.
+
+Why this exists: the round-based graph operators (MIS, matching,
+k-core peel, Borůvka MSF, HITS) were first written as K rounds of
+Dataset keyed exchanges.  That shape is correct and streaming-safe,
+but on Ray Data every ``groupby`` execution spawns a fresh
+hash-shuffle operator (aggregator actors + per-block shuffle tasks):
+~1 s of fixed startup PER ROUND that never amortizes for an
+algorithm whose rounds move kilobytes.  Measured on the 5k-node
+derived graphs at sf0.1: mis_luby 10.4 s, greedy_matching 11.3 s,
+kcore 13.4 s — with <50 ms of useful compute inside.
+
+The fix is the textbook BSP/Pregel model (Malewicz et al., SIGMOD
+2010, public): PERSISTENT partition actors hold the node state for
+the whole run, and a round is two actor calls — produce messages
+bucketed by destination partition, then fold incoming messages —
+with message blocks flowing object-store-to-object-store via
+``num_returns=P`` (the driver only routes ObjectRefs, never data).
+Round latency drops from ~1-2 s to ~10 ms.
+
+Partitioning contract (document per algorithm):
+- a node ``v`` is OWNED by partition ``v % P`` (``owner()``);
+- every message is addressed to a node and routed to its owner;
+- per-actor state is ``nodes/P`` × a few int64 numpy arrays, so at
+  10^9+ nodes P scales with the cluster and per-actor heap stays
+  bounded — the same contract as an actor-pool map stage;
+- fold functions must be order-independent (Min/Max/Sum/unique-fold)
+  so results are partition-count-independent — every ported
+  algorithm here is integer-exact, and its DuckDB oracle is
+  unchanged by the port.
+
+Actors are created with ``num_cpus=0`` so a small test session (the
+4-CPU pytest fixture) can always schedule all P of them alongside
+live map-stage pools; the per-call compute is sub-millisecond numpy
+on tiny partitions.  A production deployment at real node counts
+would pin ``num_cpus=1`` and size P to the cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import ray
+
+
+@ray.remote(num_cpus=0)
+class _BSPPart:
+    """One state partition. ``state`` is a plain dict the algorithm's
+    closures own entirely; the actor is just a home for it."""
+
+    def __init__(self, pid: int, n_parts: int):
+        self.pid = pid
+        self.P = n_parts
+        self.state: dict = {}
+
+    def call(self, fn: Callable, *args):
+        """Run ``fn(state, pid, P, *args)`` and return its result."""
+        return fn(self.state, self.pid, self.P, *args)
+
+    def scatter(self, fn: Callable, *args):
+        """Run ``fn(state, pid, P, *args)`` which MUST return a list
+        of exactly P per-destination message payloads (``None`` for
+        empty); Ray splits them into P ObjectRefs via num_returns."""
+        out = fn(self.state, self.pid, self.P, *args)
+        if out is None:
+            out = [None] * self.P
+        assert len(out) == self.P, "scatter fn must emit one payload per partition"
+        return tuple(out)
+
+
+class BSPGraph:
+    """Driver-side handle: P persistent partition actors + the
+    scatter/fold round primitive.  Use as a context manager so the
+    actors die with the query."""
+
+    def __init__(self, n_parts: int = 8):
+        self.P = n_parts
+        self.parts = [_BSPPart.remote(i, n_parts) for i in range(n_parts)]
+
+    # -- lifecycle ----------------------------------------------------
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    def shutdown(self) -> None:
+        for p in self.parts:
+            ray.kill(p)
+        self.parts = []
+
+    # -- primitives ---------------------------------------------------
+    def run(self, fn: Callable, *args) -> list:
+        """``fn(state, pid, P, *args)`` on every partition; returns the
+        P results (driver-materialized — keep them small)."""
+        return ray.get([p.call.remote(fn, *args) for p in self.parts])
+
+    def exchange(self, scatter_fn: Callable, fold_fn: Callable, *fold_args) -> list:
+        """One BSP superstep.  ``scatter_fn(state, pid, P)`` returns P
+        payloads (dest-partition-bucketed); ``fold_fn(state, pid, P,
+        payloads, *fold_args)`` receives the P incoming payloads
+        (``None`` entries already dropped) and returns a small
+        per-partition result.  Payload refs flow actor→actor; the
+        driver never touches message bytes."""
+        grid = [
+            p.scatter.options(num_returns=self.P).remote(scatter_fn)
+            for p in self.parts
+        ]
+        if self.P == 1:  # num_returns=1 hands back a single ref
+            grid = [[g] for g in grid]
+        return ray.get(
+            [
+                self.parts[j].call.remote(
+                    _fold_wrapper, fold_fn, *fold_args, *[grid[i][j] for i in range(self.P)]
+                )
+                for j in range(self.P)
+            ]
+        )
+
+
+def _fold_wrapper(state, pid, P, fold_fn, *rest):
+    """Trampoline: the trailing P args are the resolved incoming
+    payloads; anything before them is ``fold_args``."""
+    n_extra = len(rest) - P
+    fold_args, payloads = rest[:n_extra], rest[n_extra:]
+    return fold_fn(state, pid, P, [m for m in payloads if m is not None], *fold_args)
+
+
+# ---------------------------------------------------------------- util
+
+def owner(nodes: np.ndarray, n_parts: int) -> np.ndarray:
+    """Owning partition of each node id (the partitioning contract)."""
+    return nodes % n_parts
+
+
+def bucket(dest: np.ndarray, n_parts: int, payload: dict) -> list:
+    """Split a message batch ``{col: array}`` addressed to ``dest``
+    node ids into the P per-owner payloads ``(dest_slice, {col:
+    slice})`` that ``scatter`` must return.  Sorting by owner gives
+    contiguous zero-copy slices."""
+    own = dest % n_parts
+    order = np.argsort(own, kind="stable")
+    dest_s = dest[order]
+    own_s = own[order]
+    sorted_payload = {k: v[order] for k, v in payload.items()}
+    cuts = np.searchsorted(own_s, np.arange(n_parts + 1))
+    out = []
+    for p in range(n_parts):
+        lo, hi = cuts[p], cuts[p + 1]
+        if lo == hi:
+            out.append(None)
+        else:
+            out.append(
+                (
+                    dest_s[lo:hi],
+                    {k: v[lo:hi] for k, v in sorted_payload.items()},
+                )
+            )
+    return out
