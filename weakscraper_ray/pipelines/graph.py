@@ -72,8 +72,15 @@ def q_pagerank(sf_dir: str):
     """Damped PageRank (d=0.85, 3 unrolled iterations) over the derived
     citation graph on ``documents``. Integer-exact: emits
     ``(doc_id, rank_e12)`` with rank mass scaled to 1e12 — hash-stable
-    vs the DuckDB chained-CTE mirror under any partitioning."""
-    from ray.data.aggregate import Sum
+    vs the DuckDB chained-CTE mirror under any partitioning.
+
+    Runs on the BSP substrate (``state/bsp.py``; see ``q_hits``): the
+    rank vector lives partitioned in P persistent actors, one
+    scatter→fold superstep per iteration (integer Sum fold + local
+    teleport), 5.8 s → ~1.5 s at sf0.1; mirror unchanged."""
+    import ray as _ray
+
+    from ..state.bsp import BSPGraph, bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()  # parquet-metadata count; no scan
@@ -81,53 +88,40 @@ def q_pagerank(sf_dir: str):
     tele = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_MASS) // (_PR_DAMP_DEN * n)
     r0 = _PR_MASS // n
 
-    ranks = ds0.map_batches(
-        lambda t, r0=r0: pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "rank": pa.array(np.full(t.num_rows, r0, dtype=np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def _init(s, pid, P, n=n, r0=r0):
+        s["nodes"] = np.arange(pid, n, P, dtype=np.int64)
+        s["rank"] = np.full(len(s["nodes"]), r0, dtype=np.int64)
 
-    def _contrib(t: pa.Table, n=n, den=per_edge_den) -> pa.Table:
-        src = t.column("doc_id").to_numpy()
-        rk = t.column("rank").to_numpy()
-        c = (rk * _PR_DAMP_NUM) // den  # ≤ 1.7e13 — no int64 overflow
+    def _scatter(s, pid, P, n=n, den=per_edge_den):
+        src = s["nodes"]
+        c = (s["rank"] * _PR_DAMP_NUM) // den  # ≤ 1.7e13 — no overflow
         dsts = _derived_dsts(src, n)
-        doc = np.concatenate([src] + dsts)
-        val = np.concatenate([np.zeros(len(src), dtype=np.int64)] + [c] * len(dsts))
-        out = pa.table(
-            {"doc_id": pa.array(doc, pa.int64()), "contrib": pa.array(val, pa.int64())}
-        )
-        # per-batch partial: collisions within a batch collapse before
-        # the exchange (int sums — order-free, exact)
-        return out.group_by("doc_id").aggregate([("contrib", "sum")]).rename_columns(
-            ["doc_id", "contrib"]
+        return bucket(
+            np.concatenate(dsts), P, {"c": np.concatenate([c] * len(dsts))}
         )
 
-    def _finalize(t: pa.Table, tele=tele) -> pa.Table:
+    def _fold(s, pid, P, payloads, tele=tele):
+        gath = np.zeros(len(s["nodes"]), dtype=np.int64)
+        for dest, pl in payloads:
+            np.add.at(gath, dest // P, pl["c"])
+        s["rank"] = gath + tele
+        return None
+
+    def _emit(s, pid, P):
         return pa.table(
             {
-                "doc_id": t.column("doc_id"),
-                "rank": pc.add(
-                    pc.cast(t.column("sum(contrib)"), pa.int64()), pa.scalar(tele)
-                ),
+                "doc_id": pa.array(s["nodes"], pa.int64()),
+                "rank_e12": pa.array(s["rank"], pa.int64()),
             }
         )
 
-    for _ in range(_PR_ITERS):
-        ranks = (
-            ranks.map_batches(_contrib, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(Sum("contrib"))
-            .map_batches(_finalize, batch_format="pyarrow")
-        )
-
-    return ranks.map_batches(
-        lambda t: t.rename_columns(["doc_id", "rank_e12"]), batch_format="pyarrow"
-    )
+    with BSPGraph() as g:
+        g.run(_init)
+        for _ in range(_PR_ITERS):
+            g.exchange(_scatter, _fold)
+        refs = [p.call.remote(_emit) for p in g.parts]
+        _ray.wait(refs, num_returns=len(refs))
+    return _ray.data.from_arrow_refs(refs)
 
 
 def _sql_pagerank() -> str:
@@ -610,46 +604,60 @@ def q_bfs_hops(sf_dir: str):
     (union input + expansion source); payload is the labelled
     frontier, tiny relative to the graph.  With a real edge parquet
     the expansion becomes frontier ⋈ edges — the round structure and
-    the min-combine are unchanged."""
-    from ray.data.aggregate import Min
+    the min-combine are unchanged.
+
+    Runs on the BSP substrate (``state/bsp.py``; see paths.py
+    :func:`_relax` — bfs is the (min, +1) instance): hop labels live
+    partitioned in P persistent actors, one scatter→fold superstep
+    per hop (5.2 s → ~1.5 s at sf0.1); mirror unchanged."""
+    import ray as _ray
+
+    from ..state.bsp import BSPGraph, bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()  # parquet-metadata count
+    _SENT = np.iinfo(np.int64).max
 
-    def _seeds(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy()
-        s = ids[ids % _BFS_SEED_MOD == 0]
-        return pa.table(
-            {
-                "node": pa.array(s, pa.int64()),
-                "hops": pa.array(np.zeros(len(s), dtype=np.int64)),
-            }
-        )
+    def _init(s, pid, P, n=n):
+        s["nodes"] = np.arange(pid, n, P, dtype=np.int64)
+        s["hops"] = np.where(
+            s["nodes"] % _BFS_SEED_MOD == 0, 0, _SENT
+        ).astype(np.int64)
 
-    reach = ds0.map_batches(_seeds, batch_format="pyarrow").materialize()
-
-    def _expand(t: pa.Table, n=n) -> pa.Table:
-        src = t.column("node").to_numpy()
-        h = t.column("hops").to_numpy()
+    def _scatter(s, pid, P, n=n):
+        hit = s["hops"] != _SENT
+        src = s["nodes"][hit]
+        h = s["hops"][hit]
         dsts = _derived_dsts(src, n)
+        return bucket(
+            np.concatenate(dsts),
+            P,
+            {"h": np.concatenate([h + 1] * len(dsts)).astype(np.int64)},
+        )
+
+    def _fold(s, pid, P, payloads):
+        arr = np.full(len(s["nodes"]), _SENT, np.int64)
+        for dest, pl in payloads:
+            np.minimum.at(arr, dest // P, pl["h"])
+        s["hops"] = np.minimum(s["hops"], arr)
+        return None
+
+    def _emit(s, pid, P):
+        hit = s["hops"] != _SENT
         return pa.table(
             {
-                "node": pa.array(np.concatenate(dsts), pa.int64()),
-                "hops": pa.array(
-                    np.concatenate([h + 1] * len(dsts)).astype(np.int64)
-                ),
+                "node": pa.array(s["nodes"][hit], pa.int64()),
+                "hops": pa.array(s["hops"][hit], pa.int64()),
             }
         )
 
-    for _ in range(_BFS_HOPS):
-        nxt = reach.map_batches(_expand, batch_format="pyarrow")
-        reach = (
-            reach.union(nxt)
-            .groupby("node")
-            .aggregate(Min("hops", alias_name="hops"))
-            .materialize()
-        )
-    return reach
+    with BSPGraph() as g:
+        g.run(_init)
+        for _ in range(_BFS_HOPS):
+            g.exchange(_scatter, _fold)
+        refs = [p.call.remote(_emit) for p in g.parts]
+        _ray.wait(refs, num_returns=len(refs))
+    return _ray.data.from_arrow_refs(refs)
 
 
 def _sql_bfs_hops() -> str:
@@ -1186,89 +1194,79 @@ def q_hits(sf_dir: str):
     Shape per half-step: streaming contribution map (per-batch partial
     combine before the exchange) → ``groupby(doc_id)`` sum → scalar
     mass aggregate → normalization map; payload always 2 int64
-    columns."""
-    from ray.data.aggregate import Sum
+    columns.
+
+    Runs on the BSP substrate (``state/bsp.py``; see ``q_mis_luby``):
+    hub/authority vectors live partitioned in P persistent actors;
+    each half-step is one scatter→fold superstep (contributions
+    bucketed by target owner, integer sum fold) followed by a driver
+    scalar (the partition masses) and a local normalization call —
+    the same aggregates as the Dataset form at ~10 ms per half-step
+    instead of ~2 s (9.3 s → ~1.5 s at sf0.1); mirror unchanged."""
+    from functools import partial
+
+    from ..state.bsp import BSPGraph, bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()  # parquet-metadata count; no scan
     kinv = pow(_PR_KNUTH, -1, n)  # K prime → invertible for any n < K
 
-    scores = ds0.map_batches(
-        lambda t, v=_HITS_MASS // n: pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "val": pa.array(np.full(t.num_rows, v, dtype=np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def _init(s, pid, P, n=n):
+        s["nodes"] = np.arange(pid, n, P, dtype=np.int64)
+        v0 = _HITS_MASS // n
+        s["auth"] = np.full(len(s["nodes"]), v0, dtype=np.int64)
+        s["hub"] = np.full(len(s["nodes"]), v0, dtype=np.int64)
 
-    def _half(scores, invert: bool):
-        """One normalized gather: invert=False flows hub mass forward
-        onto authorities; invert=True flows authority mass backward
-        onto hubs (targets enumerated via the modular inverse)."""
+    def _scatter_half(s, pid, P, src_key=None, invert=False, n=n, kinv=kinv):
+        node = s["nodes"]
+        val = s[src_key]
+        tgts, vals = [], []
+        for j in range(1, _PR_OUTDEG + 1):
+            if invert:
+                # candidate in-neighbour for slot j, kept iff its
+                # degree 1 + (u mod 3) admits the slot
+                u = ((node - j) * kinv) % n
+                keep = (1 + u % 3) >= j
+                tgts.append(u[keep])
+            else:
+                keep = (1 + node % 3) >= j
+                tgts.append(((node[keep] * _PR_KNUTH) + j) % n)
+            vals.append(val[keep])
+        return bucket(np.concatenate(tgts), P, {"c": np.concatenate(vals)})
 
-        def _contrib(t: pa.Table, n=n, invert=invert, kinv=kinv) -> pa.Table:
-            node = t.column("doc_id").to_numpy()
-            val = t.column("val").to_numpy()
-            tgts, vals = [], []
-            for j in range(1, _PR_OUTDEG + 1):
-                if invert:
-                    # candidate in-neighbour for slot j, kept iff its
-                    # degree 1 + (u mod 3) admits the slot
-                    u = ((node - j) * kinv) % n
-                    keep = (1 + u % 3) >= j
-                    tgts.append(u[keep])
-                else:
-                    keep = (1 + node % 3) >= j
-                    tgts.append(((node[keep] * _PR_KNUTH) + j) % n)
-                vals.append(val[keep])
-            doc = np.concatenate([node] + tgts)
-            val_out = np.concatenate(
-                [np.zeros(len(node), dtype=np.int64)] + vals
-            )
-            out = pa.table(
-                {
-                    "doc_id": pa.array(doc, pa.int64()),
-                    "c": pa.array(val_out, pa.int64()),
-                }
-            )
-            return (
-                out.group_by("doc_id")
-                .aggregate([("c", "sum")])
-                .rename_columns(["doc_id", "c"])
-            )
+    def _fold_half(s, pid, P, payloads):
+        gath = np.zeros(len(s["nodes"]), dtype=np.int64)
+        for dest, pl in payloads:
+            np.add.at(gath, dest // P, pl["c"])
+        s["gath"] = gath
+        return int(gath.sum())
 
-        gathered = (
-            scores.map_batches(_contrib, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(Sum("c", alias_name="val"))
-            .materialize()
-        )
-        s = int(gathered.aggregate(Sum("val"))["sum(val)"])
-        return gathered.map_batches(
-            lambda t, s=s: pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "val": pa.array(
-                        t.column("val").to_numpy() * _HITS_MASS // s,
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        ).materialize()
+    def _norm(s, pid, P, dst_key, total):
+        s[dst_key] = s.pop("gath") * _HITS_MASS // total
 
-    auth = hub = scores
-    for _ in range(_HITS_ITERS):
-        auth = _half(hub, invert=False)  # authorities gather hub mass
-        hub = _half(auth, invert=True)  # hubs gather authority mass
+    with BSPGraph() as g:
+        g.run(_init)
+        for _ in range(_HITS_ITERS):
+            for src, dst, inv in (("hub", "auth", False), ("auth", "hub", True)):
+                masses = g.exchange(
+                    partial(_scatter_half, src_key=src, invert=inv), _fold_half
+                )
+                g.run(_norm, dst, sum(masses))
 
-    a_pd = auth.to_pandas().rename(columns={"val": "auth_e6"})
-    h_pd = hub.to_pandas().rename(columns={"val": "hub_e6"})
-    return (
-        a_pd.merge(h_pd, on="doc_id").sort_values("doc_id")
-        .reset_index(drop=True)[["doc_id", "hub_e6", "auth_e6"]]
+        def _emit(s, pid, P):
+            return s["nodes"], s["hub"], s["auth"]
+
+        parts = g.run(_emit)
+    nodes = np.concatenate([p[0] for p in parts])
+    hub = np.concatenate([p[1] for p in parts])
+    auth = np.concatenate([p[2] for p in parts])
+    order = np.argsort(nodes)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(nodes[order], dtype="int64"),
+            "hub_e6": pd.array(hub[order], dtype="int64"),
+            "auth_e6": pd.array(auth[order], dtype="int64"),
+        }
     )
 
 

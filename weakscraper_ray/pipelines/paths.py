@@ -66,57 +66,79 @@ def _edge_w(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     return 1 + (src + dst) % 7
 
 
-def _seeds_table(t: pa.Table, init_val: int) -> pa.Table:
-    ids = t.column("doc_id").to_numpy()
-    s = ids[ids % _SEED_MOD == 0]
-    return pa.table(
-        {
-            "node": pa.array(s, pa.int64()),
-            "val": pa.array(np.full(len(s), init_val, dtype=np.int64)),
-        }
-    )
-
-
 def _relax(sf_dir: str, combine: str, init_val: int, step):
     """shared K-round relaxation: ``step(val, w) -> new val`` per edge,
-    ``combine`` in {'min','max','sum'} per node."""
-    from ray.data.aggregate import Max, Min, Sum
+    ``combine`` in {'min','max'} per node (idempotent semirings; the
+    counting semiring keeps its own exact-length-frontier loop in
+    :func:`q_walk_counts`).
 
-    agg = {"min": Min, "max": Max, "sum": Sum}[combine]
+    Runs on the BSP substrate (``state/bsp.py``; see rounds.py
+    ``q_mis_luby``): the reach vector lives partitioned in P
+    persistent actors (sentinel = unreached), each round is one
+    scatter→fold superstep relaxing along out-edges — the identical
+    Min/Max fold the Dataset ``union → groupby`` form computed, at
+    ~10 ms per round instead of ~1.5 s (sssp 6.3 s → ~1.5 s at
+    sf0.1); mirrors unchanged."""
+    import ray as _ray
+
+    from ..state.bsp import BSPGraph, bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()  # parquet-metadata count
 
-    reach = ds0.map_batches(
-        lambda t: _seeds_table(t, init_val), batch_format="pyarrow"
-    ).materialize()
+    sentinel = np.iinfo(np.int64).max if combine == "min" else np.iinfo(np.int64).min
+    fold_ufunc = {"min": np.minimum, "max": np.maximum}[combine]
 
-    def _expand(t: pa.Table, n=n) -> pa.Table:
-        src = t.column("node").to_numpy()
-        val = t.column("val").to_numpy()
-        dsts = _dsts(src, n)
+    def _init(s, pid, P, n=n, init_val=init_val, sentinel=sentinel):
+        s["nodes"] = np.arange(pid, n, P, dtype=np.int64)
+        val = np.full(len(s["nodes"]), sentinel, dtype=np.int64)
+        val[s["nodes"] % _SEED_MOD == 0] = init_val
+        s["val"] = val
+
+    def _scatter(s, pid, P, n=n, sentinel=sentinel):
+        reached = s["val"] != sentinel
+        src = s["nodes"][reached]
+        val = s["val"][reached]
         nodes, vals = [], []
-        for d in dsts:
+        for d in _dsts(src, n):
             nodes.append(d)
             vals.append(step(val, _edge_w(src, d)))
+        dest = np.concatenate(nodes) if nodes else np.array([], np.int64)
+        out = (
+            np.concatenate(vals).astype(np.int64)
+            if vals
+            else np.array([], np.int64)
+        )
+        return bucket(dest, P, {"val": out})
+
+    def _fold(s, pid, P, payloads, fold_ufunc=fold_ufunc, sentinel=sentinel):
+        arr = np.full(len(s["nodes"]), sentinel, np.int64)
+        for dest, pl in payloads:
+            getattr(fold_ufunc, "at")(arr, dest // P, pl["val"])
+        hit = arr != sentinel
+        cur = s["val"]
+        # combine with the existing reach value (union → groupby agg)
+        cur[hit] = np.where(
+            cur[hit] == sentinel, arr[hit], fold_ufunc(cur[hit], arr[hit])
+        )
+        return int((cur != sentinel).sum())
+
+    def _emit(s, pid, P, sentinel=sentinel):
+        hit = s["val"] != sentinel
         return pa.table(
             {
-                "node": pa.array(np.concatenate(nodes), pa.int64()),
-                "val": pa.array(
-                    np.concatenate(vals).astype(np.int64), pa.int64()
-                ),
+                "node": pa.array(s["nodes"][hit], pa.int64()),
+                "val": pa.array(s["val"][hit], pa.int64()),
             }
         )
 
-    for _ in range(_ROUNDS):
-        nxt = reach.map_batches(_expand, batch_format="pyarrow")
-        reach = (
-            reach.union(nxt)
-            .groupby("node")
-            .aggregate(agg("val", alias_name="val"))
-            .materialize()
-        )
-    return reach
+    with BSPGraph() as g:
+        g.run(_init)
+        for _ in range(_ROUNDS):
+            g.exchange(_scatter, _fold)
+        refs = [p.call.remote(_emit) for p in g.parts]
+        _ray.wait(refs, num_returns=len(refs))
+    return _ray.data.from_arrow_refs(refs)
 
 
 def q_sssp_weighted(sf_dir: str):
@@ -149,43 +171,58 @@ def q_walk_counts(sf_dir: str):
     relaxation of :func:`_relax` would double-count shorter walks.
     The counting recursion instead carries EXACT-length frontiers
     (frontier_{k+1}[v] = sum over in-edges of frontier_k[u]) and
-    accumulates them, combining once at the end."""
-    from ray.data.aggregate import Sum
+    accumulates them, combining once at the end.
+
+    Runs on the BSP substrate (``state/bsp.py``; see :func:`_relax`):
+    frontier and accumulator vectors live partitioned in P persistent
+    actors; each length step is one scatter→fold superstep with an
+    integer Sum fold — exact, order-independent, mirror unchanged
+    (7.4 s → ~1.5 s at sf0.1)."""
+    import ray as _ray
+
+    from ..state.bsp import BSPGraph, bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()
 
-    frontier = ds0.map_batches(
-        lambda t: _seeds_table(t, 1), batch_format="pyarrow"
-    ).materialize()
+    def _init(s, pid, P, n=n):
+        s["nodes"] = np.arange(pid, n, P, dtype=np.int64)
+        s["front"] = (s["nodes"] % _SEED_MOD == 0).astype(np.int64)
+        s["acc"] = s["front"].copy()
 
-    def _expand(t: pa.Table, n=n) -> pa.Table:
-        src = t.column("node").to_numpy()
-        val = t.column("val").to_numpy()
+    def _scatter(s, pid, P, n=n):
+        hit = s["front"] > 0
+        src = s["nodes"][hit]
+        val = s["front"][hit]
         dsts = _dsts(src, n)
+        return bucket(
+            np.concatenate(dsts), P, {"val": np.concatenate([val] * len(dsts))}
+        )
+
+    def _fold(s, pid, P, payloads):
+        nxt = np.zeros(len(s["nodes"]), dtype=np.int64)
+        for dest, pl in payloads:
+            np.add.at(nxt, dest // P, pl["val"])
+        s["front"] = nxt
+        s["acc"] += nxt
+        return None
+
+    def _emit(s, pid, P):
+        hit = s["acc"] > 0
         return pa.table(
             {
-                "node": pa.array(np.concatenate(dsts), pa.int64()),
-                "val": pa.array(
-                    np.concatenate([val] * len(dsts)).astype(np.int64)
-                ),
+                "node": pa.array(s["nodes"][hit], pa.int64()),
+                "n_walks": pa.array(s["acc"][hit], pa.int64()),
             }
         )
 
-    acc = frontier
-    for _ in range(_ROUNDS):
-        frontier = (
-            frontier.map_batches(_expand, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Sum("val", alias_name="val"))
-            .materialize()
-        )
-        acc = acc.union(frontier)
-    out = acc.groupby("node").aggregate(Sum("val", alias_name="val"))
-    return out.map_batches(
-        lambda t: t.rename_columns(["node", "n_walks"]),
-        batch_format="pyarrow",
-    )
+    with BSPGraph() as g:
+        g.run(_init)
+        for _ in range(_ROUNDS):
+            g.exchange(_scatter, _fold)
+        refs = [p.call.remote(_emit) for p in g.parts]
+        _ray.wait(refs, num_returns=len(refs))
+    return _ray.data.from_arrow_refs(refs)
 
 
 def q_ppr_seeded(sf_dir: str):
@@ -198,84 +235,60 @@ def q_ppr_seeded(sf_dir: str):
     3 unrolled iterations; teleport is an arithmetic function of
     doc_id, so no seed table ships with the tasks.  One exchange per
     iteration; all-integer → partitioning-independent and hash-exact
-    vs the chained-CTE mirror."""
-    from ray.data.aggregate import Sum
+    vs the chained-CTE mirror.
+
+    Runs on the BSP substrate (``state/bsp.py``; see ``q_hits``): the
+    rank vector lives partitioned in P persistent actors; one
+    scatter→fold superstep per iteration (integer Sum fold + local
+    teleport base), 6.3 s → ~1.5 s at sf0.1; mirror unchanged."""
+    import ray as _ray
+
+    from ..state.bsp import BSPGraph, bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()
-
-    def _nseeds(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy()
-        return pa.table(
-            {"k": pa.array([int((ids % _SEED_MOD == 0).sum())], pa.int64())}
-        )
-
-    ns = int(
-        ds0.map_batches(_nseeds, batch_format="pyarrow").sum("k")
-    )
+    ns = (n + _SEED_MOD - 1) // _SEED_MOD  # seeds = ids ≡ 0 (mod 97)
     per_edge_den = _DAMP_DEN * _OUTDEG
     tele = ((_DAMP_DEN - _DAMP_NUM) * _MASS) // (_DAMP_DEN * ns)
     r0 = _MASS // ns
 
-    ranks = ds0.map_batches(
-        lambda t, r0=r0: pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "rank": pa.array(
-                    np.where(
-                        t.column("doc_id").to_numpy() % _SEED_MOD == 0, r0, 0
-                    ).astype(np.int64)
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def _init(s, pid, P, n=n, r0=r0):
+        s["nodes"] = np.arange(pid, n, P, dtype=np.int64)
+        s["rank"] = np.where(s["nodes"] % _SEED_MOD == 0, r0, 0).astype(
+            np.int64
+        )
 
-    def _contrib(t: pa.Table, n=n, den=per_edge_den) -> pa.Table:
-        src = t.column("doc_id").to_numpy()
-        rk = t.column("rank").to_numpy()
-        c = (rk * _DAMP_NUM) // den
+    def _scatter(s, pid, P, n=n, den=per_edge_den):
+        src = s["nodes"]
+        c = (s["rank"] * _DAMP_NUM) // den
         dsts = _dsts(src, n)
-        doc = np.concatenate([src] + dsts)
-        val = np.concatenate(
-            [np.zeros(len(src), dtype=np.int64)] + [c] * len(dsts)
-        )
-        out = pa.table(
-            {
-                "doc_id": pa.array(doc, pa.int64()),
-                "contrib": pa.array(val, pa.int64()),
-            }
-        )
-        return (
-            out.group_by("doc_id")
-            .aggregate([("contrib", "sum")])
-            .rename_columns(["doc_id", "contrib"])
+        return bucket(
+            np.concatenate(dsts), P, {"c": np.concatenate([c] * len(dsts))}
         )
 
-    def _finalize(t: pa.Table, tele=tele) -> pa.Table:
-        ids = t.column("doc_id").to_numpy()
-        base = np.where(ids % _SEED_MOD == 0, tele, 0).astype(np.int64)
+    def _fold(s, pid, P, payloads, tele=tele):
+        gath = np.zeros(len(s["nodes"]), dtype=np.int64)
+        for dest, pl in payloads:
+            np.add.at(gath, dest // P, pl["c"])
+        base = np.where(s["nodes"] % _SEED_MOD == 0, tele, 0).astype(np.int64)
+        s["rank"] = base + gath
+        return None
+
+    def _emit(s, pid, P):
         return pa.table(
             {
-                "doc_id": t.column("doc_id"),
-                "rank": pa.array(
-                    base
-                    + pc.cast(t.column("sum(contrib)"), pa.int64()).to_numpy()
-                ),
+                "doc_id": pa.array(s["nodes"], pa.int64()),
+                "ppr_e12": pa.array(s["rank"], pa.int64()),
             }
         )
 
-    for _ in range(_ROUNDS):
-        ranks = (
-            ranks.map_batches(_contrib, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(Sum("contrib"))
-            .map_batches(_finalize, batch_format="pyarrow")
-        )
-    return ranks.map_batches(
-        lambda t: t.rename_columns(["doc_id", "ppr_e12"]),
-        batch_format="pyarrow",
-    )
+    with BSPGraph() as g:
+        g.run(_init)
+        for _ in range(_ROUNDS):
+            g.exchange(_scatter, _fold)
+        refs = [p.call.remote(_emit) for p in g.parts]
+        _ray.wait(refs, num_returns=len(refs))
+    return _ray.data.from_arrow_refs(refs)
 
 
 def _sql_ppr() -> str:

@@ -424,87 +424,89 @@ def q_hyperball_reach(sf_dir: str):
     (node, bucket); the per-node harmonic sum folds with ONE
     Sum-aggregate via S = m·2^(R+1) + Σ_present(2^(R+1-rho) - 2^(R+1))
     — no per-node group loop anywhere.  Output (node, nonzero_regs,
-    sum_scaled, est_raw), hash-exact vs the unrolled mirror."""
-    from ray.data.aggregate import Max, Sum
+    sum_scaled, est_raw), hash-exact vs the unrolled mirror.
+
+    Runs on the BSP substrate (``state/bsp.py``; see ``q_mis_luby``):
+    each partition holds a DENSE (owned-nodes × m) uint8 rho matrix
+    (0 = register absent; present rhos are ≥ 1), the exact dense form
+    of the sparse register set — HyperBall's own memory layout.  A
+    round scatters every node's present registers to its in-edge
+    sources (arithmetically enumerated) and Max-folds them in place:
+    one superstep per round instead of a (node, bucket)-keyed
+    exchange (7.5 s → ~1.5 s at sf0.1); mirror unchanged."""
+    import ray as _ray
+
+    from ..state.bsp import BSPGraph, bucket as _bucket
 
     ds0 = _read(sf_dir, "documents", ["doc_id"])
     n = ds0.count()
     kinv = pow(_KNUTH, -1, n)
 
-    def _reg0(t: pa.Table) -> pa.Table:
-        v = t.column("doc_id").to_numpy()
+    def _init(s, pid, P, n=n):
+        s["nodes"] = np.arange(pid, n, P, dtype=np.int64)
+        v = s["nodes"]
         h = np.array([_md5_u64(f"h|{int(x)}") for x in v], dtype=np.uint64)
-        bucket = (h % np.uint64(_HB_M)).astype(np.int64)
-        rest = ((h >> np.uint64(6)) % (np.uint64(1) << np.uint64(_HB_R)))
+        bkt = (h % np.uint64(_HB_M)).astype(np.int64)
+        rest = (h >> np.uint64(6)) % (np.uint64(1) << np.uint64(_HB_R))
         rho = np.where(
             rest > 0, _HB_R - _bitlen_u64(rest) + 1, _HB_R + 1
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "node": pa.array(v, pa.int64()),
-                "bucket": pa.array(bucket),
-                "rho": pa.array(rho),
-            }
-        )
+        ).astype(np.uint8)
+        regs = np.zeros((len(v), _HB_M), dtype=np.uint8)
+        regs[np.arange(len(v)), bkt] = rho
+        s["regs"] = regs
 
-    regs = ds0.map_batches(_reg0, batch_format="pyarrow").materialize()
-
-    def _push(t: pa.Table, n=n, kinv=kinv) -> pa.Table:
-        u = t.column("node").to_numpy()
-        b = t.column("bucket").to_numpy()
-        rho = t.column("rho").to_numpy()
-        nodes, bs, rs = [u], [b], [rho]
+    def _scatter(s, pid, P, n=n, kinv=kinv):
+        u = s["nodes"]
+        row, col = np.nonzero(s["regs"])
+        rho = s["regs"][row, col].astype(np.int64)
+        src = u[row]
+        dest, bs, rs = [], [], []
         for j in range(1, _OUTDEG + 1):
             # u's registers flow to every v with u ∈ out(v):
             # v = (u - j) * K^-1 mod n  (self-loops flow to self, a no-op)
-            nodes.append(((u - j) * kinv) % n)
-            bs.append(b)
+            dest.append(((src - j) * kinv) % n)
+            bs.append(col)
             rs.append(rho)
+        return _bucket(
+            np.concatenate(dest),
+            P,
+            {"b": np.concatenate(bs), "r": np.concatenate(rs)},
+        )
+
+    def _fold(s, pid, P, payloads):
+        regs = s["regs"]
+        for dest, pl in payloads:
+            flat = (dest // P) * _HB_M + pl["b"]
+            np.maximum.at(regs.reshape(-1), flat, pl["r"].astype(np.uint8))
+        return None
+
+    def _emit(s, pid, P):
+        regs = s["regs"].astype(np.int64)
+        present = regs > 0
+        nz = present.sum(axis=1).astype(np.int64)
+        term = np.where(
+            present, (np.int64(1) << (_HB_SCALE - regs)) - (1 << _HB_SCALE), 0
+        )
+        t2 = term.sum(axis=1)
+        ssum = _HB_M * (1 << _HB_SCALE) + t2
         return pa.table(
             {
-                "node": pa.array(np.concatenate(nodes), pa.int64()),
-                "bucket": pa.array(np.concatenate(bs), pa.int64()),
-                "rho": pa.array(np.concatenate(rs), pa.int64()),
+                "node": pa.array(s["nodes"], pa.int64()),
+                "nonzero_regs": pa.array(nz, pa.int64()),
+                "sum_scaled": pa.array(ssum.astype(np.int64)),
+                "est_raw": pa.array(
+                    (_HB_NUM // (10**6 * ssum)).astype(np.int64)
+                ),
             }
         )
 
-    for _ in range(_HB_ROUNDS):
-        regs = (
-            regs.map_batches(_push, batch_format="pyarrow")
-            .groupby(["node", "bucket"])
-            .aggregate(Max("rho", alias_name="rho"))
-            .materialize()
-        )
-
-    def _terms(t: pa.Table) -> pa.Table:
-        rho = t.column("rho").to_numpy()
-        term2 = (np.int64(1) << (_HB_SCALE - rho)) - (1 << _HB_SCALE)
-        return pa.table(
-            {
-                "node": t.column("node"),
-                "nz": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                "term2": pa.array(term2.astype(np.int64)),
-            }
-        )
-
-    folded = (
-        regs.map_batches(_terms, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("nz", alias_name="nz"), Sum("term2", alias_name="t2"))
-    )
-
-    def _final(t: pa.Table) -> pa.Table:
-        s = _HB_M * (1 << _HB_SCALE) + t.column("t2").to_numpy()
-        return pa.table(
-            {
-                "node": t.column("node"),
-                "nonzero_regs": t.column("nz"),
-                "sum_scaled": pa.array(s.astype(np.int64)),
-                "est_raw": pa.array((_HB_NUM // (10**6 * s)).astype(np.int64)),
-            }
-        )
-
-    return folded.map_batches(_final, batch_format="pyarrow")
+    with BSPGraph() as g:
+        g.run(_init)
+        for _ in range(_HB_ROUNDS):
+            g.exchange(_scatter, _fold)
+        refs = [p.call.remote(_emit) for p in g.parts]
+        _ray.wait(refs, num_returns=len(refs))
+    return _ray.data.from_arrow_refs(refs)
 
 
 def _sql_hyperball() -> str:
