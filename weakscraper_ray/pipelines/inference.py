@@ -438,8 +438,6 @@ def q_emd_drift(sf_dir: str):
     the CDF walk unchanged); the walk itself is one vectorized cumsum
     on the driver.  At 100-TB row counts the int64 products
     cum·n overflow — swap emd_scaled for the e6 float mirror there."""
-    from ray.data.aggregate import Max, Min, Sum
-
     def _days(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
             zero_copy_only=False
@@ -453,10 +451,16 @@ def q_emd_drift(sf_dir: str):
         )
 
     ds = _read(sf_dir, "events", ["ts", "value"])
-    bounds = ds.map_batches(_days, batch_format="pyarrow").aggregate(
-        Min("dmin"), Max("dmax")
-    )
-    dmin, dmax = int(bounds["min(dmin)"]), int(bounds["max(dmax)"])
+    # day bounds: one-row partials per batch — driver fold, no
+    # aggregate-operator startup
+    dmin, dmax = None, None
+    for t in ds.map_batches(_days, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        lo = int(pc.min(t.column("dmin")).as_py())
+        hi = int(pc.max(t.column("dmax")).as_py())
+        dmin = lo if dmin is None else min(dmin, lo)
+        dmax = hi if dmax is None else max(dmax, hi)
     split = (dmin + dmax + 1) // 2  # positive days: // == trunc == floor
 
     def _partial(batch: pa.Table, split=split) -> pa.Table:
@@ -489,10 +493,30 @@ def q_emd_drift(sf_dir: str):
             }
         )
 
+    # the ~100k-distinct cents groupby hits Ray's high-cardinality
+    # hash-aggregate degradation (the theta_join_cdf finding): re-key
+    # onto a bounded 256-shard exchange and fold each shard's slice of
+    # the domain vectorized
+    def _shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shard",
+            pc.bit_wise_and(pc.cast(t.column("v"), pa.int64()), pa.scalar(255)),
+        )
+
+    def _shard_fold(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy(np.int64)
+        u, inv = np.unique(v, return_inverse=True)
+        aa = np.zeros(len(u), dtype=np.int64)
+        bb = np.zeros(len(u), dtype=np.int64)
+        np.add.at(aa, inv, g["a"].to_numpy(np.int64))
+        np.add.at(bb, inv, g["b"].to_numpy(np.int64))
+        return pd.DataFrame({"v": u, "a": aa, "b": bb})
+
     hist = (
         ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_shard_fold, batch_format="pandas")
         .to_pandas()  # bounded: distinct cent values
         .sort_values("v")
         .reset_index(drop=True)

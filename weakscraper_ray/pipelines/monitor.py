@@ -560,11 +560,12 @@ def _select_ranks_ds(base, rank_of_n) -> tuple[int, dict[int, int]]:
     each in-bin rank locally.  Returns (n, {rank: value}) — the
     mechanism a 100 TB exact-percentile needs, with the sort exchange
     being the thing avoided."""
-    from ray.data.aggregate import Max, Min, Sum
-
     n = base.count()
     ranks = sorted(set(rank_of_n(n)))
 
+    # bounds + histogram are FIXED-domain aggregates (one row / ≤1024
+    # bins per batch): fold partials on the driver instead of paying
+    # two keyed-exchange startups (~2 s each; the hll_exact pattern).
     def _bounds_partial(t: pa.Table) -> pa.Table:
         v = t.column("v").to_numpy()
         return pa.table(
@@ -574,11 +575,15 @@ def _select_ranks_ds(base, rank_of_n) -> tuple[int, dict[int, int]]:
             }
         )
 
-    b = (
+    vmin, vmax = None, None
+    for t in (
         base.map_batches(_bounds_partial, batch_format="pyarrow")
-        .aggregate(Min("vmin"), Max("vmax"))
-    )
-    vmin, vmax = int(b["min(vmin)"]), int(b["max(vmax)"])
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        lo = int(pc.min(t.column("vmin")).as_py())
+        hi = int(pc.max(t.column("vmax")).as_py())
+        vmin = lo if vmin is None else min(vmin, lo)
+        vmax = hi if vmax is None else max(vmax, hi)
     span = vmax - vmin + 1
 
     def _hist_partial(t: pa.Table, vmin=vmin, span=span) -> pa.Table:
@@ -592,13 +597,14 @@ def _select_ranks_ds(base, rank_of_n) -> tuple[int, dict[int, int]]:
             }
         )
 
-    hist = (
+    acc = np.zeros(_SEL_BINS, dtype=np.int64)
+    for t in (
         base.map_batches(_hist_partial, batch_format="pyarrow")
-        .groupby("bin")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-        .sort_values("bin")
-    )
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        np.add.at(acc, t.column("bin").to_numpy(), t.column("n").to_numpy())
+    nz = np.flatnonzero(acc)
+    hist = pd.DataFrame({"bin": nz.astype(np.int64), "n": acc[nz]})
     cum = hist["n"].cumsum().to_numpy()
     need: dict[int, tuple[int, int]] = {}  # rank → (bin, rank_in_bin)
     for k in ranks:
@@ -948,16 +954,38 @@ def q_cms_estimate(sf_dir: str):
         )
 
     ev = _read(sf_dir, "events", ["user_id"])
-    sk = (
-        ev.map_batches(_sketch_partial, batch_format="pyarrow")
-        .groupby(["r", "bucket"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # ≤ d·w = 4096 rows
-    )
+    # sketch merge: the counter grid is FIXED (d·w = 4096 cells) and
+    # Sum is associative, so the keyed exchange the groupby form paid
+    # (~3 s of hash-aggregate startup) is pure overhead — tree-fold
+    # per 2^20 partial rows in map_batches, tiny driver fold (the
+    # hll_exact register pattern)
+    def _sketch_fold(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+        flat = (
+            batch.column("r").to_numpy() * _CMS_W
+            + batch.column("bucket").to_numpy()
+        )
+        np.add.at(acc, flat, batch.column("n").to_numpy())
+        nz = np.nonzero(acc)[0]
+        return pa.table(
+            {
+                "r": pa.array(nz // _CMS_W),
+                "bucket": pa.array(nz % _CMS_W),
+                "n": pa.array(acc[nz]),
+            }
+        )
+
     S = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
-    S[sk["r"].to_numpy(np.int64), sk["bucket"].to_numpy(np.int64)] = sk[
-        "n"
-    ].to_numpy(np.int64)
+    for t in (
+        ev.map_batches(_sketch_partial, batch_format="pyarrow")
+        .map_batches(_sketch_fold, batch_format="pyarrow", batch_size=1 << 20)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        np.add.at(
+            S,
+            (t.column("r").to_numpy(), t.column("bucket").to_numpy()),
+            t.column("n").to_numpy(),
+        )
 
     def _user_partial(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1029,10 +1057,8 @@ def q_mad_outliers(sf_dir: str):
     exact TWO-PASS SELECTIONS (:func:`_select_ranks_ds`) — four
     bounded scans total, no global sort; the final outlier count
     (|v − med| > 3·MAD, pure integer compare) is a per-batch partial
-    sum.  At 100 TB each scan streams and the exchanges stay ≤1024
-    rows."""
-    from ray.data.aggregate import Sum
-
+    sum folded on the driver (fixed-domain: one row per batch).  At
+    100 TB each scan streams and nothing keyed is exchanged."""
     base = _events_cents_ds(sf_dir)
     n, vals = _select_ranks_ds(base, lambda n: [(n - 1) // 2])
     med = vals[(n - 1) // 2]
@@ -1049,8 +1075,11 @@ def q_mad_outliers(sf_dir: str):
         v = t.column("v").to_numpy()
         return pa.table({"k": pa.array([int((v > cut).sum())], pa.int64())})
 
-    n_out = int(
-        devs.map_batches(_flag, batch_format="pyarrow").aggregate(Sum("k"))["sum(k)"]
+    n_out = sum(
+        int(t.column("k")[0].as_py())
+        for t in devs.map_batches(_flag, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
     )
     return pd.DataFrame(
         {
@@ -1089,8 +1118,9 @@ def q_weighted_median(sf_dir: str):
     two-pass no-sort selection as :func:`_select_ranks_ds`, with the
     histogram accumulating WEIGHT MASS per bin instead of row counts;
     the target rank is the smallest v whose cumulative weight cw
-    satisfies 2·cw ≥ W."""
-    from ray.data.aggregate import Max, Min, Sum
+    satisfies 2·cw ≥ W.  Total weight, bounds and the 1024-bin mass
+    histogram are fixed-domain partials folded on the driver — no
+    keyed exchange anywhere in the selection."""
 
     def _proj(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1105,7 +1135,12 @@ def q_weighted_median(sf_dir: str):
         .map_batches(_proj, batch_format="pyarrow")
         .materialize()  # scanned three times: bounds, histogram, probe
     )
-    W = int(base.aggregate(Sum("w"))["sum(w)"])
+    W = sum(
+        int(pc.sum(t.column("w")).as_py())
+        for t in base.select_columns(["w"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
     target = (W + 1) // 2  # 2·cw ≥ W  ⇔  cw ≥ ⌈W/2⌉ for integer cw
 
     def _bounds(t: pa.Table) -> pa.Table:
@@ -1117,10 +1152,14 @@ def q_weighted_median(sf_dir: str):
             }
         )
 
-    b = base.map_batches(_bounds, batch_format="pyarrow").aggregate(
-        Min("vmin"), Max("vmax")
-    )
-    vmin, vmax = int(b["min(vmin)"]), int(b["max(vmax)"])
+    vmin, vmax = None, None
+    for t in base.map_batches(_bounds, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        lo = int(pc.min(t.column("vmin")).as_py())
+        hi = int(pc.max(t.column("vmax")).as_py())
+        vmin = lo if vmin is None else min(vmin, lo)
+        vmax = hi if vmax is None else max(vmax, hi)
     span = vmax - vmin + 1
 
     def _hist(t: pa.Table, vmin=vmin, span=span) -> pa.Table:
@@ -1134,13 +1173,13 @@ def q_weighted_median(sf_dir: str):
             {"bin": pa.array(nz.astype(np.int64)), "m": pa.array(acc[nz])}
         )
 
-    hist = (
-        base.map_batches(_hist, batch_format="pyarrow")
-        .groupby("bin")
-        .aggregate(Sum("m", alias_name="m"))
-        .to_pandas()
-        .sort_values("bin")
-    )
+    macc = np.zeros(_SEL_BINS, dtype=np.int64)
+    for t in base.map_batches(_hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        np.add.at(macc, t.column("bin").to_numpy(), t.column("m").to_numpy())
+    mnz = np.flatnonzero(macc)
+    hist = pd.DataFrame({"bin": mnz.astype(np.int64), "m": macc[mnz]})
     cum = hist["m"].cumsum().to_numpy()
     idx = int(np.searchsorted(cum, target))
     the_bin = int(hist["bin"].iloc[idx])
