@@ -119,9 +119,8 @@ def q_pagerank(sf_dir: str):
         g.run(_init)
         for _ in range(_PR_ITERS):
             g.exchange(_scatter, _fold)
-        refs = [p.call.remote(_emit) for p in g.parts]
-        _ray.wait(refs, num_returns=len(refs))
-    return _ray.data.from_arrow_refs(refs)
+        ds = g.emit_dataset(_emit)
+    return ds
 
 
 def _sql_pagerank() -> str:
@@ -655,9 +654,8 @@ def q_bfs_hops(sf_dir: str):
         g.run(_init)
         for _ in range(_BFS_HOPS):
             g.exchange(_scatter, _fold)
-        refs = [p.call.remote(_emit) for p in g.parts]
-        _ray.wait(refs, num_returns=len(refs))
-    return _ray.data.from_arrow_refs(refs)
+        ds = g.emit_dataset(_emit)
+    return ds
 
 
 def _sql_bfs_hops() -> str:

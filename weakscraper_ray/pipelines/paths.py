@@ -136,9 +136,8 @@ def _relax(sf_dir: str, combine: str, init_val: int, step):
         g.run(_init)
         for _ in range(_ROUNDS):
             g.exchange(_scatter, _fold)
-        refs = [p.call.remote(_emit) for p in g.parts]
-        _ray.wait(refs, num_returns=len(refs))
-    return _ray.data.from_arrow_refs(refs)
+        ds = g.emit_dataset(_emit)
+    return ds
 
 
 def q_sssp_weighted(sf_dir: str):
@@ -220,9 +219,8 @@ def q_walk_counts(sf_dir: str):
         g.run(_init)
         for _ in range(_ROUNDS):
             g.exchange(_scatter, _fold)
-        refs = [p.call.remote(_emit) for p in g.parts]
-        _ray.wait(refs, num_returns=len(refs))
-    return _ray.data.from_arrow_refs(refs)
+        ds = g.emit_dataset(_emit)
+    return ds
 
 
 def q_ppr_seeded(sf_dir: str):
@@ -286,9 +284,8 @@ def q_ppr_seeded(sf_dir: str):
         g.run(_init)
         for _ in range(_ROUNDS):
             g.exchange(_scatter, _fold)
-        refs = [p.call.remote(_emit) for p in g.parts]
-        _ray.wait(refs, num_returns=len(refs))
-    return _ray.data.from_arrow_refs(refs)
+        ds = g.emit_dataset(_emit)
+    return ds
 
 
 def _sql_ppr() -> str:

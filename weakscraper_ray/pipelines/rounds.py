@@ -201,9 +201,8 @@ def q_mis_luby(sf_dir: str):
                 }
             )
 
-        refs = [p.call.remote(_emit) for p in g.parts]
-        _ray.wait(refs, num_returns=len(refs))
-    return _ray.data.from_arrow_refs(refs)
+        ds = g.emit_dataset(_emit)
+    return ds
 
 
 def _sql_mis() -> str:
@@ -350,9 +349,8 @@ def q_greedy_matching(sf_dir: str):
                 }
             )
 
-        refs = [p.call.remote(_emit) for p in g.parts]
-        _ray.wait(refs, num_returns=len(refs))
-    return _ray.data.from_arrow_refs(refs)
+        ds = g.emit_dataset(_emit)
+    return ds
 
 
 def _sql_matching() -> str:
@@ -504,9 +502,8 @@ def q_hyperball_reach(sf_dir: str):
         g.run(_init)
         for _ in range(_HB_ROUNDS):
             g.exchange(_scatter, _fold)
-        refs = [p.call.remote(_emit) for p in g.parts]
-        _ray.wait(refs, num_returns=len(refs))
-    return _ray.data.from_arrow_refs(refs)
+        ds = g.emit_dataset(_emit)
+    return ds
 
 
 def _sql_hyperball() -> str:

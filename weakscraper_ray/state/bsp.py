@@ -91,6 +91,24 @@ class BSPGraph:
         self.parts = []
 
     # -- primitives ---------------------------------------------------
+    def emit_dataset(self, emit_fn: Callable):
+        """Materialize ``emit_fn(state, pid, P)`` (one Arrow table per
+        partition) into DRIVER-owned objects and wrap them as a
+        Dataset.  This must be used instead of
+        ``from_arrow_refs([p.call.remote(...)])`` for any output read
+        AFTER ``shutdown()``: an actor-produced ObjectRef that gets
+        evicted under object-store pressure is reconstructed by
+        re-running its lineage — a ``_BSPPart.call`` on an actor that
+        ``shutdown()`` already killed, which surfaces as an
+        intermittent RaySystemError at read time (observed once on
+        ``walk_counts`` in a loaded full-suite run).  Per-partition
+        outputs are small by the substrate's contract (a few int64
+        columns × nodes/P), so driver-holding them is free."""
+        import ray.data
+
+        tables = ray.get([p.call.remote(emit_fn) for p in self.parts])
+        return ray.data.from_arrow(tables)
+
     def run(self, fn: Callable, *args) -> list:
         """``fn(state, pid, P, *args)`` on every partition; returns the
         P results (driver-materialized — keep them small)."""
