@@ -105,3 +105,107 @@ def test_stream_join_sweep_vs_quadratic():
         out = R._sweep(g.reset_index(drop=True))
         got += int(out["n"].sum())
     assert got == want
+
+
+# --------------------------------------------------------------------
+# Continuation-15 helper contracts: shingle-containment shard identity,
+# SemDeDup integer-cosine test, Kneser-Ney discount exactness.
+
+import pyarrow as pa  # noqa: E402
+
+from weakscraper_ray.pipelines.neardup import (
+    _CONT_SHARDS,
+    _SEM_DEN2,
+    _SEM_NUM2,
+    _shard_pairs,
+    _shingle_partial,
+)
+
+
+def _brute_shingles(text: str) -> set:
+    w = (text or "").strip().lower().split()
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def test_shard_pair_counts_sum_to_exact_intersection():
+    """A gram lives in exactly one shard, so summing per-shard pair
+    counts reproduces |A∩B| exactly — the identity the roll-up relies
+    on (no pair-dedupe exchange)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "quick brown fox jumps over the lazy dog today",
+        "a completely different sentence about nothing shared",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "tiny",  # <3 tokens: no shingles
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    part = _shingle_partial(batch).to_pandas()
+    # distinct (gram, doc) with correct |A|
+    for d, t in enumerate(texts):
+        sub = part[part.doc_id == d]
+        assert set(sub.gram) == _brute_shingles(t)
+        if len(sub):
+            assert (sub.na == len(_brute_shingles(t))).all()
+    # shard → pairs → sum == brute-force intersection
+    got = {}
+    for s in range(_CONT_SHARDS):
+        shard = part[part.shard == s]
+        if shard.empty:
+            continue
+        for r in _shard_pairs(shard).itertuples(index=False):
+            key = (int(r.pair) >> 32, int(r.pair) & 0xFFFFFFFF)
+            got[key] = got.get(key, 0) + r.shared
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(_brute_shingles(texts[i]) & _brute_shingles(texts[j]))
+            assert got.get((i, j), 0) == inter
+
+
+def test_semdedup_integer_cosine_matches_float():
+    """400·dot² ≥ 49·|a|²·|b|² ∧ dot>0  ⟺  cos ≥ 0.35 on the quantized
+    grid (checked against float cosine computed from the SAME integer
+    vectors, away from exact boundaries)."""
+    rng = np.random.RandomState(7)
+    X = (rng.randn(60, 16) * 5e5).astype(np.int64)
+    n2 = np.einsum("nd,nd->n", X, X)
+    for i in range(len(X)):
+        for j in range(i):
+            d = int(X[i] @ X[j])
+            lhs = _SEM_DEN2 * d * d >= _SEM_NUM2 * int(n2[i]) * int(n2[j])
+            cond = d > 0 and lhs
+            cos = d / np.sqrt(float(n2[i]) * float(n2[j]))
+            if abs(cos - 0.35) > 1e-9:
+                assert cond == (cos >= 0.35), (i, j, cos)
+
+
+def test_semdedup_min_id_keeper_semantics():
+    """In a cluster where everything is mutually similar, exactly the
+    minimum vec_id survives; dissimilar vectors all survive."""
+    from weakscraper_ray.pipelines.neardup import q_semdedup  # noqa: F401
+
+    # direct check of the prune rule on a hand batch via the same
+    # object-arithmetic path the map_groups closure runs
+    base = (np.ones(8) * 1_000_00).astype(np.int64)
+    sim_cluster = np.stack([base + k for k in range(5)])  # ~identical
+    X = sim_cluster
+    D = X @ X.T
+    n2 = np.einsum("nd,nd->n", X, X).astype(object)
+    Do = D.astype(object)
+    M = (D > 0) & np.asarray(
+        _SEM_DEN2 * Do * Do >= _SEM_NUM2 * n2[:, None] * n2[None, :],
+        dtype=bool,
+    )
+    pruned = np.tril(M, -1).any(axis=1)
+    assert not pruned[0] and pruned[1:].all()
+
+
+def test_kn_discount_exact_in_binary():
+    """D = 0.75 is exactly representable, so c − D is one exact float
+    op on both engines (the mirror's premise)."""
+    from weakscraper_ray.pipelines.retrieval import _KN_D
+
+    assert _KN_D == 3 / 4
+    assert (5.0 - _KN_D) == 4.25  # no rounding anywhere

@@ -498,6 +498,67 @@ def kcenter_twin(sf_dir: str, version: str = "v1") -> str:
     return _cached(f"kcenter-{tag}-k{_KC_K}", version, build)
 
 
+def semdedup_twin(sf_dir: str, version: str = "v1") -> str:
+    """Independent single-threaded SemDeDup (continuation #15): cluster
+    assignments come from the kmeans twin (itself independent of the
+    Ray path), then a per-PAIR loop in vec_id order — early-exit on the
+    first smaller-id similar mate — with each dot squared in Python int
+    (the Ray path runs a per-cluster full-matrix matmul + a
+    lower-triangle object-dtype scan).  Integer arithmetic end-to-end
+    on the shared e6 grid: agreement is exact, not approximate."""
+    from .pipelines.clustering import _SCALE
+    from .pipelines.neardup import _SEM_DEN2, _SEM_NUM2
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        at = pq.read_table(kmeans_twin(sf_dir),
+                           columns=["vec_id", "cluster"])
+        cl_of = dict(
+            zip(
+                at.column("vec_id").to_pylist(),
+                at.column("cluster").to_pylist(),
+            )
+        )
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        X = np.rint(
+            np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            * _SCALE
+        ).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, X = ids[order], X[order]
+        members: dict[int, list[int]] = {}
+        for i, v in enumerate(ids):
+            members.setdefault(cl_of[int(v)], []).append(i)
+        n2 = [int(x @ x) for x in X]
+        out_id, out_cl, out_pr = [], [], []
+        for cl in sorted(members):
+            idx = members[cl]  # already in ascending vec_id order
+            for a_pos, i in enumerate(idx):
+                pruned = 0
+                for j in idx[:a_pos]:
+                    d = int(X[i] @ X[j])
+                    if d > 0 and _SEM_DEN2 * d * d >= _SEM_NUM2 * n2[i] * n2[j]:
+                        pruned = 1
+                        break
+                out_id.append(int(ids[i]))
+                out_cl.append(int(cl))
+                out_pr.append(pruned)
+        return pa.table(
+            {
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cluster": pa.array(out_cl, pa.int64()),
+                "pruned": pa.array(out_pr, pa.int64()),
+            }
+        )
+
+    return _cached(f"semdedup-{tag}", version, build)
+
+
 def phash_twin(version: str = "v1") -> str:
     """Independent single-threaded perceptual-hash dedup: a plain dict
     grouping pass over the same 300-row media table (the shared math

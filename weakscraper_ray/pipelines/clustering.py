@@ -94,9 +94,10 @@ def _assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return (c2[None, :] - 2 * cross).argmin(axis=1)
 
 
-def q_kmeans_clusters(sf_dir: str):
-    """(vec_id, cluster, dist_e12): final Lloyd assignment plus the
-    exact int64 squared distance (e12 units = (e6 grain)^2)."""
+def kmeans_fit(sf_dir: str):
+    """Shared Lloyd fit: (cached quantized working set, final int64
+    centroids). Consumed by ``q_kmeans_clusters`` and by the SemDeDup
+    pass in ``neardup.py`` — one fit, two read-outs."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def _to_quantized(batch: pa.Table) -> pa.Table:
@@ -157,7 +158,13 @@ def q_kmeans_clusters(sf_dir: str):
         C = C.copy()
         C[nonempty] = sums[nonempty] // counts[nonempty, None]
 
-    Cf = C
+    return base, C
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """(vec_id, cluster, dist_e12): final Lloyd assignment plus the
+    exact int64 squared distance (e12 units = (e6 grain)^2)."""
+    base, Cf = kmeans_fit(sf_dir)
 
     def _label(batch: pa.Table, C=Cf) -> pa.Table:
         X = fixed_list_to_numpy(batch.column("q"), dtype=np.int64).astype(

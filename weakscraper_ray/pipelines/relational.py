@@ -956,7 +956,9 @@ def q_dedup_minhash(sf_dir: str, broadcast_max_pairs: int = _MINHASH_BROADCAST_M
 #: shared CTE fragment: 3-gram shingle sets + the verified pair set —
 #: composed into both the pair oracle and the clusters oracle so the
 #: two can never drift apart.
-_SQL_MINHASH_CTES = r"""sh AS (
+#: the 3-gram shingle-set CTE alone — shared with neardup.py's
+#: containment oracle so the two tokenizers can never drift apart.
+_SQL_SHINGLE_SH = r"""sh AS (
   SELECT doc_id,
          list_distinct(
            list_transform(range(1, len(w) - 1),
@@ -965,7 +967,9 @@ _SQL_MINHASH_CTES = r"""sh AS (
   FROM (SELECT doc_id,
                regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
         FROM documents)
-), pairs AS (
+)"""
+
+_SQL_MINHASH_CTES = _SQL_SHINGLE_SH + r""", pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   WHERE len(a.s) + len(b.s) > 0
@@ -2720,6 +2724,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
     from . import rounds as _rnd
 
     out.update(_rnd.dynamic_oracle_sql(sf_dir))
+    from . import neardup as _nd
+
+    out.update(_nd.dynamic_oracle_sql(sf_dir))
     return out
 
 
@@ -3238,6 +3245,10 @@ from . import mlprep as _mlprep  # noqa: E402,F401
 # round-3 range / spatial-locality family (Z-order cells, interval
 # overlap via sort-sweep identity).
 from . import ranges as _ranges  # noqa: E402,F401
+
+# round-3 near-dup extensions (Broder shingle containment, SemDeDup
+# semantic pruning over the shared k-means fit).
+from . import neardup as _neardup  # noqa: E402,F401
 
 # round-3 engagement / stream-hygiene family (cohort retention,
 # integer recency decay, watermark late-arrival audit).

@@ -425,15 +425,204 @@ LIMIT {_SG_TOPK}
 """
 
 
+# =====================================================================
+# Interpolated Kneser–Ney bigram scoring (continuation #15)
+# =====================================================================
+
+#: absolute discount D = 3/4 — exactly representable in binary, so
+#: ``c - 0.75`` is one exact float op on both engines
+_KN_D = 0.75
+
+
+def q_kn_bigram(sf_dir: str):
+    """Per-document interpolated Kneser–Ney bigram log-score against
+    counts trained on the even-``doc_id`` half (Kneser & Ney 1995 /
+    Chen & Goodman 1998 — the smoothing that beats Stupid Backoff by
+    modeling CONTINUATION counts: "Francisco" is frequent but follows
+    only "San", so its unigram backoff weight should be tiny):
+
+        Pcont(w)  = (N1+(·w) + 1) / (N1+(··) + V + 1)       (add-one
+                     keeps OOV finite; V = train unigram types)
+        seen ctx:   P(w|v) = (max(c(vw) − 0.75, 0)
+                              + 0.75 · N1+(v·) · Pcont(w)) / c(v)
+        unseen ctx: P(w|v) = Pcont(w)
+
+    where c(v) = Σ_w c(vw) (left-context total over TRAIN bigrams) and
+    N1+(v·) / N1+(·w) are distinct right/left continuations. Emits
+    (doc_id, n_bigrams, n_unseen_ctx, kn_e6) with every ln term
+    e6-quantized before the integer per-document sum — the calibrated
+    upgrade of ``stupid_backoff`` (same held-out split, same
+    tokenizer, same scale shape: one vocabulary-bounded bigram
+    exchange, model broadcast once via ``ray.put``, scoring is ONE
+    streaming map with no exchange — a document is one row).
+
+    The float expression is mirrored op-for-op against the SQL twin
+    (left-assoc multiply chain, one add, one divide, libm ln — the
+    ``zipf_slope`` ln-parity argument)."""
+    from ray.data.aggregate import Sum
+
+    from .analytics import _bigram_partial, _term_partial
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _even_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        )
+
+    train = ds.map_batches(_even_only, batch_format="pyarrow")
+    uni = (
+        train.map_batches(_term_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-bounded
+    )
+    bi = (
+        train.map_batches(_bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    # driver-side model derivation over the BOUNDED bigram-type table
+    # (the oracle's cv / n1f / n1p / tot CTEs, computed once)
+    parts = bi["bigram"].str.split(" ", n=1, expand=True)
+    left_tok, right_tok = parts[0], parts[1]
+    nvals = bi["n"].astype(np.int64)
+    cv = nvals.groupby(left_tok).sum()           # c(v) = Σ_w c(vw)
+    n1f = left_tok.value_counts()                # N1+(v·)
+    n1p = right_tok.value_counts()               # N1+(·w)
+    nbi = float(len(bi))                         # N1+(··)
+    vt = float(len(uni)) + 1.0                   # V + 1
+    bi_ref = ray.put(dict(zip(bi["bigram"], nvals)))
+    cv_ref = ray.put(cv.to_dict())
+    n1f_ref = ray.put(n1f.to_dict())
+    n1p_ref = ray.put(n1p.to_dict())
+
+    def _score(batch: pa.Table) -> pa.Table:
+        bcnt = ray.get(bi_ref)
+        cvd, n1fd, n1pd = ray.get(cv_ref), ray.get(n1f_ref), ray.get(n1p_ref)
+        ids, flat, offs = _doc_token_runs(batch)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "n_unseen_ctx": pa.array([], pa.int64()),
+                "kn_e6": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) < 2:
+            return empty
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        valid[offs[1:-1] - 1] = False  # doc-boundary pairs
+        if not valid.any():
+            return empty
+        left = pd.Series(flat[:-1][valid])
+        right = pd.Series(flat[1:][valid])
+        doc_of = np.repeat(np.arange(len(ids)), np.diff(offs))
+        rows = doc_of[:-1][valid]
+        c_vw = (left + " " + right).map(bcnt).to_numpy(dtype=np.float64)
+        c_v = left.map(cvd).to_numpy(dtype=np.float64)
+        f_v = left.map(n1fd).to_numpy(dtype=np.float64)
+        p_w = right.map(n1pd).to_numpy(dtype=np.float64)
+        # op-for-op mirror of the SQL CASE: pcont first (one add, one
+        # divide), then the left-assoc 0.75 * N1f * pcont chain
+        pcont = (np.nan_to_num(p_w) + 1.0) / (nbi + vt)
+        seen = ~np.isnan(c_v)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(
+                seen,
+                np.log(
+                    (np.maximum(np.nan_to_num(c_vw) - _KN_D, 0.0)
+                     + _KN_D * np.nan_to_num(f_v) * pcont)
+                    / c_v
+                ),
+                np.log(pcont),
+            )
+        t_e6 = _i64_away_np(term, 1e6)
+        n_big = np.bincount(rows, minlength=len(ids)).astype(np.int64)
+        n_uns = np.bincount(
+            rows, weights=(~seen).astype(np.float64), minlength=len(ids)
+        ).astype(np.int64)
+        s_e6 = np.bincount(
+            rows, weights=t_e6.astype(np.float64), minlength=len(ids)
+        ).astype(np.int64)  # e6 ints << 2^53: float accumulation exact
+        keep = n_big > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+                "n_bigrams": pa.array(n_big[keep], pa.int64()),
+                "n_unseen_ctx": pa.array(n_uns[keep], pa.int64()),
+                "kn_e6": pa.array(s_e6[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+SQL_KN_BIGRAM = rf"""
+WITH l AS (
+  SELECT doc_id,
+         regexp_extract_all(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                            '\S+') AS toks
+  FROM documents
+  WHERE regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') <> ''),
+bc AS (
+  SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS n
+  FROM l, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE doc_id % 2 = 0
+  GROUP BY 1, 2),
+cv AS (
+  SELECT a, sum(n) AS cv, count(*) AS n1f FROM bc GROUP BY a),
+pw AS (
+  SELECT b, count(*) AS n1p FROM bc GROUP BY b),
+tot AS (
+  SELECT (SELECT cast(count(*) AS DOUBLE) FROM bc) AS nbi,
+         (SELECT cast(count(DISTINCT term) AS DOUBLE) + 1.0
+          FROM (SELECT unnest(toks) AS term FROM l
+                WHERE doc_id % 2 = 0)) AS vt),
+sc AS (
+  SELECT l.doc_id, toks[i] AS a, toks[i+1] AS b
+  FROM l, unnest(generate_series(1, len(toks) - 1)) AS t(i)),
+term AS (
+  SELECT sc.doc_id,
+         CASE WHEN cv.cv IS NULL THEN 1 ELSE 0 END AS unseen,
+         CASE WHEN cv.cv IS NOT NULL THEN
+                cast(round(ln((greatest(cast(coalesce(bc.n, 0) AS DOUBLE)
+                                        - {_KN_D}, 0.0)
+                               + {_KN_D} * cast(cv.n1f AS DOUBLE)
+                                 * ((cast(coalesce(pw.n1p, 0) AS DOUBLE)
+                                     + 1.0) / (tot.nbi + tot.vt)))
+                              / cast(cv.cv AS DOUBLE)) * 1000000, 0)
+                     AS BIGINT)
+              ELSE
+                cast(round(ln((cast(coalesce(pw.n1p, 0) AS DOUBLE) + 1.0)
+                              / (tot.nbi + tot.vt)) * 1000000, 0)
+                     AS BIGINT)
+         END AS s_e6
+  FROM sc
+  LEFT JOIN bc ON bc.a = sc.a AND bc.b = sc.b
+  LEFT JOIN cv ON cv.a = sc.a
+  LEFT JOIN pw ON pw.b = sc.b
+  CROSS JOIN tot)
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_bigrams,
+       cast(sum(unseen) AS BIGINT) AS n_unseen_ctx,
+       cast(sum(s_e6) AS BIGINT) AS kn_e6
+FROM term GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "stupid_backoff": q_stupid_backoff,
     "skipgram_pairs": q_skipgram_pairs,
+    "kn_bigram": q_kn_bigram,
 }
 
 ORACLE_SQL = {
     "stupid_backoff": SQL_STUPID_BACKOFF,
     "skipgram_pairs": SQL_SKIPGRAM,
+    "kn_bigram": SQL_KN_BIGRAM,
 }
 
 
