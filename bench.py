@@ -119,7 +119,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "stream_join_60s", "sax_daily", "theta_join_cdf", "kmv_intersect",
         "k_truss", "sprt_test", "auc_nb", "calibration_bins", "ndcg_bm25",
         "seed_select", "gram_matrix", "hill_tail", "markov_entropy",
-        "dedup_containment", "semdedup", "kn_bigram",
+        "dedup_containment", "semdedup", "kn_bigram", "dedup_chain",
     ]
     out: dict[str, float] = {}
     for name in names:

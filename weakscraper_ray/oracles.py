@@ -559,6 +559,59 @@ def semdedup_twin(sf_dir: str, version: str = "v1") -> str:
     return _cached(f"semdedup-{tag}", version, build)
 
 
+def semdedup_pairs_twin(sf_dir: str, version: str = "v1") -> str:
+    """Raw within-cluster integer-similar PAIR relation (vec_a < vec_b)
+    for the dedup_chain oracle — same independent per-pair loop as
+    ``semdedup_twin`` but without the early exit (the chain's SQL does
+    its own survivor-restricted EXISTS over these pairs)."""
+    from .pipelines.clustering import _SCALE
+    from .pipelines.neardup import _SEM_DEN2, _SEM_NUM2
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        at = pq.read_table(kmeans_twin(sf_dir),
+                           columns=["vec_id", "cluster"])
+        cl_of = dict(
+            zip(
+                at.column("vec_id").to_pylist(),
+                at.column("cluster").to_pylist(),
+            )
+        )
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        X = np.rint(
+            np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            * _SCALE
+        ).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, X = ids[order], X[order]
+        members: dict[int, list[int]] = {}
+        for i, v in enumerate(ids):
+            members.setdefault(cl_of[int(v)], []).append(i)
+        n2 = [int(x @ x) for x in X]
+        out_a, out_b = [], []
+        for cl in sorted(members):
+            idx = members[cl]
+            for a_pos, i in enumerate(idx):
+                for j in idx[:a_pos]:
+                    d = int(X[i] @ X[j])
+                    if d > 0 and _SEM_DEN2 * d * d >= _SEM_NUM2 * n2[i] * n2[j]:
+                        out_a.append(int(ids[j]))  # smaller vec_id
+                        out_b.append(int(ids[i]))
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    return _cached(f"semdedup-pairs-{tag}", version, build)
+
+
 def phash_twin(version: str = "v1") -> str:
     """Independent single-threaded perceptual-hash dedup: a plain dict
     grouping pass over the same 300-row media table (the shared math

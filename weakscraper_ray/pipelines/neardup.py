@@ -53,6 +53,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray  # noqa: F401  (kept for parity with sibling modules)
 
 from . import relational as _rel
@@ -263,23 +264,12 @@ WHERE {inter} > 0
 # =====================================================================
 
 
-def q_semdedup(sf_dir: str):
-    """SemDeDup: within each k-means cluster of the embedding space,
-    prune every vector that has a SMALLER-id cluster-mate with cosine
-    ≥ τ (deterministic min-id keeper — the paper keeps one exemplar
-    per semantic duplicate group; random/centroid-distance keeper
-    rules drop into the same scan).  Emits (vec_id, cluster, pruned).
-
-    Shape: the integer Lloyd fit is shared with ``kmeans_clusters``
-    (one fit, two read-outs); one labeling scan over the cached
-    quantized working set → ``groupby(cluster)`` → per-cluster int64
-    Gram matmul + a lower-triangle Python-int comparison (dot² needs
-    >64 bits; object arithmetic keeps it exact).  Clusters are the
-    partition unit — the SemDeDup paper's own layout (it caps cluster
-    sizes; a skewed cluster is re-clustered, which composes with this
-    operator unchanged)."""
+def _labeled_clusters(sf_dir: str):
+    """(vec_id, cluster, q) over the shared integer Lloyd fit — the
+    common front half of ``semdedup`` and ``dedup_chain``'s semantic
+    stage."""
     from ..functions.embed import fixed_list_to_numpy
-    from .clustering import kmeans_fit, _assign
+    from .clustering import _assign, kmeans_fit
 
     base, C = kmeans_fit(sf_dir)
 
@@ -296,20 +286,45 @@ def q_semdedup(sf_dir: str):
             }
         )
 
-    labeled = base.map_batches(_label_q, batch_format="pyarrow")
+    return base.map_batches(_label_q, batch_format="pyarrow")
+
+
+def _sim_matrix(group: pd.DataFrame):
+    """(ids ascending, boolean similarity matrix) for one cluster —
+    int64 Gram matmul + the exact object-int threshold test."""
+    ids = group["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    X = np.asarray(group["q"].to_list(), dtype=np.int64)[order]
+    D = X @ X.T                                   # int64-exact
+    n2 = np.einsum("nd,nd->n", X, X).astype(object)
+    Do = D.astype(object)
+    sim = (D > 0) & np.asarray(
+        _SEM_DEN2 * Do * Do >= _SEM_NUM2 * n2[:, None] * n2[None, :],
+        dtype=bool,
+    )
+    return ids, sim
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup: within each k-means cluster of the embedding space,
+    prune every vector that has a SMALLER-id cluster-mate with cosine
+    ≥ τ (deterministic min-id keeper — the paper keeps one exemplar
+    per semantic duplicate group; random/centroid-distance keeper
+    rules drop into the same scan).  Emits (vec_id, cluster, pruned).
+
+    Shape: the integer Lloyd fit is shared with ``kmeans_clusters``
+    (one fit, two read-outs); one labeling scan over the cached
+    quantized working set → ``groupby(cluster)`` → per-cluster int64
+    Gram matmul + a lower-triangle Python-int comparison (dot² needs
+    >64 bits; object arithmetic keeps it exact).  Clusters are the
+    partition unit — the SemDeDup paper's own layout (it caps cluster
+    sizes; a skewed cluster is re-clustered, which composes with this
+    operator unchanged)."""
+    labeled = _labeled_clusters(sf_dir)
 
     def _prune(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["vec_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        X = np.asarray(group["q"].to_list(), dtype=np.int64)[order]
-        D = X @ X.T                                   # int64-exact
-        n2 = np.einsum("nd,nd->n", X, X).astype(object)
-        Do = D.astype(object)
-        sim = (D > 0) & np.asarray(
-            _SEM_DEN2 * Do * Do >= _SEM_NUM2 * n2[:, None] * n2[None, :],
-            dtype=bool,
-        )
+        ids, sim = _sim_matrix(group)
         pruned = np.tril(sim, -1).any(axis=1)         # smaller-id mate
         return pd.DataFrame(
             {
@@ -333,12 +348,168 @@ def q_semdedup(sf_dir: str):
 
 
 # =====================================================================
+# End-to-end dedup chain (exact → MinHash clusters → semantic)
+# =====================================================================
+
+
+def q_dedup_chain(sf_dir: str):
+    """The production dedup PIPELINE as one verified composition
+    (the order real LLM-data systems run: exact hash → lexical
+    near-dup → semantic near-dup; each stage sees only the previous
+    stage's survivors).  Emits (doc_id, stage) for EVERY document:
+    stage 0 = survives all three, 1 = exact duplicate of a
+    smaller-id doc, 2 = MinHash-verified near-dup cluster non-keeper,
+    3 = semantic duplicate of a smaller-id stage-2 survivor in its
+    k-means cluster.
+
+    Composition semantics (mirrored in the SQL): a doc dropped at
+    stage k is invisible to later stages; the semantic rule prunes v
+    iff some stage-2 SURVIVOR a < v is integer-cosine-similar — a
+    doc already dropped cannot prune anyone.
+
+    Scale shape: each stage is the already-green operator
+    (``dedup_exact``'s hash groupby, ``dedup_minhash``'s banded
+    LSH + verify, ``cluster_pairs``, the SemDeDup cluster matmul);
+    drop sets are bounded by the DUPLICATE volume and broadcast for
+    the final tagging scan — the ``dedup_keep`` anti-join pattern.
+    The driver verifies the chain, not just each stage (the
+    ``training_prep`` / ``seed_select`` precedent)."""
+    from ..functions.dedup import cluster_pairs, content_hash_batch
+    from .relational import q_dedup_minhash
+
+    # ---- stage 1: exact content hash, keeper = min doc_id; the
+    # non-keeper extraction runs INSIDE the hash exchange (dedup_exact's
+    # shape) so only the duplicate ids reach the driver
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+    slim = hashed.select_columns(["doc_id", "content_hash"])
+
+    def _nonmin(group: pd.DataFrame) -> pd.DataFrame:
+        m = group["doc_id"].min()
+        return group.loc[group["doc_id"] != m, ["doc_id"]]
+
+    drop1_ds = _schema_guard(
+        slim.groupby("content_hash").map_groups(
+            _nonmin, batch_format="pandas"
+        ),
+        pa.schema([("doc_id", pa.int64())]),
+    )
+    drop1 = {int(r["doc_id"]) for r in drop1_ds.take_all()}
+
+    # ---- stage 2: MinHash-verified pairs among stage-1 survivors
+    pairs = q_dedup_minhash(sf_dir)
+    d1_arr = pa.array(sorted(drop1), pa.int64())
+
+    def _survivors_only(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.is_in(t.column("doc_a"), value_set=d1_arr)),
+            pc.invert(pc.is_in(t.column("doc_b"), value_set=d1_arr)),
+        )
+        return t.filter(keep)
+
+    pairs2 = pairs.map_batches(_survivors_only, batch_format="pyarrow")
+    clusters = cluster_pairs(pairs2)
+    drop2 = {
+        int(r["doc_id"])
+        for r in clusters.filter(
+            lambda row: row["is_keeper"] == 0
+        ).take_all()
+    }
+
+    # ---- stage 3: semantic pairs among stage-2 survivors
+    labeled = _labeled_clusters(sf_dir)
+
+    def _sim_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids, sim = _sim_matrix(group)
+        bi, ai = np.nonzero(np.tril(sim, -1))  # ids[ai] < ids[bi]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ai].astype(np.int64),
+                "vec_b": ids[bi].astype(np.int64),
+            }
+        )
+
+    sim_pairs = _schema_guard(
+        labeled.groupby("cluster").map_groups(
+            _sim_pairs, batch_format="pandas"
+        ),
+        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]),
+    )
+    dropped12 = drop1 | drop2
+    drop3 = {
+        int(r["vec_b"])
+        for r in sim_pairs.take_all()
+        if r["vec_a"] not in dropped12 and r["vec_b"] not in dropped12
+    }
+
+    # ---- tagging scan (drop sets broadcast — bounded by duplicates)
+    def _tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        stage = np.zeros(len(ids), dtype=np.int64)
+        stage[np.isin(ids, np.fromiter(drop3, np.int64, len(drop3)))] = 3
+        stage[np.isin(ids, np.fromiter(drop2, np.int64, len(drop2)))] = 2
+        stage[np.isin(ids, np.fromiter(drop1, np.int64, len(drop1)))] = 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "stage": pa.array(stage),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _tag, batch_format="pyarrow"
+    )
+
+
+def _sql_dedup_chain(sf_dir: str) -> str:
+    from .. import oracles
+
+    return f"""
+WITH RECURSIVE {_rel._SQL_SHINGLE_SH},
+ex AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS k
+  FROM documents),
+d1 AS (SELECT doc_id FROM ex WHERE doc_id <> k),
+s1 AS (SELECT doc_id FROM ex WHERE doc_id = k),
+p2 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM s1)
+    AND b.doc_id IN (SELECT doc_id FROM s1)
+    AND len(a.s) + len(b.s) > 0
+    AND 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)),
+edges AS (SELECT u, v FROM p2 UNION SELECT v, u FROM p2),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+d2 AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)),
+s2 AS (SELECT doc_id FROM s1
+       WHERE doc_id NOT IN (SELECT doc_id FROM d2)),
+sp AS (SELECT vec_a, vec_b
+       FROM read_parquet('{oracles.semdedup_pairs_twin(sf_dir)}')),
+d3 AS (
+  SELECT DISTINCT vec_b AS doc_id FROM sp
+  WHERE vec_a IN (SELECT doc_id FROM s2)
+    AND vec_b IN (SELECT doc_id FROM s2))
+SELECT d.doc_id,
+       cast(CASE WHEN d.doc_id IN (SELECT doc_id FROM d1) THEN 1
+                 WHEN d.doc_id IN (SELECT doc_id FROM d2) THEN 2
+                 WHEN d.doc_id IN (SELECT doc_id FROM d3) THEN 3
+                 ELSE 0 END AS BIGINT) AS stage
+FROM documents d
+"""
+
+
+# =====================================================================
 # registration
 # =====================================================================
 
 QUERIES = {
     "dedup_containment": q_dedup_containment,
     "semdedup": q_semdedup,
+    "dedup_chain": q_dedup_chain,
 }
 
 ORACLE_SQL = {
@@ -349,14 +520,17 @@ ORACLE_SQL = {
 def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     """semdedup's oracle is an independent single-threaded twin (the
     kmeans-twin pattern — integer arithmetic end-to-end makes both
-    sides partitioning-independent, so agreement is exact)."""
+    sides partitioning-independent, so agreement is exact); the chain
+    oracle composes the exact/minhash SQL stages with the twin's raw
+    similar-pair relation."""
     from .. import oracles
 
     return {
         "semdedup": (
             "SELECT vec_id, cluster, pruned "
             f"FROM read_parquet('{oracles.semdedup_twin(sf_dir)}')"
-        )
+        ),
+        "dedup_chain": _sql_dedup_chain(sf_dir),
     }
 
 
