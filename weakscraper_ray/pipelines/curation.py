@@ -325,7 +325,9 @@ def _explode_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     toks = pc.split_pattern_regex(
         pc.utf8_lower(batch.column("text")), pattern=r"\s+"
     ).combine_chunks()
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lengths = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False
+    )  # NULL text → 0 tokens (== SQL coalesce(text, ''))
     rows = np.repeat(np.arange(len(toks)), lengths)
     flat = toks.flatten().to_numpy(zero_copy_only=False)
     mask = flat != ""

@@ -3258,3 +3258,6 @@ from . import engagement as _engagement  # noqa: E402,F401
 # identity, Theil entropy index, Herfindahl concentration).
 from . import inequality as _inequality  # noqa: E402,F401
 
+# round-3 feature-engineering family (hashing-trick feature sketch).
+from . import features as _features  # noqa: E402,F401
+
