@@ -120,7 +120,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "k_truss", "sprt_test", "auc_nb", "calibration_bins", "ndcg_bm25",
         "seed_select", "gram_matrix", "hill_tail", "markov_entropy",
         "dedup_containment", "semdedup", "kn_bigram", "dedup_chain",
-        "feature_hash",
+        "feature_hash", "seq_triples", "dtw_distance", "ols_multi",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -1,9 +1,16 @@
-"""Continuation-#15b contracts: the hashing-trick feature sketch's
-batch function is row-local (splitting a batch never changes a row's
-read-out) and matches an interpreted per-token twin."""
+"""Continuation-#15b/#16 contracts: the hashing-trick feature sketch
+is row-local and matches an interpreted per-token twin; the DTW
+frontier recursion equals the full-matrix DP; the GSP greedy witness
+equals brute-force subsequence existence; the e6 Cramer read-out
+matches Fraction rounding."""
 
 import hashlib
+import itertools
+import random
+from fractions import Fraction
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -80,3 +87,79 @@ def test_fh_batch_is_row_local_under_splits():
         ]
     ).sort_by("doc_id").to_pydict()
     assert whole == parts
+
+
+def test_dtw_frontier_equals_full_matrix():
+    from weakscraper_ray.pipelines.patterns import _dtw_exact
+
+    rng = random.Random(7)
+    for trial in range(10):
+        n = rng.randint(1, 12)
+        a = np.array([rng.randint(0, 20) for _ in range(n)], np.int64)
+        b = np.array([rng.randint(0, 20) for _ in range(n)], np.int64)
+        INF = 1 << 60
+        dp = [[INF] * (n + 1) for _ in range(n + 1)]
+        dp[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, n + 1):
+                dp[i][j] = abs(int(a[i - 1]) - int(b[j - 1])) + min(
+                    dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                )
+        assert _dtw_exact(a, b) == dp[n][n], (trial, a, b)
+
+
+def test_ols_e6_matches_fraction_rounding():
+    from weakscraper_ray.pipelines.patterns import _ols_e6
+
+    rng = random.Random(11)
+    for _ in range(200):
+        p = rng.randint(-10**12, 10**12)
+        d = rng.randint(1, 10**9)
+        x = Fraction(10**6 * p, d)
+        # half-away-from-zero on the exact rational
+        want = int(x + Fraction(1, 2)) if x >= 0 else -int(-x + Fraction(1, 2))
+        assert _ols_e6(p, d) == want, (p, d)
+    # exact .5 ties round AWAY on both signs
+    assert _ols_e6(3, 2_000_000) == 2  # 3/2 -> 2
+    assert _ols_e6(-3, 2_000_000) == -2
+
+
+def _brute_triples(journeys):
+    """support of every ordered type triple by brute-force subsequence
+    existence (itertools over all position triples)."""
+    sup = {}
+    for seq in journeys.values():
+        seen = set()
+        for i, j, k in itertools.combinations(range(len(seq)), 3):
+            seen.add((seq[i], seq[j], seq[k]))
+        for t in seen:
+            sup[t] = sup.get(t, 0) + 1
+    return sup
+
+
+def test_triples_shard_equals_bruteforce():
+    from weakscraper_ray.pipelines.patterns import _triples_shard
+
+    rng = random.Random(23)
+    types = ["a", "b", "c", "d"]
+    for trial in range(6):
+        journeys = {
+            u: [rng.choice(types) for _ in range(rng.randint(0, 14))]
+            for u in range(1, 20)
+        }
+        journeys = {u: s for u, s in journeys.items() if s}
+        rows = []
+        eid = 0
+        for u, seq in journeys.items():
+            for p, t in enumerate(seq):
+                rows.append((u, eid, t, p * 1000))
+                eid += 1
+        rng.shuffle(rows)  # shard input arrives unordered
+        g = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "event_type", "us"]
+        )
+        out = _triples_shard(g)
+        got = {
+            (r.t1, r.t2, r.t3): r.n for r in out.itertuples(index=False)
+        }
+        assert got == _brute_triples(journeys), trial

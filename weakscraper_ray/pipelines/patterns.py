@@ -1,0 +1,493 @@
+"""Round-3 continuation #16: sequence patterns, exact alignment, and
+multivariate least squares:
+
+- ``seq_triples``   GSP-style sequential-pattern support counting
+                    (Srikant & Agrawal 1996): for every ORDERED type
+                    triple (t1, t2, t3), in how many per-user event
+                    journeys does the subsequence occur (gaps
+                    allowed)?  The ordered complement of
+                    ``event_pairs``' unordered co-occurrence.
+- ``dtw_distance``  exact dynamic-time-warping distance (Sakoe &
+                    Chiba 1978) between the monthly order-count
+                    series of two order priorities — the alignment
+                    metric that, unlike ``rolling_corr``/``emd_drift``,
+                    tolerates local time shifts.
+- ``ols_multi``     EXACT 2-regressor + intercept least squares of
+                    price on (quantity, discount) via the normal
+                    equations: distributed integer moment partials,
+                    bigint Cramer solve — the multivariate upgrade of
+                    ``trend_slope``'s single-regressor fit.
+
+Exactness strategy (repo conventions): every payload is quantized to
+integers BEFORE any arithmetic (counts; cents / discount-percent via
+the half-away rule both engines share), so all three outputs are pure
+integers — no float compare anywhere.  ``ols_multi``'s Cramer
+determinants are Python bigints on the engine and HUGEINTs in DuckDB
+(~105 bits at sf1 — comfortably inside HUGEINT's 127; the e6 read-out
+uses the shared (2·e6·|D_i| + D) // (2·D) half-away integer division).
+
+Scale shapes:
+- ``seq_triples``: ONE exchange keyed by ``user_id % 64`` (the
+  pack_conversations shard lesson — per-user groups are tiny, the UDF
+  runs once per shard); inside, the greedy subsequence witness
+  (first-a → first-b-after → any-c-after) is evaluated for all
+  |types|² (a, b) pairs at once with composite-key ``searchsorted``
+  over (user·2³² + pos) arrays — no per-user Python loop; the final
+  rollup is a ≤ |types|³-row groupby.
+- ``dtw_distance``: per-batch (month, count_a, count_b) partials →
+  driver fold over the BOUNDED month domain (the emd_drift / isotonic
+  division of labor), then the inherently serial O(n·m) DP as ~2n
+  anti-diagonal numpy vector steps (the same diagonal frontier the
+  recursive-CTE oracle carries as lists).
+- ``ols_multi``: one-row per-batch moment partials (9 integer sums)
+  → driver fold, zero exchange — X'X for fixed p is a fixed-domain
+  aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _i64_away_np, _read, _schema_guard
+
+_TRIPLE_SHARDS = 64  # power of two: user_id & 63 == user_id % 64
+_POS_BIG = np.int64(1) << np.int64(32)  # composite (user, pos) key base
+_POS_INF = np.int64(1) << np.int64(31)  # "no position" sentinel
+
+
+# =====================================================================
+# seq_triples — ordered subsequence support (GSP support counting)
+# =====================================================================
+
+
+def _triples_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard support partials: for each ordered type triple, the
+    number of this shard's users whose journey contains it as a
+    subsequence.  Witness rule (greedy, exact): a triple (a, b, c)
+    occurs iff pos(first a) < pos(first b after first a) < pos(some
+    later c) — the standard earliest-match subsequence test."""
+    g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+    u = g["user_id"].to_numpy(np.int64)
+    types = sorted(g["event_type"].unique())
+    k_types = len(types)
+    tcode = g["event_type"].map(
+        {t: i for i, t in enumerate(types)}
+    ).to_numpy(np.int64)
+    # position within user: global index minus the user's first index
+    # (rows are sorted by user) — C-level transform, no Python loop
+    idx = np.arange(len(g), dtype=np.int64)
+    pos = idx - pd.Series(idx).groupby(u, sort=False).transform("min").to_numpy()
+    key = u * _POS_BIG + pos
+    users = np.unique(u)
+    n_users = len(users)
+    uidx = np.searchsorted(users, u)
+    # f[user, t] = first position of t; l[user, t] = last position
+    f = np.full((n_users, k_types), _POS_INF, dtype=np.int64)
+    last = np.full((n_users, k_types), np.int64(-1), dtype=np.int64)
+    per = pd.DataFrame({"ui": uidx, "t": tcode, "p": pos})
+    gmin = per.groupby(["ui", "t"], sort=False)["p"].min().reset_index()
+    gmax = per.groupby(["ui", "t"], sort=False)["p"].max().reset_index()
+    f[gmin["ui"].to_numpy(), gmin["t"].to_numpy()] = gmin["p"].to_numpy()
+    last[gmax["ui"].to_numpy(), gmax["t"].to_numpy()] = gmax["p"].to_numpy()
+    # g2[user, a, b] = first position of b STRICTLY after f[user, a]
+    g2 = np.full((n_users, k_types, k_types), _POS_INF, dtype=np.int64)
+    for b in range(k_types):
+        kb = key[tcode == b]  # sorted (rows sorted by (user, pos))
+        for a in range(k_types):
+            fa = f[:, a]
+            qk = users * _POS_BIG + fa
+            at = np.searchsorted(kb, qk, side="right")
+            ok = (fa < _POS_INF) & (at < len(kb))
+            hit = np.zeros(n_users, dtype=bool)
+            hit[ok] = (kb[at[ok]] // _POS_BIG) == users[ok]
+            g2[hit, a, b] = kb[at[hit]] - users[hit] * _POS_BIG
+    rows: list[tuple[str, str, str, int]] = []
+    for a in range(k_types):
+        for b in range(k_types):
+            gab = g2[:, a, b]
+            has_ab = gab < _POS_INF
+            for c in range(k_types):
+                sup = int((has_ab & (gab < last[:, c])).sum())
+                if sup:
+                    rows.append((types[a], types[b], types[c], sup))
+    return pd.DataFrame(rows, columns=["t1", "t2", "t3", "n"])
+
+
+def q_seq_triples(sf_dir: str):
+    """Support (user count) of every ordered event-type triple as a
+    gapped subsequence of the per-user (ts, event_id)-ordered journey
+    — GSP/PrefixSpan length-3 support counting. Output: (t1, t2, t3,
+    support), triples with support ≥ 1 only (inner-join semantics on
+    both engines).
+
+    ONE keyed exchange (user co-location); the per-shard ≤ |types|³
+    partials are a FIXED-DOMAIN aggregate, so the rollup folds on the
+    driver (the emd_drift / late_events discipline — a second hash
+    exchange over ≤ 125 keys never amortizes its startup)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _shard(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                "shard": pc.cast(
+                    pc.bit_wise_and(
+                        t.column("user_id"), _TRIPLE_SHARDS - 1
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    tagged = _schema_guard(
+        ds.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_triples_shard, batch_format="pandas"),
+        pa.schema(
+            [
+                ("t1", pa.string()),
+                ("t2", pa.string()),
+                ("t3", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    sup: dict[tuple[str, str, str], int] = {}
+    for t in tagged.iter_batches(batch_format="pyarrow", batch_size=None):
+        for t1, t2, t3, n in zip(
+            t.column("t1").to_pylist(),
+            t.column("t2").to_pylist(),
+            t.column("t3").to_pylist(),
+            t.column("n").to_pylist(),
+        ):
+            key = (t1, t2, t3)
+            sup[key] = sup.get(key, 0) + int(n)
+    keys = sorted(sup)
+    return pa.table(
+        {
+            "t1": pa.array([k[0] for k in keys], pa.string()),
+            "t2": pa.array([k[1] for k in keys], pa.string()),
+            "t3": pa.array([k[2] for k in keys], pa.string()),
+            "support": pa.array([sup[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_SEQ_TRIPLES = """
+WITH p AS (
+  SELECT user_id, event_type AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events),
+tr AS (
+  SELECT DISTINCT e1.user_id, e1.t AS t1, e2.t AS t2, e3.t AS t3
+  FROM p e1
+  JOIN p e2 ON e2.user_id = e1.user_id AND e2.pos > e1.pos
+  JOIN p e3 ON e3.user_id = e1.user_id AND e3.pos > e2.pos)
+SELECT t1, t2, t3, cast(count(*) AS BIGINT) AS support
+FROM tr GROUP BY t1, t2, t3
+"""
+
+
+# =====================================================================
+# dtw_distance — exact DTW between two monthly count series
+# =====================================================================
+
+_DTW_PRI_A = "1-URGENT"
+_DTW_PRI_B = "3-MEDIUM"
+#: sentinel for unreachable DP cells — far above any reachable cost,
+#: far below int64/2 so one |a-b| addition cannot overflow
+_DTW_INF = np.int64(1) << np.int64(60)
+
+
+def _dtw_exact(a: np.ndarray, b: np.ndarray) -> int:
+    """O(n·m) DTW as anti-diagonal numpy frontier steps — the same
+    two-diagonal recursion the SQL twin carries as lists (cell (i, j)
+    on diagonal k = i + j depends only on diagonals k-1 and k-2)."""
+    n, m = len(a), len(b)
+    assert n == m  # both series live on the same month grid
+    prev = np.full(n, _DTW_INF, dtype=np.int64)  # diagonal k-1
+    cur = np.full(n, _DTW_INF, dtype=np.int64)  # diagonal k
+    cur[0] = abs(int(a[0]) - int(b[0]))  # dp[1][1]
+    i0 = np.arange(n, dtype=np.int64)  # 0-based i
+    for k in range(3, 2 * n + 1):
+        j0 = k - i0 - 2  # 0-based j on diagonal k
+        valid = (j0 >= 0) & (j0 < n)
+        left = np.concatenate(([_DTW_INF], cur[:-1]))  # dp[i-1][j]
+        diag = np.concatenate(([_DTW_INF], prev[:-1]))  # dp[i-1][j-1]
+        best = np.minimum(np.minimum(left, cur), diag)  # + dp[i][j-1]
+        nxt = np.full(n, _DTW_INF, dtype=np.int64)
+        nxt[valid] = (
+            np.abs(a[i0[valid]] - b[j0[valid]]) + best[valid]
+        )
+        prev, cur = cur, nxt
+    return int(cur[n - 1])
+
+
+def q_dtw_distance(sf_dir: str):
+    """Exact DTW distance (|Δcount| cost, no band) between the monthly
+    order-count series of priorities '1-URGENT' and '3-MEDIUM' on the
+    shared min..max month grid (absent months count 0).  Output: one
+    row (n_months, dtw_cost), both BIGINT.
+
+    The distributed part is the scan: per-batch (month, n_a, n_b)
+    partials fold on the driver over the bounded month domain; the DP
+    itself is ~2n anti-diagonal vector steps.  At 10¹²-row scale the
+    partials stay one tiny table per batch and nothing else moves."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        mi = pc.add(
+            pc.multiply(pc.year(d), 12), pc.month(d)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame(
+                {
+                    "mi": mi,
+                    "a": (pri == _DTW_PRI_A).astype(np.int64),
+                    "b": (pri == _DTW_PRI_B).astype(np.int64),
+                }
+            )
+            .groupby("mi", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "mi": pa.array(g["mi"].to_numpy(np.int64)),
+                "a": pa.array(g["a"].to_numpy(np.int64)),
+                "b": pa.array(g["b"].to_numpy(np.int64)),
+            }
+        )
+
+    months: dict[int, list[int]] = {}
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for mi, na, nb in zip(
+            t.column("mi").to_pylist(),
+            t.column("a").to_pylist(),
+            t.column("b").to_pylist(),
+        ):
+            acc = months.setdefault(int(mi), [0, 0])
+            acc[0] += int(na)
+            acc[1] += int(nb)
+    lo, hi = min(months), max(months)
+    n = hi - lo + 1
+    a = np.zeros(n, dtype=np.int64)
+    b = np.zeros(n, dtype=np.int64)
+    for mi, (na, nb) in months.items():
+        a[mi - lo] = na
+        b[mi - lo] = nb
+    return pa.table(
+        {
+            "n_months": pa.array([n], pa.int64()),
+            "dtw_cost": pa.array([_dtw_exact(a, b)], pa.int64()),
+        }
+    )
+
+
+SQL_DTW = f"""
+WITH months AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
+         count(*) FILTER (WHERE o_orderpriority = '{_DTW_PRI_A}') AS na,
+         count(*) FILTER (WHERE o_orderpriority = '{_DTW_PRI_B}') AS nb
+  FROM orders GROUP BY 1),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(mi) FROM months),
+                                (SELECT max(mi) FROM months))) AS mi),
+g AS (
+  SELECT list(coalesce(m.na, 0) ORDER BY grid.mi) AS a,
+         list(coalesce(m.nb, 0) ORDER BY grid.mi) AS b,
+         count(*) AS n
+  FROM grid LEFT JOIN months m USING (mi)),
+-- the DP frontier: diagonal k as a length-n list (i-indexed), the
+-- engine's _dtw_exact runs the identical two-diagonal recursion
+dp AS (
+  WITH RECURSIVE rec(k, cur, prev) AS (
+    SELECT 2::BIGINT,
+           list_transform(generate_series(1, n::INT), i ->
+             CASE WHEN i = 1 THEN abs(a[1] - b[1])::BIGINT
+                  ELSE 1152921504606846976::BIGINT END),
+           list_transform(generate_series(1, n::INT), i ->
+             1152921504606846976::BIGINT)
+    FROM g
+    UNION ALL
+    SELECT k + 1,
+           list_transform(generate_series(1, g.n::INT), i ->
+             CASE WHEN (k + 1 - i) BETWEEN 1 AND g.n THEN
+               abs(g.a[i] - g.b[(k + 1 - i)::INT])::BIGINT + least(
+                 CASE WHEN i > 1 THEN cur[i - 1]
+                      ELSE 1152921504606846976::BIGINT END,
+                 cur[i],
+                 CASE WHEN i > 1 THEN prev[i - 1]
+                      ELSE 1152921504606846976::BIGINT END)
+             ELSE 1152921504606846976::BIGINT END),
+           cur
+    FROM rec, g WHERE k + 1 <= 2 * g.n)
+  SELECT rec.cur[g.n::INT] AS dtw_cost FROM rec, g WHERE rec.k = 2 * g.n)
+SELECT cast((SELECT n FROM g) AS BIGINT) AS n_months,
+       (SELECT dtw_cost FROM dp) AS dtw_cost
+"""
+
+
+# =====================================================================
+# ols_multi — exact multivariate least squares via bigint Cramer
+# =====================================================================
+
+
+def _ols_e6(p: int, d: int) -> int:
+    """round-half-away of 10⁶ · p / d (d > 0) in pure integers — the
+    repo's shared e6 quantization rule, SQL-mirrored verbatim."""
+    return (
+        (2_000_000 * p + d) // (2 * d)
+        if p >= 0
+        else -((2_000_000 * (-p) + d) // (2 * d))
+    )
+
+
+def q_ols_multi(sf_dir: str):
+    """Exact least squares of price_cents on (quantity,
+    discount_pct) with intercept, solved from the normal equations by
+    Cramer's rule over Python bigints — no float anywhere until the
+    final e6 read-out, so the driver hash is exact.  Output: one row
+    (n, b0_e6, b1_e6, b2_e6).
+
+    Shape: each batch reduces to ONE row of nine integer moments
+    (Σx, Σxxᵀ, Σxy — X'X is a fixed-domain aggregate for fixed p);
+    the driver folds and solves.  Determinant magnitude ~105 bits at
+    sf1 — inside DuckDB HUGEINT's 127 (documented bound; beyond that
+    the moments need block-rational arithmetic)."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_quantity", "l_discount", "l_extendedprice"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x1 = _i64_away_np(
+            t.column("l_quantity").to_numpy(zero_copy_only=False), 1.0
+        )
+        x2 = _i64_away_np(
+            t.column("l_discount").to_numpy(zero_copy_only=False), 100.0
+        )
+        y = _i64_away_np(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False), 100.0
+        )
+        vals = [
+            len(x1),
+            int(x1.sum()), int(x2.sum()),
+            int((x1 * x1).sum()), int((x1 * x2).sum()),
+            int((x2 * x2).sum()),
+            int(y.sum()), int((x1 * y).sum()), int((x2 * y).sum()),
+        ]
+        return pa.table(
+            {
+                k: pa.array([v], pa.int64())
+                for k, v in zip(
+                    ["n", "sx1", "sx2", "s11", "s12", "s22",
+                     "sy", "s1y", "s2y"],
+                    vals,
+                )
+            }
+        )
+
+    acc = [0] * 9
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for i, name in enumerate(
+            ["n", "sx1", "sx2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+        ):
+            acc[i] += int(pc.sum(t.column(name)).as_py())
+    n, sx1, sx2, s11, s12, s22, sy, s1y, s2y = acc
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s12 - s11 * sx2)
+    )
+    d0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - sx1 * (s1y * s22 - s12 * s2y)
+        + sx2 * (s1y * s12 - s11 * s2y)
+    )
+    d1 = (
+        n * (s1y * s22 - s2y * s12)
+        - sy * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s2y - s1y * sx2)
+    )
+    d2 = (
+        n * (s11 * s2y - s12 * s1y)
+        - sx1 * (sx1 * s2y - s1y * sx2)
+        + sy * (sx1 * s12 - s11 * sx2)
+    )
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "b0_e6": pa.array([_ols_e6(d0, det)], pa.int64()),
+            "b1_e6": pa.array([_ols_e6(d1, det)], pa.int64()),
+            "b2_e6": pa.array([_ols_e6(d2, det)], pa.int64()),
+        }
+    )
+
+
+SQL_OLS_MULTI = """
+WITH s AS (
+  SELECT cast(count(*) AS HUGEINT) AS n,
+         cast(sum(x1) AS HUGEINT) AS sx1,
+         cast(sum(x2) AS HUGEINT) AS sx2,
+         cast(sum(x1 * x1) AS HUGEINT) AS s11,
+         cast(sum(x1 * x2) AS HUGEINT) AS s12,
+         cast(sum(x2 * x2) AS HUGEINT) AS s22,
+         cast(sum(y) AS HUGEINT) AS sy,
+         cast(sum(x1 * y) AS HUGEINT) AS s1y,
+         cast(sum(x2 * y) AS HUGEINT) AS s2y
+  FROM (SELECT cast(round(l_quantity) AS BIGINT) AS x1,
+               cast(round(l_discount * 100) AS BIGINT) AS x2,
+               cast(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem)),
+d AS (
+  SELECT n,
+    n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)
+      + sx2*(sx1*s12 - s11*sx2) AS det,
+    sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)
+      + sx2*(s1y*s12 - s11*s2y) AS d0,
+    n*(s1y*s22 - s2y*s12) - sy*(sx1*s22 - s12*sx2)
+      + sx2*(sx1*s2y - s1y*sx2) AS d1,
+    n*(s11*s2y - s12*s1y) - sx1*(sx1*s2y - s1y*sx2)
+      + sy*(sx1*s12 - s11*sx2) AS d2
+  FROM s)
+SELECT cast(n AS BIGINT) AS n,
+  cast(CASE WHEN d0 >= 0 THEN (2000000*d0 + det) // (2*det)
+            ELSE -((2000000*(-d0) + det) // (2*det)) END AS BIGINT) AS b0_e6,
+  cast(CASE WHEN d1 >= 0 THEN (2000000*d1 + det) // (2*det)
+            ELSE -((2000000*(-d1) + det) // (2*det)) END AS BIGINT) AS b1_e6,
+  cast(CASE WHEN d2 >= 0 THEN (2000000*d2 + det) // (2*det)
+            ELSE -((2000000*(-d2) + det) // (2*det)) END AS BIGINT) AS b2_e6
+FROM d
+"""
+
+
+QUERIES = {
+    "seq_triples": q_seq_triples,
+    "dtw_distance": q_dtw_distance,
+    "ols_multi": q_ols_multi,
+}
+
+ORACLE_SQL = {
+    "seq_triples": SQL_SEQ_TRIPLES,
+    "dtw_distance": SQL_DTW,
+    "ols_multi": SQL_OLS_MULTI,
+}
+
+# self-register (same pattern and import-cycle note as analytics.py)
+from . import relational as _rel  # noqa: E402
+
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

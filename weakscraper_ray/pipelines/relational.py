@@ -3261,3 +3261,7 @@ from . import inequality as _inequality  # noqa: E402,F401
 # round-3 feature-engineering family (hashing-trick feature sketch).
 from . import features as _features  # noqa: E402,F401
 
+# round-3 sequence-pattern / alignment / exact-OLS family (GSP triple
+# support, DTW with a recursive-CTE twin, bigint-Cramer least squares).
+from . import patterns as _patterns  # noqa: E402,F401
+
