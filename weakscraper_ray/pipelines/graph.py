@@ -1337,6 +1337,140 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     }
 
 
+# =====================================================================
+# Newman modularity of the language partition on the derived graph
+# =====================================================================
+
+
+def q_modularity_score(sf_dir: str):
+    """Newman–Girvan modularity (2004) of the LANGUAGE partition
+    evaluated on the derived citation graph — the partition-quality
+    read-out community detection optimizes, here auditing whether the
+    synthetic citation rule respects language boundaries (it scatters
+    uniformly, so Q ≈ 0 — the metric, not the verdict, is the
+    operator).  EXACT rational: with m edges, e_c intra-community
+    edges and d_c the community degree sum,
+    Q · 4m² = Σ_c (4·m·e_c − d_c²) — every term an integer.
+    Output: one row per community (lang, e_c, d_c) + the global
+    (m, q_num, q_e6) repeated, all BIGINT (q_e6 is the half-away e6
+    read-out of q_num / 4m²).
+
+    Shape: ONE ``groupby(u, v)`` exchange dedups the derived edge
+    multiset (the triangles path); community codes are an int8 dense
+    vector broadcast once via ``ray.put`` (the clustering_coeff
+    degree-vector idiom — at real node counts this graduates to the
+    documented attribute join); per-batch partials over the BOUNDED
+    community domain fold on the driver."""
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
+    n = len(docs)
+    langs = sorted(docs["lang"].unique())
+    code = {lang: i for i, lang in enumerate(langs)}
+    comm = np.zeros(n, dtype=np.int8)
+    comm[docs["doc_id"].to_numpy(np.int64)] = (
+        docs["lang"].map(code).to_numpy(np.int8)
+    )
+    comm_ref = ray.put(comm)
+    k = len(langs)
+
+    def _edges(t: pa.Table, n=n) -> pa.Table:
+        src = t.column("doc_id").to_numpy()
+        dsts = _derived_dsts(src, n)
+        s = np.concatenate([src] * len(dsts))
+        d = np.concatenate(dsts)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        t = pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}
+        )
+        return t.group_by(["u", "v"]).aggregate([])
+
+    def _partial(t: pa.Table, k=k, comm_ref=comm_ref) -> pa.Table:
+        cv = ray.get(comm_ref)
+        cu = cv[t.column("u").to_numpy()].astype(np.int64)
+        cw = cv[t.column("v").to_numpy()].astype(np.int64)
+        ec = np.bincount(cu[cu == cw], minlength=k)
+        dc = np.bincount(cu, minlength=k) + np.bincount(cw, minlength=k)
+        mcol = np.zeros(k, dtype=np.int64)
+        mcol[0] = len(cu)  # batch edge count, carried once per partial
+        return pa.table(
+            {
+                "c": pa.array(np.arange(k, dtype=np.int64)),
+                "ec": pa.array(ec.astype(np.int64)),
+                "dc": pa.array(dc.astype(np.int64)),
+                "m": pa.array(mcol),
+            }
+        )
+
+    deduped = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(_edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count())
+        .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
+    )
+    ec = np.zeros(k, dtype=object)
+    dc = np.zeros(k, dtype=object)
+    m = 0
+    for t in deduped.map_batches(
+        _partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        ec += np.array(t.column("ec").to_pylist(), dtype=object)
+        dc += np.array(t.column("dc").to_pylist(), dtype=object)
+        m += int(pc.sum(t.column("m")).as_py())
+    q_num = sum(4 * m * int(ec[c]) - int(dc[c]) ** 2 for c in range(k))
+    q_den = 4 * m * m
+    q_e6 = (
+        (2_000_000 * q_num + q_den) // (2 * q_den)
+        if q_num >= 0
+        else -((2_000_000 * (-q_num) + q_den) // (2 * q_den))
+    )
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "ec": pa.array([int(x) for x in ec], pa.int64()),
+            "dc": pa.array([int(x) for x in dc], pa.int64()),
+            "m": pa.array([m] * k, pa.int64()),
+            "q_e6": pa.array([q_e6] * k, pa.int64()),
+        }
+    )
+
+
+def _sql_modularity() -> str:
+    return f"""
+WITH nodes AS (SELECT doc_id, lang FROM documents),
+p AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes),
+e0 AS (SELECT n.doc_id AS src, (n.doc_id * {_PR_KNUTH} + j.j) % p.n AS dst
+       FROM nodes n, p, range(1, {_PR_OUTDEG + 1}) j(j)),
+e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0 WHERE src <> dst),
+mm AS (SELECT cast(count(*) AS BIGINT) AS m FROM e),
+lab AS (SELECT nu.lang AS lu, nv.lang AS lv
+        FROM e JOIN nodes nu ON nu.doc_id = e.u
+               JOIN nodes nv ON nv.doc_id = e.v),
+ends AS (SELECT lu AS lang FROM lab UNION ALL SELECT lv FROM lab),
+cc AS (SELECT l.lang,
+              cast(coalesce(ee.ec, 0) AS BIGINT) AS ec,
+              cast(dd.dc AS BIGINT) AS dc
+       FROM (SELECT DISTINCT lang FROM nodes) l
+       LEFT JOIN (SELECT lu AS lang, count(*) AS ec FROM lab
+                  WHERE lu = lv GROUP BY 1) ee USING (lang)
+       JOIN (SELECT lang, count(*) AS dc FROM ends GROUP BY 1) dd
+         USING (lang)),
+q AS (SELECT sum(4 * mm.m * cc.ec - cc.dc * cc.dc) AS q_num,
+             4 * max(mm.m) * max(mm.m) AS q_den
+      FROM cc, mm)
+SELECT cc.lang, cc.ec, cc.dc, mm.m,
+       cast(CASE WHEN q.q_num >= 0
+                 THEN (2000000 * q.q_num + q.q_den) // (2 * q.q_den)
+                 ELSE -((2000000 * (-q.q_num) + q.q_den) // (2 * q.q_den))
+            END AS BIGINT) AS q_e6
+FROM cc, mm, q
+"""
+
+
 QUERIES = {
     "hits": q_hits,
     "kcore": q_kcore,
@@ -1348,9 +1482,11 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "jaccard_neighbors": q_jaccard_neighbors,
     "clustering_coeff": q_clustering_coeff,
+    "modularity_score": q_modularity_score,
 }
 
 ORACLE_SQL = {
+    "modularity_score": _sql_modularity(),
     "hits": _sql_hits(),
     "pagerank": _sql_pagerank(),
     "in_degree_hist": SQL_IN_DEGREE_HIST,

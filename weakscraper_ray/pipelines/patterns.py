@@ -340,6 +340,131 @@ SELECT cast((SELECT n FROM g) AS BIGINT) AS n_months,
 
 
 # =====================================================================
+# jenks_breaks — optimal 1-D segmentation (Fisher 1958 / Jenks) DP
+# =====================================================================
+
+_JENKS_K = 4
+
+
+def _jenks_cost(P1: np.ndarray, P2: np.ndarray, a: int, b: int) -> int:
+    """Integer segment cost n_seg·ΣX² − (ΣX)² = n_seg²·Var — the
+    n-scaled within-segment dispersion (exact-integer variant of the
+    Jenks SSD objective; optimal partition of the same flavor, no
+    division anywhere)."""
+    cnt = b - a
+    s1 = int(P1[b] - P1[a])
+    s2 = int(P2[b] - P2[a])
+    return cnt * s2 - s1 * s1
+
+
+def _jenks_dp(x: np.ndarray, k: int) -> int:
+    """Fisher's optimal-partition DP (O(k·n²)), minimum total
+    n-scaled dispersion over all k-segmentations."""
+    n = len(x)
+    P1 = np.zeros(n + 1, np.int64)
+    P2 = np.zeros(n + 1, np.int64)
+    P1[1:] = np.cumsum(x)
+    P2[1:] = np.cumsum(x * x)
+    dp = [_jenks_cost(P1, P2, 0, i) for i in range(n + 1)]
+    for r in range(2, k + 1):
+        nxt = [1 << 60] * (n + 1)
+        for i in range(r, n + 1):
+            nxt[i] = min(
+                dp[j] + _jenks_cost(P1, P2, j, i) for j in range(r - 1, i)
+            )
+        dp = nxt
+    return int(dp[n])
+
+
+def q_jenks_breaks(sf_dir: str):
+    """Optimal 4-segmentation of the monthly order-count series
+    (Fisher 1958 exact DP — the 'natural breaks' discretization used
+    for choropleth binning and feature bucketing), minimizing the
+    integer n-scaled within-segment dispersion.  Output: one row
+    (n_months, k, wss_scaled), all BIGINT.
+
+    Same division of labor as ``dtw_distance``: the scan reduces to
+    bounded (month, count) partials folded on the driver; the
+    inherently serial O(k·n²) DP runs over the ≤ #months domain."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        mi = pc.add(
+            pc.multiply(pc.year(d), 12), pc.month(d)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(mi, return_counts=True)
+        return pa.table(
+            {
+                "mi": pa.array(u),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    months: dict[int, int] = {}
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for mi, cnt in zip(
+            t.column("mi").to_pylist(), t.column("n").to_pylist()
+        ):
+            months[int(mi)] = months.get(int(mi), 0) + int(cnt)
+    x = np.array([months[mi] for mi in sorted(months)], dtype=np.int64)
+    return pa.table(
+        {
+            "n_months": pa.array([len(x)], pa.int64()),
+            "k": pa.array([_JENKS_K], pa.int64()),
+            "wss_scaled": pa.array([_jenks_dp(x, _JENKS_K)], pa.int64()),
+        }
+    )
+
+
+#: the DP stages carried as LISTs — same frontier-in-a-row trick as
+#: SQL_DTW; months with no orders cannot occur (o_orderdate is dense
+#: at every sf), so the series is the per-month count list directly
+SQL_JENKS = f"""
+WITH months AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
+         count(*) AS cnt
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT list(cnt ORDER BY mi)::BIGINT[] AS a, count(*)::INT AS n
+  FROM months),
+pf AS (
+  SELECT a, n,
+    list_transform(generate_series(1, n + 1), i ->
+      coalesce(list_sum(a[1:i-1]), 0)::BIGINT) AS p1,
+    list_transform(generate_series(1, n + 1), i ->
+      coalesce(list_sum(list_transform(a[1:i-1], x -> x * x)),
+               0)::BIGINT) AS p2
+  FROM g),
+dpt AS (
+  WITH RECURSIVE rec(r, dp) AS (
+    SELECT 1::BIGINT,
+      list_transform(generate_series(1, n), i ->
+        (i::BIGINT * (p2[i+1] - p2[1])
+         - (p1[i+1] - p1[1]) * (p1[i+1] - p1[1]))::BIGINT)
+    FROM pf
+    UNION ALL
+    SELECT r + 1,
+      list_transform(generate_series(1, pf.n), i ->
+        CASE WHEN i >= r + 1 THEN
+          list_aggregate(
+            list_transform(generate_series(r::INT, i - 1), j ->
+              dp[j] + ((i - j)::BIGINT * (pf.p2[i+1] - pf.p2[j+1])
+                       - (pf.p1[i+1] - pf.p1[j+1])
+                         * (pf.p1[i+1] - pf.p1[j+1]))),
+            'min')::BIGINT
+        ELSE 1152921504606846976::BIGINT END)
+    FROM rec, pf WHERE r + 1 <= {_JENKS_K})
+  SELECT rec.dp[pf.n] AS wss FROM rec, pf WHERE rec.r = {_JENKS_K})
+SELECT (SELECT n::BIGINT FROM g) AS n_months,
+       {_JENKS_K}::BIGINT AS k,
+       (SELECT wss FROM dpt) AS wss_scaled
+"""
+
+
+# =====================================================================
 # ols_multi — exact multivariate least squares via bigint Cramer
 # =====================================================================
 
@@ -478,12 +603,14 @@ QUERIES = {
     "seq_triples": q_seq_triples,
     "dtw_distance": q_dtw_distance,
     "ols_multi": q_ols_multi,
+    "jenks_breaks": q_jenks_breaks,
 }
 
 ORACLE_SQL = {
     "seq_triples": SQL_SEQ_TRIPLES,
     "dtw_distance": SQL_DTW,
     "ols_multi": SQL_OLS_MULTI,
+    "jenks_breaks": SQL_JENKS,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
