@@ -210,3 +210,88 @@ def test_modularity_identities_on_karate_style_graph():
     q_den = 4 * m * m
     # disconnected equal halves: Q = 1 - 2*(1/2)^2 = 1/2 exactly
     assert q_num * 2 == q_den
+
+
+def test_lexicon_phrases_are_border_free():
+    """the AC==replace-trick equivalence requires border-free phrases
+    (no proper prefix equals a suffix → occurrences cannot overlap)."""
+    from weakscraper_ray.pipelines.patterns import _LEXICON
+
+    for p in _LEXICON:
+        for k in range(1, len(p)):
+            assert p[:k] != p[-k:], (p, k)
+
+
+def test_ac_scanner_counts_equal_naive_scan():
+    from weakscraper_ray.pipelines.patterns import (
+        _LEXICON,
+        _LexiconScanner,
+    )
+
+    rng = random.Random(41)
+    words = ["scan", "fast", "hash", "join", "table", "sort", "key",
+             "group", "x", "scans", "stable"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 40)))
+        for _ in range(60)
+    ] + ["", None, "fast scan fast scan scan", "hash join table group"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = _LexiconScanner()(t)
+    got = {
+        (d, p): n
+        for d, p, n in zip(
+            out.column("doc_id").to_pylist(),
+            out.column("phrase").to_pylist(),
+            out.column("n").to_pylist(),
+        )
+    }
+    want = {}
+    for i, txt in enumerate(texts):
+        txt = txt or ""
+        for p in _LEXICON:
+            # border-free ⇒ all occurrences are non-overlapping ⇒
+            # count every start position (the AC semantics)
+            n = sum(
+                1 for s in range(len(txt)) if txt.startswith(p, s)
+            )
+            if n:
+                want[(i, p)] = n
+    assert got == want
+
+
+def test_feather_source_equals_parquet_source(tmp_path, ray_session):
+    """The Arrow-IPC transcripts source feeds the identical pipeline
+    and yields byte-identical extraction results to the parquet
+    source (the JSONL/CSV equivalence tests' fourth sibling)."""
+    from weakscraper_ray.pipelines.extraction import (
+        extraction_pipeline,
+        parquet_dir_to_feather,
+        read_transcripts,
+        read_transcripts_feather,
+    )
+    from weakscraper_ray.transcripts import ensure_generated
+
+    src = ensure_generated("tiny")
+    fdir = str(tmp_path / "feather")
+    n = parquet_dir_to_feather(src, fdir)
+    assert n > 0
+
+    key = ["conv_id", "turn_idx"]
+    a = (
+        extraction_pipeline(read_transcripts(src), restore_ordering=False)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        extraction_pipeline(
+            read_transcripts_feather(fdir), restore_ordering=False
+        )
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    for col in ["conv_id", "turn_idx", "template_id", "status",
+                "error_kind", "extracted_text", "fields"]:
+        assert (a[col] == b[col]).all(), col

@@ -205,6 +205,59 @@ def parquet_dir_to_csv(src_dir: str, out_dir: str) -> int:
     return n
 
 
+def read_transcripts_feather(path: str, with_route: bool = True):
+    """Arrow-IPC (Feather v2) transcripts source — fourth input format
+    for the same logical table.  Ray Data has no IPC reader, so this
+    is the CUSTOM-SOURCE pattern: ``read_binary_files`` streams one
+    file per block and a zero-copy ``pa.ipc.open_file`` decode runs
+    inside ``map_batches`` — the shard stays columnar end-to-end
+    (unlike JSONL/CSV there is no parse, so ``ts`` needs no cast).
+    One file = one block = one decode task; resumability and
+    parallelism come from the shard layout exactly as for parquet."""
+    configure_context()
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    if os.path.isdir(path):
+        shards = sorted(glob.glob(os.path.join(path, "*.arrow")))
+        paths: list[str] | str = shards if shards else path
+    else:
+        paths = path
+    cols = list(TRANSCRIPT_COLUMNS) + (["template_id"] if with_route else [])
+    ds = ray.data.read_binary_files(paths)
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        tables = []
+        for buf in batch.column("bytes").to_pylist():
+            t = pa.ipc.open_file(pa.BufferReader(buf)).read_all()
+            tables.append(t.select([c for c in cols if c in t.column_names]))
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(_decode, batch_format="pyarrow", batch_size=1)
+
+
+def parquet_dir_to_feather(src_dir: str, out_dir: str) -> int:
+    """Utility: convert a generated transcripts dir to Arrow-IPC
+    shards (test/demo helper for the feather source; driver-side)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for shard in sorted(glob.glob(os.path.join(src_dir, "part-*.parquet"))):
+        t = _pq.read_table(shard)
+        name = os.path.basename(shard).replace(".parquet", ".arrow")
+        with pa.ipc.new_file(os.path.join(out_dir, name), t.schema) as w:
+            w.write_table(t)
+        n += t.num_rows
+    return n
+
+
 def _pool_size() -> int:
     try:
         return max(2, int(ray.cluster_resources().get("CPU", 8)))

@@ -599,11 +599,153 @@ FROM d
 """
 
 
+# =====================================================================
+# lexicon_scan — Aho–Corasick multi-pattern matching, actor-held
+# =====================================================================
+
+#: the scanned lexicon.  Every phrase is BORDER-FREE (no proper prefix
+#: equals a suffix — asserted in tests), so occurrences of one phrase
+#: cannot overlap and the SQL replace-trick's greedy non-overlapping
+#: count equals the automaton's all-occurrences count.  'scan' nested
+#: inside 'fast scan' exercises the suffix-link output path.
+_LEXICON = ["scan", "fast scan", "hash join", "table", "sort key", "group"]
+
+
+def _ac_build(lexicon: list[str]):
+    """Aho–Corasick 1975: trie + failure links folded into a dense
+    next-state table T (S × 256 uint16) and an accumulated output
+    matrix O (S × P uint8, suffix-link closure) — built once per
+    actor, a few KB for a phrase lexicon."""
+    pats = [p.encode() for p in lexicon]
+    goto: list[dict[int, int]] = [{}]
+    out_sets: list[set[int]] = [set()]
+    for pi, p in enumerate(pats):
+        s = 0
+        for ch in p:
+            if ch not in goto[s]:
+                goto.append({})
+                out_sets.append(set())
+                goto[s][ch] = len(goto) - 1
+            s = goto[s][ch]
+        out_sets[s].add(pi)
+    n_states = len(goto)
+    fail = [0] * n_states
+    from collections import deque
+
+    dq = deque()
+    for ch, s in goto[0].items():
+        dq.append(s)
+    while dq:
+        r = dq.popleft()
+        for ch, s in goto[r].items():
+            dq.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out_sets[s] |= out_sets[fail[s]]
+    T = np.zeros((n_states, 256), dtype=np.uint16)
+    for s in range(n_states):
+        for ch in range(256):
+            f = s
+            while f and ch not in goto[f]:
+                f = fail[f]
+            T[s, ch] = goto[f].get(ch, 0)
+    O = np.zeros((n_states, len(pats)), dtype=np.uint8)
+    for s in range(n_states):
+        for pi in out_sets[s]:
+            O[s, pi] = 1
+    return T, O
+
+
+class _LexiconScanner:
+    """Actor-pool stage: the compiled automaton lives in actor state
+    (built once in ``__init__``); ``__call__`` steps ALL documents of
+    a batch through it in lock-step — one fused gather
+    ``T[states·256 + col]`` plus one output gather per character
+    POSITION (a C-level op over the whole batch), never a per-byte
+    Python loop.  The zero byte never occurs in text, so padding
+    cycles at the root with zero output."""
+
+    def __init__(self):
+        self.T, self.O = _ac_build(_LEXICON)
+        self.Tflat = self.T.astype(np.int64).reshape(-1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.string())
+        col = pc.fill_null(col, "")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "phrase": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                             count=n + 1, offset=col.offset * 4)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        L = int(lens.max()) if n else 0
+        idx = offs[:-1, None].astype(np.int64) + np.arange(L)[None, :]
+        valid = np.arange(L)[None, :] < lens[:, None]
+        M = np.zeros((n, L), dtype=np.int64)
+        M[valid] = data[idx[valid]]
+        states = np.zeros(n, dtype=np.int64)
+        acc = np.zeros((n, self.O.shape[1]), dtype=np.int64)
+        for i in range(L):
+            states = self.Tflat[states * 256 + M[:, i]]
+            acc += self.O[states]
+        di, pi = np.nonzero(acc)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[di].astype(np.int64), pa.int64()),
+                "phrase": pa.array(
+                    np.array(_LEXICON, dtype=object)[pi], pa.string()
+                ),
+                "n": pa.array(acc[di, pi].astype(np.int64)),
+            }
+        )
+
+
+def q_lexicon_scan(sf_dir: str):
+    """Per-document occurrence counts of a phrase lexicon via a ONE-
+    PASS Aho–Corasick scan (the PII-term / banned-phrase / lexicon-
+    feature primitive — one automaton pass regardless of lexicon
+    size, vs. one string scan per phrase).  Output: (doc_id, phrase,
+    n) for n ≥ 1.  Map-only, zero exchange; the automaton is actor
+    state (``concurrency=4``), the scan is vectorized across the
+    batch per character position."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        _LexiconScanner, batch_format="pyarrow", concurrency=4
+    )
+
+
+def _sql_lexicon() -> str:
+    vals = ", ".join(f"('{p}')" for p in _LEXICON)
+    return f"""
+WITH lex(phrase) AS (VALUES {vals})
+SELECT d.doc_id, l.phrase,
+       cast((length(d.text) - length(replace(d.text, l.phrase, '')))
+            // length(l.phrase) AS BIGINT) AS n
+FROM documents d, lex l
+WHERE d.text LIKE '%' || l.phrase || '%'
+"""
+
+
 QUERIES = {
     "seq_triples": q_seq_triples,
     "dtw_distance": q_dtw_distance,
     "ols_multi": q_ols_multi,
     "jenks_breaks": q_jenks_breaks,
+    "lexicon_scan": q_lexicon_scan,
 }
 
 ORACLE_SQL = {
@@ -611,6 +753,7 @@ ORACLE_SQL = {
     "dtw_distance": SQL_DTW,
     "ols_multi": SQL_OLS_MULTI,
     "jenks_breaks": SQL_JENKS,
+    "lexicon_scan": _sql_lexicon(),
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
