@@ -121,7 +121,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "seed_select", "gram_matrix", "hill_tail", "markov_entropy",
         "dedup_containment", "semdedup", "kn_bigram", "dedup_chain",
         "feature_hash", "seq_triples", "dtw_distance", "ols_multi",
-        "modularity_score", "jenks_breaks", "lexicon_scan",
+        "modularity_score", "jenks_breaks", "lexicon_scan", "self_bleu",
     ]
     out: dict[str, float] = {}
     for name in names:

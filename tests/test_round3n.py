@@ -295,3 +295,34 @@ def test_feather_source_equals_parquet_source(tmp_path, ray_session):
     for col in ["conv_id", "turn_idx", "template_id", "status",
                 "error_kind", "extracted_text", "fields"]:
         assert (a[col] == b[col]).all(), col
+
+
+def test_sb_clip_equals_bruteforce_leave_one_out():
+    from weakscraper_ray.pipelines.patterns import _sb_clip
+
+    rng = random.Random(53)
+    for trial in range(8):
+        rows = []
+        for d in range(8):
+            for g in range(6):
+                c = rng.randint(0, 4)
+                if c:
+                    rows.append((d, f"g{g}", c))
+        if not rows:
+            continue
+        df = pd.DataFrame(rows, columns=["doc_id", "gram", "cnt"])
+        out = _sb_clip(df).set_index("doc_id")
+        # brute force: clip(doc, gram) = max count among OTHER docs
+        by_gram = {}
+        for d, g, c in rows:
+            by_gram.setdefault(g, {})[d] = c
+        want_hit = {}
+        want_tot = {}
+        for d, g, c in rows:
+            others = [v for dd, v in by_gram[g].items() if dd != d]
+            clip = max(others) if others else 0
+            want_hit[d] = want_hit.get(d, 0) + min(c, clip)
+            want_tot[d] = want_tot.get(d, 0) + c
+        for d in want_tot:
+            assert out.loc[d, "hit"] == want_hit[d], (trial, d)
+            assert out.loc[d, "tot"] == want_tot[d], (trial, d)

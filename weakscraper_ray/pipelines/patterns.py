@@ -740,12 +740,179 @@ WHERE d.text LIKE '%' || l.phrase || '%'
 """
 
 
+# =====================================================================
+# self_bleu — leave-one-out clipped bigram precision (Texygen)
+# =====================================================================
+
+_SB_SHARDS = 64
+
+
+def _sb_partial(batch: pa.Table) -> pa.Table:
+    """(gram, doc_id, cnt, shard) — per-document bigram counts are
+    EXACT within a batch (a document lives in one row); shard =
+    deterministic gram hash (pd.util.hash_array — fixed-key siphash,
+    stable across worker processes, the dup_ngram_fraction idiom)."""
+    txt = pc.replace_substring_regex(
+        batch.column("text"), pattern=r"^\s+|\s+$", replacement=""
+    )
+    keep = pc.and_(pc.is_valid(txt), pc.not_equal(txt, ""))
+    t = batch.filter(keep)
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    txt = pc.replace_substring_regex(
+        t.column("text"), pattern=r"^\s+|\s+$", replacement=""
+    )
+    toks = pc.split_pattern_regex(txt, pattern=r"\s+")
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = la.flatten().to_pandas().to_numpy()
+    offs = np.asarray(la.offsets)
+    if len(flat) < 2:
+        return empty
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    valid[offs[1:-1] - 1] = False  # cross-document pairs
+    row = np.searchsorted(offs[1:], np.arange(len(flat) - 1), side="right")
+    g = (
+        pd.DataFrame(
+            {
+                "doc_id": ids[row[valid]],
+                "gram": pd.Series(flat[:-1][valid])
+                + " "
+                + pd.Series(flat[1:][valid]),
+            }
+        )
+        .groupby(["doc_id", "gram"], sort=False)
+        .size()
+        .reset_index(name="cnt")
+    )
+    return pa.table(
+        {
+            "gram": pa.array(g["gram"], pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+            "shard": pa.array(
+                (
+                    pd.util.hash_array(g["gram"].to_numpy(object))
+                    % _SB_SHARDS
+                ).astype(np.int64)
+            ),
+        }
+    )
+
+
+def _sb_clip(shard: pd.DataFrame) -> pd.DataFrame:
+    """Leave-one-out clip per (gram, doc): max count among OTHER docs
+    = second max when this doc is the unique argmax, else the max —
+    all C-level grouped transforms, then a per-doc in-shard rollup."""
+    cnt = shard["cnt"]
+    m1 = shard.groupby("gram", sort=False)["cnt"].transform("max")
+    ach = cnt == m1
+    c1 = ach.groupby(shard["gram"], sort=False).transform("sum")
+    m2 = (
+        cnt.where(cnt < m1, other=-1)
+        .groupby(shard["gram"], sort=False)
+        .transform("max")
+    )
+    clip = np.where(ach & (c1 == 1), np.maximum(m2, 0), m1)
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": shard["doc_id"],
+                "hit": np.minimum(cnt.to_numpy(), clip),
+                "tot": cnt.to_numpy(),
+            }
+        )
+        .groupby("doc_id", sort=False)
+        .sum()
+        .reset_index()
+    )
+
+
+def q_self_bleu(sf_dir: str):
+    """Self-BLEU core (Zhu et al. 2018, Texygen): per-document
+    leave-one-out CLIPPED bigram precision against the rest of the
+    corpus — the generative-diversity metric (high hit/tot ⇒ the
+    document repeats corpus phrasing).  Emits integers
+    (doc_id, n_bigrams, n_clip); the precision is n_clip/n_bigrams,
+    left rational so the oracle is float-free.
+
+    Shape: exact per-(doc, gram) counts per batch → ONE gram-shard
+    exchange where the leave-one-out clip is (max, achiever-count,
+    second-max) grouped transforms — never a per-gram UDF — plus an
+    in-shard per-doc rollup → one ``groupby(doc_id)`` Sum exchange
+    (domain grows with data: the keyed exchange is the honest
+    shape)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    parts = (
+        ds.map_batches(_sb_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_sb_clip, batch_format="pandas")
+    )
+    parts = _schema_guard(
+        parts,
+        pa.schema(
+            [("doc_id", pa.int64()), ("hit", pa.int64()), ("tot", pa.int64())]
+        ),
+    )
+    agg = parts.groupby("doc_id").aggregate(
+        Sum("hit", alias_name="n_clip"), Sum("tot", alias_name="n_bigrams")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_bigrams": pc.cast(t.column("n_bigrams"), pa.int64()),
+                "n_clip": pc.cast(t.column("n_clip"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SELF_BLEU = r"""
+WITH l AS (
+  SELECT doc_id,
+         regexp_extract_all(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                            '\S+') AS toks
+  FROM documents
+  WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+b AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM l, unnest(generate_series(1, len(toks) - 1)) AS t(i)),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM b GROUP BY 1, 2),
+w1 AS (SELECT *, max(cnt) OVER (PARTITION BY gram) AS m1 FROM c),
+w2 AS (SELECT *,
+         sum(CASE WHEN cnt = m1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY gram) AS c1,
+         max(CASE WHEN cnt < m1 THEN cnt ELSE -1 END)
+           OVER (PARTITION BY gram) AS m2
+       FROM w1)
+SELECT doc_id,
+       cast(sum(cnt) AS BIGINT) AS n_bigrams,
+       cast(sum(least(cnt,
+            CASE WHEN cnt = m1 AND c1 = 1 THEN greatest(m2, 0)
+                 ELSE m1 END)) AS BIGINT) AS n_clip
+FROM w2 GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "seq_triples": q_seq_triples,
     "dtw_distance": q_dtw_distance,
     "ols_multi": q_ols_multi,
     "jenks_breaks": q_jenks_breaks,
     "lexicon_scan": q_lexicon_scan,
+    "self_bleu": q_self_bleu,
 }
 
 ORACLE_SQL = {
@@ -754,6 +921,7 @@ ORACLE_SQL = {
     "ols_multi": SQL_OLS_MULTI,
     "jenks_breaks": SQL_JENKS,
     "lexicon_scan": _sql_lexicon(),
+    "self_bleu": SQL_SELF_BLEU,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
