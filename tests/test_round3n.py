@@ -326,3 +326,33 @@ def test_sb_clip_equals_bruteforce_leave_one_out():
         for d in want_tot:
             assert out.loc[d, "hit"] == want_hit[d], (trial, d)
             assert out.loc[d, "tot"] == want_tot[d], (trial, d)
+
+
+def test_tau_census_equals_bruteforce_pairs():
+    from weakscraper_ray.pipelines.patterns import _tau_from_census
+
+    rng = random.Random(61)
+    for trial in range(6):
+        xs = [rng.randint(0, 4) for _ in range(40)]
+        ys = [rng.randint(0, 3) for _ in range(40)]
+        cells = {}
+        for x, y in zip(xs, ys):
+            cells[(x, y)] = cells.get((x, y), 0) + 1
+        C, D, n0, n1t, n2t = _tau_from_census(cells)
+        bc = bd = bn1 = bn2 = 0
+        n = len(xs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = xs[i] - xs[j]
+                dy = ys[i] - ys[j]
+                if dx == 0:
+                    bn1 += 1
+                if dy == 0:
+                    bn2 += 1
+                if dx * dy > 0:
+                    bc += 1
+                elif dx * dy < 0:
+                    bd += 1
+        assert (C, D, n0, n1t, n2t) == (
+            bc, bd, n * (n - 1) // 2, bn1, bn2
+        ), trial

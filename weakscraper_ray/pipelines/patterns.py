@@ -906,6 +906,238 @@ FROM w2 GROUP BY doc_id
 """
 
 
+# =====================================================================
+# kendall_tau — exact tau-b over the bounded (quantity, discount) grid
+# =====================================================================
+
+
+def _tau_from_census(cells: dict[tuple[int, int], int]):
+    """Exact Kendall tau-b ingredients from a (x, y) → n census:
+    concordant / discordant pair counts via the strictly-lower /
+    strictly-mixed quadrant sums (each distinct-cell pair counted once
+    from the greater x), tie terms from the marginals — all Python
+    bigints.  Works on any census size; here the grid is bounded
+    (≤ ~550 cells), so the O(cells²) sweep is trivial."""
+    items = sorted(cells.items())
+    C = D = 0
+    for i, ((x1, y1), n1) in enumerate(items):
+        for (x2, y2), n2 in items[i + 1 :]:
+            if x2 == x1:
+                continue  # tied in x: neither concordant nor discordant
+            if y2 > y1:
+                C += n1 * n2
+            elif y2 < y1:
+                D += n1 * n2
+    n = sum(cells.values())
+    n0 = n * (n - 1) // 2
+    rx: dict[int, int] = {}
+    ry: dict[int, int] = {}
+    for (x, y), c in cells.items():
+        rx[x] = rx.get(x, 0) + c
+        ry[y] = ry.get(y, 0) + c
+    n1t = sum(v * (v - 1) // 2 for v in rx.values())
+    n2t = sum(v * (v - 1) // 2 for v in ry.values())
+    return C, D, n0, n1t, n2t
+
+
+def q_kendall_tau(sf_dir: str):
+    """Exact Kendall tau-b between l_quantity and discount_pct — the
+    tie-aware rank correlation (Kendall 1945), integer end-to-end:
+    concordant/discordant counts and tie terms are bigints from the
+    BOUNDED (≤ 50 × 11) value-pair census; only the final
+    ``tau_b_e6`` read-out touches a double, computed from the SAME
+    integers on both engines (IEEE sqrt/division are correctly
+    rounded, the repo's one-mirrored-double-op rule).  Output: one row
+    (n, nc, nd, tau_b_e6).
+
+    Shape: per-batch 2-D bincount partials over the fixed grid →
+    driver fold (zero exchange, the emd_drift discipline), O(cells²)
+    driver sweep."""
+    import math
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = _i64_away_np(
+            t.column("l_quantity").to_numpy(zero_copy_only=False), 1.0
+        )
+        y = _i64_away_np(
+            t.column("l_discount").to_numpy(zero_copy_only=False), 100.0
+        )
+        g = (
+            pd.DataFrame({"x": x, "y": y})
+            .groupby(["x", "y"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "x": pa.array(g["x"].to_numpy(np.int64)),
+                "y": pa.array(g["y"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    cells: dict[tuple[int, int], int] = {}
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for x, y, n in zip(
+            t.column("x").to_pylist(),
+            t.column("y").to_pylist(),
+            t.column("n").to_pylist(),
+        ):
+            cells[(int(x), int(y))] = cells.get((int(x), int(y)), 0) + int(n)
+    C, D, n0, n1t, n2t = _tau_from_census(cells)
+    n = sum(cells.values())
+    tau = (C - D) / math.sqrt(float((n0 - n1t) * (n0 - n2t)))
+    tau_e6 = int(math.floor(abs(tau) * 1e6 + 0.5)) * (1 if tau >= 0 else -1)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "nc": pa.array([C], pa.int64()),
+            "nd": pa.array([D], pa.int64()),
+            "tau_b_e6": pa.array([tau_e6], pa.int64()),
+        }
+    )
+
+
+SQL_KENDALL = """
+WITH v AS (
+  SELECT cast(round(l_quantity) AS BIGINT) AS x,
+         cast(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem),
+c AS (SELECT x, y, cast(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2),
+p AS (
+  SELECT
+    coalesce(sum(a.n * b.n) FILTER (WHERE (a.x < b.x AND a.y < b.y)
+                                  OR (a.x > b.x AND a.y > b.y)), 0) AS nc,
+    coalesce(sum(a.n * b.n) FILTER (WHERE (a.x < b.x AND a.y > b.y)
+                                  OR (a.x > b.x AND a.y < b.y)), 0) AS nd
+  FROM c a JOIN c b ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+tot AS (SELECT cast(sum(n) AS HUGEINT) AS n FROM c),
+tx AS (SELECT sum(s * (s - 1) // 2) AS n1t
+       FROM (SELECT cast(sum(n) AS HUGEINT) AS s FROM c GROUP BY x)),
+ty AS (SELECT sum(s * (s - 1) // 2) AS n2t
+       FROM (SELECT cast(sum(n) AS HUGEINT) AS s FROM c GROUP BY y))
+SELECT cast(tot.n AS BIGINT) AS n,
+       cast(p.nc AS BIGINT) AS nc,
+       cast(p.nd AS BIGINT) AS nd,
+       cast(CASE WHEN p.nc >= p.nd
+         THEN floor(1e6 * (p.nc - p.nd)::DOUBLE
+              / sqrt(((tot.n * (tot.n - 1) // 2 - tx.n1t)
+                      * (tot.n * (tot.n - 1) // 2 - ty.n2t))::DOUBLE)
+              + 0.5)
+         ELSE -floor(1e6 * (p.nd - p.nc)::DOUBLE
+              / sqrt(((tot.n * (tot.n - 1) // 2 - tx.n1t)
+                      * (tot.n * (tot.n - 1) // 2 - ty.n2t))::DOUBLE)
+              + 0.5)
+       END AS BIGINT) AS tau_b_e6
+FROM p, tot, tx, ty
+"""
+
+
+# =====================================================================
+# cohen_kappa — chance-corrected agreement of the lang_id heuristic
+# =====================================================================
+
+
+def q_cohen_kappa(sf_dir: str):
+    """Cohen's kappa (1960) of the ``lang_id`` heuristic against the
+    corpus labels — the chance-corrected upgrade of raw accuracy over
+    the same |langs|² confusion census ``lang_confusion`` emits.
+    EXACT rational: κ = (N·agree − Σ_c row_c·col_c) /
+    (N² − Σ_c row_c·col_c); output (n, agree, pe_num, kappa_e6), the
+    e6 read-out via the shared signed half-away integer division.
+
+    Shape: the confusion pass is batch-local (label rides beside the
+    text); the |langs|²-bounded census folds on the driver — zero
+    keyed exchange."""
+    from ..functions.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    class _Confusion(LangId):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            preds = [
+                self._predict(t) for t in batch.column("text").to_pylist()
+            ]
+            t = pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "lang_pred": pa.array(preds),
+                }
+            )
+            return t.group_by(["lang", "lang_pred"]).aggregate(
+                [([], "count_all")]
+            )
+
+    census: dict[tuple[str, str], int] = {}
+    for t in ds.map_batches(
+        _Confusion, batch_format="pyarrow", concurrency=(1, 2)
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for a, b, n in zip(
+            t.column("lang").to_pylist(),
+            t.column("lang_pred").to_pylist(),
+            t.column("count_all").to_pylist(),
+        ):
+            census[(a, b)] = census.get((a, b), 0) + int(n)
+    n = sum(census.values())
+    agree = sum(v for (a, b), v in census.items() if a == b)
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    for (a, b), v in census.items():
+        rows[a] = rows.get(a, 0) + v
+        cols[b] = cols.get(b, 0) + v
+    pe_num = sum(rows[c] * cols.get(c, 0) for c in rows)
+    k_num = n * agree - pe_num
+    k_den = n * n - pe_num
+    kappa_e6 = (
+        (2_000_000 * k_num + k_den) // (2 * k_den)
+        if k_num >= 0
+        else -((2_000_000 * (-k_num) + k_den) // (2 * k_den))
+    )
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "agree": pa.array([agree], pa.int64()),
+            "pe_num": pa.array([pe_num], pa.int64()),
+            "kappa_e6": pa.array([kappa_e6], pa.int64()),
+        }
+    )
+
+
+def _sql_cohen_kappa() -> str:
+    from .relational import _sql_lang_id
+
+    return f"""
+WITH pred AS ({_sql_lang_id()}),
+conf AS (
+  SELECT d.lang AS a, p.lang_pred AS b, cast(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS n,
+               sum(n) FILTER (WHERE a = b) AS agree
+        FROM conf),
+pe AS (SELECT sum(r.rn * c.cn) AS pe_num
+       FROM (SELECT a, sum(n) AS rn FROM conf GROUP BY a) r
+       JOIN (SELECT b, sum(n) AS cn FROM conf GROUP BY b) c
+         ON c.b = r.a)
+SELECT cast(tot.n AS BIGINT) AS n,
+       cast(tot.agree AS BIGINT) AS agree,
+       cast(pe.pe_num AS BIGINT) AS pe_num,
+       cast(CASE WHEN tot.n * tot.agree - pe.pe_num >= 0
+         THEN (2000000 * (tot.n * tot.agree - pe.pe_num)
+               + (tot.n * tot.n - pe.pe_num))
+              // (2 * (tot.n * tot.n - pe.pe_num))
+         ELSE -((2000000 * (pe.pe_num - tot.n * tot.agree)
+               + (tot.n * tot.n - pe.pe_num))
+              // (2 * (tot.n * tot.n - pe.pe_num)))
+       END AS BIGINT) AS kappa_e6
+FROM tot, pe
+"""
+
+
 QUERIES = {
     "seq_triples": q_seq_triples,
     "dtw_distance": q_dtw_distance,
@@ -913,6 +1145,8 @@ QUERIES = {
     "jenks_breaks": q_jenks_breaks,
     "lexicon_scan": q_lexicon_scan,
     "self_bleu": q_self_bleu,
+    "kendall_tau": q_kendall_tau,
+    "cohen_kappa": q_cohen_kappa,
 }
 
 ORACLE_SQL = {
@@ -922,6 +1156,8 @@ ORACLE_SQL = {
     "jenks_breaks": SQL_JENKS,
     "lexicon_scan": _sql_lexicon(),
     "self_bleu": SQL_SELF_BLEU,
+    "kendall_tau": SQL_KENDALL,
+    "cohen_kappa": _sql_cohen_kappa(),
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
