@@ -1,47 +1,53 @@
-"""Round-3 continuation #16: sequence patterns, exact alignment, and
-multivariate least squares:
+"""Round-3 continuation #16: sequence patterns, exact alignment /
+segmentation DPs, multi-pattern matching, diversity + agreement +
+rank-correlation metrics, and multivariate least squares:
 
 - ``seq_triples``   GSP-style sequential-pattern support counting
                     (Srikant & Agrawal 1996): for every ORDERED type
-                    triple (t1, t2, t3), in how many per-user event
-                    journeys does the subsequence occur (gaps
-                    allowed)?  The ordered complement of
-                    ``event_pairs``' unordered co-occurrence.
+                    triple, in how many per-user event journeys does
+                    the gapped subsequence occur — the ordered
+                    complement of ``event_pairs``.
 - ``dtw_distance``  exact dynamic-time-warping distance (Sakoe &
-                    Chiba 1978) between the monthly order-count
-                    series of two order priorities — the alignment
-                    metric that, unlike ``rolling_corr``/``emd_drift``,
-                    tolerates local time shifts.
-- ``ols_multi``     EXACT 2-regressor + intercept least squares of
-                    price on (quantity, discount) via the normal
-                    equations: distributed integer moment partials,
-                    bigint Cramer solve — the multivariate upgrade of
-                    ``trend_slope``'s single-regressor fit.
+                    Chiba 1978) between two monthly count series —
+                    the alignment metric that, unlike
+                    ``rolling_corr``/``emd_drift``, tolerates local
+                    time shifts.  Oracle: recursive CTE carrying the
+                    two DP diagonals as LISTs.
+- ``jenks_breaks``  Fisher-1958 optimal 1-D segmentation ("natural
+                    breaks") under the integer n-scaled dispersion
+                    objective; oracle carries each DP stage as a LIST.
+- ``ols_multi``     EXACT 2-regressor + intercept least squares via
+                    the normal equations: distributed integer moment
+                    partials, bigint Cramer solve — the multivariate
+                    upgrade of ``trend_slope``.
+- ``lexicon_scan``  Aho–Corasick 1975 one-pass multi-pattern phrase
+                    counting, automaton held in ACTOR state, the
+                    batch stepped in lock-step per char position.
+- ``self_bleu``     leave-one-out clipped bigram precision (Zhu et
+                    al. 2018 Texygen) — the generative-diversity
+                    metric, pure-integer read-outs.
+- ``kendall_tau``   exact tau-b from the bounded value-pair census.
+- ``cohen_kappa``   chance-corrected lang_id agreement from the
+                    bounded confusion census, exact rational.
 
 Exactness strategy (repo conventions): every payload is quantized to
-integers BEFORE any arithmetic (counts; cents / discount-percent via
-the half-away rule both engines share), so all three outputs are pure
-integers — no float compare anywhere.  ``ols_multi``'s Cramer
-determinants are Python bigints on the engine and HUGEINTs in DuckDB
-(~105 bits at sf1 — comfortably inside HUGEINT's 127; the e6 read-out
-uses the shared (2·e6·|D_i| + D) // (2·D) half-away integer division).
+integers BEFORE any arithmetic, so outputs are pure integers — the
+single exception is ``tau_b_e6``, a double computed from IDENTICAL
+integers on both engines (IEEE sqrt/divide are correctly rounded).
+``ols_multi``'s Cramer determinants are Python bigints on the engine
+and HUGEINTs in DuckDB (~105 bits at sf1, inside HUGEINT's 127); the
+e6 read-outs use the shared (2·e6·|p| + q) // (2·q) half-away
+integer division.
 
-Scale shapes:
-- ``seq_triples``: ONE exchange keyed by ``user_id % 64`` (the
-  pack_conversations shard lesson — per-user groups are tiny, the UDF
-  runs once per shard); inside, the greedy subsequence witness
-  (first-a → first-b-after → any-c-after) is evaluated for all
-  |types|² (a, b) pairs at once with composite-key ``searchsorted``
-  over (user·2³² + pos) arrays — no per-user Python loop; the final
-  rollup is a ≤ |types|³-row groupby.
-- ``dtw_distance``: per-batch (month, count_a, count_b) partials →
-  driver fold over the BOUNDED month domain (the emd_drift / isotonic
-  division of labor), then the inherently serial O(n·m) DP as ~2n
-  anti-diagonal numpy vector steps (the same diagonal frontier the
-  recursive-CTE oracle carries as lists).
-- ``ols_multi``: one-row per-batch moment partials (9 integer sums)
-  → driver fold, zero exchange — X'X for fixed p is a fixed-domain
-  aggregate.
+Scale shapes — each operator picks the cheapest honest exchange:
+- user/gram-keyed exchanges where per-key work must co-locate
+  (``seq_triples``, ``self_bleu``), with all in-shard work C-level
+  (composite-key searchsorted, grouped transforms);
+- bounded-domain driver folds for fixed-size aggregates
+  (``dtw_distance``/``jenks_breaks`` month grids, ``ols_multi``
+  moments, ``kendall_tau`` value grid, ``cohen_kappa`` confusion) —
+  the emd_drift / late_events exchange discipline;
+- map-only actor stages where state amortizes (``lexicon_scan``).
 """
 
 from __future__ import annotations
