@@ -1,0 +1,135 @@
+"""Continuation-#17 contracts: the census-based Spearman/Mann–Kendall
+reductions equal brute-force definitions over expanded values; Yule's K
+e6 read-out matches Fraction rounding; doubled mid-ranks match the
+textbook average-rank assignment."""
+
+import math
+import random
+from fractions import Fraction
+
+import numpy as np
+
+
+def _brute_spearman(xs, ys):
+    """Textbook tie-corrected Spearman: Pearson over average ranks."""
+
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and v[order[j]] == v[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                r[order[k]] = mid
+            i = j
+        return r
+
+    ra, rb = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    sx, sy = sum(ra), sum(rb)
+    sxy = sum(a * b for a, b in zip(ra, rb))
+    sxx = sum(a * a for a in ra)
+    syy = sum(b * b for b in rb)
+    num = n * sxy - sx * sy
+    den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return num / den
+
+
+def test_census_spearman_matches_brute_force():
+    from weakscraper_ray.pipelines.measures import _rank2
+
+    rng = random.Random(7)
+    xs = [rng.randint(0, 5) for _ in range(400)]
+    ys = [x + rng.randint(0, 3) for x in xs]  # correlated, heavy ties
+    cells = {}
+    for x, y in zip(xs, ys):
+        cells[(x, y)] = cells.get((x, y), 0) + 1
+    mx, my = {}, {}
+    for (x, y), n in cells.items():
+        mx[x] = mx.get(x, 0) + n
+        my[y] = my.get(y, 0) + n
+    rx, ry = _rank2(mx), _rank2(my)
+    n_tot = sum(cells.values())
+    sx = sy = sxy = sxx = syy = 0
+    for (x, y), n in cells.items():
+        a, b = rx[x], ry[y]
+        sx += n * a
+        sy += n * b
+        sxy += n * a * b
+        sxx += n * a * a
+        syy += n * b * b
+    num = n_tot * sxy - sx * sy
+    denx = n_tot * sxx - sx * sx
+    deny = n_tot * syy - sy * sy
+    rho = float(num) / math.sqrt(float(denx) * float(deny))
+    assert abs(rho - _brute_spearman(xs, ys)) < 1e-12
+
+
+def test_rank2_is_doubled_average_rank():
+    from weakscraper_ray.pipelines.measures import _rank2
+
+    marg = {3: 4, 7: 1, 9: 2}  # values 3,3,3,3,7,9,9
+    r2 = _rank2(marg)
+    # average ranks: 3 → (1+2+3+4)/4 = 2.5; 7 → 5; 9 → (6+7)/2 = 6.5
+    assert r2 == {3: 5, 7: 10, 9: 13}
+
+
+def test_mann_kendall_census_matches_brute_force():
+    rng = random.Random(11)
+    c = np.array([rng.randint(0, 4) for _ in range(200)], dtype=np.int64)
+    n = len(c)
+    # module path (mirrors q_mann_kendall's folded sweep)
+    sgn = np.sign(c[None, :] - c[:, None])
+    s_stat = int(np.triu(sgn, k=1).sum())
+    var18 = n * (n - 1) * (2 * n + 5)
+    vals, cnts = np.unique(c, return_counts=True)
+    for t in cnts:
+        t = int(t)
+        var18 -= t * (t - 1) * (2 * t + 5)
+    # brute force over all ordered pairs
+    s_brute = sum(
+        (1 if c[j] > c[i] else -1 if c[j] < c[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert s_stat == s_brute
+    ties = {}
+    for v in c:
+        ties[int(v)] = ties.get(int(v), 0) + 1
+    var18_brute = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+    assert var18 == var18_brute
+    assert var18 >= 0
+
+
+def test_yule_k_e6_matches_fraction_rounding():
+    from weakscraper_ray.pipelines.patterns import _ols_e6
+
+    # tiny corpus: counts {the:3, cat:2, sat:1, mat:1} → N=7, S2=15
+    counts = [3, 2, 1, 1]
+    n = sum(counts)
+    s2 = sum(m * m for m in counts)
+    k_e6 = _ols_e6(10_000 * (s2 - n), n * n)
+    exact = Fraction(10_000 * (s2 - n) * 10**6, n * n)
+    # half-away-from-zero rounding of the exact rational
+    want = int(exact) + (1 if (exact - int(exact)) * 2 >= 1 else 0)
+    assert k_e6 == want
+    assert s2 >= n  # K is non-negative for every census
+
+
+def test_yule_k_spectrum_identity():
+    """S₂ from per-type counts equals Σ m²·V_m from the spectrum —
+    the identity the docstring's formula quotes (Yule's original form
+    uses the spectrum; the implementation folds per-type squares)."""
+    rng = random.Random(3)
+    counts = [rng.randint(1, 9) for _ in range(50)]
+    s2_types = sum(m * m for m in counts)
+    spectrum = {}
+    for m in counts:
+        spectrum[m] = spectrum.get(m, 0) + 1
+    s2_spec = sum(m * m * v for m, v in spectrum.items())
+    assert s2_types == s2_spec

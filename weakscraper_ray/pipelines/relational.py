@@ -3265,3 +3265,7 @@ from . import features as _features  # noqa: E402,F401
 # support, DTW with a recursive-CTE twin, bigint-Cramer least squares).
 from . import patterns as _patterns  # noqa: E402,F401
 
+# round-3 classical-measures family (Yule's K, tie-corrected Spearman,
+# Mann–Kendall trend test).
+from . import measures as _measures  # noqa: E402,F401
+
