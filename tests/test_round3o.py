@@ -133,3 +133,63 @@ def test_yule_k_spectrum_identity():
         spectrum[m] = spectrum.get(m, 0) + 1
     s2_spec = sum(m * m * v for m, v in spectrum.items())
     assert s2_types == s2_spec
+
+
+def test_var_edges_matches_brute_force_and_knuth_pinned():
+    from weakscraper_ray.pipelines import graph as g
+    from weakscraper_ray.pipelines.graphstats import (
+        _GS_KNUTH,
+        _GS_MAXOUT,
+        _out_deg,
+        _var_edges,
+    )
+
+    assert _GS_KNUTH == g._PR_KNUTH  # shared public constant, pinned
+    n = 97
+    src = np.arange(n, dtype=np.int64)
+    es, ed = _var_edges(src, n)
+    brute = set()
+    for u in range(n):
+        for j in range(1, 1 + (u % _GS_MAXOUT) + 1):
+            brute.add((u, (u * _GS_KNUTH + j) % n))
+    assert set(zip(es.tolist(), ed.tolist())) == brute
+    assert len(es) == len(brute)  # no duplicate edges
+    # out-degree identity
+    out = np.bincount(es, minlength=n)
+    assert (out == _out_deg(src)).all()
+
+
+def test_assortativity_moments_equal_corrcoef():
+    from weakscraper_ray.pipelines.graphstats import _out_deg, _var_edges
+
+    n = 64
+    src = np.arange(n, dtype=np.int64)
+    es, ed = _var_edges(src, n)
+    indeg = np.bincount(ed, minlength=n)
+    deg = indeg + _out_deg(src)
+    x, y = deg[es].astype(np.int64), deg[ed].astype(np.int64)
+    m = len(x)
+    num = m * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    denx = m * int((x * x).sum()) - int(x.sum()) ** 2
+    deny = m * int((y * y).sum()) - int(y.sum()) ** 2
+    r = float(num) / math.sqrt(float(denx) * float(deny))
+    want = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+    assert abs(r - want) < 1e-12
+
+
+def test_rich_club_census_cumulative_identity():
+    from weakscraper_ray.pipelines.graphstats import _out_deg, _var_edges
+
+    n = 64
+    src = np.arange(n, dtype=np.int64)
+    es, ed = _var_edges(src, n)
+    indeg = np.bincount(ed, minlength=n)
+    deg = indeg + _out_deg(src)
+    md = np.minimum(deg[es], deg[ed])
+    census = {}
+    for v in md:
+        census[int(v)] = census.get(int(v), 0) + 1
+    for k in range(10):
+        e_k = sum(c for v, c in census.items() if v > k)
+        brute = int(((deg[es] > k) & (deg[ed] > k)).sum())
+        assert e_k == brute

@@ -3269,3 +3269,7 @@ from . import patterns as _patterns  # noqa: E402,F401
 # Mann–Kendall trend test).
 from . import measures as _measures  # noqa: E402,F401
 
+# round-3 graph-structure measures (degree assortativity, rich-club
+# coefficient) over the derived citation graph.
+from . import graphstats as _graphstats  # noqa: E402,F401
+
