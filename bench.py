@@ -122,7 +122,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "dedup_containment", "semdedup", "kn_bigram", "dedup_chain",
         "feature_hash", "seq_triples", "dtw_distance", "ols_multi",
         "modularity_score", "jenks_breaks", "lexicon_scan", "self_bleu",
-        "kendall_tau", "cohen_kappa",
+        "kendall_tau", "cohen_kappa", "yule_k", "spearman_rho",
+        "mann_kendall", "assortativity", "rich_club", "ams_f2",
     ]
     out: dict[str, float] = {}
     for name in names:

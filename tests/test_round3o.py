@@ -193,3 +193,53 @@ def test_rich_club_census_cumulative_identity():
         e_k = sum(c for v, c in census.items() if v > k)
         brute = int(((deg[es] > k) & (deg[ed] > k)).sum())
         assert e_k == brute
+
+
+def test_ams_signs_match_md5_bit_definition():
+    import hashlib
+
+    from weakscraper_ray.pipelines.moments import _AMS_K, _ams_signs
+
+    users = np.array([0, 1, 42, 999999, 2**31], dtype=np.int64)
+    s = _ams_signs(users)
+    assert s.shape == (len(users), _AMS_K)
+    for i, u in enumerate(users):
+        h = int.from_bytes(
+            hashlib.md5(str(int(u)).encode()).digest()[8:], "little"
+        )
+        for j in (0, 1, 31, 62, 63):
+            assert s[i, j] == (1 if (h >> j) & 1 else -1)
+
+
+def test_ams_counter_partials_are_linear_and_readout_is_median():
+    """Per-batch distinct-user partials fold to the same 64 counters as
+    one global pass (c_j is linear in counts), and est_x32 equals
+    32 x the textbook median of the 4 group means."""
+    import statistics
+
+    from weakscraper_ray.pipelines.moments import (
+        _AMS_GROUP, _AMS_K, _ams_signs)
+
+    rng = random.Random(13)
+    events = [rng.randint(0, 40) for _ in range(3000)]
+    # global pass
+    uniq, cnt = np.unique(np.array(events, dtype=np.int64),
+                          return_counts=True)
+    c_global = _ams_signs(uniq).T @ cnt.astype(np.int64)
+    # three arbitrary batches, folded
+    c_fold = np.zeros(_AMS_K, dtype=np.int64)
+    for lo, hi in [(0, 1000), (1000, 1700), (1700, 3000)]:
+        u, k = np.unique(np.array(events[lo:hi], dtype=np.int64),
+                         return_counts=True)
+        c_fold += _ams_signs(u).T @ k.astype(np.int64)
+    assert (c_global == c_fold).all()
+    g = sorted(
+        sum(int(c_global[j]) ** 2 for j in range(k, k + _AMS_GROUP))
+        for k in range(0, _AMS_K, _AMS_GROUP)
+    )
+    est_x32 = g[1] + g[2]
+    means = sorted(gs / _AMS_GROUP for gs in g)
+    assert est_x32 / 32.0 == statistics.median(means)
+    # sanity: the estimator is within 3x of exact F2 on this input
+    f2 = int((cnt.astype(object) ** 2).sum())
+    assert f2 / 3 < est_x32 / 32 < f2 * 3

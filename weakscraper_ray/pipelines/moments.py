@@ -234,13 +234,145 @@ FROM a
 """
 
 
+
+# =====================================================================
+# ams_f2 — AMS tug-of-war sketch of the per-user activity F2 moment
+# =====================================================================
+
+#: counter count (4 groups × 16 for the median-of-means read-out)
+_AMS_K = 64
+_AMS_GROUP = 16
+
+
+def _ams_signs(users: np.ndarray) -> np.ndarray:
+    """(len(users) × 64) ±1 sign matrix: sign_j(u) = bit j of
+    md5_number_lower(str(u)) — 64 four-ish-wise-independent-in-practice
+    sign functions from ONE md5 per distinct user (the feature_hash
+    hash discipline; exact SQL mirror via integer shifts)."""
+    import hashlib
+
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[8:],
+                           "little")
+            for u in users
+        ),
+        dtype=np.uint64,
+        count=len(users),
+    )
+    bits = (h[:, None] >> np.arange(_AMS_K, dtype=np.uint64)[None, :]) & np.uint64(1)
+    return (bits.astype(np.int64) * 2 - 1)
+
+
+def q_ams_f2(sf_dir: str):
+    """Alon–Matias–Szegedy (STOC 1996) tug-of-war sketch of the
+    second frequency moment of per-user event activity, with the exact
+    F2 audit beside it.  64 counters c_j = Σ_u s_j(u)·cnt_u with ±1
+    signs from one md5 per user; the estimator is the median of 4
+    means of 16 squared counters — emitted as the INTEGER
+    ``est_x32`` = G(2) + G(3) over the sorted group square-sums
+    (= 32 × the estimate: each G is 16 × a mean, the median of an
+    even count is the mid-pair average — kept as the doubled sum so
+    no division happens).  Output: one row
+    ``(n_events, f2_exact, est_x32)`` — all bigints, hash-exact.
+
+    Scale shapes: the sketch pass is ZERO-exchange — per-batch
+    (64-counter, n) partials fold on the driver (each batch hashes its
+    DISTINCT users once); the exact audit keeps its keyed
+    ``groupby(user)`` exchange because the user domain grows with
+    data (the exchange discipline), then folds per-block
+    sum-of-squares scalars."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def _sketch_partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(u, return_counts=True)
+        c = _ams_signs(uniq).T @ cnt.astype(np.int64)  # (64,)
+        return pa.table(
+            {
+                "j": pa.array(np.arange(_AMS_K, dtype=np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+                "n": pa.array(
+                    np.concatenate([[len(u)], np.zeros(_AMS_K - 1, np.int64)])
+                ),
+            }
+        )
+
+    counters = np.zeros(_AMS_K, dtype=object)
+    n_events = 0
+    for t in ds.map_batches(
+        _sketch_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        counters[t.column("j").to_numpy(zero_copy_only=False)] += np.array(
+            t.column("c").to_pylist(), dtype=object
+        )
+        n_events += sum(t.column("n").to_pylist())
+
+    g = sorted(
+        sum(int(counters[j]) ** 2 for j in range(k, k + _AMS_GROUP))
+        for k in range(0, _AMS_K, _AMS_GROUP)
+    )
+    est_x32 = g[1] + g[2]
+
+    # exact audit: keyed exchange (user domain grows with data)
+    cnts = (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    def _sq_partial(t: pa.Table) -> pa.Table:
+        c = t.column("cnt").to_numpy(zero_copy_only=False).astype(object)
+        return pa.table({"s": pa.array([int((c * c).sum())], pa.int64())})
+
+    f2 = 0
+    for t in cnts.map_batches(_sq_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        f2 += sum(t.column("s").to_pylist())
+    return pa.table(
+        {
+            "n_events": pa.array([n_events], pa.int64()),
+            "f2_exact": pa.array([f2], pa.int64()),
+            "est_x32": pa.array([est_x32], pa.int64()),
+        }
+    )
+
+
+SQL_AMS_F2 = f"""
+WITH u AS (
+  SELECT user_id, cast(count(*) AS BIGINT) AS cnt,
+         md5_number_lower(cast(user_id AS VARCHAR)) AS h
+  FROM events GROUP BY user_id),
+c AS (
+  SELECT j.j,
+         cast(sum(cnt * (cast((h >> j.j) % 2 AS BIGINT) * 2 - 1))
+              AS HUGEINT) AS cj
+  FROM u, range({_AMS_K}) j(j) GROUP BY j.j),
+g AS (
+  SELECT j // {_AMS_GROUP} AS grp, sum(cj * cj) AS gs
+  FROM c GROUP BY 1),
+r AS (SELECT gs, row_number() OVER (ORDER BY gs) AS rn FROM g),
+est AS (SELECT cast(sum(gs) AS BIGINT) AS est_x32 FROM r
+        WHERE rn IN (2, 3))
+SELECT (SELECT cast(sum(cnt) AS BIGINT) FROM u) AS n_events,
+       (SELECT cast(sum(cast(cnt AS HUGEINT) * cnt) AS BIGINT) FROM u)
+         AS f2_exact,
+       est.est_x32
+FROM est
+"""
+
+
 QUERIES = {
+    "ams_f2": q_ams_f2,
     "gram_matrix": q_gram_matrix,
     "hill_tail": q_hill_tail,
     "markov_entropy": q_markov_entropy,
 }
 
 ORACLE_SQL = {
+    "ams_f2": SQL_AMS_F2,
     "gram_matrix": SQL_GRAM,
     "hill_tail": SQL_HILL,
     "markov_entropy": SQL_MARKOV_ENTROPY,
