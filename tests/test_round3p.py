@@ -1,0 +1,141 @@
+"""Continuation-#18 contracts: the census-moment ANOVA / Kruskal–Wallis
+chains equal textbook brute-force statistics on expanded values; the
+periodogram trig literals match libm; the k = 0 DFT line is the mean
+line."""
+
+import math
+import random
+
+import numpy as np
+
+
+def _census(xs, fs):
+    cells = {}
+    for f, x in zip(fs, xs):
+        cells[(f, x)] = cells.get((f, x), 0) + 1
+    return cells
+
+
+def test_anova_moments_equal_brute_force_f():
+    rng = random.Random(11)
+    fs = [rng.choice("ANR") for _ in range(600)]
+    xs = [rng.randint(1, 10) + (0 if f == "A" else 2) for f in fs]
+    # brute-force F from definitions
+    groups = {f: [x for g, x in zip(fs, xs) if g == f] for f in "ANR"}
+    n = len(xs)
+    gm = sum(xs) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f_brute = (ssb / 2.0) / (ssw / (n - 3.0))
+    # moment-chain F (the q_anova_f arithmetic over the census)
+    cells = _census(xs, fs)
+    ng = {f: 0 for f in "ANR"}
+    s = {f: 0 for f in "ANR"}
+    q = {f: 0 for f in "ANR"}
+    for (f, x), m in cells.items():
+        ng[f] += m
+        s[f] += m * x
+        q[f] += m * x * x
+    nt, st, qt = sum(ng.values()), sum(s.values()), sum(q.values())
+    t1 = sum(float(s[f]) * float(s[f]) / float(ng[f]) for f in "ANR")
+    f_chain = ((t1 - float(st) * float(st) / float(nt)) / 2.0) / (
+        (float(qt) - t1) / (float(nt) - 3.0)
+    )
+    assert math.isclose(f_chain, f_brute, rel_tol=1e-9)
+
+
+def test_kruskal_chain_equals_brute_force_h():
+    rng = random.Random(13)
+    fs = [rng.choice("ANR") for _ in range(500)]
+    xs = [rng.randint(1, 8) + (1 if f == "R" else 0) for f in fs]
+    n = len(xs)
+    # textbook tie-corrected H over average ranks
+    order = sorted(range(n), key=lambda i: xs[i])
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and xs[order[j]] == xs[order[i]]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[order[t]] = mid
+        i = j
+    rsum = {f: 0.0 for f in "ANR"}
+    cnt = {f: 0 for f in "ANR"}
+    for f, r in zip(fs, ranks):
+        rsum[f] += r
+        cnt[f] += 1
+    h_raw = 12.0 / (n * (n + 1)) * sum(
+        rsum[f] ** 2 / cnt[f] for f in "ANR"
+    ) - 3.0 * (n + 1)
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(xs).values())
+    h_brute = h_raw / (1.0 - tie / (n**3 - n))
+    # doubled-midrank census chain (the q_kruskal_wallis arithmetic)
+    from weakscraper_ray.pipelines.measures import _rank2
+
+    cells = _census(xs, fs)
+    marg = {}
+    for (_, x), m in cells.items():
+        marg[x] = marg.get(x, 0) + m
+    r2 = _rank2(marg)
+    ng = {f: 0 for f in "ANR"}
+    rp = {f: 0 for f in "ANR"}
+    for (f, x), m in cells.items():
+        ng[f] += m
+        rp[f] += m * r2[x]
+    t1 = sum(float(rp[f]) * float(rp[f]) / float(ng[f]) for f in "ANR")
+    nd = float(n)
+    h_chain = (3.0 * t1 / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)) / (
+        1.0 - float(tie) / (nd * nd * nd - nd)
+    )
+    assert math.isclose(h_chain, h_brute, rel_tol=1e-9)
+
+
+def test_rank2_doubling_cancels_in_t1():
+    # R'_g = 2 R_g exactly: the factor 4 moved into 12/4 = 3
+    from weakscraper_ray.pipelines.measures import _rank2
+
+    marg = {3: 2, 5: 1, 9: 4}
+    r2 = _rank2(marg)
+    # expanded average ranks: value 3 -> (1+2)/2 = 1.5, 5 -> 3, 9 -> 5.5
+    assert r2[3] == int(2 * 1.5) and r2[5] == int(2 * 3.0)
+    assert r2[9] == int(2 * 5.5)
+
+
+def test_dft_literals_match_libm():
+    from weakscraper_ray.pipelines.hypotests import _COS_E9, _SIN_E9
+
+    for k in range(4):
+        for m in range(7):
+            ang = 2.0 * math.pi * k * m / 7.0
+            c = math.cos(ang) * 1e9
+            s = math.sin(ang) * 1e9
+            assert _COS_E9[k][m] == int(np.rint(c))
+            assert _SIN_E9[k][m] == int(np.rint(s))
+            # rint is within half an ulp of the true value
+            assert abs(_COS_E9[k][m] - c) <= 0.5 + 1e-6
+            assert abs(_SIN_E9[k][m] - s) <= 0.5 + 1e-6
+
+
+def test_dft_k0_is_mean_line_and_power_matches_complex_dft():
+    from weakscraper_ray.pipelines.hypotests import _COS_E9, _SIN_E9
+
+    rng = random.Random(17)
+    n_m = [rng.randint(100, 999) for _ in range(7)]
+    tot = sum(n_m)
+    for k in range(4):
+        a = sum(n_m[m] * _COS_E9[k][m] for m in range(7))
+        b = sum(n_m[m] * _SIN_E9[k][m] for m in range(7))
+        if k == 0:
+            assert a == tot * 10**9 and b == 0
+        # quantized power tracks the float DFT power within the
+        # quantization error bound (7 * tot * 0.5 per component)
+        za = sum(n_m[m] * math.cos(2 * math.pi * k * m / 7) for m in range(7))
+        zb = sum(n_m[m] * math.sin(2 * math.pi * k * m / 7) for m in range(7))
+        assert abs(a - za * 1e9) <= 3.5 * tot + 1
+        assert abs(b - zb * 1e9) <= 3.5 * tot + 1

@@ -1,0 +1,402 @@
+"""Round-3 continuation #18: classical hypothesis tests + a spectral
+read-out, each exact-integer until one mirrored double expression.
+
+- ``anova_f``        one-way ANOVA F (Fisher 1925) of l_quantity
+                     across the three l_returnflag groups — the
+                     group-difference screen of an experiment
+                     pipeline.  Nine exact int64 group moments
+                     (n, Σx, Σx² per group), one mirrored double
+                     chain for F.
+- ``kruskal_wallis`` the rank-based counterpart (Kruskal & Wallis
+                     1952) with the tie correction — doubled
+                     mid-ranks from the bounded quantity census keep
+                     every rank sum an exact bigint (the
+                     ``spearman_rho`` discipline); one mirrored
+                     double chain for H.
+- ``dft_power``      the weekly periodogram of the daily order-count
+                     series: the DFT at frequencies k/7 (k = 0..3)
+                     depends on day-of-week totals only, so the input
+                     reduces to a 7-cell census and the transform is
+                     a PURE-INTEGER dot product against e9-quantized
+                     trig literals (the ``ndcg_bm25`` literal
+                     discipline: constants inlined into the SQL twin
+                     and asserted against libm in tests).  Power is
+                     an exact bigint (a² + b²) // 10¹².
+
+Exactness strategy: every reduction is a bounded census — the 3 × 50
+(returnflag × quantity) grid for the two tests, ≤ #days daily totals
+re-binned to 7 day-of-week cells for the periodogram — folded exactly
+in integers per batch and combined on the driver (zero keyed
+exchange; the aggregate domains are FIXED, never data-sized — the
+``kendall_tau`` / ``emd_drift`` discipline).  The single F / H
+read-out is a fixed-order double expression over integers that are
+either < 2⁵³ (exactly representable) or cast once per engine
+(correctly-rounded on both), so the chain is bit-identical across
+engines — the ``spearman_rho`` precedent.
+
+Scale shapes: all three are map-only passes whose partials are
+constant-size tables; at 100 TB the driver fold stays a few KB per
+block and the O(cells) finish is constant work.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import relational as _rel
+from .relational import _i64_away_np, _read
+
+_US_PER_DAY = 86_400_000_000
+_FLAGS = ("A", "N", "R")  #: fixed l_returnflag domain, pinned in SQL
+
+
+def _flag_qty_census(sf_dir: str) -> dict[tuple[str, int], int]:
+    """(returnflag, quantity) → count, folded on the driver — the
+    3 × 50 bounded grid both tests consume (same fold discipline as
+    measures._census_cells, keyed by the group label instead of the
+    second value column)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = _i64_away_np(
+            t.column("l_quantity").to_numpy(zero_copy_only=False), 1.0
+        )
+        f = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"f": f, "x": x})
+            .groupby(["f", "x"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "f": pa.array(g["f"].astype(str)),
+                "x": pa.array(g["x"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    cells: dict[tuple[str, int], int] = {}
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for f, x, n in zip(
+            t.column("f").to_pylist(),
+            t.column("x").to_pylist(),
+            t.column("n").to_pylist(),
+        ):
+            cells[(f, int(x))] = cells.get((f, int(x)), 0) + int(n)
+    return cells
+
+
+def _e6_signed(v: float) -> int:
+    """half-away e6 read-out of a finished double (the spearman_rho
+    rule)."""
+    return int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+
+
+# =====================================================================
+# anova_f — one-way ANOVA over exact integer group moments
+# =====================================================================
+
+
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA F of l_quantity across returnflag groups: the
+    nine group moments (n_g, S_g = Σx, Q_g = Σx²) fold exactly from
+    the bounded census (every moment < 2⁵³ → exact as a double), then
+    F = (SSB/2) / (SSW/(N−3)) as ONE fixed-order double chain mirrored
+    verbatim in SQL: T1 = Σ_g S_g²/n_g in (A, N, R) order,
+    SSB = T1 − S²/N, SSW = Q − T1.  Output: one row of the nine
+    moments + ``f_e6``."""
+    cells = _flag_qty_census(sf_dir)
+    n = {f: 0 for f in _FLAGS}
+    s = {f: 0 for f in _FLAGS}
+    q = {f: 0 for f in _FLAGS}
+    for (f, x), m in cells.items():
+        n[f] += m
+        s[f] += m * x
+        q[f] += m * x * x
+    nt = sum(n.values())
+    st = sum(s.values())
+    qt = sum(q.values())
+    # fixed-order double chain (mirrored op-for-op in SQL_ANOVA_F)
+    t1 = (
+        float(s["A"]) * float(s["A"]) / float(n["A"])
+        + float(s["N"]) * float(s["N"]) / float(n["N"])
+        + float(s["R"]) * float(s["R"]) / float(n["R"])
+    )
+    ssb = t1 - float(st) * float(st) / float(nt)
+    ssw = float(qt) - t1
+    f_stat = (ssb / 2.0) / (ssw / (float(nt) - 3.0))
+    return pa.table(
+        {
+            "n_a": pa.array([n["A"]], pa.int64()),
+            "n_n": pa.array([n["N"]], pa.int64()),
+            "n_r": pa.array([n["R"]], pa.int64()),
+            "s_a": pa.array([s["A"]], pa.int64()),
+            "s_n": pa.array([s["N"]], pa.int64()),
+            "s_r": pa.array([s["R"]], pa.int64()),
+            "q_a": pa.array([q["A"]], pa.int64()),
+            "q_n": pa.array([q["N"]], pa.int64()),
+            "q_r": pa.array([q["R"]], pa.int64()),
+            "f_e6": pa.array([_e6_signed(f_stat)], pa.int64()),
+        }
+    )
+
+
+SQL_ANOVA_F = """
+WITH c AS (
+  SELECT l_returnflag AS f, cast(round(l_quantity) AS BIGINT) AS x,
+         cast(count(*) AS BIGINT) AS m
+  FROM lineitem GROUP BY 1, 2),
+g AS (SELECT
+  sum(CASE WHEN f = 'A' THEN m ELSE 0 END) AS na,
+  sum(CASE WHEN f = 'N' THEN m ELSE 0 END) AS nn,
+  sum(CASE WHEN f = 'R' THEN m ELSE 0 END) AS nr,
+  sum(CASE WHEN f = 'A' THEN m * x ELSE 0 END) AS sa,
+  sum(CASE WHEN f = 'N' THEN m * x ELSE 0 END) AS sn,
+  sum(CASE WHEN f = 'R' THEN m * x ELSE 0 END) AS sr,
+  sum(CASE WHEN f = 'A' THEN m * x * x ELSE 0 END) AS qa,
+  sum(CASE WHEN f = 'N' THEN m * x * x ELSE 0 END) AS qn,
+  sum(CASE WHEN f = 'R' THEN m * x * x ELSE 0 END) AS qr
+  FROM c),
+d AS (SELECT na, nn, nr, sa, sn, sr, qa, qn, qr,
+             (na + nn + nr) AS nt, (sa + sn + sr) AS st,
+             (qa + qn + qr) AS qt,
+             (sa::DOUBLE * sa::DOUBLE / na::DOUBLE
+              + sn::DOUBLE * sn::DOUBLE / nn::DOUBLE
+              + sr::DOUBLE * sr::DOUBLE / nr::DOUBLE) AS t1
+      FROM g),
+e AS (SELECT na, nn, nr, sa, sn, sr, qa, qn, qr, nt,
+             (t1 - st::DOUBLE * st::DOUBLE / nt::DOUBLE) AS ssb,
+             (qt::DOUBLE - t1) AS ssw
+      FROM d),
+f AS (SELECT na, nn, nr, sa, sn, sr, qa, qn, qr,
+             ((ssb / 2.0) / (ssw / (nt::DOUBLE - 3.0))) AS fs
+      FROM e)
+SELECT cast(na AS BIGINT) AS n_a, cast(nn AS BIGINT) AS n_n,
+       cast(nr AS BIGINT) AS n_r,
+       cast(sa AS BIGINT) AS s_a, cast(sn AS BIGINT) AS s_n,
+       cast(sr AS BIGINT) AS s_r,
+       cast(qa AS BIGINT) AS q_a, cast(qn AS BIGINT) AS q_n,
+       cast(qr AS BIGINT) AS q_r,
+       cast(CASE WHEN fs >= 0 THEN floor(abs(fs) * 1e6 + 0.5)
+                 ELSE -floor(abs(fs) * 1e6 + 0.5) END AS BIGINT) AS f_e6
+FROM f
+"""
+
+
+# =====================================================================
+# kruskal_wallis — tie-corrected H over doubled mid-rank sums
+# =====================================================================
+
+
+def q_kruskal_wallis(sf_dir: str):
+    """Tie-corrected Kruskal–Wallis H of l_quantity across returnflag
+    groups.  Doubled mid-ranks from the quantity marginal
+    (``measures._rank2``) keep the per-group rank sums
+    R'_g = Σ_v n_{g,v}·r2(v) exact bigints; the tie term
+    T = Σ_v (t_v³ − t_v) is a bigint too.  With R_g = R'_g/2,
+    H = [3·T1/(N(N+1)) − 3(N+1)] / (1 − T/(N³−N)) where
+    T1 = Σ_g R'_g²/n_g — ONE fixed-order double chain (group order
+    A, N, R; each bigint cast once, correctly rounded on both
+    engines).  Output: one row ``(n, r2_a, r2_n, r2_r, t_corr,
+    h_e6)``."""
+    # lazy: measures imports relational, whose tail imports this
+    # module — a top-level "from .measures import" would see a
+    # partially initialized module when measures is imported first
+    from .measures import _rank2
+
+    cells = _flag_qty_census(sf_dir)
+    marg: dict[int, int] = {}
+    for (_, x), m in cells.items():
+        marg[x] = marg.get(x, 0) + m
+    r2 = _rank2(marg)
+    n_g = {f: 0 for f in _FLAGS}
+    rp = {f: 0 for f in _FLAGS}
+    for (f, x), m in cells.items():
+        n_g[f] += m
+        rp[f] += m * r2[x]
+    nt = sum(n_g.values())
+    t_corr = sum(t * t * t - t for t in marg.values())
+    # fixed-order double chain (mirrored op-for-op in SQL_KRUSKAL)
+    t1 = (
+        float(rp["A"]) * float(rp["A"]) / float(n_g["A"])
+        + float(rp["N"]) * float(rp["N"]) / float(n_g["N"])
+        + float(rp["R"]) * float(rp["R"]) / float(n_g["R"])
+    )
+    nd = float(nt)
+    h_num = 3.0 * t1 / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+    h = h_num / (1.0 - float(t_corr) / (nd * nd * nd - nd))
+    return pa.table(
+        {
+            "n": pa.array([nt], pa.int64()),
+            "r2_a": pa.array([rp["A"]], pa.int64()),
+            "r2_n": pa.array([rp["N"]], pa.int64()),
+            "r2_r": pa.array([rp["R"]], pa.int64()),
+            "t_corr": pa.array([t_corr], pa.int64()),
+            "h_e6": pa.array([_e6_signed(h)], pa.int64()),
+        }
+    )
+
+
+SQL_KRUSKAL = """
+WITH c AS (
+  SELECT l_returnflag AS f, cast(round(l_quantity) AS BIGINT) AS x,
+         cast(count(*) AS BIGINT) AS m
+  FROM lineitem GROUP BY 1, 2),
+marg AS (SELECT x, sum(m) AS t FROM c GROUP BY x),
+rk AS (SELECT x, 2 * (sum(t) OVER (ORDER BY x) - t) + t + 1 AS r2
+       FROM marg),
+g AS (SELECT
+  sum(CASE WHEN c.f = 'A' THEN c.m ELSE 0 END) AS na,
+  sum(CASE WHEN c.f = 'N' THEN c.m ELSE 0 END) AS nn,
+  sum(CASE WHEN c.f = 'R' THEN c.m ELSE 0 END) AS nr,
+  sum(CASE WHEN c.f = 'A' THEN c.m * rk.r2 ELSE 0 END) AS ra,
+  sum(CASE WHEN c.f = 'N' THEN c.m * rk.r2 ELSE 0 END) AS rn,
+  sum(CASE WHEN c.f = 'R' THEN c.m * rk.r2 ELSE 0 END) AS rr
+  FROM c JOIN rk ON rk.x = c.x),
+tc AS (SELECT cast(sum(t * t * t - t) AS BIGINT) AS t_corr FROM marg),
+d AS (SELECT na, nn, nr, ra, rn, rr, t_corr,
+             (na + nn + nr) AS nt,
+             (ra::DOUBLE * ra::DOUBLE / na::DOUBLE
+              + rn::DOUBLE * rn::DOUBLE / nn::DOUBLE
+              + rr::DOUBLE * rr::DOUBLE / nr::DOUBLE) AS t1
+      FROM g, tc),
+e AS (SELECT nt, ra, rn, rr, t_corr,
+             ((3.0 * t1 / (nt::DOUBLE * (nt::DOUBLE + 1.0))
+               - 3.0 * (nt::DOUBLE + 1.0))
+              / (1.0 - t_corr::DOUBLE
+                 / (nt::DOUBLE * nt::DOUBLE * nt::DOUBLE - nt::DOUBLE)))
+             AS h
+      FROM d)
+SELECT cast(nt AS BIGINT) AS n,
+       cast(ra AS BIGINT) AS r2_a, cast(rn AS BIGINT) AS r2_n,
+       cast(rr AS BIGINT) AS r2_r, t_corr,
+       cast(CASE WHEN h >= 0 THEN floor(abs(h) * 1e6 + 0.5)
+                 ELSE -floor(abs(h) * 1e6 + 0.5) END AS BIGINT) AS h_e6
+FROM e
+"""
+
+
+# =====================================================================
+# dft_power — weekly periodogram as an integer dot against e9 trig
+# =====================================================================
+
+#: e9-quantized cos/sin literals for the 7-point DFT, k = 0..3
+#: (frequencies k/7 cycles/day); rint == half-to-even, asserted
+#: against math.cos/math.sin in tests/test_round3p.py.
+_COS_E9 = [
+    [int(v) for v in np.rint(np.cos(2 * np.pi * k * np.arange(7) / 7) * 1e9)]
+    for k in range(4)
+]
+_SIN_E9 = [
+    [int(v) for v in np.rint(np.sin(2 * np.pi * k * np.arange(7) / 7) * 1e9)]
+    for k in range(4)
+]
+
+
+def q_dft_power(sf_dir: str):
+    """Weekly periodogram of the daily order-count series.  The DFT at
+    frequency k/7 needs only day-of-week totals N_m (m = epoch-day
+    mod 7): a_k = Σ_m N_m·cos_e9[k][m], b_k = Σ_m N_m·sin_e9[k][m] —
+    exact int64 dot products against the quantized literals — and
+    pow12_k = (a_k² + b_k²) // 10¹² an exact bigint (HUGEINT in the
+    twin).  k = 0 carries the (total·10⁹)² mean line; k = 1..3 are
+    the weekly harmonics.  Output: 4 rows ``(k, a_e9, b_e9, pow12)``.
+    Zero keyed exchange — per-batch 7-cell partials fold on the
+    driver."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = ((us // _US_PER_DAY) % 7).astype(np.int64)
+        return pa.table(
+            {
+                "m": pa.array(np.arange(7, dtype=np.int64)),
+                "n": pa.array(np.bincount(m, minlength=7).astype(np.int64)),
+            }
+        )
+
+    n_m = np.zeros(7, dtype=object)
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        n_m += np.array(t.column("n").to_pylist(), dtype=object)
+    ks, avs, bvs, pws = [], [], [], []
+    for k in range(4):
+        a = sum(int(n_m[m]) * _COS_E9[k][m] for m in range(7))
+        b = sum(int(n_m[m]) * _SIN_E9[k][m] for m in range(7))
+        ks.append(k)
+        avs.append(a)
+        bvs.append(b)
+        pws.append((a * a + b * b) // 10**12)
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "a_e9": pa.array(avs, pa.int64()),
+            "b_e9": pa.array(bvs, pa.int64()),
+            "pow12": pa.array(pws, pa.int64()),
+        }
+    )
+
+
+def _sql_dft() -> str:
+    cos_case = {
+        k: " ".join(
+            f"WHEN {m} THEN {_COS_E9[k][m]}::BIGINT" for m in range(7)
+        )
+        for k in range(4)
+    }
+    sin_case = {
+        k: " ".join(
+            f"WHEN {m} THEN {_SIN_E9[k][m]}::BIGINT" for m in range(7)
+        )
+        for k in range(4)
+    }
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {k}::BIGINT AS k,
+       cast(sum(n * (CASE m {cos_case[k]} END)) AS BIGINT) AS a_e9,
+       cast(sum(n * (CASE m {sin_case[k]} END)) AS BIGINT) AS b_e9,
+       cast((cast(sum(n * (CASE m {cos_case[k]} END)) AS HUGEINT)
+             * cast(sum(n * (CASE m {cos_case[k]} END)) AS HUGEINT)
+             + cast(sum(n * (CASE m {sin_case[k]} END)) AS HUGEINT)
+             * cast(sum(n * (CASE m {sin_case[k]} END)) AS HUGEINT))
+            // 1000000000000 AS BIGINT) AS pow12
+FROM dow"""
+        for k in range(4)
+    )
+    return f"""
+WITH dow AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) % 7 AS m,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1)
+{arms}
+"""
+
+
+SQL_DFT_POWER = _sql_dft()
+
+
+QUERIES = {
+    "anova_f": q_anova_f,
+    "kruskal_wallis": q_kruskal_wallis,
+    "dft_power": q_dft_power,
+}
+
+ORACLE_SQL = {
+    "anova_f": SQL_ANOVA_F,
+    "kruskal_wallis": SQL_KRUSKAL,
+    "dft_power": SQL_DFT_POWER,
+}
+
+# self-register (same pattern and import-cycle note as analytics.py)
+_rel.QUERIES.update(QUERIES)
+_rel.ORACLE_SQL.update(ORACLE_SQL)

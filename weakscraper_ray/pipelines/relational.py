@@ -3273,3 +3273,7 @@ from . import measures as _measures  # noqa: E402,F401
 # coefficient) over the derived citation graph.
 from . import graphstats as _graphstats  # noqa: E402,F401
 
+# round-3 classical hypothesis tests + spectral read-out (one-way
+# ANOVA F, tie-corrected Kruskal–Wallis H, weekly periodogram).
+from . import hypotests as _hypotests  # noqa: E402,F401
+
