@@ -124,7 +124,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "modularity_score", "jenks_breaks", "lexicon_scan", "self_bleu",
         "kendall_tau", "cohen_kappa", "yule_k", "spearman_rho",
         "mann_kendall", "assortativity", "rich_club", "ams_f2",
-        "anova_f", "kruskal_wallis", "dft_power",
+        "anova_f", "kruskal_wallis", "dft_power", "brier_score",
     ]
     out: dict[str, float] = {}
     for name in names:

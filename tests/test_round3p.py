@@ -139,3 +139,24 @@ def test_dft_k0_is_mean_line_and_power_matches_complex_dft():
         zb = sum(n_m[m] * math.sin(2 * math.pi * k * m / 7) for m in range(7))
         assert abs(a - za * 1e9) <= 3.5 * tot + 1
         assert abs(b - zb * 1e9) <= 3.5 * tot + 1
+
+
+def test_brier_bin_identity_matches_expanded_definition():
+    """4B²N·Brier integer fold == Σ_docs (m_b − y)² over expanded docs."""
+    rng = random.Random(19)
+    B = 10
+    # synthetic bin census
+    bins = {b: (rng.randint(1, 50), 0) for b in range(B)}
+    bins = {b: (n, rng.randint(0, n)) for b, (n, _) in bins.items()}
+    num = sum(
+        npos * (2 * B - (2 * b + 1)) ** 2 + (n - npos) * (2 * b + 1) ** 2
+        for b, (n, npos) in bins.items()
+    )
+    nt = sum(n for n, _ in bins.values())
+    # expanded brute force over individual docs
+    brute = 0.0
+    for b, (n, npos) in bins.items():
+        m = (2 * b + 1) / (2 * B)
+        brute += npos * (m - 1.0) ** 2 + (n - npos) * (m - 0.0) ** 2
+    brute /= nt
+    assert math.isclose(num / (4 * B * B * nt), brute, rel_tol=1e-12)

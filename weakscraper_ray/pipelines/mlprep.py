@@ -744,12 +744,70 @@ FROM score, b GROUP BY bin
 """
 
 
+def q_brier_score(sf_dir: str):
+    """Brier score (Brier 1950) of the BINNED forecaster built from
+    the same held-out NB score: each doc's forecast is its calibration
+    bin's midpoint probability m_b = (2b+1)/2B (B = 10, the
+    ``calibration_bins`` bin rule), so the score is a PURE-INTEGER
+    fold over the bin census — no transcendental anywhere:
+
+        4·B²·N·Brier = Σ_b [ n_pos_b·(2B−(2b+1))²
+                             + (n_b−n_pos_b)·(2b+1)² ]
+
+    (expand (m_b − y)² at y ∈ {0, 1} and scale by (2B)² = 400).
+    Output: one row ``(n, brier_num, brier_den, brier_e6)`` with
+    brier_den = 400·N and the shared half-away e6 division —
+    hash-exact, zero extra passes (the memoized census is reused)."""
+    cen = _nb_en_census(sf_dir)
+    s = cen["s"].to_numpy(np.int64)
+    n = cen["n"].to_numpy(np.int64)
+    npos = cen["n_pos"].to_numpy(np.int64)
+    smin, smax = int(s.min()), int(s.max())
+    width = smax - smin + 1
+    b = (s - smin) * 10 // width
+    num = int(
+        (npos * (20 - (2 * b + 1)) ** 2 + (n - npos) * (2 * b + 1) ** 2).sum()
+    )
+    nt = int(n.sum())
+    den = 400 * nt
+    return pa.table(
+        {
+            "n": pa.array([nt], pa.int64()),
+            "brier_num": pa.array([num], pa.int64()),
+            "brier_den": pa.array([den], pa.int64()),
+            "brier_e6": pa.array(
+                [(2_000_000 * num + den) // (2 * den)], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_BRIER = _SQL_NB_EN_SCORES + """,
+b AS (SELECT min(s) AS smin, max(s) - min(s) + 1 AS w FROM score),
+bins AS (SELECT (s - smin) * 10 // w AS bin,
+                cast(count(*) AS BIGINT) AS n,
+                cast(sum(pos) AS BIGINT) AS n_pos
+         FROM score, b GROUP BY bin),
+agg AS (SELECT cast(sum(n_pos * (20 - (2 * bin + 1)) * (20 - (2 * bin + 1))
+                    + (n - n_pos) * (2 * bin + 1) * (2 * bin + 1))
+                    AS BIGINT) AS num,
+               cast(sum(n) AS BIGINT) AS nt
+        FROM bins)
+SELECT nt AS n, num AS brier_num,
+       cast(400 * nt AS BIGINT) AS brier_den,
+       cast((2000000 * cast(num AS HUGEINT) + 400 * nt)
+            // (2 * 400 * cast(nt AS HUGEINT)) AS BIGINT) AS brier_e6
+FROM agg
+"""
+
+
 QUERIES = {
     "nb_classify": q_nb_classify,
     "gini_stump": q_gini_stump,
     "edit1_join": q_edit1_join,
     "auc_nb": q_auc_nb,
     "calibration_bins": q_calibration_bins,
+    "brier_score": q_brier_score,
 }
 
 ORACLE_SQL = {
@@ -758,6 +816,7 @@ ORACLE_SQL = {
     "edit1_join": SQL_EDIT1_JOIN,
     "auc_nb": SQL_AUC_NB,
     "calibration_bins": SQL_CALIBRATION,
+    "brier_score": SQL_BRIER,
 }
 
 # self-register (same pattern as monitor.py)
