@@ -160,3 +160,68 @@ def test_brier_bin_identity_matches_expanded_definition():
         brute += npos * (m - 1.0) ** 2 + (n - npos) * (m - 0.0) ** 2
     brute /= nt
     assert math.isclose(num / (4 * B * B * nt), brute, rel_tol=1e-12)
+
+
+def test_hilbert_is_unit_step_hamiltonian_path():
+    """The defining Hilbert property: d is a bijection on the 256x256
+    grid and consecutive codes are grid-adjacent (|dx|+|dy| == 1) —
+    which Morton/z-order violates at every seam."""
+    from weakscraper_ray.pipelines.dataops import hilbert_xy2d
+
+    side = 256
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    d = hilbert_xy2d(xs.ravel(), ys.ravel())
+    assert sorted(d.tolist()) == list(range(side * side))  # bijection
+    order = np.argsort(d)
+    px, py = xs.ravel()[order], ys.ravel()[order]
+    steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+    assert (steps == 1).all()
+
+
+def test_hilbert_matches_scalar_reference():
+    """Vectorized walk == the classic scalar xy2d on random cells."""
+    from weakscraper_ray.pipelines.dataops import hilbert_xy2d
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = random.Random(23)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(300)]
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    vec = hilbert_xy2d(xs, ys)
+    for (x, y), v in zip(pts, vec):
+        assert xy2d(256, x, y) == int(v)
+
+
+def test_hilbert_tiles_are_tighter_than_zorder_worst_case():
+    """Every 64-code Hilbert tile is a connected region with span <= 15
+    per axis over the full grid (Morton tiles are exact 8x8 boxes but
+    adjacent CODES can jump across the grid; Hilbert trades box shape
+    for path continuity)."""
+    from weakscraper_ray.pipelines.dataops import hilbert_xy2d
+
+    side = 256
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    d = hilbert_xy2d(xs.ravel(), ys.ravel())
+    tile = d >> 6
+    import pandas as pd
+
+    df = pd.DataFrame({"t": tile, "x": xs.ravel(), "y": ys.ravel()})
+    g = df.groupby("t").agg(
+        sx=("x", lambda v: v.max() - v.min()),
+        sy=("y", lambda v: v.max() - v.min()),
+    )
+    assert (g["sx"] <= 15).all() and (g["sy"] <= 15).all()

@@ -496,6 +496,128 @@ FROM zed GROUP BY 1
 
 
 # =====================================================================
+# Hilbert-curve layout (the locality-tighter sibling of z-order)
+# =====================================================================
+
+_HILBERT_ORDER = 8  #: 256 × 256 grid, d ∈ [0, 65536)
+
+
+def hilbert_xy2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Hilbert curve index (the classic iterative xy→d
+    walk: per level, add the quadrant's sub-square offset
+    s²·(3·rx XOR ry), then flip+swap the frame when the step leaves
+    the curve's canonical orientation).  8 constant-trip levels of
+    pure numpy int64 ops — no per-row Python.  Mirrored as a
+    recursive CTE over the DISTINCT (x, y) grid in SQL_HILBERT."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (_HILBERT_ORDER - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate: only where ry == 0; flip first where rx == 1
+        flip = (ry == 0) & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+def _h_partial(batch: pa.Table) -> pa.Table:
+    x = (
+        batch.column("o_custkey").to_numpy(zero_copy_only=False) % 256
+    ).astype(np.int64)
+    us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    y = ((us // _US_PER_DAY) % 256).astype(np.int64)
+    tile = hilbert_xy2d(x, y) >> _ZTILE_SHIFT
+    df = pd.DataFrame({"tile": tile, "x": x, "y": y})
+    g = df.groupby("tile", sort=False).agg(
+        n=("x", "size"),
+        min_x=("x", "min"),
+        max_x=("x", "max"),
+        min_y=("y", "min"),
+        max_y=("y", "max"),
+    )
+    return pa.table(
+        {
+            "tile": pa.array(g.index.to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "min_x": pa.array(g["min_x"].to_numpy(np.int64)),
+            "max_x": pa.array(g["max_x"].to_numpy(np.int64)),
+            "min_y": pa.array(g["min_y"].to_numpy(np.int64)),
+            "max_y": pa.array(g["max_y"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_hilbert_layout(sf_dir: str):
+    """Hilbert-curve clustering audit over the same (custkey%256,
+    order-day%256) keys as ``zorder_layout`` — the Hilbert curve is
+    the locality-tighter space-filling alternative (every pair of
+    consecutive codes is grid-adjacent, so tile spans never jump the
+    diagonal seams Morton tiles do).  Same shape: map-only per-batch
+    tile census, one bounded ``groupby(tile)``; emitting the same
+    schema as zorder_layout makes the two directly comparable in a
+    pruning study.  The SQL twin replays the flip+swap walk as a
+    recursive CTE over the DISTINCT (x, y) grid (≤ 65,536 rows × 8
+    levels) and joins per-key counts back on."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return (
+        ds.map_batches(_h_partial, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("min_x", alias_name="min_x"),
+            Max("max_x", alias_name="max_x"),
+            Min("min_y", alias_name="min_y"),
+            Max("max_y", alias_name="max_y"),
+        )
+    )
+
+
+SQL_HILBERT = f"""
+WITH RECURSIVE base AS (
+  SELECT cast(o_custkey % 256 AS BIGINT) AS x,
+         cast(datediff('day', TIMESTAMP '1970-01-01', o_orderdate) % 256
+              AS BIGINT) AS y,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+pts AS (SELECT DISTINCT x, y FROM base),
+walk(x0, y0, x, y, d, it) AS (
+  SELECT x, y, x, y, 0::BIGINT, 0 FROM pts
+  UNION ALL
+  SELECT x0, y0,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+         ELSE x END,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+         ELSE y END,
+    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                    (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)),
+    it + 1
+  FROM (SELECT x0, y0, x, y, d, it,
+               cast(128 >> it AS BIGINT) AS s
+        FROM walk WHERE it < {_HILBERT_ORDER}) w),
+hkey AS (SELECT x0 AS x, y0 AS y, d FROM walk WHERE it = {_HILBERT_ORDER})
+SELECT cast(d // {1 << _ZTILE_SHIFT} AS BIGINT) AS tile,
+       cast(sum(b.n) AS BIGINT) AS n,
+       min(b.x) AS min_x, max(b.x) AS max_x,
+       min(b.y) AS min_y, max(b.y) AS max_y
+FROM base b JOIN hkey h ON h.x = b.x AND h.y = b.y
+GROUP BY 1
+"""
+
+
+# =====================================================================
 # Incremental view maintenance (delta-maintained aggregate)
 # =====================================================================
 
@@ -1196,6 +1318,7 @@ QUERIES = {
     "bpe_top_pairs": q_bpe_top_pairs,
     "itemset_pairs": q_itemset_pairs,
     "zorder_layout": q_zorder_layout,
+    "hilbert_layout": q_hilbert_layout,
     "ivm_priority_totals": q_ivm_priority_totals,
     "csv_source": q_csv_source,
     "compaction_plan": q_compaction_plan,
@@ -1212,6 +1335,7 @@ ORACLE_SQL = {
     "bpe_top_pairs": SQL_BPE,
     "itemset_pairs": SQL_ITEMSET,
     "zorder_layout": SQL_ZORDER,
+    "hilbert_layout": SQL_HILBERT,
     "ivm_priority_totals": SQL_IVM,
     "csv_source": SQL_CSV_SOURCE,
     "compaction_plan": SQL_COMPACTION,
