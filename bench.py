@@ -125,7 +125,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "kendall_tau", "cohen_kappa", "yule_k", "spearman_rho",
         "mann_kendall", "assortativity", "rich_club", "ams_f2",
         "anova_f", "kruskal_wallis", "dft_power", "brier_score",
-        "hilbert_layout",
+        "hilbert_layout", "dbscan_clusters",
     ]
     out: dict[str, float] = {}
     for name in names:

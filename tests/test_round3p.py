@@ -225,3 +225,104 @@ def test_hilbert_tiles_are_tighter_than_zorder_worst_case():
         sy=("y", lambda v: v.max() - v.min()),
     )
     assert (g["sx"] <= 15).all() and (g["sy"] <= 15).all()
+
+
+def _brute_dbscan(q, eps2, minpts):
+    """Textbook DBSCAN with the repo's deterministic border rule."""
+    n = len(q)
+    s2 = (q**2).sum(1)
+    d2 = s2[:, None] + s2[None, :] - 2 * (q @ q.T)
+    adj = d2 <= eps2
+    deg = adj.sum(1)  # includes self
+    core = deg >= minpts
+    # components over core-core edges (incl. singleton cores)
+    parent = list(range(n))
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for a in range(n):
+        if not core[a]:
+            continue
+        for b in range(a + 1, n):
+            if core[b] and adj[a, b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    label = [-1] * n
+    roots = {}
+    for i in range(n):
+        if core[i]:
+            r = find(i)
+            roots.setdefault(r, []).append(i)
+    rootmin = {r: min(m) for r, m in roots.items()}
+    out = []
+    for i in range(n):
+        if core[i]:
+            out.append((i, "core", rootmin[find(i)]))
+        else:
+            anchors = [j for j in range(n) if core[j] and adj[i, j]]
+            if anchors:
+                out.append((i, "border", rootmin[find(min(anchors))]))
+            else:
+                out.append((i, "noise", -1))
+    return out
+
+
+def test_dbscan_pass_structure_matches_brute_force():
+    """The three-pass decomposition (degree → core edges+self-loops →
+    label) reproduces the single-machine reference, including
+    singleton-core clusters and the min-anchor border rule."""
+    from weakscraper_ray.functions.dedup import union_find_labels
+
+    rng = np.random.RandomState(29)
+    # three planted blobs + scattered noise, exercising all roles
+    q = np.vstack(
+        [
+            rng.randint(-3, 4, (12, 4)) + np.array([100, 0, 0, 0]),
+            rng.randint(-3, 4, (12, 4)) + np.array([0, 100, 0, 0]),
+            rng.randint(-2, 3, (2, 4)) + np.array([0, 0, 100, 0]),
+            rng.randint(-200, 200, (10, 4)),
+        ]
+    ).astype(np.int64)
+    eps2, minpts = 40, 4
+    expect = _brute_dbscan(q, eps2, minpts)
+    # replay the distributed passes in-process
+    n = len(q)
+    s2 = (q**2).sum(1)
+    d2 = s2[:, None] + s2[None, :] - 2 * (q @ q.T)
+    adj = d2 <= eps2
+    core = adj.sum(1) >= minpts
+    ids = np.arange(n)
+    bi, oi = np.nonzero(adj & core[:, None] & core[None, :] & (ids[:, None] < ids[None, :]))
+    edges = list(zip(bi.tolist(), oi.tolist())) + [
+        (int(i), int(i)) for i in ids[core]
+    ]
+    labels_map = union_find_labels(edges)
+    lab = np.full(n, -1, dtype=np.int64)
+    for k, v in labels_map.items():
+        lab[k] = v
+    got = []
+    for i in range(n):
+        if core[i]:
+            got.append((i, "core", int(lab[i])))
+        else:
+            core_nb = adj[i] & core
+            if core_nb.any():
+                got.append((i, "border", int(lab[core_nb.argmax()])))
+            else:
+                got.append((i, "noise", -1))
+    assert got == expect
+
+
+def test_dbscan_eps_gate_constants_pinned():
+    from weakscraper_ray.pipelines import clustering as c
+
+    assert c._DBSCAN_MINPTS == 4
+    assert c._DBSCAN_EPS2_SMALL == 1_350_000_000_000
+    assert c._DBSCAN_EPS2_LARGE == 1_280_000_000_000
+    assert c._DBSCAN_GATE == 1000
+    assert "1350000000000" in c.SQL_DBSCAN and "1280000000000" in c.SQL_DBSCAN

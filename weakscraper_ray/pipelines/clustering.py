@@ -52,10 +52,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 
 from ..functions.embed import fixed_list_to_numpy
 from . import relational as _rel
-from .relational import _read
+from .relational import _i64_away_np, _p, _read
 
 _K = 8          #: cluster count (IVF-coarse-quantizer scale)
 _ITERS = 4      #: fixed Lloyd iterations (deterministic, no tolerance)
@@ -182,6 +183,225 @@ def q_kmeans_clusters(sf_dir: str):
         )
 
     return base.map_batches(_label, batch_format="pyarrow")
+
+
+# =====================================================================
+# DBSCAN — density-based clustering with core/border/noise roles
+# =====================================================================
+
+_DBSCAN_MINPTS = 4  #: deg (incl. self) threshold for a core point
+#: eps² in (e6 grain)² units, pinned per corpus scale (the k-distance
+#: elbow moves with point density, so a single eps degenerates at one
+#: of the test scales: 1.35e12 ≈ cos 0.325 keeps 500-point corpora at
+#: a 160/200/140 core/border/noise mix, 1.28e12 keeps the 2000-point
+#: corpus at 1203/652/145 with 6 clusters instead of one giant blob)
+_DBSCAN_EPS2_SMALL = 1_350_000_000_000  # n <= _DBSCAN_GATE
+_DBSCAN_EPS2_LARGE = 1_280_000_000_000
+_DBSCAN_GATE = 1000
+
+
+def _dbscan_matrix(sf_dir: str):
+    """(ids, quantized matrix, eps²) — the embedding side-table is
+    the SMALL side here (the ``q_embedding_neardup_exact`` broadcast
+    idiom: read once on the driver, ``ray.put`` once, read per
+    actor); quantization is the shared half-away e6 rule so the SQL
+    twin's round() is bit-identical."""
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    q = _i64_away_np(
+        fixed_list_to_numpy(t.column("embedding"), dtype=np.float64), 1e6
+    )
+    # sort by vec_id so column order == id order: the labeling pass
+    # reads "first core neighbor" (argmax) as "MIN-id core neighbor"
+    order = np.argsort(ids, kind="stable")
+    ids, q = ids[order], q[order]
+    eps2 = _DBSCAN_EPS2_SMALL if len(ids) <= _DBSCAN_GATE else _DBSCAN_EPS2_LARGE
+    return ids, q.astype(np.int64), eps2
+
+
+def q_dbscan_clusters(sf_dir: str):
+    """Exact DBSCAN (Ester et al. 1996) over the quantized embedding
+    table, with the deterministic border rule (a border point joins
+    the cluster of its MINIMUM-id core neighbor — textbook DBSCAN
+    leaves border assignment scan-order-dependent, which would never
+    driver-hash).  All arithmetic is int64: squared L2 via the
+    |x|²+|y|²−2x·y expansion on the e6 grid, eps² an integer
+    threshold, deg (incl. self) ≥ minPts = 4 marks cores.  Output:
+    (vec_id, role ∈ {core, border, noise}, cluster_id = min vec_id of
+    the core component, −1 for noise).
+
+    Shape (three streaming passes over the embedding table, each
+    against the ONE broadcast quantized matrix):
+
+    1. degree pass → per-batch (vec_id, is_core) — core flags fold on
+       the driver (N booleans, the bounded-census discipline);
+    2. edge pass → core-core neighbor pairs (a < b) plus one
+       (u, u) self-loop per core so singleton clusters survive;
+       components via :func:`weakscraper_ray.functions.dedup.
+       cluster_pairs` (driver union-find under its logged 1M-edge
+       gate, distributed min-label propagation above it);
+    3. labeling pass → roles + cluster ids per batch from the
+       broadcast core mask / label vector; the output streams.
+
+    The O(N·batch) adjacency sweep against a broadcast matrix is the
+    exact-oracle path (same contract as ``embedding_neardup_exact``);
+    at 100 TB the scale path is the bucketed LSH candidate generation
+    already used by ``embedding_neardup`` — swap pass 1/2's pair
+    source, keep passes' folds."""
+    ids, q, eps2 = _dbscan_matrix(sf_dir)
+    n = len(ids)
+    ref = ray.put({"ids": ids, "q": q})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _quant(batch: pa.Table) -> pa.Table:
+        x = _i64_away_np(
+            fixed_list_to_numpy(batch.column("embedding"), dtype=np.float64),
+            1e6,
+        )
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "qv": pa.array(list(x.astype(np.int64)), pa.list_(pa.int64())),
+            }
+        )
+
+    base = ds.map_batches(_quant, batch_format="pyarrow").materialize()
+
+    def _adj_block(batch: pa.Table):
+        """(bids, boolean batch × all adjacency) vs the broadcast."""
+        m = ray.get(ref)
+        X = fixed_list_to_numpy(batch.column("qv"), dtype=np.int64)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        d2 = (
+            np.einsum("nd,nd->n", X, X)[:, None]
+            + np.einsum("nd,nd->n", m["q"], m["q"])[None, :]
+            - 2 * (X @ m["q"].T)
+        )
+        return bids, m["ids"], d2 <= eps2
+
+    def _degree(batch: pa.Table) -> pa.Table:
+        bids, _, adj = _adj_block(batch)
+        return pa.table(
+            {
+                "vec_id": pa.array(bids, pa.int64()),
+                "is_core": pa.array(
+                    adj.sum(axis=1) >= _DBSCAN_MINPTS, pa.bool_()
+                ),
+            }
+        )
+
+    core_mask = np.zeros(n, dtype=bool)  # vec_ids are dense 0..n-1
+    for t in base.map_batches(_degree, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        core_mask[t.column("vec_id").to_numpy(zero_copy_only=False)] = (
+            t.column("is_core").to_numpy(zero_copy_only=False)
+        )
+    mask_ref = ray.put(core_mask)
+
+    def _core_edges(batch: pa.Table) -> pa.Table:
+        mask = ray.get(mask_ref)
+        bids, aids, adj = _adj_block(batch)
+        bcore = mask[bids]
+        # (a < b) core-core pairs, owned by the lower-id side
+        pair = adj & bcore[:, None] & mask[aids][None, :] & (
+            bids[:, None] < aids[None, :]
+        )
+        bi, oi = np.nonzero(pair)
+        a = np.concatenate([bids[bi], bids[bcore]])  # + self-loops
+        b = np.concatenate([aids[oi], bids[bcore]])
+        return pa.table(
+            {
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    from ..functions.dedup import cluster_pairs
+
+    comp = cluster_pairs(
+        base.map_batches(_core_edges, batch_format="pyarrow"),
+        a_col="vec_a",
+        b_col="vec_b",
+        id_col="vec_id",
+    )
+    labels = np.full(n, -1, dtype=np.int64)
+    for r in comp.take_all():  # bounded by #cores
+        labels[r["vec_id"]] = r["cluster_id"]
+    label_ref = ray.put(labels)
+
+    def _label(batch: pa.Table) -> pa.Table:
+        mask = ray.get(mask_ref)
+        lab = ray.get(label_ref)
+        bids, aids, adj = _adj_block(batch)
+        bcore = mask[bids]
+        # min-id core neighbor per non-core row (border anchor)
+        core_adj = adj & mask[aids][None, :]
+        any_core = core_adj.any(axis=1)
+        first = core_adj.argmax(axis=1)  # aids ascend ⇒ argmax = min id
+        role = np.where(
+            bcore, "core", np.where(any_core, "border", "noise")
+        )
+        cluster = np.where(
+            bcore,
+            lab[bids],
+            np.where(any_core, lab[aids[first]], np.int64(-1)),
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(bids, pa.int64()),
+                "role": pa.array(role.astype(str), pa.string()),
+                "cluster_id": pa.array(cluster.astype(np.int64)),
+            }
+        )
+
+    return base.map_batches(_label, batch_format="pyarrow")
+
+
+SQL_DBSCAN = f"""
+WITH RECURSIVE qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> cast(round(cast(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+  FROM embeddings),
+par AS (SELECT CASE WHEN (SELECT count(*) FROM embeddings) <= {_DBSCAN_GATE}
+                    THEN {_DBSCAN_EPS2_SMALL}
+                    ELSE {_DBSCAN_EPS2_LARGE} END AS eps2),
+nb AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM qv a, qv b, par
+  WHERE a.vec_id <> b.vec_id
+    AND list_inner_product(a.v, a.v) + list_inner_product(b.v, b.v)
+        - 2 * list_inner_product(a.v, b.v) <= par.eps2),
+deg AS (SELECT u, count(*) + 1 AS deg FROM nb GROUP BY u),
+cores AS (SELECT q.vec_id FROM qv q LEFT JOIN deg ON deg.u = q.vec_id
+          WHERE coalesce(deg.deg, 1) >= {_DBSCAN_MINPTS}),
+ce AS (SELECT nb.u, nb.v FROM nb
+       JOIN cores cu ON cu.vec_id = nb.u
+       JOIN cores cv ON cv.vec_id = nb.v),
+reach(u, v) AS (
+  SELECT vec_id, vec_id FROM cores
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN ce e ON e.u = r.v),
+comp AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u),
+border AS (
+  SELECT nb.u AS vec_id, min(nb.v) AS anchor
+  FROM nb JOIN cores c ON c.vec_id = nb.v
+  WHERE nb.u NOT IN (SELECT vec_id FROM cores)
+  GROUP BY nb.u)
+SELECT q.vec_id,
+       CASE WHEN comp.vec_id IS NOT NULL THEN 'core'
+            WHEN border.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       cast(CASE WHEN comp.vec_id IS NOT NULL THEN comp.cluster_id
+                 WHEN border.vec_id IS NOT NULL THEN bc.cluster_id
+                 ELSE -1 END AS BIGINT) AS cluster_id
+FROM qv q
+LEFT JOIN comp ON comp.vec_id = q.vec_id
+LEFT JOIN border ON border.vec_id = q.vec_id
+LEFT JOIN comp bc ON bc.vec_id = border.anchor
+"""
 
 
 # =====================================================================
@@ -457,8 +677,9 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "kcenter_select": q_kcenter_select,
     "pq_topk": q_pq_topk,
+    "dbscan_clusters": q_dbscan_clusters,
 }
-ORACLE_SQL: dict[str, str] = {}
+ORACLE_SQL: dict[str, str] = {"dbscan_clusters": SQL_DBSCAN}
 
 _rel.QUERIES.update(QUERIES)
 _rel.ORACLE_SQL.update(ORACLE_SQL)
