@@ -125,7 +125,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "kendall_tau", "cohen_kappa", "yule_k", "spearman_rho",
         "mann_kendall", "assortativity", "rich_club", "ams_f2",
         "anova_f", "kruskal_wallis", "dft_power", "brier_score",
-        "hilbert_layout", "dbscan_clusters",
+        "hilbert_layout", "dbscan_clusters", "ks_test", "levene_test",
+        "chi2_independence", "chi2_terms",
     ]
     out: dict[str, float] = {}
     for name in names:

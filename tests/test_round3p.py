@@ -326,3 +326,132 @@ def test_dbscan_eps_gate_constants_pinned():
     assert c._DBSCAN_EPS2_LARGE == 1_280_000_000_000
     assert c._DBSCAN_GATE == 1000
     assert "1350000000000" in c.SQL_DBSCAN and "1280000000000" in c.SQL_DBSCAN
+
+
+def test_ks_census_d_matches_brute_force():
+    rng = random.Random(31)
+    a = [rng.randint(1, 12) for _ in range(300)]
+    b = [rng.randint(2, 14) for _ in range(220)]
+    na, nb = len(a), len(b)
+    # brute force over the empirical CDFs
+    d_brute = max(
+        abs(sum(x <= v for x in a) / na - sum(x <= v for x in b) / nb)
+        for v in set(a) | set(b)
+    )
+    # census integer form
+    ca, cb = {}, {}
+    for x in a:
+        ca[x] = ca.get(x, 0) + 1
+    for x in b:
+        cb[x] = cb.get(x, 0) + 1
+    d_num, cum_a, cum_b = 0, 0, 0
+    for v in sorted(set(ca) | set(cb)):
+        cum_a += ca.get(v, 0)
+        cum_b += cb.get(v, 0)
+        d_num = max(d_num, abs(cum_a * nb - cum_b * na))
+    assert math.isclose(d_num / (na * nb), d_brute, rel_tol=1e-12)
+
+
+def test_med2_is_exact_doubled_median():
+    from weakscraper_ray.pipelines.hypotests import _med2
+
+    rng = random.Random(37)
+    for trial in range(30):
+        vals = [rng.randint(0, 9) for _ in range(rng.randint(1, 40))]
+        marg = {}
+        for v in vals:
+            marg[v] = marg.get(v, 0) + 1
+        vs = sorted(vals)
+        n = len(vs)
+        if n % 2:
+            want = 2 * vs[n // 2]
+        else:
+            want = vs[n // 2 - 1] + vs[n // 2]
+        assert _med2(marg) == want, (trial, vals)
+
+
+def test_levene_chain_matches_brute_force_w():
+    rng = random.Random(41)
+    fs = [rng.choice("ANR") for _ in range(400)]
+    xs = [rng.randint(1, 9) * (2 if f == "N" else 1) for f in fs]
+    import statistics
+
+    groups = {f: sorted(x for g, x in zip(fs, xs) if g == f) for f in "ANR"}
+    med = {f: statistics.median(v) for f, v in groups.items()}
+    z = {f: [abs(x - med[f]) for x in v] for f, v in groups.items()}
+    n = len(xs)
+    zbar = {f: sum(v) / len(v) for f, v in z.items()}
+    gz = sum(sum(v) for v in z.values()) / n
+    ssb = sum(len(v) * (zbar[f] - gz) ** 2 for f, v in z.items())
+    ssw = sum(sum((x - zbar[f]) ** 2 for x in v) for f, v in z.items())
+    w_brute = (ssb / 2.0) / (ssw / (n - 3.0))
+    # doubled-deviation moment chain (q_levene_test arithmetic)
+    from weakscraper_ray.pipelines.hypotests import _med2
+
+    cells = _census(xs, fs)
+    margs = {f: {} for f in "ANR"}
+    for (f, x), m in cells.items():
+        margs[f][x] = margs[f].get(x, 0) + m
+    m2 = {f: _med2(margs[f]) for f in "ANR"}
+    ng = {f: 0 for f in "ANR"}
+    s = {f: 0 for f in "ANR"}
+    q = {f: 0 for f in "ANR"}
+    for (f, x), m in cells.items():
+        z2 = abs(2 * x - m2[f])
+        ng[f] += m
+        s[f] += m * z2
+        q[f] += m * z2 * z2
+    nt, st, qt = n, sum(s.values()), sum(q.values())
+    t1 = sum(float(s[f]) * float(s[f]) / float(ng[f]) for f in "ANR")
+    w_chain = ((t1 - float(st) * float(st) / float(nt)) / 2.0) / (
+        (float(qt) - t1) / (float(nt) - 3.0)
+    )
+    # doubling cancels: z2 = 2z scales ssb and ssw by 4
+    assert math.isclose(w_chain, w_brute, rel_tol=1e-9)
+
+
+def test_chi2_quantized_sum_tracks_float_chi2():
+    rng = random.Random(43)
+    cells = {
+        (i, j): rng.randint(5, 400) for i in range(4) for j in range(3)
+    }
+    rows, cols = {}, {}
+    for (i, j), m in cells.items():
+        rows[i] = rows.get(i, 0) + m
+        cols[j] = cols.get(j, 0) + m
+    n = sum(cells.values())
+    chi_float = sum(
+        (o - rows[i] * cols[j] / n) ** 2 / (rows[i] * cols[j] / n)
+        for (i, j), o in cells.items()
+    )
+
+    def e6(p, d):
+        return (2_000_000 * p + d) // (2 * d)
+
+    total = sum(
+        e6(n * o * o, rows[i] * cols[j]) for (i, j), o in cells.items()
+    )
+    chi_q = (total - 10**6 * n) / 1e6
+    # per-cell quantization error <= 0.5e-6 each
+    assert abs(chi_q - chi_float) <= len(cells) * 1e-6 + 1e-9
+
+
+def test_chi2_terms_formula_matches_definition():
+    """N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) == sum over the 2x2 table of
+    (O-E)^2/E."""
+    rng = random.Random(47)
+    for _ in range(50):
+        N, NE = 1000, 400
+        ab = rng.randint(1, 999)
+        a = rng.randint(max(0, ab - (N - NE)), min(ab, NE))
+        b = ab - a
+        c, d = NE - a, (N - NE) - b
+        table = [(a, NE), (b, N - NE), (c, NE), (d, N - NE)]
+        colsums = [ab, ab, N - ab, N - ab]
+        chi_def = 0.0
+        for (o, rowsum), colsum in zip(table, colsums):
+            e = rowsum * colsum / N
+            if e > 0:
+                chi_def += (o - e) ** 2 / e
+        chi_closed = N * (a * d - b * c) ** 2 / (ab * (N - ab) * NE * (N - NE))
+        assert math.isclose(chi_def, chi_closed, rel_tol=1e-9)

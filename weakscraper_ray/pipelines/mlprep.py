@@ -801,6 +801,154 @@ FROM agg
 """
 
 
+def q_chi2_terms(sf_dir: str):
+    """χ² feature selection (Yang & Pedersen 1997): the 20 terms whose
+    document-frequency 2×2 table is most dependent on lang = 'en'.
+    Per term t: a = en docs containing t, ab = all docs containing t,
+    and with the fixed doc totals (N, ne),
+    χ²·e6 = half-away-e6 of N·(a·d − b·c)² / ((a+b)(c+d)(a+c)(b+d))
+    — one exact integer division per term (Python bigints / HUGEINT;
+    degenerate margins a+b = N excluded on both engines).  Ranked by
+    (chi2_e6 DESC, term ASC).  Output: 20 rows ``(term, df_en,
+    df_all, chi2_e6)``.
+
+    Shape: per-batch DISTINCT (doc, term) presence partials → ONE
+    vocabulary-bounded ``groupby(term)`` exchange (the nb_classify
+    discipline) → per-block χ² + partial top-20 (bigint math on ≤
+    vocab rows) → driver combine of ≤ 20-row partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _totals(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "ne": pa.array([int((lang == "en").sum())], pa.int64()),
+            }
+        )
+
+    n_docs = n_en = 0
+    for t in ds.map_batches(_totals, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        n_docs += sum(t.column("n").to_pylist())
+        n_en += sum(t.column("ne").to_pylist())
+
+    def _presence(t: pa.Table) -> pa.Table:
+        _, flat, doc_of = _doc_token_runs(t)
+        en = (
+            t.column("lang").to_numpy(zero_copy_only=False)[doc_of] == "en"
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"d": doc_of, "term": flat, "en": en})
+            .drop_duplicates(["d", "term"])
+            .groupby("term", sort=False)
+            .agg(df_en=("en", "sum"), df_all=("en", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "term": pa.array(df["term"]),
+                "df_en": pa.array(df["df_en"].to_numpy(np.int64)),
+                "df_all": pa.array(df["df_all"].to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_presence, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Sum("df_en", alias_name="df_en"),
+            Sum("df_all", alias_name="df_all"),
+        )
+    )
+
+    def _chi2_topk(t: pa.Table, N=n_docs, NE=n_en) -> pa.Table:
+        terms = t.column("term").to_pylist()
+        a_arr = t.column("df_en").to_pylist()
+        ab_arr = t.column("df_all").to_pylist()
+        rows = []
+        for term, a, ab in zip(terms, a_arr, ab_arr):
+            if ab >= N:  # degenerate margin: term in every doc
+                continue
+            b = ab - a
+            c = NE - a
+            d = (N - NE) - b
+            num = N * (a * d - b * c) ** 2
+            den = ab * (N - ab) * NE * (N - NE)
+            e6 = (2_000_000 * num + den) // (2 * den)
+            rows.append((term, a, ab, e6))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        rows = rows[:20]
+        return pa.table(
+            {
+                "term": pa.array([r[0] for r in rows], pa.string()),
+                "df_en": pa.array([r[1] for r in rows], pa.int64()),
+                "df_all": pa.array([r[2] for r in rows], pa.int64()),
+                "chi2_e6": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    cand = []
+    for t in counts.map_batches(
+        _chi2_topk, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        cand.extend(
+            zip(
+                t.column("term").to_pylist(),
+                t.column("df_en").to_pylist(),
+                t.column("df_all").to_pylist(),
+                t.column("chi2_e6").to_pylist(),
+            )
+        )
+    cand.sort(key=lambda r: (-r[3], r[0]))
+    cand = cand[:20]
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in cand], pa.string()),
+            "df_en": pa.array([r[1] for r in cand], pa.int64()),
+            "df_all": pa.array([r[2] for r in cand], pa.int64()),
+            "chi2_e6": pa.array([r[3] for r in cand], pa.int64()),
+        }
+    )
+
+
+SQL_CHI2_TERMS = r"""
+WITH l AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(regexp_replace(coalesce(text, ''),
+                                           '^\s+|\s+$', '', 'g'),
+                            '\S+') AS toks
+  FROM documents),
+pres AS (SELECT DISTINCT doc_id, lang, unnest(toks) AS term FROM l),
+tot AS (SELECT cast(count(*) AS BIGINT) AS n,
+               cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ne
+        FROM l),
+cnt AS (SELECT term,
+               cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_en,
+               cast(count(*) AS BIGINT) AS df_all
+        FROM pres GROUP BY term),
+chi AS (
+  SELECT term, df_en, df_all,
+         cast((2000000 * (tot.n
+                 * cast(df_en * (tot.n - tot.ne - (df_all - df_en))
+                        - (df_all - df_en) * (tot.ne - df_en) AS HUGEINT)
+                 * cast(df_en * (tot.n - tot.ne - (df_all - df_en))
+                        - (df_all - df_en) * (tot.ne - df_en) AS HUGEINT))
+               + (cast(df_all AS HUGEINT) * (tot.n - df_all)
+                  * tot.ne * (tot.n - tot.ne)))
+              // (2 * cast(df_all AS HUGEINT) * (tot.n - df_all)
+                  * tot.ne * (tot.n - tot.ne)) AS BIGINT) AS chi2_e6
+  FROM cnt, tot WHERE df_all < tot.n)
+SELECT term, df_en, df_all, chi2_e6
+FROM chi ORDER BY chi2_e6 DESC, term ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "nb_classify": q_nb_classify,
     "gini_stump": q_gini_stump,
@@ -808,6 +956,7 @@ QUERIES = {
     "auc_nb": q_auc_nb,
     "calibration_bins": q_calibration_bins,
     "brier_score": q_brier_score,
+    "chi2_terms": q_chi2_terms,
 }
 
 ORACLE_SQL = {
@@ -817,6 +966,7 @@ ORACLE_SQL = {
     "auc_nb": SQL_AUC_NB,
     "calibration_bins": SQL_CALIBRATION,
     "brier_score": SQL_BRIER,
+    "chi2_terms": SQL_CHI2_TERMS,
 }
 
 # self-register (same pattern as monitor.py)
