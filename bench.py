@@ -126,7 +126,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "mann_kendall", "assortativity", "rich_club", "ams_f2",
         "anova_f", "kruskal_wallis", "dft_power", "brier_score",
         "hilbert_layout", "dbscan_clusters", "ks_test", "levene_test",
-        "chi2_independence", "chi2_terms",
+        "chi2_independence", "chi2_terms", "avg_precision",
+        "best_f1", "corr_matrix",
     ]
     out: dict[str, float] = {}
     for name in names:

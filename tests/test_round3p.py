@@ -455,3 +455,66 @@ def test_chi2_terms_formula_matches_definition():
                 chi_def += (o - e) ** 2 / e
         chi_closed = N * (a * d - b * c) ** 2 / (ab * (N - ab) * NE * (N - NE))
         assert math.isclose(chi_def, chi_closed, rel_tol=1e-9)
+
+
+def test_avg_precision_per_term_quantized_sum_tracks_float_ap():
+    rng = random.Random(59)
+    cen = [(s, rng.randint(1, 20), 0) for s in range(40)]
+    cen = [(s, n, rng.randint(0, n)) for s, n, _ in cen]
+    cen.sort(key=lambda r: -r[0])  # thresholds descending
+    p = sum(np_ for _, _, np_ in cen)
+    tp = tot = 0
+    ap_float = 0.0
+    total = 0
+    for _, n, np_ in cen:
+        tp += np_
+        tot += n
+        ap_float += (np_ / p) * (tp / tot)
+        num, den = np_ * tp, p * tot
+        total += (2_000_000 * num + den) // (2 * den)
+    assert abs(total / 1e6 - ap_float) <= len(cen) * 1e-6
+
+
+def test_best_f1_e12_is_collision_free_and_maximal():
+    rng = random.Random(61)
+    cen = [(s, rng.randint(1, 15), 0) for s in range(30)]
+    cen = [(s, n, rng.randint(0, n)) for s, n, _ in cen]
+    cen.sort(key=lambda r: -r[0])
+    p = sum(np_ for _, _, np_ in cen)
+    from fractions import Fraction
+
+    tp = fp = 0
+    rows = []
+    for s, n, np_ in cen:
+        tp += np_
+        fp += n - np_
+        fn = p - tp
+        f1 = Fraction(2 * tp, 2 * tp + fp + fn)
+        e12 = (2 * 10**12 * f1.numerator * 1 + (f1.denominator)) // (
+            2 * f1.denominator
+        )
+        rows.append((s, f1, e12))
+    # collision-freeness: distinct fractions -> distinct e12
+    seen = {}
+    for s, f1, e12 in rows:
+        if e12 in seen:
+            assert seen[e12] == f1
+        seen[e12] = f1
+    best_exact = max(rows, key=lambda r: (r[1], -r[0]))
+    best_e12 = max(rows, key=lambda r: (r[2], -r[0]))
+    assert best_exact[0] == best_e12[0]
+
+
+def test_corr_moment_chain_matches_numpy_corrcoef():
+    rng = np.random.RandomState(67)
+    x = rng.randint(1, 50, 500).astype(np.int64)
+    y = (x * 3 + rng.randint(0, 40, 500)).astype(np.int64)
+    n = 500
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    r_chain = float(num) / math.sqrt(float(denx) * float(deny))
+    r_np = np.corrcoef(x, y)[0, 1]
+    assert math.isclose(r_chain, r_np, rel_tol=1e-12)

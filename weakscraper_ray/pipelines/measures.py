@@ -263,18 +263,11 @@ FROM f
 # =====================================================================
 
 
-def q_mann_kendall(sf_dir: str):
-    """Mann–Kendall trend test of the daily order-count series:
-    S = Σ_{i<j} sgn(c_j − c_i) over days in date order, tie-corrected
-    18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (both exact bigints),
-    and the continuity-corrected z = (S∓1)/√(Var S) as the one
-    mirrored double.  Output: one row ``(n_days, s_stat, var18,
-    z_e6)``.
-
-    Shape: per-batch day-census partials (≤ #days rows each) fold on
-    the driver — zero keyed exchange (the ``autocorr_daily``
-    discipline); the O(days²) sign sweep runs on the ≤ few-thousand-day
-    folded series."""
+def _day_census(sf_dir: str) -> dict[int, int]:
+    """epoch-day → order count, folded on the driver (the
+    ``autocorr_daily`` discipline: per-batch partials are ≤ #days
+    rows, the domain is day-bounded, zero keyed exchange).  Shared by
+    ``mann_kendall`` and ``theil_sen``."""
     ds = _read(sf_dir, "orders", ["o_orderdate"])
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -295,6 +288,22 @@ def q_mann_kendall(sf_dir: str):
     ):
         for d, n in zip(t.column("day").to_pylist(), t.column("n").to_pylist()):
             census[int(d)] = census.get(int(d), 0) + int(n)
+    return census
+
+
+def q_mann_kendall(sf_dir: str):
+    """Mann–Kendall trend test of the daily order-count series:
+    S = Σ_{i<j} sgn(c_j − c_i) over days in date order, tie-corrected
+    18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (both exact bigints),
+    and the continuity-corrected z = (S∓1)/√(Var S) as the one
+    mirrored double.  Output: one row ``(n_days, s_stat, var18,
+    z_e6)``.
+
+    Shape: per-batch day-census partials (≤ #days rows each) fold on
+    the driver — zero keyed exchange (the ``autocorr_daily``
+    discipline); the O(days²) sign sweep runs on the ≤ few-thousand-day
+    folded series."""
+    census = _day_census(sf_dir)
     days = sorted(census)
     c = np.array([census[d] for d in days], dtype=np.int64)
     n = len(c)
@@ -336,7 +345,7 @@ f AS (SELECT (SELECT cast(count(*) AS BIGINT) FROM c) AS nd,
              cast(p.s AS BIGINT) AS s, t.corr AS corr
       FROM p, t)
 SELECT nd AS n_days, s AS s_stat,
-       (nd * (nd - 1) * (2 * nd + 5) - corr) AS var18,
+       cast(nd * (nd - 1) * (2 * nd + 5) - corr AS BIGINT) AS var18,
        cast(CASE
          WHEN s > 0 THEN floor(1e6 * (s - 1)::DOUBLE
            / sqrt((nd * (nd - 1) * (2 * nd + 5) - corr)::DOUBLE / 18.0)

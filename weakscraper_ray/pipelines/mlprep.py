@@ -949,6 +949,116 @@ FROM chi ORDER BY chi2_e6 DESC, term ASC LIMIT 20
 """
 
 
+def q_avg_precision(sf_dir: str):
+    """Average precision (the PR-curve area, step form — the ranking
+    metric that, unlike AUC, ignores true negatives) of the held-out
+    NB score: over distinct score thresholds DESCENDING,
+    AP = Σ_t (ΔTP_t / P) · (TP_t / (TP_t + FP_t)).  Each term is one
+    exact rational, quantized with the shared half-away e6 rule
+    BEFORE the sum, so the total ``ap_q_e6`` is an order-independent
+    integer (the ``chi2_independence`` per-term discipline).  Output:
+    one row ``(n_pos, n_neg, n_thresholds, ap_q_e6)``.  Reuses the
+    memoized score census — zero extra passes."""
+    cen = _nb_en_census(sf_dir)  # ascending by s
+    n = cen["n"].to_numpy(np.int64)[::-1]  # walk thresholds descending
+    npos = cen["n_pos"].to_numpy(np.int64)[::-1]
+    tp = np.cumsum(npos)
+    tot = np.cumsum(n)
+    p = int(npos.sum())
+    q = int(n.sum()) - p
+    total = 0
+    for dtp, tpi, toti in zip(npos.tolist(), tp.tolist(), tot.tolist()):
+        num = dtp * tpi
+        den = p * toti
+        total += (2_000_000 * num + den) // (2 * den)
+    return pa.table(
+        {
+            "n_pos": pa.array([p], pa.int64()),
+            "n_neg": pa.array([q], pa.int64()),
+            "n_thresholds": pa.array([len(n)], pa.int64()),
+            "ap_q_e6": pa.array([total], pa.int64()),
+        }
+    )
+
+
+SQL_AVG_PRECISION = _SQL_NB_EN_SCORES + """,
+cen AS (SELECT s, cast(count(*) AS BIGINT) AS n,
+               cast(sum(pos) AS BIGINT) AS np
+        FROM score GROUP BY s),
+cum AS (SELECT s, np AS dtp,
+               sum(np) OVER (ORDER BY s DESC) AS tp,
+               sum(n) OVER (ORDER BY s DESC) AS tot
+        FROM cen),
+tots AS (SELECT cast(sum(np) AS BIGINT) AS p,
+                cast(sum(n) - sum(np) AS BIGINT) AS q,
+                cast(count(*) AS BIGINT) AS nt
+         FROM cen)
+SELECT tots.p AS n_pos, tots.q AS n_neg, tots.nt AS n_thresholds,
+       cast(sum((2000000 * cast(cum.dtp AS HUGEINT) * cum.tp
+                 + tots.p * cast(cum.tot AS HUGEINT))
+                // (2 * tots.p * cast(cum.tot AS HUGEINT))) AS BIGINT)
+         AS ap_q_e6
+FROM cum, tots
+GROUP BY tots.p, tots.q, tots.nt
+"""
+
+
+def q_best_f1(sf_dir: str):
+    """Best-F1 operating point of the held-out NB score: over
+    thresholds t (predict 'en' iff s ≥ t, one t per distinct score),
+    maximize F1 = 2TP/(2TP + FP + FN).  Selection is EXACT: distinct
+    F1 fractions here have denominators ≤ 2N, so they differ by
+    ≥ 1/(2N)² ≫ 1e-12 and the half-away e12 quantization is
+    collision-free — ordering by (f1_e12 DESC, threshold ASC) picks
+    the same row on both engines with no float comparison.  Output:
+    one row ``(thr_s, tp, fp, fn, f1_e12)``."""
+    cen = _nb_en_census(sf_dir)
+    s = cen["s"].to_numpy(np.int64)[::-1]
+    n = cen["n"].to_numpy(np.int64)[::-1]
+    npos = cen["n_pos"].to_numpy(np.int64)[::-1]
+    tp = np.cumsum(npos)
+    fp = np.cumsum(n - npos)
+    p = int(npos.sum())
+    fn = p - tp
+    num = 2 * tp
+    den = 2 * tp + fp + fn
+    f1_e12 = (2 * 10**12 * num + den) // (2 * den)
+    # best by (f1_e12 desc, threshold asc): lexsort on (-f1, s)
+    order = np.lexsort((s, -f1_e12))
+    i = order[0]
+    return pa.table(
+        {
+            "thr_s": pa.array([int(s[i])], pa.int64()),
+            "tp": pa.array([int(tp[i])], pa.int64()),
+            "fp": pa.array([int(fp[i])], pa.int64()),
+            "fn": pa.array([int(fn[i])], pa.int64()),
+            "f1_e12": pa.array([int(f1_e12[i])], pa.int64()),
+        }
+    )
+
+
+SQL_BEST_F1 = _SQL_NB_EN_SCORES + """,
+cen AS (SELECT s, cast(count(*) AS BIGINT) AS n,
+               cast(sum(pos) AS BIGINT) AS np
+        FROM score GROUP BY s),
+tots AS (SELECT cast(sum(np) AS BIGINT) AS p FROM cen),
+cum AS (SELECT s,
+               sum(np) OVER (ORDER BY s DESC) AS tp,
+               sum(n - np) OVER (ORDER BY s DESC) AS fp
+        FROM cen),
+f AS (SELECT s AS thr_s, cast(tp AS BIGINT) AS tp,
+             cast(fp AS BIGINT) AS fp,
+             cast(tots.p - tp AS BIGINT) AS fn,
+             cast((2000000000000 * cast(2 * tp AS HUGEINT)
+                   + (2 * tp + fp + (tots.p - tp)))
+                  // (2 * cast(2 * tp + fp + (tots.p - tp) AS HUGEINT))
+                  AS BIGINT) AS f1_e12
+      FROM cum, tots)
+SELECT thr_s, tp, fp, fn, f1_e12
+FROM f ORDER BY f1_e12 DESC, thr_s ASC LIMIT 1
+"""
+
+
 QUERIES = {
     "nb_classify": q_nb_classify,
     "gini_stump": q_gini_stump,
@@ -957,6 +1067,8 @@ QUERIES = {
     "calibration_bins": q_calibration_bins,
     "brier_score": q_brier_score,
     "chi2_terms": q_chi2_terms,
+    "avg_precision": q_avg_precision,
+    "best_f1": q_best_f1,
 }
 
 ORACLE_SQL = {
@@ -967,6 +1079,8 @@ ORACLE_SQL = {
     "calibration_bins": SQL_CALIBRATION,
     "brier_score": SQL_BRIER,
     "chi2_terms": SQL_CHI2_TERMS,
+    "avg_precision": SQL_AVG_PRECISION,
+    "best_f1": SQL_BEST_F1,
 }
 
 # self-register (same pattern as monitor.py)

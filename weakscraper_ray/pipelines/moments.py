@@ -30,6 +30,8 @@ consecutive-pair reduction (exchange ≤ |types|²).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -364,11 +366,138 @@ FROM est
 """
 
 
+# =====================================================================
+# corr_matrix — exact-moment Pearson correlation of lineitem numerics
+# =====================================================================
+
+#: (label, column, integer scale) — cents/pct grains shared with the
+#: rest of the repo; fixed order pins the pair enumeration
+_CORR_VARS = (
+    ("qty", "l_quantity", 1.0),
+    ("disc", "l_discount", 100.0),
+    ("tax", "l_tax", 100.0),
+    ("price", "l_extendedprice", 100.0),
+)
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pearson correlation matrix of the four lineitem numerics
+    (quantity, discount_pct, tax_pct, price_cents) from EXACT integer
+    moments: per-batch partials are 15 scalars (n, four Σx, ten
+    Σx·y incl. squares) accumulated in Python bigints (price-cents
+    cross products overflow int64 at ~1e5 rows — the yule_k
+    object-dtype discipline), folded on the driver with zero keyed
+    exchange.  Each pair's ``corr_e6`` is the spearman_rho mirrored
+    double chain: num = n·Sxy − Sx·Sy, den = √((n·Sxx−Sx²)(n·Syy−Sy²))
+    from identical bigints on both engines.  Output: 6 rows
+    ``(var_a, var_b, n, corr_e6)``."""
+    ds = _read(
+        sf_dir, "lineitem", [c for _, c, _ in _CORR_VARS]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cols = [
+            _i64_away_np(
+                t.column(c).to_numpy(zero_copy_only=False), s
+            ).astype(object)
+            for _, c, s in _CORR_VARS
+        ]
+        vals = [t.num_rows]
+        for i in range(4):
+            vals.append(int(cols[i].sum()))
+        for i in range(4):
+            for j in range(i, 4):
+                vals.append(int((cols[i] * cols[j]).sum()))
+        return pa.table(
+            {
+                "k": pa.array(np.arange(len(vals), dtype=np.int64)),
+                "v": pa.array([str(v) for v in vals], pa.string()),
+            }
+        )
+
+    acc = [0] * 15
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for k, v in zip(t.column("k").to_pylist(), t.column("v").to_pylist()):
+            acc[k] += int(v)
+    n = acc[0]
+    s = acc[1:5]
+    xy = {}
+    k = 5
+    for i in range(4):
+        for j in range(i, 4):
+            xy[(i, j)] = acc[k]
+            k += 1
+    rows = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            num = n * xy[(i, j)] - s[i] * s[j]
+            denx = n * xy[(i, i)] - s[i] * s[i]
+            deny = n * xy[(j, j)] - s[j] * s[j]
+            r = float(num) / math.sqrt(float(denx) * float(deny))
+            e6 = int(math.floor(abs(r) * 1e6 + 0.5)) * (1 if r >= 0 else -1)
+            rows.append((_CORR_VARS[i][0], _CORR_VARS[j][0], e6))
+    return pa.table(
+        {
+            "var_a": pa.array([r[0] for r in rows], pa.string()),
+            "var_b": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([n] * len(rows), pa.int64()),
+            "corr_e6": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_corr() -> str:
+    exprs = {
+        "qty": "cast(round(l_quantity) AS HUGEINT)",
+        "disc": "cast(round(l_discount * 100) AS HUGEINT)",
+        "tax": "cast(round(l_tax * 100) AS HUGEINT)",
+        "price": "cast(round(cast(l_extendedprice AS DOUBLE) * 100) AS HUGEINT)",
+    }
+    names = [k for k, _, _ in _CORR_VARS]
+    arms = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            a, b = names[i], names[j]
+            arms.append(f"""SELECT '{a}' AS var_a, '{b}' AS var_b,
+       cast(n AS BIGINT) AS n,
+       cast(CASE WHEN (n * s_{a}{b} - s_{a} * s_{b}) >= 0
+         THEN floor(abs((n * s_{a}{b} - s_{a} * s_{b})::DOUBLE
+              / sqrt((n * s_{a}{a} - s_{a} * s_{a})::DOUBLE
+                     * (n * s_{b}{b} - s_{b} * s_{b})::DOUBLE)) * 1e6 + 0.5)
+         ELSE -floor(abs((n * s_{a}{b} - s_{a} * s_{b})::DOUBLE
+              / sqrt((n * s_{a}{a} - s_{a} * s_{a})::DOUBLE
+                     * (n * s_{b}{b} - s_{b} * s_{b})::DOUBLE)) * 1e6 + 0.5)
+       END AS BIGINT) AS corr_e6
+FROM m""")
+    sums = ",\n       ".join(
+        [f"sum({exprs[k]}) AS s_{k}" for k in names]
+        + [
+            f"sum({exprs[names[i]]} * {exprs[names[j]]}) AS s_{names[i]}{names[j]}"
+            for i in range(4)
+            for j in range(i, 4)
+        ]
+    )
+    return f"""
+WITH m AS (
+  SELECT cast(count(*) AS HUGEINT) AS n,
+       {sums}
+  FROM lineitem)
+{chr(10).join(f"{arm}{chr(10)}UNION ALL" for arm in arms[:-1])}
+{arms[-1]}
+"""
+
+
+SQL_CORR_MATRIX = _sql_corr()
+
+
 QUERIES = {
     "ams_f2": q_ams_f2,
     "gram_matrix": q_gram_matrix,
     "hill_tail": q_hill_tail,
     "markov_entropy": q_markov_entropy,
+    "corr_matrix": q_corr_matrix,
 }
 
 ORACLE_SQL = {
@@ -376,6 +505,7 @@ ORACLE_SQL = {
     "gram_matrix": SQL_GRAM,
     "hill_tail": SQL_HILL,
     "markov_entropy": SQL_MARKOV_ENTROPY,
+    "corr_matrix": SQL_CORR_MATRIX,
 }
 
 # self-register (same pattern as monitor.py)
