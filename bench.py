@@ -127,7 +127,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "anova_f", "kruskal_wallis", "dft_power", "brier_score",
         "hilbert_layout", "dbscan_clusters", "ks_test", "levene_test",
         "chi2_independence", "chi2_terms", "avg_precision",
-        "best_f1", "corr_matrix",
+        "best_f1", "corr_matrix", "runs_test", "perm_entropy", "quantile_map",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -518,3 +518,105 @@ def test_corr_moment_chain_matches_numpy_corrcoef():
     r_chain = float(num) / math.sqrt(float(denx) * float(deny))
     r_np = np.corrcoef(x, y)[0, 1]
     assert math.isclose(r_chain, r_np, rel_tol=1e-12)
+
+
+def test_runs_test_chain_matches_brute_force():
+    rng = random.Random(71)
+    c = [rng.randint(1, 11) for _ in range(200)]
+    import statistics
+
+    med = statistics.median(c)
+    signs = [1 if v > med else 0 for v in c if v != med]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    r = 1 + sum(a != b for a, b in zip(signs, signs[1:]))
+    nn = n1 + n2
+    mu = 2 * n1 * n2 / nn + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn**2 * (nn - 1))
+    z_brute = (r - mu) / math.sqrt(var)
+    # the operator's 2-median comparison (2v vs m2) == (v vs median)
+    from weakscraper_ray.pipelines.hypotests import _med2
+
+    marg = {}
+    for v in c:
+        marg[v] = marg.get(v, 0) + 1
+    m2 = _med2(marg)
+    signs2 = [1 if 2 * v > m2 else 0 for v in c if 2 * v != m2]
+    assert signs2 == signs
+    nn_f = float(n1 + n2)
+    mu_f = 2.0 * float(n1) * float(n2) / nn_f + 1.0
+    var_f = (
+        2.0 * float(n1) * float(n2)
+        * (2.0 * float(n1) * float(n2) - nn_f)
+        / (nn_f * nn_f * (nn_f - 1.0))
+    )
+    z_chain = (float(r) - mu_f) / math.sqrt(var_f)
+    assert math.isclose(z_chain, z_brute, rel_tol=1e-12)
+
+
+def test_perm_entropy_rank_encoding_is_bijective_on_permutations():
+    """Every strict-order triple maps to a distinct legal code, ties
+    resolve by position (left wins), and entropy of a monotone series
+    is zero."""
+    from itertools import permutations
+
+    codes = set()
+    for p in permutations([10, 20, 30]):
+        a, b, c3 = p
+        r0 = (b < a) + (c3 < a)
+        r1 = (a <= b) + (c3 < b)
+        r2 = (a <= c3) + (b <= c3)
+        codes.add(r0 * 9 + r1 * 3 + r2)
+    assert codes == {5, 7, 11, 15, 19, 21}
+    # tie rule: equal values rank by position (earlier = smaller)
+    a, b, c3 = 5, 5, 5
+    r0 = (b < a) + (c3 < a)
+    r1 = (a <= b) + (c3 < b)
+    r2 = (a <= c3) + (b <= c3)
+    assert (r0, r1, r2) == (0, 1, 2)  # flat triple == ascending
+    # monotone series: all windows the same pattern -> H == 0
+    n_w = 17
+    counts = {5: n_w}
+    import numpy as np
+
+    def ln_e6(v):
+        return int(np.rint(np.log(float(v)) * 1e6))
+
+    hq = n_w * ln_e6(n_w) - sum(m * ln_e6(m) for m in counts.values())
+    assert hq == 0
+
+
+def test_quantile_map_is_monotone_and_matches_inverse_cdf():
+    rng = random.Random(73)
+    a = [rng.randint(1, 20) for _ in range(300)]
+    b = [rng.randint(5, 40) for _ in range(500)]
+    ca, cb = {}, {}
+    for v in a:
+        ca[v] = ca.get(v, 0) + 1
+    for v in b:
+        cb[v] = cb.get(v, 0) + 1
+    na, nb = len(a), len(b)
+    r_vals = sorted(cb)
+    r_cum = []
+    cum = 0
+    for w in r_vals:
+        cum += cb[w]
+        r_cum.append(cum)
+    cum_a = 0
+    prev = None
+    for v in sorted(ca):
+        cum_a += ca[v]
+        mapped = next(
+            (w for w, cw in zip(r_vals, r_cum) if cw * na >= cum_a * nb),
+            r_vals[-1],
+        )
+        # integer cross-mult == float inverse-CDF at the same quantile
+        q = cum_a / na
+        float_map = next(
+            (w for w, cw in zip(r_vals, r_cum) if cw / nb >= q - 1e-15),
+            r_vals[-1],
+        )
+        assert mapped == float_map
+        if prev is not None:
+            assert mapped >= prev  # monotone map
+        prev = mapped

@@ -667,6 +667,271 @@ FROM n
 """
 
 
+# =====================================================================
+# runs_test — Wald–Wolfowitz randomness test over the daily series
+# =====================================================================
+
+
+def q_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test of the WEEKLY order-count series
+    (weekly, not daily: at the smallest test scale daily counts take
+    ~3 distinct values and the below-median class is empty, which
+    degenerates σ to 0; weekly totals spread 1..11 even at sf0.001):
+    classify each week above/below the series median (weeks AT the
+    median are dropped, the standard tie treatment; the 2-median
+    mid-pair sum from ``_med2`` keeps the comparison 2c ≷ m2 exact),
+    count runs R in week order, and read out the normal approximation
+    z = (R − μ)/σ with μ = 2n₁n₂/n + 1 — one mirrored fixed-order
+    double chain.  Output: one row ``(n_above, n_below, n_runs,
+    z_e6)``.  Zero keyed exchange (day-census fold, regrouped to
+    weeks on the driver); the run count is O(weeks) driver work."""
+    from .measures import _day_census
+
+    day_census = _day_census(sf_dir)
+    census: dict[int, int] = {}
+    for d, n in day_census.items():
+        census[d // 7] = census.get(d // 7, 0) + n
+    days = sorted(census)
+    c = [census[d] for d in days]
+    marg: dict[int, int] = {}
+    for v in c:
+        marg[v] = marg.get(v, 0) + 1
+    m2 = _med2(marg)
+    signs = [1 if 2 * v > m2 else 0 for v in c if 2 * v != m2]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    r = 1 + sum(a != b for a, b in zip(signs, signs[1:])) if signs else 0
+    nn = float(n1 + n2)
+    mu = 2.0 * float(n1) * float(n2) / nn + 1.0
+    var = (
+        2.0
+        * float(n1)
+        * float(n2)
+        * (2.0 * float(n1) * float(n2) - nn)
+        / (nn * nn * (nn - 1.0))
+    )
+    z = (float(r) - mu) / math.sqrt(var)
+    return pa.table(
+        {
+            "n_above": pa.array([n1], pa.int64()),
+            "n_below": pa.array([n2], pa.int64()),
+            "n_runs": pa.array([r], pa.int64()),
+            "z_e6": pa.array([_e6_signed(z)], pa.int64()),
+        }
+    )
+
+
+SQL_RUNS_TEST = """
+WITH c AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) // 7 AS d,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+marg AS (SELECT n AS v, cast(count(*) AS BIGINT) AS m FROM c GROUP BY n),
+cum AS (SELECT v, sum(m) OVER (ORDER BY v) AS cm,
+               sum(m) OVER () AS nt
+        FROM marg),
+med AS (SELECT min(CASE WHEN cm >= (nt + 1) // 2 THEN v END)
+               + min(CASE WHEN cm >= nt // 2 + 1 THEN v END) AS m2
+        FROM cum),
+s AS (SELECT d, CASE WHEN 2 * n > m2 THEN 1 ELSE 0 END AS sg
+      FROM c, med WHERE 2 * n <> m2),
+runs AS (SELECT sg, lag(sg) OVER (ORDER BY d) AS prev FROM s),
+agg AS (SELECT cast(sum(sg) AS BIGINT) AS n1,
+               cast(count(*) - sum(sg) AS BIGINT) AS n2,
+               cast(1 + sum(CASE WHEN prev IS NOT NULL AND sg <> prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM runs),
+z AS (SELECT n1, n2, r,
+        ((r::DOUBLE - (2.0 * n1::DOUBLE * n2::DOUBLE
+                       / (n1 + n2)::DOUBLE + 1.0))
+         / sqrt(2.0 * n1::DOUBLE * n2::DOUBLE
+                * (2.0 * n1::DOUBLE * n2::DOUBLE - (n1 + n2)::DOUBLE)
+                / ((n1 + n2)::DOUBLE * (n1 + n2)::DOUBLE
+                   * ((n1 + n2)::DOUBLE - 1.0)))) AS zz
+      FROM agg)
+SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+       cast(CASE WHEN zz >= 0 THEN floor(abs(zz) * 1e6 + 0.5)
+                 ELSE -floor(abs(zz) * 1e6 + 0.5) END AS BIGINT) AS z_e6
+FROM z
+"""
+
+
+# =====================================================================
+# perm_entropy — Bandt–Pompe ordinal-pattern entropy (order 3)
+# =====================================================================
+
+
+def q_perm_entropy(sf_dir: str):
+    """Permutation entropy (Bandt & Pompe 2002, order m = 3) of the
+    daily order-count series: each consecutive triple maps to one of
+    six ordinal patterns via EXACT lexicographic (value, position)
+    ranks (the deterministic tie rule — plain BP assumes distinct
+    values), the 6-cell pattern census folds, and the entropy
+    read-out stays integer:
+    H·N (e6-scaled) = N·e6(ln N) − Σ_k m_k·e6(ln m_k) with the
+    repo's quantized-ln discipline (kn_bigram / token_entropy).
+    Output: one row ``(n_windows, p0..p5, hq_e6n)`` — the six pattern
+    counts pivoted into fixed columns (a 6-row float sum would be
+    order-sensitive) plus the integer entropy numerator."""
+    from .measures import _day_census
+
+    census = _day_census(sf_dir)
+    days = sorted(census)
+    c = np.array([census[d] for d in days], dtype=np.int64)
+    a, b, d3 = c[:-2], c[1:-1], c[2:]
+    # rank_i = #{j != i: (c_j, j) < (c_i, i)} lexicographic
+    r0 = (b < a).astype(np.int64) + (d3 < a).astype(np.int64)
+    r1 = ((a < b) | (a == b)).astype(np.int64) + ((d3 < b)).astype(
+        np.int64
+    )
+    r2 = ((a < d3) | (a == d3)).astype(np.int64) + (
+        (b < d3) | (b == d3)
+    ).astype(np.int64)
+    pat = r0 * 9 + r1 * 3 + r2
+    # base-3 encoding of the rank triple is injective; remap the six
+    # legal codes to 0..5 in ascending order
+    legal = np.array([5, 7, 11, 15, 19, 21], dtype=np.int64)
+    counts = np.array(
+        [(pat == code).sum() for code in legal], dtype=np.int64
+    )
+    n_w = int(counts.sum())
+
+    def _ln_e6(v: int) -> int:
+        return int(_i64_away_np(np.log(np.array([float(v)])), 1e6)[0])
+
+    hq = n_w * _ln_e6(n_w) - sum(
+        int(m) * _ln_e6(int(m)) for m in counts if m > 0
+    )
+    cols = {
+        "n_windows": pa.array([n_w], pa.int64()),
+    }
+    for i in range(6):
+        cols[f"p{i}"] = pa.array([int(counts[i])], pa.int64())
+    cols["hq_e6n"] = pa.array([hq], pa.int64())
+    return pa.table(cols)
+
+
+SQL_PERM_ENTROPY = """
+WITH c AS (
+  SELECT cast(o_orderdate AS DATE) AS d, cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+w AS (SELECT n AS a,
+             lead(n, 1) OVER (ORDER BY d) AS b,
+             lead(n, 2) OVER (ORDER BY d) AS c3
+      FROM c),
+p AS (SELECT
+        ((CASE WHEN b < a THEN 1 ELSE 0 END)
+         + (CASE WHEN c3 < a THEN 1 ELSE 0 END)) * 9
+        + ((CASE WHEN a <= b THEN 1 ELSE 0 END)
+           + (CASE WHEN c3 < b THEN 1 ELSE 0 END)) * 3
+        + ((CASE WHEN a <= c3 THEN 1 ELSE 0 END)
+           + (CASE WHEN b <= c3 THEN 1 ELSE 0 END)) AS pat
+      FROM w WHERE b IS NOT NULL AND c3 IS NOT NULL),
+cnt AS (SELECT
+  cast(sum(CASE WHEN pat = 5 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+  cast(sum(CASE WHEN pat = 7 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+  cast(sum(CASE WHEN pat = 11 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+  cast(sum(CASE WHEN pat = 15 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+  cast(sum(CASE WHEN pat = 19 THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+  cast(sum(CASE WHEN pat = 21 THEN 1 ELSE 0 END) AS BIGINT) AS p5,
+  cast(count(*) AS BIGINT) AS nw
+  FROM p)
+SELECT nw AS n_windows, p0, p1, p2, p3, p4, p5,
+       cast(nw * cast(round(ln(nw::DOUBLE) * 1000000, 0) AS BIGINT)
+            - (CASE WHEN p0 > 0 THEN p0 *
+                 cast(round(ln(p0::DOUBLE) * 1000000, 0) AS BIGINT)
+               ELSE 0 END
+               + CASE WHEN p1 > 0 THEN p1 *
+                   cast(round(ln(p1::DOUBLE) * 1000000, 0) AS BIGINT)
+                 ELSE 0 END
+               + CASE WHEN p2 > 0 THEN p2 *
+                   cast(round(ln(p2::DOUBLE) * 1000000, 0) AS BIGINT)
+                 ELSE 0 END
+               + CASE WHEN p3 > 0 THEN p3 *
+                   cast(round(ln(p3::DOUBLE) * 1000000, 0) AS BIGINT)
+                 ELSE 0 END
+               + CASE WHEN p4 > 0 THEN p4 *
+                   cast(round(ln(p4::DOUBLE) * 1000000, 0) AS BIGINT)
+                 ELSE 0 END
+               + CASE WHEN p5 > 0 THEN p5 *
+                   cast(round(ln(p5::DOUBLE) * 1000000, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS hq_e6n
+FROM cnt
+"""
+
+
+# =====================================================================
+# quantile_map — quantile normalization between two group censuses
+# =====================================================================
+
+
+def q_quantile_map(sf_dir: str):
+    """Quantile normalization map from returnflag group A onto group
+    R (the distribution-alignment transform: feature scaling across
+    cohorts / batch-effect removal): each A-value v maps to the
+    SMALLEST R-value w whose cumulative share reaches v's, i.e.
+    min{w : cumR(w)·n_A ≥ cumA(v)·n_R} — pure integer
+    cross-multiplication, no float quantiles anywhere.  Output: one
+    row per distinct A value ``(v, cum_a, mapped)``.  Zero keyed
+    exchange (both censuses fold driver-side)."""
+    cells = _flag_qty_census(sf_dir)
+    ca: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for (f, x), m in cells.items():
+        if f == "A":
+            ca[x] = ca.get(x, 0) + m
+        elif f == "R":
+            cr[x] = cr.get(x, 0) + m
+    na, nr = sum(ca.values()), sum(cr.values())
+    r_vals = sorted(cr)
+    r_cum = []
+    cum = 0
+    for w in r_vals:
+        cum += cr[w]
+        r_cum.append(cum)
+    out_v, out_c, out_m = [], [], []
+    cum_a = 0
+    for v in sorted(ca):
+        cum_a += ca[v]
+        mapped = None
+        for w, cw in zip(r_vals, r_cum):
+            if cw * na >= cum_a * nr:
+                mapped = w
+                break
+        out_v.append(v)
+        out_c.append(cum_a)
+        out_m.append(mapped if mapped is not None else r_vals[-1])
+    return pa.table(
+        {
+            "v": pa.array(out_v, pa.int64()),
+            "cum_a": pa.array(out_c, pa.int64()),
+            "mapped": pa.array(out_m, pa.int64()),
+        }
+    )
+
+
+SQL_QUANTILE_MAP = """
+WITH c AS (
+  SELECT cast(round(l_quantity) AS BIGINT) AS x,
+         cast(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ma,
+         cast(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS mr
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+n AS (SELECT sum(ma) AS na, sum(mr) AS nr FROM c),
+ac AS (SELECT x AS v, sum(ma) OVER (ORDER BY x) AS cum_a
+       FROM c WHERE ma > 0),
+rc AS (SELECT x AS w, sum(mr) OVER (ORDER BY x) AS cum_r
+       FROM c WHERE mr > 0)
+SELECT ac.v, cast(ac.cum_a AS BIGINT) AS cum_a,
+       cast(coalesce(min(CASE WHEN rc.cum_r * n.na >= ac.cum_a * n.nr
+                               THEN rc.w END),
+                     (SELECT max(w) FROM rc)) AS BIGINT) AS mapped
+FROM ac, rc, n
+GROUP BY ac.v, ac.cum_a, n.na, n.nr
+"""
+
+
 QUERIES = {
     "anova_f": q_anova_f,
     "kruskal_wallis": q_kruskal_wallis,
@@ -674,6 +939,9 @@ QUERIES = {
     "ks_test": q_ks_test,
     "levene_test": q_levene_test,
     "chi2_independence": q_chi2_independence,
+    "runs_test": q_runs_test,
+    "perm_entropy": q_perm_entropy,
+    "quantile_map": q_quantile_map,
 }
 
 ORACLE_SQL = {
@@ -683,6 +951,9 @@ ORACLE_SQL = {
     "ks_test": SQL_KS_TEST,
     "levene_test": SQL_LEVENE,
     "chi2_independence": SQL_CHI2_INDEP,
+    "runs_test": SQL_RUNS_TEST,
+    "perm_entropy": SQL_PERM_ENTROPY,
+    "quantile_map": SQL_QUANTILE_MAP,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
