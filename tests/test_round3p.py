@@ -620,3 +620,90 @@ def test_quantile_map_is_monotone_and_matches_inverse_cdf():
         if prev is not None:
             assert mapped >= prev  # monotone map
         prev = mapped
+
+
+def test_durbin_watson_integer_chain_matches_float_definition():
+    rng = random.Random(79)
+    ts = sorted(random.Random(80).sample(range(500), 60))
+    cs = [rng.randint(20, 99) for _ in ts]
+    n = len(ts)
+    # float reference: OLS residuals then DW
+    st, stt = sum(ts), sum(t * t for t in ts)
+    sc, stc = sum(cs), sum(t * c for t, c in zip(ts, cs))
+    d = n * stt - st * st
+    b = (n * stc - st * sc) / d
+    a = (sc * stt - st * stc) / d
+    e = [c - (a + b * t) for t, c in zip(ts, cs)]
+    dw_float = sum((x - y) ** 2 for x, y in zip(e[1:], e[:-1])) / sum(
+        x * x for x in e
+    )
+    # integer chain (D-scaled residuals, D cancels)
+    b_num = n * stc - st * sc
+    a_num = sc * stt - st * stc
+    ed = [d * c - (a_num + b_num * t) for t, c in zip(ts, cs)]
+    num = sum((x - y) ** 2 for x, y in zip(ed[1:], ed[:-1]))
+    den = sum(x * x for x in ed)
+    assert math.isclose(num / den, dw_float, rel_tol=1e-12)
+
+
+def test_cochran_armitage_reduces_to_two_group_proportion_z():
+    """With two groups scored 0/1, CA z equals the standard two-sample
+    proportion z-test (pooled)."""
+    n1, r1 = 400, 120
+    n2, r2 = 600, 260
+    nt, rt = n1 + n2, r1 + r2
+    # CA with scores s in {0, 1}
+    a = 0 * (r1 * nt - n1 * rt) + 1 * (r2 * nt - n2 * rt)
+    sns = n2
+    snss = n2
+    b = rt * (nt - rt) * (nt * snss - sns * sns)
+    z_ca = a * math.sqrt(nt / b)
+    # pooled two-proportion z
+    p = rt / nt
+    z_prop = (r2 / n2 - r1 / n1) / math.sqrt(
+        p * (1 - p) * (1 / n1 + 1 / n2)
+    )
+    assert math.isclose(z_ca, z_prop, rel_tol=1e-12)
+
+
+def _brute_skyline(points):
+    """non-dominated (day max, price min) distinct points."""
+    out = []
+    for d, p in points:
+        dominated = any(
+            (d2 >= d and p2 <= p and (d2, p2) != (d, p))
+            for d2, p2 in points
+        )
+        if not dominated:
+            out.append((d, p))
+    return sorted(out)
+
+
+def test_skyline_kernel_matches_brute_force_and_is_distributive():
+    from weakscraper_ray.pipelines.dataops import _local_skyline
+
+    rng = random.Random(83)
+    pts = {}
+    for _ in range(300):
+        d = rng.randint(0, 40)
+        p = rng.randint(100, 999)
+        pts[d] = min(pts.get(d, 10**9), p)  # distinct day -> min price
+    points = sorted(pts.items())
+    days = np.array([d for d, _ in points], dtype=np.int64)
+    price = np.array([p for _, p in points], dtype=np.int64)
+    d, p = _local_skyline(days, price)
+    assert sorted(zip(d.tolist(), p.tolist())) == _brute_skyline(points)
+    # distributivity: skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B))
+    half = len(days) // 2
+    d1, p1 = _local_skyline(days[:half], price[:half])
+    d2, p2 = _local_skyline(days[half:], price[half:])
+    md = np.concatenate([d1, d2])
+    mp = np.concatenate([p1, p2])
+    # re-apply per-day min before the merge frontier (operator's fold)
+    import pandas as pd
+
+    g = pd.DataFrame({"d": md, "p": mp}).groupby("d")["p"].min()
+    dm, pm = _local_skyline(
+        g.index.to_numpy(np.int64), g.to_numpy(np.int64)
+    )
+    assert sorted(zip(dm.tolist(), pm.tolist())) == _brute_skyline(points)

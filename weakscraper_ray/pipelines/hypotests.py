@@ -932,6 +932,176 @@ GROUP BY ac.v, ac.cum_a, n.na, n.nr
 """
 
 
+# =====================================================================
+# durbin_watson — serial-correlation statistic, pure integer end to end
+# =====================================================================
+
+
+def q_durbin_watson(sf_dir: str):
+    """Durbin–Watson statistic (Durbin & Watson 1950) of the daily
+    order-count series' OLS-detrended residuals — and unlike the
+    z-statistics above it needs NO mirrored double at all: with
+    D = n·Σt² − (Σt)² (t = day − min_day), the D-scaled residual
+    eD_t = D·c_t − (a_num + b_num·t) is an exact bigint (a_num, b_num
+    the exact OLS intercept/slope numerators), and D cancels in
+    DW = Σ(eD_t − eD_{t−1})² / Σ eD_t² — one shared half-away e6
+    integer division.  Consecutive observed days in day order (gaps
+    treated as adjacent observations, the series convention shared
+    with ``autocorr_daily``).  Output: one row ``(n_days, dw_e6)``.
+    Zero keyed exchange; O(days) driver work on the folded census."""
+    from .measures import _day_census
+    from .patterns import _ols_e6
+
+    census = _day_census(sf_dir)
+    days = sorted(census)
+    t0 = days[0]
+    ts = [d - t0 for d in days]
+    cs = [census[d] for d in days]
+    n = len(ts)
+    s_t = sum(ts)
+    s_tt = sum(t * t for t in ts)
+    s_c = sum(cs)
+    s_tc = sum(t * c for t, c in zip(ts, cs))
+    dd = n * s_tt - s_t * s_t
+    b_num = n * s_tc - s_t * s_c
+    a_num = s_c * s_tt - s_t * s_tc
+    e = [dd * c - (a_num + b_num * t) for t, c in zip(ts, cs)]
+    num = sum((x - y) ** 2 for x, y in zip(e[1:], e[:-1]))
+    den = sum(x * x for x in e)
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "dw_e6": pa.array([_ols_e6(num, den)], pa.int64()),
+        }
+    )
+
+
+SQL_DURBIN_WATSON = """
+WITH c AS (
+  SELECT cast(datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+              AS BIGINT) AS d,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+t AS (SELECT d - (SELECT min(d) FROM c) AS t, n FROM c),
+p AS (SELECT cast(count(*) AS HUGEINT) AS nn,
+             cast(sum(t) AS HUGEINT) AS st,
+             cast(sum(t * t) AS HUGEINT) AS stt,
+             cast(sum(n) AS HUGEINT) AS sc,
+             cast(sum(t * n) AS HUGEINT) AS stc
+      FROM t),
+e AS (SELECT t.t,
+             (p.nn * p.stt - p.st * p.st) * t.n
+             - ((p.sc * p.stt - p.st * p.stc)
+                + (p.nn * p.stc - p.st * p.sc) * t.t) AS ed
+      FROM t, p),
+w AS (SELECT ed, lag(ed) OVER (ORDER BY t) AS prev FROM e),
+agg AS (SELECT sum(CASE WHEN prev IS NULL THEN 0
+                        ELSE (ed - prev) * (ed - prev) END) AS num,
+               sum(ed * ed) AS den
+        FROM w)
+SELECT (SELECT cast(count(*) AS BIGINT) FROM c) AS n_days,
+       cast((2000000 * num + den) // (2 * den) AS BIGINT) AS dw_e6
+FROM agg
+"""
+
+
+# =====================================================================
+# cochran_armitage — trend in a binary outcome across ordered groups
+# =====================================================================
+
+
+def q_cochran_armitage(sf_dir: str):
+    """Cochran–Armitage trend test (Cochran 1954, Armitage 1955) of
+    the 'F'-status share across the five ORDERED order priorities
+    (scores s = 1..5, the leading digit): with r_i = #F and n_i the
+    group sizes, both T·N = Σ s_i(r_i·N − n_i·R) and
+    V·N³-scaled = R(N−R)·(N·Σn_i s_i² − (Σn_i s_i)²) are exact
+    bigints, and z = T/√Var = A·√(N/B) is the one mirrored chain
+    (B stays an intermediate — it exceeds int64 at sf ≥ 0.1, so only
+    its correctly-rounded double enters the read-out on both
+    engines).  Output: one row ``(n, n_pos, t_num, z_e6)``.  Zero
+    keyed exchange (5×|status| bounded census fold)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = pc.utf8_slice_codeunits(
+            t.column("o_orderpriority"), 0, 1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = (
+            t.column("o_orderstatus").to_numpy(zero_copy_only=False) == "F"
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"s": s, "pos": pos})
+            .groupby("s", sort=False)
+            .agg(n=("pos", "size"), r=("pos", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "s": pa.array(g["s"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "r": pa.array(g["r"].to_numpy(np.int64)),
+            }
+        )
+
+    cen: dict[int, list[int]] = {}
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for s, n, r in zip(
+            t.column("s").to_pylist(),
+            t.column("n").to_pylist(),
+            t.column("r").to_pylist(),
+        ):
+            e = cen.setdefault(int(s), [0, 0])
+            e[0] += int(n)
+            e[1] += int(r)
+    nt = sum(v[0] for v in cen.values())
+    rt = sum(v[1] for v in cen.values())
+    a = sum(s * (v[1] * nt - v[0] * rt) for s, v in cen.items())
+    sns = sum(v[0] * s for s, v in cen.items())
+    snss = sum(v[0] * s * s for s, v in cen.items())
+    b = rt * (nt - rt) * (nt * snss - sns * sns)
+    z = float(a) * math.sqrt(float(nt) / float(b))
+    return pa.table(
+        {
+            "n": pa.array([nt], pa.int64()),
+            "n_pos": pa.array([rt], pa.int64()),
+            "t_num": pa.array([a], pa.int64()),
+            "z_e6": pa.array([_e6_signed(z)], pa.int64()),
+        }
+    )
+
+
+SQL_COCHRAN_ARMITAGE = """
+WITH c AS (
+  SELECT cast(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+         cast(count(*) AS BIGINT) AS n,
+         cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM orders GROUP BY 1),
+tot AS (SELECT cast(sum(n) AS HUGEINT) AS nt,
+               cast(sum(r) AS HUGEINT) AS rt,
+               cast(sum(n * s) AS HUGEINT) AS sns,
+               cast(sum(n * s * s) AS HUGEINT) AS snss
+        FROM c),
+a AS (SELECT cast(sum(s * (c.r * tot.nt - c.n * tot.rt)) AS HUGEINT) AS t_num
+      FROM c, tot),
+b AS (SELECT tot.rt * (tot.nt - tot.rt)
+             * (tot.nt * tot.snss - tot.sns * tot.sns) AS v_num
+      FROM tot),
+z AS (SELECT cast(tot.nt AS BIGINT) AS n, cast(tot.rt AS BIGINT) AS n_pos,
+             cast(a.t_num AS BIGINT) AS t_num,
+             (a.t_num::DOUBLE
+              * sqrt(tot.nt::DOUBLE / b.v_num::DOUBLE)) AS zz
+      FROM a, b, tot)
+SELECT n, n_pos, t_num,
+       cast(CASE WHEN zz >= 0 THEN floor(abs(zz) * 1e6 + 0.5)
+                 ELSE -floor(abs(zz) * 1e6 + 0.5) END AS BIGINT) AS z_e6
+FROM z
+"""
+
+
 QUERIES = {
     "anova_f": q_anova_f,
     "kruskal_wallis": q_kruskal_wallis,
@@ -942,6 +1112,8 @@ QUERIES = {
     "runs_test": q_runs_test,
     "perm_entropy": q_perm_entropy,
     "quantile_map": q_quantile_map,
+    "durbin_watson": q_durbin_watson,
+    "cochran_armitage": q_cochran_armitage,
 }
 
 ORACLE_SQL = {
@@ -954,6 +1126,8 @@ ORACLE_SQL = {
     "runs_test": SQL_RUNS_TEST,
     "perm_entropy": SQL_PERM_ENTROPY,
     "quantile_map": SQL_QUANTILE_MAP,
+    "durbin_watson": SQL_DURBIN_WATSON,
+    "cochran_armitage": SQL_COCHRAN_ARMITAGE,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
