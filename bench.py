@@ -129,6 +129,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "chi2_independence", "chi2_terms", "avg_precision",
         "best_f1", "corr_matrix", "runs_test", "perm_entropy", "quantile_map",
         "durbin_watson", "cochran_armitage", "skyline_pareto",
+        "full_outer_join",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -707,3 +707,27 @@ def test_skyline_kernel_matches_brute_force_and_is_distributive():
         g.index.to_numpy(np.int64), g.to_numpy(np.int64)
     )
     assert sorted(zip(dm.tolist(), pm.tolist())) == _brute_skyline(points)
+
+
+def test_full_outer_merge_covers_all_three_sides():
+    import pandas as pd
+
+    c = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30], "src": "c"})
+    o = pd.DataFrame({"k": [2, 3, 4, 4], "v": [1, 1, 1, 1], "src": "o"})
+    g = pd.concat([c, o])
+    from weakscraper_ray.pipelines.dataops import _FOJ_SHARDS  # noqa: F401
+
+    cc = g[g["src"] == "c"][["k", "v"]].rename(columns={"v": "cents"})
+    oo = (
+        g[g["src"] == "o"].groupby("k", sort=False)["v"].sum()
+        .reset_index(name="n")
+    )
+    m = cc.merge(oo, on="k", how="outer")
+    has_c, has_o = m["cents"].notna(), m["n"].notna()
+    side = np.where(has_c & has_o, "both", np.where(has_c, "left", "right"))
+    out = dict(zip(m["k"], side))
+    assert out == {1: "left", 2: "both", 3: "both", 4: "right"}
+    assert m.set_index("k")["n"].fillna(0).astype(int).to_dict() == {
+        1: 0, 2: 1, 3: 1, 4: 2,
+    }
+

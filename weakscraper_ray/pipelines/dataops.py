@@ -618,6 +618,102 @@ GROUP BY 1
 
 
 # =====================================================================
+# Full outer join (completes the join family: inner/broadcast/semi/
+# anti/right/asof/theta/stream already exist)
+# =====================================================================
+
+_FOJ_SHARDS = 64
+
+
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER JOIN of a filtered customer dimension (custkey
+    % 3 == 0, so right-only rows exist) with per-customer order
+    counts (TPC-H customers without orders supply the left-only
+    rows).  Output: (custkey, acct_cents, n_orders, side) with
+    side ∈ {both, left, right} and sentinels (−1 balance / 0 count)
+    instead of NULLs so the value hash is type-stable.
+
+    Shape: both inputs reduce BEFORE the exchange (orders
+    pre-aggregate to per-batch (key, count) partials — the classic
+    partial-aggregate-then-shuffle), then ONE shared key-shard
+    exchange co-locates both tagged sides and each shard performs a
+    vectorized pandas outer merge.  No driver materialization; the
+    output streams."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def _cust_side(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        keep = k % 3 == 0
+        k = k[keep]
+        cents = _i64_away(t.column("c_acctbal"), 100.0).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        return pa.table(
+            {
+                "shard": pa.array(k % _FOJ_SHARDS, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "v": pa.array(cents, pa.int64()),
+                "src": pa.array(["c"] * len(k), pa.string()),
+            }
+        )
+
+    def _order_side(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        g = pd.Series(k).value_counts()
+        kk = g.index.to_numpy(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(kk % _FOJ_SHARDS, pa.int64()),
+                "k": pa.array(kk, pa.int64()),
+                "v": pa.array(g.to_numpy(np.int64)),
+                "src": pa.array(["o"] * len(kk), pa.string()),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["src"] == "c"][["k", "v"]].rename(columns={"v": "cents"})
+        o = (
+            g[g["src"] == "o"]
+            .groupby("k", sort=False)["v"]
+            .sum()
+            .reset_index(name="n")
+        )
+        m = c.merge(o, on="k", how="outer")
+        has_c = m["cents"].notna()
+        has_o = m["n"].notna()
+        side = np.where(has_c & has_o, "both", np.where(has_c, "left", "right"))
+        return pd.DataFrame(
+            {
+                "custkey": m["k"].to_numpy(np.int64),
+                "acct_cents": m["cents"].fillna(-1).to_numpy(np.int64),
+                "n_orders": m["n"].fillna(0).to_numpy(np.int64),
+                "side": pd.Series(side, dtype="string"),
+            }
+        )
+
+    both = cust.map_batches(_cust_side, batch_format="pyarrow").union(
+        orders.map_batches(_order_side, batch_format="pyarrow")
+    )
+    return both.groupby("shard").map_groups(_merge, batch_format="pandas")
+
+
+SQL_FULL_OUTER_JOIN = """
+WITH c AS (
+  SELECT c_custkey AS k, cast(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_custkey % 3 = 0),
+o AS (SELECT o_custkey AS k, cast(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1)
+SELECT coalesce(c.k, o.k) AS custkey,
+       coalesce(c.cents, -1) AS acct_cents,
+       coalesce(o.n, 0) AS n_orders,
+       CASE WHEN c.k IS NOT NULL AND o.k IS NOT NULL THEN 'both'
+            WHEN c.k IS NOT NULL THEN 'left' ELSE 'right' END AS side
+FROM c FULL OUTER JOIN o ON c.k = o.k
+"""
+
+
+# =====================================================================
 # Skyline / Pareto-frontier operator (Börzsönyi et al. 2001)
 # =====================================================================
 
@@ -1412,6 +1508,7 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "hilbert_layout": q_hilbert_layout,
     "skyline_pareto": q_skyline_pareto,
+    "full_outer_join": q_full_outer_join,
     "ivm_priority_totals": q_ivm_priority_totals,
     "csv_source": q_csv_source,
     "compaction_plan": q_compaction_plan,
@@ -1430,6 +1527,7 @@ ORACLE_SQL = {
     "zorder_layout": SQL_ZORDER,
     "hilbert_layout": SQL_HILBERT,
     "skyline_pareto": SQL_SKYLINE,
+    "full_outer_join": SQL_FULL_OUTER_JOIN,
     "ivm_priority_totals": SQL_IVM,
     "csv_source": SQL_CSV_SOURCE,
     "compaction_plan": SQL_COMPACTION,
