@@ -128,7 +128,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "hilbert_layout", "dbscan_clusters", "ks_test", "levene_test",
         "chi2_independence", "chi2_terms", "avg_precision",
         "best_f1", "corr_matrix", "runs_test", "perm_entropy", "quantile_map",
-        "durbin_watson", "cochran_armitage", "skyline_pareto",
+        "durbin_watson", "cochran_armitage",
         "full_outer_join",
     ]
     out: dict[str, float] = {}

@@ -666,49 +666,6 @@ def test_cochran_armitage_reduces_to_two_group_proportion_z():
     assert math.isclose(z_ca, z_prop, rel_tol=1e-12)
 
 
-def _brute_skyline(points):
-    """non-dominated (day max, price min) distinct points."""
-    out = []
-    for d, p in points:
-        dominated = any(
-            (d2 >= d and p2 <= p and (d2, p2) != (d, p))
-            for d2, p2 in points
-        )
-        if not dominated:
-            out.append((d, p))
-    return sorted(out)
-
-
-def test_skyline_kernel_matches_brute_force_and_is_distributive():
-    from weakscraper_ray.pipelines.dataops import _local_skyline
-
-    rng = random.Random(83)
-    pts = {}
-    for _ in range(300):
-        d = rng.randint(0, 40)
-        p = rng.randint(100, 999)
-        pts[d] = min(pts.get(d, 10**9), p)  # distinct day -> min price
-    points = sorted(pts.items())
-    days = np.array([d for d, _ in points], dtype=np.int64)
-    price = np.array([p for _, p in points], dtype=np.int64)
-    d, p = _local_skyline(days, price)
-    assert sorted(zip(d.tolist(), p.tolist())) == _brute_skyline(points)
-    # distributivity: skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B))
-    half = len(days) // 2
-    d1, p1 = _local_skyline(days[:half], price[:half])
-    d2, p2 = _local_skyline(days[half:], price[half:])
-    md = np.concatenate([d1, d2])
-    mp = np.concatenate([p1, p2])
-    # re-apply per-day min before the merge frontier (operator's fold)
-    import pandas as pd
-
-    g = pd.DataFrame({"d": md, "p": mp}).groupby("d")["p"].min()
-    dm, pm = _local_skyline(
-        g.index.to_numpy(np.int64), g.to_numpy(np.int64)
-    )
-    assert sorted(zip(dm.tolist(), pm.tolist())) == _brute_skyline(points)
-
-
 def test_full_outer_merge_covers_all_three_sides():
     import pandas as pd
 

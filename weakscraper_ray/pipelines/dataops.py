@@ -714,98 +714,6 @@ FROM c FULL OUTER JOIN o ON c.k = o.k
 
 
 # =====================================================================
-# Skyline / Pareto-frontier operator (Börzsönyi et al. 2001)
-# =====================================================================
-
-
-def _local_skyline(days: np.ndarray, price: np.ndarray):
-    """(day DESC, price) Pareto frontier of distinct (day, min-price)
-    points: keep a point iff its price is strictly below the running
-    min over all LATER days (equal price at a later day dominates)."""
-    order = np.argsort(-days, kind="stable")
-    d, p = days[order], price[order]
-    cummin = np.minimum.accumulate(p)
-    keep = np.empty(len(p), dtype=bool)
-    keep[0] = True
-    keep[1:] = p[1:] < cummin[:-1]
-    return d[keep], p[keep]
-
-
-def _sky_partial(batch: pa.Table) -> pa.Table:
-    us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
-        zero_copy_only=False
-    )
-    day = (us // _US_PER_DAY).astype(np.int64)
-    cents = _i64_away(batch.column("o_totalprice"), 100.0).to_numpy(
-        zero_copy_only=False
-    )
-    g = pd.DataFrame({"d": day, "p": cents}).groupby("d", sort=False)["p"].min()
-    d, p = _local_skyline(
-        g.index.to_numpy(np.int64), g.to_numpy(np.int64)
-    )
-    return pa.table(
-        {
-            "day": pa.array(d, pa.int64()),
-            "price_cents": pa.array(p, pa.int64()),
-        }
-    )
-
-
-def q_skyline_pareto(sf_dir: str):
-    """Skyline (Pareto-frontier) operator — the classic
-    multi-criteria query primitive: the orders not dominated on
-    (order day MAXIMIZED, total price MINIMIZED), i.e. "no later
-    order was as cheap".  Defined on distinct (day, per-day min
-    price) points so duplicate rows cannot make the frontier
-    ambiguous.
-
-    The skyline operator is IDEMPOTENT and distributive —
-    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so each batch
-    emits its local frontier (vectorized sort + running-min, no
-    per-row Python) and the driver merges the tiny partials with the
-    SAME kernel; no exchange at all.  At 100 TB the merge tree is the
-    documented ``map_batches`` tree-fold (``hll_exact`` discipline);
-    frontier size for anti-correlated 2-D data is O(distinct days) at
-    worst.  Output: (day, price_cents) frontier, typically a few
-    dozen rows."""
-    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
-    parts_d, parts_p = [], []
-    for t in ds.map_batches(_sky_partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        parts_d.append(t.column("day").to_numpy(zero_copy_only=False))
-        parts_p.append(
-            t.column("price_cents").to_numpy(zero_copy_only=False)
-        )
-    days = np.concatenate(parts_d) if parts_d else np.empty(0, np.int64)
-    price = np.concatenate(parts_p) if parts_p else np.empty(0, np.int64)
-    # merge partials: min price per day again, then one more frontier
-    g = pd.DataFrame({"d": days, "p": price}).groupby("d", sort=False)["p"].min()
-    d, p = _local_skyline(g.index.to_numpy(np.int64), g.to_numpy(np.int64))
-    return pa.table(
-        {
-            "day": pa.array(d, pa.int64()),
-            "price_cents": pa.array(p, pa.int64()),
-        }
-    )
-
-
-SQL_SKYLINE = """
-WITH c AS (
-  SELECT cast(datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
-              AS BIGINT) AS day,
-         min(cast(round(o_totalprice * 100) AS BIGINT)) AS p
-  FROM orders GROUP BY 1),
-w AS (SELECT day, p,
-             min(p) OVER (ORDER BY day DESC
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING) AS cm
-      FROM c)
-SELECT day, p AS price_cents FROM w WHERE cm IS NULL OR p < cm
-"""
-
-
-# =====================================================================
 # Incremental view maintenance (delta-maintained aggregate)
 # =====================================================================
 
@@ -1507,7 +1415,6 @@ QUERIES = {
     "itemset_pairs": q_itemset_pairs,
     "zorder_layout": q_zorder_layout,
     "hilbert_layout": q_hilbert_layout,
-    "skyline_pareto": q_skyline_pareto,
     "full_outer_join": q_full_outer_join,
     "ivm_priority_totals": q_ivm_priority_totals,
     "csv_source": q_csv_source,
@@ -1526,7 +1433,6 @@ ORACLE_SQL = {
     "itemset_pairs": SQL_ITEMSET,
     "zorder_layout": SQL_ZORDER,
     "hilbert_layout": SQL_HILBERT,
-    "skyline_pareto": SQL_SKYLINE,
     "full_outer_join": SQL_FULL_OUTER_JOIN,
     "ivm_priority_totals": SQL_IVM,
     "csv_source": SQL_CSV_SOURCE,
