@@ -125,8 +125,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "kendall_tau", "cohen_kappa", "yule_k", "spearman_rho",
         "mann_kendall", "assortativity", "rich_club", "ams_f2",
         "anova_f", "kruskal_wallis", "dft_power", "brier_score",
-        "hilbert_layout", "dbscan_clusters", "ks_test", "levene_test",
-        "chi2_independence", "chi2_terms", "avg_precision",
+        "hilbert_layout", "dbscan_clusters", "levene_test", "chi2_terms", "avg_precision",
         "best_f1", "corr_matrix", "runs_test", "perm_entropy", "quantile_map",
         "durbin_watson", "cochran_armitage",
         "full_outer_join",

@@ -638,7 +638,14 @@ def q_full_outer_join(sf_dir: str):
     partial-aggregate-then-shuffle), then ONE shared key-shard
     exchange co-locates both tagged sides and each shard performs a
     vectorized pandas outer merge.  No driver materialization; the
-    output streams."""
+    output streams.
+
+    Contrast ``full_outer_daily`` (analytics.py), which full-outers
+    two pre-aggregated DAILY series via the union + groupby-Max
+    sentinel fold: that mechanism needs unique keys per side, while
+    this shard-merge form is the general dimension ⟗ fact shape —
+    the same logical-op / different-mechanism pairing as
+    hash_join / broadcast_join / salted_join."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
     orders = _read(sf_dir, "orders", ["o_custkey"])
 

@@ -386,73 +386,6 @@ SQL_DFT_POWER = _sql_dft()
 
 
 # =====================================================================
-# ks_test — two-sample Kolmogorov–Smirnov over the bounded census
-# =====================================================================
-
-
-def q_ks_test(sf_dir: str):
-    """Two-sample Kolmogorov–Smirnov test of the quantity
-    distributions in returnflag groups A vs R: from the bounded
-    census, D = max_v |F_A(v) − F_R(v)| is EXACT as the integer
-    d_num = max_v |cumA(v)·n_R − cumR(v)·n_A| over d_den = n_A·n_R —
-    no float until the one mirrored λ = D·√(n_A·n_R/(n_A+n_R))
-    read-out.  Output: one row ``(n_a, n_r, d_num, d_den,
-    lambda_e6)``.  Zero keyed exchange (census fold)."""
-    cells = _flag_qty_census(sf_dir)
-    ca: dict[int, int] = {}
-    cr: dict[int, int] = {}
-    for (f, x), m in cells.items():
-        if f == "A":
-            ca[x] = ca.get(x, 0) + m
-        elif f == "R":
-            cr[x] = cr.get(x, 0) + m
-    na, nr = sum(ca.values()), sum(cr.values())
-    d_num = 0
-    cum_a = cum_r = 0
-    for v in sorted(set(ca) | set(cr)):
-        cum_a += ca.get(v, 0)
-        cum_r += cr.get(v, 0)
-        d_num = max(d_num, abs(cum_a * nr - cum_r * na))
-    d_den = na * nr
-    lam = (float(d_num) / float(d_den)) * math.sqrt(
-        float(na) * float(nr) / (float(na) + float(nr))
-    )
-    return pa.table(
-        {
-            "n_a": pa.array([na], pa.int64()),
-            "n_r": pa.array([nr], pa.int64()),
-            "d_num": pa.array([d_num], pa.int64()),
-            "d_den": pa.array([d_den], pa.int64()),
-            "lambda_e6": pa.array([_e6_signed(lam)], pa.int64()),
-        }
-    )
-
-
-SQL_KS_TEST = """
-WITH c AS (
-  SELECT cast(round(l_quantity) AS BIGINT) AS x,
-         cast(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
-              AS BIGINT) AS ma,
-         cast(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-              AS BIGINT) AS mr
-  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
-n AS (SELECT sum(ma) AS na, sum(mr) AS nr FROM c),
-cum AS (SELECT x, sum(ma) OVER (ORDER BY x) AS ca,
-               sum(mr) OVER (ORDER BY x) AS cr
-        FROM c),
-d AS (SELECT max(abs(ca * n.nr - cr * n.na)) AS d_num FROM cum, n)
-SELECT cast(n.na AS BIGINT) AS n_a, cast(n.nr AS BIGINT) AS n_r,
-       cast(d.d_num AS BIGINT) AS d_num,
-       cast(n.na * n.nr AS BIGINT) AS d_den,
-       cast(floor((d.d_num::DOUBLE / (n.na * n.nr)::DOUBLE)
-                  * sqrt(n.na::DOUBLE * n.nr::DOUBLE
-                         / (n.na::DOUBLE + n.nr::DOUBLE)) * 1e6 + 0.5)
-            AS BIGINT) AS lambda_e6
-FROM d, n
-"""
-
-
-# =====================================================================
 # levene_test — Brown–Forsythe homogeneity of variance (median form)
 # =====================================================================
 
@@ -569,101 +502,6 @@ SELECT (SELECT m2 FROM med WHERE f = 'A') AS m2_a,
        cast(CASE WHEN w >= 0 THEN floor(abs(w) * 1e6 + 0.5)
                  ELSE -floor(abs(w) * 1e6 + 0.5) END AS BIGINT) AS w_e6
 FROM f
-"""
-
-
-# =====================================================================
-# chi2_independence — lang × source with per-cell e6 quantization
-# =====================================================================
-
-
-def q_chi2_independence(sf_dir: str):
-    """χ² test of independence between document lang and source over
-    the bounded |langs|×|sources| census, using the identity
-    χ² = N·Σ_cells O²/(r·c) − N.  Each cell's term N·O²/(r·c) is
-    quantized with the shared half-away e6 integer division, so the
-    total is an ORDER-INDEPENDENT integer sum (a float Σ over cells
-    would be summation-order-sensitive and never driver-hash);
-    chi2q_e6 = Σ e6-terms − 10⁶·N is exact on both engines.  Output:
-    one row ``(n, n_cells, df, chi2q_e6)``.  Zero keyed exchange —
-    per-batch census partials fold on the driver."""
-    from .patterns import _ols_e6
-
-    ds = _read(sf_dir, "documents", ["lang", "source"])
-
-    def _partial(t: pa.Table) -> pa.Table:
-        g = (
-            pd.DataFrame(
-                {
-                    "lang": t.column("lang").to_numpy(zero_copy_only=False),
-                    "source": t.column("source").to_numpy(
-                        zero_copy_only=False
-                    ),
-                }
-            )
-            .groupby(["lang", "source"], sort=False)
-            .size()
-            .reset_index(name="n")
-        )
-        return pa.table(
-            {
-                "lang": pa.array(g["lang"].astype(str)),
-                "source": pa.array(g["source"].astype(str)),
-                "n": pa.array(g["n"].to_numpy(np.int64)),
-            }
-        )
-
-    cells: dict[tuple[str, str], int] = {}
-    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        for a, b, m in zip(
-            t.column("lang").to_pylist(),
-            t.column("source").to_pylist(),
-            t.column("n").to_pylist(),
-        ):
-            cells[(a, b)] = cells.get((a, b), 0) + int(m)
-    rows: dict[str, int] = {}
-    cols: dict[str, int] = {}
-    for (a, b), m in cells.items():
-        rows[a] = rows.get(a, 0) + m
-        cols[b] = cols.get(b, 0) + m
-    nt = sum(cells.values())
-    total = 0
-    for (a, b), o in cells.items():
-        total += _ols_e6(nt * o * o, rows[a] * cols[b])
-    chi2q = total - 10**6 * nt
-    return pa.table(
-        {
-            "n": pa.array([nt], pa.int64()),
-            "n_cells": pa.array([len(cells)], pa.int64()),
-            "df": pa.array(
-                [(len(rows) - 1) * (len(cols) - 1)], pa.int64()
-            ),
-            "chi2q_e6": pa.array([chi2q], pa.int64()),
-        }
-    )
-
-
-SQL_CHI2_INDEP = """
-WITH c AS (
-  SELECT lang, source, cast(count(*) AS BIGINT) AS o
-  FROM documents GROUP BY 1, 2),
-r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY lang),
-k AS (SELECT source, sum(o) AS ct FROM c GROUP BY source),
-n AS (SELECT sum(o) AS nt FROM c),
-terms AS (
-  SELECT cast((2000000 * (n.nt * cast(c.o AS HUGEINT) * c.o)
-               + (r.rt * cast(k.ct AS HUGEINT)))
-              // (2 * r.rt * cast(k.ct AS HUGEINT)) AS BIGINT) AS t
-  FROM c JOIN r ON r.lang = c.lang JOIN k ON k.source = c.source, n)
-SELECT cast(n.nt AS BIGINT) AS n,
-       (SELECT cast(count(*) AS BIGINT) FROM c) AS n_cells,
-       cast(((SELECT count(*) FROM r) - 1)
-            * ((SELECT count(*) FROM k) - 1) AS BIGINT) AS df,
-       cast((SELECT sum(t) FROM terms) - 1000000 * n.nt AS BIGINT)
-         AS chi2q_e6
-FROM n
 """
 
 
@@ -1106,9 +944,7 @@ QUERIES = {
     "anova_f": q_anova_f,
     "kruskal_wallis": q_kruskal_wallis,
     "dft_power": q_dft_power,
-    "ks_test": q_ks_test,
     "levene_test": q_levene_test,
-    "chi2_independence": q_chi2_independence,
     "runs_test": q_runs_test,
     "perm_entropy": q_perm_entropy,
     "quantile_map": q_quantile_map,
@@ -1120,9 +956,7 @@ ORACLE_SQL = {
     "anova_f": SQL_ANOVA_F,
     "kruskal_wallis": SQL_KRUSKAL,
     "dft_power": SQL_DFT_POWER,
-    "ks_test": SQL_KS_TEST,
     "levene_test": SQL_LEVENE,
-    "chi2_independence": SQL_CHI2_INDEP,
     "runs_test": SQL_RUNS_TEST,
     "perm_entropy": SQL_PERM_ENTROPY,
     "quantile_map": SQL_QUANTILE_MAP,

@@ -390,7 +390,12 @@ def q_corr_matrix(sf_dir: str):
     exchange.  Each pair's ``corr_e6`` is the spearman_rho mirrored
     double chain: num = n·Sxy − Sx·Sy, den = √((n·Sxx−Sx²)(n·Syy−Sy²))
     from identical bigints on both engines.  Output: 6 rows
-    ``(var_a, var_b, n, corr_e6)``."""
+    ``(var_a, var_b, n, corr_e6)``.
+
+    Contrast ``corr_stats`` (analytics.py), the per-GROUP two-column
+    correlation (one r per returnflag via a keyed exchange): this is
+    the ungrouped all-pairs moment MATRIX — the gram_matrix shape
+    applied to raw columns — with zero exchange."""
     ds = _read(
         sf_dir, "lineitem", [c for _, c, _ in _CORR_VARS]
     )
