@@ -128,7 +128,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "hilbert_layout", "dbscan_clusters", "levene_test", "chi2_terms", "avg_precision",
         "best_f1", "corr_matrix", "runs_test", "perm_entropy", "quantile_map",
         "durbin_watson", "cochran_armitage",
-        "full_outer_join",
+        "full_outer_join", "assoc_rules", "matrix_profile", "mutual_knn",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -688,3 +688,91 @@ def test_full_outer_merge_covers_all_three_sides():
         1: 0, 2: 1, 3: 1, 4: 2,
     }
 
+
+
+def test_assoc_rule_identities():
+    """conf(a->b)·n_a == n_ab·1e6-scaled; lift symmetric; lift ==
+    conf(a->b)/support(b)."""
+    n_tot, n_a, n_b, n_ab = 1000, 40, 25, 10
+
+    def e6(p, d):
+        return (2_000_000 * p + d) // (2 * d)
+
+    conf_ab = e6(n_ab, n_a)
+    conf_ba = e6(n_ab, n_b)
+    lift = e6(n_tot * n_ab, n_a * n_b)
+    assert conf_ab == 250_000 and conf_ba == 400_000
+    assert lift == 10_000_000  # 10x independence
+    # lift is direction-free: same formula both ways
+    assert e6(n_tot * n_ab, n_b * n_a) == lift
+    # lift == conf(a->b) / (n_b / n_tot) up to quantization
+    assert abs(lift / 1e6 - (n_ab / n_a) / (n_b / n_tot)) < 1e-9
+
+
+def test_matrix_profile_matches_brute_force_with_exclusion():
+    rng = random.Random(97)
+    c = np.array([rng.randint(30, 99) for _ in range(60)], dtype=np.int64)
+    w = 7
+    n_w = len(c) - w + 1
+    W = np.lib.stride_tricks.sliding_window_view(c, w).astype(np.int64)
+    s2 = np.einsum("ij,ij->i", W, W)
+    d2 = s2[:, None] + s2[None, :] - 2 * (W @ W.T)
+    idx = np.arange(n_w)
+    d2m = np.where(np.abs(idx[:, None] - idx[None, :]) < w,
+                   np.iinfo(np.int64).max, d2)
+    nn_d, nn_i = d2m.min(axis=1), d2m.argmin(axis=1)
+    for i in range(n_w):
+        best, bestj = None, None
+        for j in range(n_w):
+            if abs(i - j) < w:
+                continue
+            d = int(((W[i] - W[j]) ** 2).sum())
+            if best is None or d < best or (d == best and j < bestj):
+                best, bestj = d, j
+        assert (int(nn_d[i]), int(nn_i[i])) == (best, bestj)
+
+
+def test_mutual_knn_sentinel_survives_negation():
+    """Regression: masking self with int64.min wraps under negation
+    (-int64.min == int64.min) and steals a top-k slot, silently
+    producing mutual-top-(k-1); the -1e18 sentinel must not."""
+    bad = np.array([np.iinfo(np.int64).min], dtype=np.int64)
+    with np.errstate(over="ignore"):
+        assert (-bad)[0] == bad[0]  # the wraparound that caused the bug
+    ok = np.array([-(10**18)], dtype=np.int64)
+    assert (-ok)[0] == 10**18 > 0
+    # a masked row never enters the top-k under either sort key
+    dots = np.array([5, 3, -(10**18), 9], dtype=np.int64)
+    thresh = np.partition(dots, len(dots) - 2)[len(dots) - 2]
+    cols = np.where(dots >= thresh)[0]
+    assert 2 not in cols
+
+
+def test_mutual_knn_reciprocity_on_synthetic_points():
+    rng = np.random.RandomState(101)
+    q = rng.randint(-1000, 1000, (30, 8)).astype(np.int64)
+    ids = np.arange(30, dtype=np.int64)
+    dots = q @ q.T
+    np.fill_diagonal(dots, -(10**18))
+    k = 3
+    topk = []
+    for r in range(30):
+        thresh = np.partition(dots[r], 30 - k)[30 - k]
+        cols = np.where(dots[r] >= thresh)[0]
+        order = np.lexsort((ids[cols], -dots[r][cols]))[:k]
+        topk.append(set(ids[cols[order]].tolist()))
+    # canonical-pair count==2 == textbook reciprocity
+    from collections import Counter
+
+    cnt = Counter()
+    for r in range(30):
+        for nb in topk[r]:
+            cnt[(min(r, nb), max(r, nb))] += 1
+    via_count = {p for p, c in cnt.items() if c == 2}
+    via_def = {
+        (a, b)
+        for a in range(30)
+        for b in range(a + 1, 30)
+        if b in topk[a] and a in topk[b]
+    }
+    assert via_count == via_def

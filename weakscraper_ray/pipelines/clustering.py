@@ -673,13 +673,121 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     }
 
 
+# =====================================================================
+# Mutual k-NN graph (reciprocal nearest neighbours)
+# =====================================================================
+
+_MKNN_K = 5
+
+
+def q_mutual_knn(sf_dir: str):
+    """Mutual (reciprocal) k-NN graph over the quantized embeddings:
+    the pairs (a, b) where EACH is in the other's top-k by similarity
+    — the symmetrized neighbourhood graph that seeds density peaks /
+    SNN clustering and near-dup verification (a one-directional kNN
+    edge is often a hub artifact; mutuality filters hubs).
+    Similarity = exact int64 dot of the half-away-e6 quantized
+    vectors (unit-norm corpus ⇒ dot ≈ cosine, < 2⁵³ so the SQL
+    ``list_inner_product`` double holds it exactly); top-k ties break
+    to the smaller vec_id on both engines.  Output: (vec_a, vec_b,
+    dot_q) with vec_a < vec_b.
+
+    Shape: ONE streaming pass against the dbscan-shared broadcast
+    matrix emits k directed edges per point; mutuality is one
+    bounded (N·k)-row canonical-pair exchange with count == 2 as the
+    reciprocity test (both directions carry the same symmetric
+    dot)."""
+    from ray.data.aggregate import Count, Min
+
+    ids, q, _ = _dbscan_matrix(sf_dir)
+    ref = ray.put({"ids": ids, "q": q})
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        X = _i64_away_np(
+            fixed_list_to_numpy(batch.column("embedding"), dtype=np.float64),
+            1e6,
+        ).astype(np.int64)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        dots = X @ m["q"].T  # (batch, N) exact int64
+        # mask self-matches: ids are sorted, find own column.
+        # Sentinel must survive negation — int64.min wraps under the
+        # later -dots and would steal a top-k slot; |dot| ≤ ~1e12, so
+        # -1e18 is safely below every real similarity
+        self_col = np.searchsorted(m["ids"], bids)
+        dots[np.arange(len(bids)), self_col] = -(10**18)
+        # top-k per row by (dot DESC, id ASC).  Candidates = every
+        # column whose dot reaches the k-th largest VALUE (no fixed
+        # argpartition margin: with exact integer dots a tie class at
+        # the boundary can be arbitrarily wide, and a clipped margin
+        # could drop the smaller-id winner — the BruteForceTopK
+        # lesson), then one exact lexsort of that slice
+        k = _MKNN_K
+        srcs, nbrs, dd = [], [], []
+        for r in range(len(bids)):
+            row = dots[r]
+            thresh = np.partition(row, len(row) - k)[len(row) - k]
+            cols = np.where(row >= thresh)[0]
+            order = np.lexsort((m["ids"][cols], -row[cols]))[:k]
+            pick = cols[order]
+            srcs.extend([int(bids[r])] * k)
+            nbrs.extend(m["ids"][pick].tolist())
+            dd.extend(dots[r][pick].tolist())
+        a = np.minimum(srcs, nbrs)
+        b = np.maximum(srcs, nbrs)
+        return pa.table(
+            {
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
+                "dot_q": pa.array(dd, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_edges, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Count(alias_name="n"), Min("dot_q", alias_name="dot_q"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.equal(t.column("n"), 2)).select(
+            ["vec_a", "vec_b", "dot_q"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_MUTUAL_KNN = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> cast(round(cast(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+  FROM embeddings),
+s AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+             cast(list_inner_product(a.v, b.v) AS BIGINT) AS dot
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+r AS (SELECT src, nbr, dot,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dot DESC, nbr ASC) AS rn
+      FROM s),
+e AS (SELECT src, nbr, dot FROM r WHERE rn <= {_MKNN_K})
+SELECT a.src AS vec_a, a.nbr AS vec_b, a.dot AS dot_q
+FROM e a JOIN e b ON a.src = b.nbr AND a.nbr = b.src
+WHERE a.src < a.nbr
+"""
+
+
 QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "kcenter_select": q_kcenter_select,
     "pq_topk": q_pq_topk,
     "dbscan_clusters": q_dbscan_clusters,
+    "mutual_knn": q_mutual_knn,
 }
-ORACLE_SQL: dict[str, str] = {"dbscan_clusters": SQL_DBSCAN}
+ORACLE_SQL: dict[str, str] = {
+    "dbscan_clusters": SQL_DBSCAN,
+    "mutual_knn": SQL_MUTUAL_KNN,
+}
 
 _rel.QUERIES.update(QUERIES)
 _rel.ORACLE_SQL.update(ORACLE_SQL)

@@ -405,6 +405,128 @@ GROUP BY 1, 2 HAVING count(*) >= {_PAIR_MINSUP}
 
 
 # =====================================================================
+# Association rules (Agrawal et al. 1993: confidence + lift)
+# =====================================================================
+
+
+def q_assoc_rules(sf_dir: str):
+    """Association rules from the frequent pairs of ``itemset_pairs``:
+    every frequent unordered pair {a, b} yields the two directed
+    rules a→b and b→a with EXACT integer read-outs
+    conf_e6 = e6(n_ab / n_ante) and lift_e6 = e6(N·n_ab /(n_a·n_b))
+    (shared half-away rule; lift is symmetric, confidence is not —
+    that asymmetry is why the rule step exists at all).  Output:
+    (antecedent, consequent, n_ab, n_ante, conf_e6, lift_e6).
+
+    Shape: reuses itemset_pairs' two bounded exchanges for the pair
+    supports, adds ONE bounded per-part basket-count exchange
+    (distinct orders per part), broadcasts the part→count dict
+    (bounded by |parts|, the dimension not the fact table) and maps
+    over the frequent-pair stream — rules never collect on the
+    driver."""
+    import ray
+    from ray.data.aggregate import Count
+
+    # distinct orders per part: one bounded exchange
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "o": t.column("l_orderkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "p": t.column("l_partkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .drop_duplicates()
+        )
+        return pa.table(
+            {
+                "o": pa.array(df["o"].to_numpy(np.int64)),
+                "p": pa.array(df["p"].to_numpy(np.int64)),
+            }
+        )
+
+    per_part = (
+        li.map_batches(_distinct, batch_format="pyarrow")
+        .groupby(["o", "p"])
+        .aggregate(Count(alias_name="_k"))  # exact distinct (o, p)
+        .groupby("p")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # bounded by |parts|
+    )
+    counts = dict(
+        zip(per_part["p"].astype(int), per_part["n"].astype(int))
+    )
+    n_orders = int(
+        _read(sf_dir, "orders", ["o_orderkey"]).count()
+    )
+    ref = ray.put(counts)
+
+    def _rules(t: pa.Table, n_tot=n_orders) -> pa.Table:
+        cnt = ray.get(ref)
+        a = t.column("part_a").to_pylist()
+        b = t.column("part_b").to_pylist()
+        nab = t.column("n_orders").to_pylist()
+        ante, cons, n_ab, n_ante, conf, lift = [], [], [], [], [], []
+        for x, y, n in zip(a, b, nab):
+            nx, ny = cnt[x], cnt[y]
+            l_e6 = (2_000_000 * n_tot * n + nx * ny) // (2 * nx * ny)
+            for s, t_, ns in ((x, y, nx), (y, x, ny)):
+                ante.append(s)
+                cons.append(t_)
+                n_ab.append(n)
+                n_ante.append(ns)
+                conf.append((2_000_000 * n + ns) // (2 * ns))
+                lift.append(l_e6)
+        return pa.table(
+            {
+                "antecedent": pa.array(ante, pa.int64()),
+                "consequent": pa.array(cons, pa.int64()),
+                "n_ab": pa.array(n_ab, pa.int64()),
+                "n_ante": pa.array(n_ante, pa.int64()),
+                "conf_e6": pa.array(conf, pa.int64()),
+                "lift_e6": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return q_itemset_pairs(sf_dir).map_batches(
+        _rules, batch_format="pyarrow"
+    )
+
+
+SQL_ASSOC_RULES = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc2 AS (SELECT l_partkey AS p, cast(count(*) AS BIGINT) AS n
+        FROM d GROUP BY 1),
+nt AS (SELECT cast(count(*) AS BIGINT) AS n FROM orders),
+pairs AS (
+  SELECT a.l_partkey AS pa2, b.l_partkey AS pb,
+         cast(count(*) AS BIGINT) AS n_ab
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_PAIR_MINSUP}),
+rules AS (
+  SELECT pa2 AS antecedent, pb AS consequent, n_ab FROM pairs
+  UNION ALL
+  SELECT pb, pa2, n_ab FROM pairs)
+SELECT r.antecedent, r.consequent, r.n_ab,
+       ca.n AS n_ante,
+       cast((2000000 * r.n_ab + ca.n) // (2 * ca.n) AS BIGINT) AS conf_e6,
+       cast((2000000 * cast(nt.n AS HUGEINT) * r.n_ab
+             + cast(ca.n AS HUGEINT) * cb.n)
+            // (2 * cast(ca.n AS HUGEINT) * cb.n) AS BIGINT) AS lift_e6
+FROM rules r
+JOIN pc2 ca ON ca.p = r.antecedent
+JOIN pc2 cb ON cb.p = r.consequent, nt
+"""
+
+
+# =====================================================================
 # Z-order layout (Morton-curve clustering + per-tile pruning spans)
 # =====================================================================
 
@@ -1423,6 +1545,7 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "hilbert_layout": q_hilbert_layout,
     "full_outer_join": q_full_outer_join,
+    "assoc_rules": q_assoc_rules,
     "ivm_priority_totals": q_ivm_priority_totals,
     "csv_source": q_csv_source,
     "compaction_plan": q_compaction_plan,
@@ -1441,6 +1564,7 @@ ORACLE_SQL = {
     "zorder_layout": SQL_ZORDER,
     "hilbert_layout": SQL_HILBERT,
     "full_outer_join": SQL_FULL_OUTER_JOIN,
+    "assoc_rules": SQL_ASSOC_RULES,
     "ivm_priority_totals": SQL_IVM,
     "csv_source": SQL_CSV_SOURCE,
     "compaction_plan": SQL_COMPACTION,

@@ -358,16 +358,96 @@ FROM f
 """
 
 
+# =====================================================================
+# matrix_profile — all-pairs nearest-subsequence distances (Yeh 2016)
+# =====================================================================
+
+_MP_W = 7  #: subsequence window (one week of the daily series)
+
+
+def q_matrix_profile(sf_dir: str):
+    """Matrix profile (Yeh et al. 2016, ICDM) of the daily order-count
+    series under NON-normalized squared Euclidean distance — the
+    all-pairs nearest-subsequence index behind motif discovery and
+    discord (anomaly) detection.  For every length-7 window i:
+    the minimum dist²(i, j) over all j with |i − j| ≥ w (the standard
+    trivial-match exclusion zone) and its argmin (ties → smallest j).
+    Integer counts → every distance is an exact int64
+    (Σ of 7 squared diffs ≤ 7·(Δcount)²), so min and argmin are exact
+    on both engines — the z-normalized variant would put a float mean
+    and σ in every window; the non-normalized profile is the
+    hash-exact family member (documented choice).  Output: one row
+    per window ``(idx, nn_idx, nn_dist2)``.
+
+    Shape: day census folds driver-side (zero keyed exchange); the
+    O(n²) window sweep is ONE numpy matmul (W·Wᵀ over the ≤ 2500×7
+    window matrix) — constant work at any corpus size."""
+    census = _day_census(sf_dir)
+    days = sorted(census)
+    c = np.array([census[d] for d in days], dtype=np.int64)
+    n_w = len(c) - _MP_W + 1
+    idx = np.arange(n_w)
+    W = np.lib.stride_tricks.sliding_window_view(c, _MP_W).astype(
+        np.int64
+    )
+    s2 = np.einsum("ij,ij->i", W, W)
+    d2 = s2[:, None] + s2[None, :] - 2 * (W @ W.T)
+    excl = np.abs(idx[:, None] - idx[None, :]) < _MP_W
+    big = np.iinfo(np.int64).max
+    d2 = np.where(excl, big, d2)
+    nn_dist = d2.min(axis=1)
+    nn_idx = d2.argmin(axis=1)  # first minimum = smallest j
+    return pa.table(
+        {
+            "idx": pa.array(idx.astype(np.int64)),
+            "nn_idx": pa.array(nn_idx.astype(np.int64)),
+            "nn_dist2": pa.array(nn_dist.astype(np.int64)),
+        }
+    )
+
+
+SQL_MATRIX_PROFILE = f"""
+WITH c AS (
+  SELECT cast(o_orderdate AS DATE) AS d, cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+w AS (SELECT row_number() OVER (ORDER BY d) - 1 AS i,
+             n AS c0,
+             lead(n, 1) OVER (ORDER BY d) AS c1,
+             lead(n, 2) OVER (ORDER BY d) AS c2,
+             lead(n, 3) OVER (ORDER BY d) AS c3,
+             lead(n, 4) OVER (ORDER BY d) AS c4,
+             lead(n, 5) OVER (ORDER BY d) AS c5,
+             lead(n, 6) OVER (ORDER BY d) AS c6
+      FROM c),
+win AS (SELECT * FROM w WHERE c6 IS NOT NULL),
+pairs AS (
+  SELECT a.i AS idx, b.i AS j,
+         (a.c0 - b.c0) * (a.c0 - b.c0) + (a.c1 - b.c1) * (a.c1 - b.c1)
+         + (a.c2 - b.c2) * (a.c2 - b.c2) + (a.c3 - b.c3) * (a.c3 - b.c3)
+         + (a.c4 - b.c4) * (a.c4 - b.c4) + (a.c5 - b.c5) * (a.c5 - b.c5)
+         + (a.c6 - b.c6) * (a.c6 - b.c6) AS d2
+  FROM win a JOIN win b ON abs(a.i - b.i) >= {_MP_W}),
+best AS (SELECT idx, j, d2,
+                row_number() OVER (PARTITION BY idx
+                                   ORDER BY d2 ASC, j ASC) AS rn
+         FROM pairs)
+SELECT idx, j AS nn_idx, cast(d2 AS BIGINT) AS nn_dist2
+FROM best WHERE rn = 1
+"""
+
+
 QUERIES = {
     "yule_k": q_yule_k,
     "spearman_rho": q_spearman_rho,
     "mann_kendall": q_mann_kendall,
+    "matrix_profile": q_matrix_profile,
 }
 
 ORACLE_SQL = {
     "yule_k": SQL_YULE_K,
     "spearman_rho": SQL_SPEARMAN,
     "mann_kendall": SQL_MANN_KENDALL,
+    "matrix_profile": SQL_MATRIX_PROFILE,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
