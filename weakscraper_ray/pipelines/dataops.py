@@ -425,43 +425,57 @@ def q_assoc_rules(sf_dir: str):
     over the frequent-pair stream — rules never collect on the
     driver."""
     import ray
-    from ray.data.aggregate import Count
 
-    # distinct orders per part: one bounded exchange
+    # distinct orders per part: shard by ORDER so each basket lands
+    # whole in one group (the itemset_pairs co-location), dedupe
+    # (o, p) exactly inside the shard, then fold the per-shard
+    # (p, n) partials on the DRIVER — |parts| is a bounded dimension
+    # (the exchange discipline).  Measured at sf0.1: driver fold
+    # 3.7 s vs 32 s for a groupby(p) Sum (the 20k-key hash-aggregate
+    # degradation, same lesson as theta_join_cdf) vs 20+ s for the
+    # original (o, p)-keyed exact-distinct aggregate
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
-    def _distinct(t: pa.Table) -> pa.Table:
-        df = (
-            pd.DataFrame(
-                {
-                    "o": t.column("l_orderkey").to_numpy(
-                        zero_copy_only=False
-                    ),
-                    "p": t.column("l_partkey").to_numpy(
-                        zero_copy_only=False
-                    ),
-                }
-            )
-            .drop_duplicates()
-        )
+    def _shard(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o": t.column("l_orderkey").to_numpy(zero_copy_only=False),
+                "p": t.column("l_partkey").to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
         return pa.table(
             {
+                "shard": pa.array(
+                    df["o"].to_numpy(np.int64) & 63, pa.int64()
+                ),
                 "o": pa.array(df["o"].to_numpy(np.int64)),
                 "p": pa.array(df["p"].to_numpy(np.int64)),
             }
         )
 
-    per_part = (
-        li.map_batches(_distinct, batch_format="pyarrow")
-        .groupby(["o", "p"])
-        .aggregate(Count(alias_name="_k"))  # exact distinct (o, p)
-        .groupby("p")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()  # bounded by |parts|
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.drop_duplicates(["o", "p"])
+            .groupby("p", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pd.DataFrame(
+            {
+                "p": c["p"].to_numpy(np.int64),
+                "n": c["n"].to_numpy(np.int64),
+            }
+        )
+
+    parts_ds = (
+        li.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_count, batch_format="pandas")
     )
-    counts = dict(
-        zip(per_part["p"].astype(int), per_part["n"].astype(int))
-    )
+    counts: dict[int, int] = {}
+    for t in parts_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for p, n in zip(t.column("p").to_pylist(), t.column("n").to_pylist()):
+            counts[int(p)] = counts.get(int(p), 0) + int(n)
     n_orders = int(
         _read(sf_dir, "orders", ["o_orderkey"]).count()
     )
