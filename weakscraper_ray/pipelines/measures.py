@@ -436,11 +436,75 @@ FROM best WHERE rn = 1
 """
 
 
+# =====================================================================
+# haar_energy — dyadic Haar detail energies of the daily series
+# =====================================================================
+
+_HAAR_LEVELS = 4
+
+
+def q_haar_energy(sf_dir: str):
+    """Unnormalized Haar wavelet detail energies (Haar 1910; the
+    multi-resolution energy signature behind change/seasonality
+    screening): at level k (block 2^k), each FULL block of
+    consecutive days contributes coeff = (first-half sum) − (second-
+    half sum), and energy_k = Σ coeff² — all exact int64 because the
+    normalizing 2^(−k/2) is dropped symmetrically (documented: the
+    e-ladder across levels is energy_k / 2^k).  Days index by rank in
+    day order (gaps adjacent, the series convention).  Output: one
+    row per level ``(level, n_coeffs, energy)``.  Zero keyed
+    exchange — the day census folds, the ladder is O(n) driver
+    work."""
+    census = _day_census(sf_dir)
+    days = sorted(census)
+    c = np.array([census[d] for d in days], dtype=np.int64)
+    rows = []
+    for k in range(1, _HAAR_LEVELS + 1):
+        b = 1 << k
+        n_b = len(c) // b
+        if n_b == 0:
+            rows.append((k, 0, 0))
+            continue
+        blocks = c[: n_b * b].reshape(n_b, b)
+        half = b // 2
+        coeff = blocks[:, :half].sum(axis=1) - blocks[:, half:].sum(axis=1)
+        rows.append((k, n_b, int((coeff.astype(object) ** 2).sum())))
+    return pa.table(
+        {
+            "level": pa.array([r[0] for r in rows], pa.int64()),
+            "n_coeffs": pa.array([r[1] for r in rows], pa.int64()),
+            "energy": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_HAAR_ENERGY = f"""
+WITH c AS (
+  SELECT cast(o_orderdate AS DATE) AS d, cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+ix AS (SELECT row_number() OVER (ORDER BY d) - 1 AS i, n FROM c),
+lv AS (SELECT k FROM range(1, {_HAAR_LEVELS + 1}) t(k)),
+co AS (
+  SELECT lv.k, ix.i // (1 << lv.k) AS blk,
+         sum(CASE WHEN (ix.i % (1 << lv.k)) < (1 << (lv.k - 1))
+                  THEN ix.n ELSE -ix.n END) AS coeff,
+         count(*) AS m
+  FROM ix, lv GROUP BY 1, 2),
+full_blocks AS (SELECT k, coeff FROM co WHERE m = (1 << k))
+SELECT lv.k AS level,
+       cast(coalesce(count(f.coeff), 0) AS BIGINT) AS n_coeffs,
+       cast(coalesce(sum(f.coeff * f.coeff), 0) AS BIGINT) AS energy
+FROM lv LEFT JOIN full_blocks f ON f.k = lv.k
+GROUP BY lv.k
+"""
+
+
 QUERIES = {
     "yule_k": q_yule_k,
     "spearman_rho": q_spearman_rho,
     "mann_kendall": q_mann_kendall,
     "matrix_profile": q_matrix_profile,
+    "haar_energy": q_haar_energy,
 }
 
 ORACLE_SQL = {
@@ -448,6 +512,7 @@ ORACLE_SQL = {
     "spearman_rho": SQL_SPEARMAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "matrix_profile": SQL_MATRIX_PROFILE,
+    "haar_energy": SQL_HAAR_ENERGY,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)

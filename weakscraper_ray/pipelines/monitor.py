@@ -1501,7 +1501,140 @@ FROM segs
 """
 
 
+# =====================================================================
+# burst_detect — Kleinberg's 2-state burst automaton over daily counts
+# =====================================================================
+
+
+def q_burst_detect(sf_dir: str):
+    """Kleinberg burst detection (Kleinberg 2002, "Bursty and
+    Hierarchical Structure in Streams" — the batch 2-state variant):
+    each day emits its count under a base rate λ0 = mean or a burst
+    rate λ1 = 2λ0; the minimum-cost state path (Viterbi) marks burst
+    days.  Poisson emission −ln p = λ − c·ln λ + ln c! — the ln c!
+    term is STATE-INDEPENDENT and drops, so per-(day, state) cost
+    (λ_s − c_t·ln λ_s) quantizes to e6 integers (the repo's
+    quantized-ln discipline) and the entire DP runs on exact int64;
+    one fixed transition charge γ = e6(ln n) on 0→1 (1→0 free,
+    Kleinberg's asymmetry).  Path ties are PINNED: into either state
+    prefer staying (prev == state), final state prefers 0 — so the
+    backtraced sequence is deterministic on both engines.  Output:
+    one row per day ``(day, n, state)``.
+
+    Shape: the day census folds driver-side (zero keyed exchange);
+    the 2-state DP is O(days) driver work.  The SQL twin replays the
+    DP as a recursive CTE carrying the two best-prefix PATHS as
+    lists (2 lists × ≤ days elements — the dtw_distance
+    list-carrying idiom).
+
+    The raw daily series is stationary Poisson (the correct-but-empty
+    answer: zero bursts), so a deterministic burst signal is injected
+    first — every 13th week's days gain ⌊2·total/n⌋ extra counts, the
+    derived-signal precedent of ``upsert_snapshot``'s synthetic CDC
+    log — and the detector must recover exactly those windows (the
+    planted weeks are also pinned in tests)."""
+    from .measures import _day_census
+
+    census = _day_census(sf_dir)
+    days = sorted(census)
+    c = [census[d] for d in days]
+    n = len(c)
+    base_tot = sum(c)
+    boost = (2 * base_tot) // n
+    c = [
+        ct + (boost if (d // 7) % 13 == 0 else 0)
+        for d, ct in zip(days, c)
+    ]
+    tot = sum(c)
+    lam0 = float(tot) / float(n)
+    lam1 = 2.0 * lam0
+    ln0, ln1 = math.log(lam0), math.log(lam1)
+    gamma = int(math.floor(abs(math.log(float(n))) * 1e6 + 0.5))
+
+    def cost(ct: int, lam: float, ln_lam: float) -> int:
+        v = (lam - float(ct) * ln_lam) * 1e6
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    d0 = cost(c[0], lam0, ln0)
+    d1 = cost(c[0], lam1, ln1) + gamma  # a burst must be entered
+    p0, p1 = [0], [1]
+    for t in range(1, n):
+        e0 = cost(c[t], lam0, ln0)
+        e1 = cost(c[t], lam1, ln1)
+        # into 0: prefer staying in 0 on ties
+        if d0 <= d1:
+            nd0, np0 = d0 + e0, p0 + [0]
+        else:
+            nd0, np0 = d1 + e0, p1 + [0]
+        # into 1: prefer staying in 1 on ties
+        if d1 <= d0 + gamma:
+            nd1, np1 = d1 + e1, p1 + [1]
+        else:
+            nd1, np1 = d0 + gamma + e1, p0 + [1]
+        d0, d1, p0, p1 = nd0, nd1, np0, np1
+    path = p0 if d0 <= d1 else p1
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "n": pa.array(c, pa.int64()),
+            "state": pa.array(path, pa.int64()),
+        }
+    )
+
+
+SQL_BURST_DETECT = """
+WITH RECURSIVE c0 AS (
+  SELECT cast(datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+              AS BIGINT) AS day,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+bp AS (SELECT cast((2 * sum(n)) // count(*) AS BIGINT) AS boost FROM c0),
+c AS (SELECT day,
+             n + CASE WHEN (day // 7) % 13 = 0 THEN bp.boost
+                      ELSE 0 END AS n
+      FROM c0, bp),
+ix AS (SELECT row_number() OVER (ORDER BY day) AS i, day, n FROM c),
+par AS (SELECT cast(count(*) AS BIGINT) AS nd,
+               (cast(sum(n) AS DOUBLE) / cast(count(*) AS DOUBLE)) AS lam0
+        FROM c),
+q AS (SELECT ix.i, ix.day, ix.n,
+        cast(CASE WHEN (par.lam0 - ix.n::DOUBLE * ln(par.lam0)) * 1e6 >= 0
+          THEN floor(abs((par.lam0 - ix.n::DOUBLE * ln(par.lam0)) * 1e6)
+                     + 0.5)
+          ELSE -floor(abs((par.lam0 - ix.n::DOUBLE * ln(par.lam0)) * 1e6)
+                      + 0.5) END AS BIGINT) AS e0,
+        cast(CASE WHEN (2.0 * par.lam0
+                        - ix.n::DOUBLE * ln(2.0 * par.lam0)) * 1e6 >= 0
+          THEN floor(abs((2.0 * par.lam0
+                          - ix.n::DOUBLE * ln(2.0 * par.lam0)) * 1e6) + 0.5)
+          ELSE -floor(abs((2.0 * par.lam0
+                           - ix.n::DOUBLE * ln(2.0 * par.lam0)) * 1e6)
+                      + 0.5) END AS BIGINT) AS e1,
+        cast(floor(abs(ln(par.nd::DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS gam
+      FROM ix, par),
+dp(i, d0, d1, p0, p1) AS (
+  SELECT q.i, q.e0, q.e1 + q.gam,
+         [0::BIGINT], [1::BIGINT]
+  FROM q WHERE q.i = 1
+  UNION ALL
+  SELECT q.i,
+    CASE WHEN dp.d0 <= dp.d1 THEN dp.d0 ELSE dp.d1 END + q.e0,
+    CASE WHEN dp.d1 <= dp.d0 + q.gam THEN dp.d1
+         ELSE dp.d0 + q.gam END + q.e1,
+    list_append(CASE WHEN dp.d0 <= dp.d1 THEN dp.p0 ELSE dp.p1 END,
+                0::BIGINT),
+    list_append(CASE WHEN dp.d1 <= dp.d0 + q.gam THEN dp.p1
+                     ELSE dp.p0 END, 1::BIGINT)
+  FROM dp JOIN q ON q.i = dp.i + 1),
+fin AS (SELECT CASE WHEN d0 <= d1 THEN p0 ELSE p1 END AS path
+        FROM dp, par WHERE dp.i = par.nd)
+SELECT ix.day, ix.n, cast(fin.path[ix.i] AS BIGINT) AS state
+FROM ix, fin
+"""
+
+
 QUERIES = {
+    "burst_detect": q_burst_detect,
     "best_split": q_best_split,
     "mad_outliers": q_mad_outliers,
     "weighted_median": q_weighted_median,
@@ -1521,6 +1654,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "burst_detect": SQL_BURST_DETECT,
     "best_split": SQL_BEST_SPLIT,
     "mad_outliers": SQL_MAD,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
