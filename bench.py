@@ -129,7 +129,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "best_f1", "corr_matrix", "runs_test", "perm_entropy", "quantile_map",
         "durbin_watson", "cochran_armitage",
         "full_outer_join", "assoc_rules", "matrix_profile", "mutual_knn",
-        "haar_energy", "burst_detect",
+        "haar_energy", "burst_detect", "cluster_medoids", "silhouette_score",
     ]
     out: dict[str, float] = {}
     for name in names:

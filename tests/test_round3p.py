@@ -892,3 +892,60 @@ def test_burst_recovers_planted_weeks_and_nothing_degenerate():
     assert hits == sum(planted)  # every planted day recovered
     extras = sum(s for s, pl in zip(path, planted) if not pl)
     assert extras <= 0.05 * n  # no runaway false positives
+
+
+def test_silhouette_quantized_chain_tracks_float_silhouette():
+    rng = np.random.RandomState(113)
+    q = np.vstack(
+        [
+            rng.randint(-50, 50, (20, 4)) + np.array([300, 0, 0, 0]),
+            rng.randint(-50, 50, (25, 4)) + np.array([0, 300, 0, 0]),
+            rng.randint(-50, 50, (15, 4)) + np.array([0, 0, 300, 0]),
+        ]
+    ).astype(np.int64)
+    labels = np.array([0] * 20 + [1] * 25 + [2] * 15)
+    s2 = (q**2).sum(1)
+    d2 = s2[:, None] + s2[None, :] - 2 * (q @ q.T)
+    counts = np.bincount(labels)
+    for i in range(len(q)):
+        c = labels[i]
+        own = (labels == c) & (np.arange(len(q)) != i)
+        a_f = d2[i][own].mean()
+        b_f = min(
+            d2[i][labels == oc].mean() for oc in range(3) if oc != c
+        )
+        s_float = (b_f - a_f) / max(a_f, b_f)
+        # quantized chain (q_silhouette_score arithmetic)
+        sa = int(d2[i][own].sum())
+        n_own = int(counts[c])
+        a_q = (2000 * sa + (n_own - 1)) // (2 * (n_own - 1))
+        b_q = min(
+            (2000 * int(d2[i][labels == oc].sum()) + int(counts[oc]))
+            // (2 * int(counts[oc]))
+            for oc in range(3)
+            if oc != c
+        )
+        diff = b_q - a_q
+        den = max(a_q, b_q)
+        s_q = (
+            (2_000_000 * diff + den) // (2 * den)
+            if diff >= 0
+            else -((2_000_000 * -diff + den) // (2 * den))
+        )
+        assert abs(s_q / 1e6 - s_float) < 1e-2  # e3 mean-grain bound
+
+
+def test_medoid_is_brute_force_argmin_with_id_ties():
+    rng = np.random.RandomState(127)
+    q = rng.randint(-10, 10, (12, 3)).astype(np.int64)
+    ids = np.arange(12)
+    s2 = (q**2).sum(1)
+    d2 = s2[:, None] + s2[None, :] - 2 * (q @ q.T)
+    tot = d2.sum(axis=1)
+    best = min(zip(tot.tolist(), ids.tolist()))
+    # replay the fold rule: (total, vec_id) lexicographic min
+    got = None
+    for vid, td in zip(ids.tolist(), tot.tolist()):
+        if got is None or (td, vid) < got:
+            got = (td, vid)
+    assert got == best

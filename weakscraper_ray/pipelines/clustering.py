@@ -49,6 +49,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -657,7 +658,8 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     relational.build_oracle_sql)."""
     from .. import oracles
 
-    return {
+    out = _sql_cluster_quality(sf_dir)
+    out.update({
         "kmeans_clusters": (
             "SELECT vec_id, cluster, dist_e12 "
             f"FROM read_parquet('{oracles.kmeans_twin(sf_dir)}')"
@@ -670,7 +672,280 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
             "SELECT query_id, vec_id, adc_e12 "
             f"FROM read_parquet('{oracles.pq_twin(sf_dir)}')"
         ),
-    }
+    })
+    return out
+
+
+# =====================================================================
+# cluster_medoids + silhouette_score — cluster quality read-outs
+# =====================================================================
+
+
+def _labels_and_quantized(sf_dir: str):
+    """(ids, half-away-e6 quantized matrix, labels) — labels from the
+    shared Lloyd fit (rint-quantized per kmeans' own convention, green
+    vs its twin), DISTANCES from the half-away quantizer so the SQL
+    twin's round() mirrors them exactly (the dbscan/gram discipline;
+    mixing the two grains is sound because labels are an opaque
+    partition here)."""
+    base, Cf = kmeans_fit(sf_dir)
+    lab_rows = base.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(
+                    _assign(
+                        fixed_list_to_numpy(t.column("q"), dtype=np.int64),
+                        Cf,
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()  # N small rows (id, label) — bounded metadata
+    lab = {r["vec_id"]: r["cluster"] for r in lab_rows}
+    ids, q, _ = _dbscan_matrix(sf_dir)
+    labels = np.array([lab[int(i)] for i in ids], dtype=np.int64)
+    return ids, q, labels
+
+
+def q_cluster_medoids(sf_dir: str):
+    """Medoid of every Lloyd cluster: the member minimizing the total
+    squared distance to its cluster (ties → smaller vec_id) — the
+    representative-document selection step of cluster-based curation
+    (a medoid, unlike the integer centroid, IS a corpus member).  All
+    arithmetic exact int64 (pairwise dist² ≤ 4e12, sums ≤ 8e15).
+    Output: one row per cluster ``(cluster, medoid, total_d2)``.
+
+    Shape: labels from the shared fit; ONE streaming pass vs the
+    broadcast quantized matrix accumulates per-member totals
+    batch-locally (each batch row needs only its own cluster's
+    members — a masked matmul), partial argmins fold on the driver
+    (K rows per batch)."""
+    import ray
+
+    ids, q, labels = _labels_and_quantized(sf_dir)
+    ref = ray.put({"ids": ids, "q": q, "labels": labels})
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _totals(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        X = _i64_away_np(
+            fixed_list_to_numpy(batch.column("embedding"), dtype=np.float64),
+            1e6,
+        ).astype(np.int64)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(m["ids"], bids)
+        blab = m["labels"][pos]
+        d2 = (
+            np.einsum("nd,nd->n", X, X)[:, None]
+            + np.einsum("nd,nd->n", m["q"], m["q"])[None, :]
+            - 2 * (X @ m["q"].T)
+        )
+        same = blab[:, None] == m["labels"][None, :]
+        tot = (d2 * same).sum(axis=1)  # includes self (0)
+        return pa.table(
+            {
+                "cluster": pa.array(blab, pa.int64()),
+                "vec_id": pa.array(bids, pa.int64()),
+                "total_d2": pa.array(tot.astype(np.int64)),
+            }
+        )
+
+    best: dict[int, tuple[int, int]] = {}
+    for t in ds.map_batches(_totals, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for cl, vid, td in zip(
+            t.column("cluster").to_pylist(),
+            t.column("vec_id").to_pylist(),
+            t.column("total_d2").to_pylist(),
+        ):
+            cur = best.get(cl)
+            if cur is None or (td, vid) < cur:
+                best[cl] = (td, vid)
+    cls = sorted(best)
+    return pa.table(
+        {
+            "cluster": pa.array(cls, pa.int64()),
+            "medoid": pa.array([best[c][1] for c in cls], pa.int64()),
+            "total_d2": pa.array([best[c][0] for c in cls], pa.int64()),
+        }
+    )
+
+
+def q_silhouette_score(sf_dir: str):
+    """Silhouette (Rousseeuw 1987) of the Lloyd clustering under
+    SQUARED Euclidean distance (the common fast variant — a √ per
+    pair would re-introduce float means): per point,
+    a = mean dist² to own cluster (n−1 denominator; singleton → s=0),
+    b = min over other clusters of mean dist², both e3-quantized by
+    the shared half-away rule BEFORE the min/compare, and
+    s_e6 = e6((b−a)/max(a,b)) — every step integer.  Output: one row
+    per cluster ``(cluster, n, sum_s_e6)`` plus the corpus row
+    (cluster = −1) — the mean silhouette is sum_s_e6 / (10⁶·n).
+
+    Shape: same broadcast-matrix pass as the medoids; per-batch
+    partial (cluster, n, Σs) rows fold on the driver (K+1 rows per
+    batch)."""
+    import ray
+
+    ids, q, labels = _labels_and_quantized(sf_dir)
+    k = int(labels.max()) + 1
+    counts = np.bincount(labels, minlength=k).astype(np.int64)
+    ref = ray.put({"ids": ids, "q": q, "labels": labels, "counts": counts})
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        X = _i64_away_np(
+            fixed_list_to_numpy(batch.column("embedding"), dtype=np.float64),
+            1e6,
+        ).astype(np.int64)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(m["ids"], bids)
+        blab = m["labels"][pos]
+        d2 = (
+            np.einsum("nd,nd->n", X, X)[:, None]
+            + np.einsum("nd,nd->n", m["q"], m["q"])[None, :]
+            - 2 * (X @ m["q"].T)
+        )
+        kk = len(m["counts"])
+        # per-row per-cluster distance sums: one matmul vs a one-hot
+        onehot = (
+            m["labels"][None, :] == np.arange(kk)[:, None]
+        ).astype(np.int64)
+        sums = d2 @ onehot.T  # (batch, K)
+        s_vals = np.zeros(len(bids), dtype=np.int64)
+        for r in range(len(bids)):
+            c = int(blab[r])
+            n_own = int(m["counts"][c])
+            if n_own <= 1:
+                continue  # singleton: s = 0 by convention
+            a_q = (2000 * int(sums[r][c]) + (n_own - 1)) // (
+                2 * (n_own - 1)
+            )
+            b_q = None
+            for oc in range(kk):
+                if oc == c or m["counts"][oc] == 0:
+                    continue
+                cand = (
+                    2000 * int(sums[r][oc]) + int(m["counts"][oc])
+                ) // (2 * int(m["counts"][oc]))
+                if b_q is None or cand < b_q:
+                    b_q = cand
+            diff = b_q - a_q
+            den = max(a_q, b_q)
+            if den == 0:
+                continue
+            s = (
+                (2_000_000 * diff + den) // (2 * den)
+                if diff >= 0
+                else -((2_000_000 * -diff + den) // (2 * den))
+            )
+            s_vals[r] = s
+        df = (
+            pd.DataFrame({"cluster": blab, "s": s_vals})
+            .groupby("cluster", sort=False)
+            .agg(n=("s", "size"), sum_s=("s", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(df["cluster"].to_numpy(np.int64)),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+                "sum_s": pa.array(df["sum_s"].to_numpy(np.int64)),
+            }
+        )
+
+    acc: dict[int, list[int]] = {}
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for cl, n, ss in zip(
+            t.column("cluster").to_pylist(),
+            t.column("n").to_pylist(),
+            t.column("sum_s").to_pylist(),
+        ):
+            e = acc.setdefault(cl, [0, 0])
+            e[0] += n
+            e[1] += ss
+    rows = sorted(acc.items())
+    rows.append((-1, [sum(v[0] for _, v in rows), sum(v[1] for _, v in rows)]))
+    return pa.table(
+        {
+            "cluster": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1][0] for r in rows], pa.int64()),
+            "sum_s_e6": pa.array([r[1][1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_cluster_quality(sf_dir: str) -> dict[str, str]:
+    from .. import oracles
+
+    twin = oracles.kmeans_twin(sf_dir)
+    base = f"""
+WITH lab AS (SELECT vec_id, cluster FROM read_parquet('{twin}')),
+qv AS (
+  SELECT e.vec_id, l.cluster,
+         list_transform(e.embedding,
+           v -> cast(round(cast(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+  FROM embeddings e JOIN lab l ON l.vec_id = e.vec_id),
+d AS (SELECT a.vec_id AS i, a.cluster AS ci, b.vec_id AS j,
+             b.cluster AS cj,
+             cast(list_inner_product(a.v, a.v)
+                  + list_inner_product(b.v, b.v)
+                  - 2 * list_inner_product(a.v, b.v) AS BIGINT) AS d2
+      FROM qv a JOIN qv b ON a.vec_id <> b.vec_id)
+"""
+    medoids = base + """
+, tot AS (SELECT i, ci AS cluster, cast(sum(d2) AS BIGINT) AS total_d2
+          FROM d WHERE ci = cj GROUP BY 1, 2),
+rk AS (SELECT cluster, i, total_d2,
+              row_number() OVER (PARTITION BY cluster
+                                 ORDER BY total_d2 ASC, i ASC) AS rn
+       FROM tot)
+SELECT cluster, i AS medoid, total_d2 FROM rk WHERE rn = 1
+"""
+    sil = base + """
+, csz AS (SELECT cluster, cast(count(*) AS BIGINT) AS n FROM lab
+          GROUP BY 1),
+own AS (SELECT d.i, d.ci, cast(sum(d.d2) AS HUGEINT) AS sa,
+               cast(csz.n AS HUGEINT) AS n_own
+        FROM d JOIN csz ON csz.cluster = d.ci
+        WHERE d.ci = d.cj GROUP BY 1, 2, 4),
+aq AS (SELECT i, ci, n_own,
+              (2000 * sa + (n_own - 1)) // (2 * (n_own - 1)) AS a_q
+       FROM own WHERE n_own > 1),
+oth AS (SELECT d.i, d.cj,
+               (2000 * cast(sum(d.d2) AS HUGEINT)
+                + cast(csz.n AS HUGEINT))
+               // (2 * cast(csz.n AS HUGEINT)) AS cand
+        FROM d JOIN csz ON csz.cluster = d.cj
+        WHERE d.ci <> d.cj GROUP BY d.i, d.cj, csz.n),
+bq AS (SELECT i, min(cand) AS b_q FROM oth GROUP BY i),
+sv AS (SELECT aq.i, aq.ci AS cluster,
+              cast(CASE WHEN greatest(aq.a_q, bq.b_q) = 0 THEN 0
+                   WHEN bq.b_q >= aq.a_q
+                   THEN (2000000 * (bq.b_q - aq.a_q)
+                         + greatest(aq.a_q, bq.b_q))
+                        // (2 * greatest(aq.a_q, bq.b_q))
+                   ELSE -((2000000 * (aq.a_q - bq.b_q)
+                           + greatest(aq.a_q, bq.b_q))
+                          // (2 * greatest(aq.a_q, bq.b_q))) END
+                   AS BIGINT) AS s
+       FROM aq JOIN bq ON bq.i = aq.i),
+per AS (SELECT l.cluster,
+               cast(count(*) AS BIGINT) AS n,
+               cast(coalesce(sum(sv.s), 0) AS BIGINT) AS sum_s
+        FROM lab l LEFT JOIN sv ON sv.i = l.vec_id
+        GROUP BY 1)
+SELECT cluster, n, sum_s AS sum_s_e6 FROM per
+UNION ALL
+SELECT -1, cast(sum(n) AS BIGINT), cast(sum(sum_s) AS BIGINT) FROM per
+"""
+    return {"cluster_medoids": medoids, "silhouette_score": sil}
 
 
 # =====================================================================
@@ -783,6 +1058,8 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "dbscan_clusters": q_dbscan_clusters,
     "mutual_knn": q_mutual_knn,
+    "cluster_medoids": q_cluster_medoids,
+    "silhouette_score": q_silhouette_score,
 }
 ORACLE_SQL: dict[str, str] = {
     "dbscan_clusters": SQL_DBSCAN,
