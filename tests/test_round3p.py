@@ -949,3 +949,85 @@ def test_medoid_is_brute_force_argmin_with_id_ties():
         if got is None or (td, vid) < got:
             got = (td, vid)
     assert got == best
+
+
+def test_textrank_numpy_path_equals_dict_reference():
+    """The Ray path's numpy index-array iteration equals the twin's
+    dict-loop reference on random token streams (incl. repeated and
+    self-adjacent tokens)."""
+    rng = random.Random(131)
+
+    def dict_rank(toks):
+        nodes = sorted(set(toks))
+        nbr = {w: set() for w in nodes}
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                nbr[a].add(b)
+                nbr[b].add(a)
+        n = len(nodes)
+        mass, tele = 10**12, (15 * 10**12) // (100 * n)
+        r = {w: mass // n for w in nodes}
+        for _ in range(10):
+            r = {
+                w: tele
+                + sum((85 * r[j]) // (100 * len(nbr[j])) for j in nbr[w])
+                for w in nodes
+            }
+        return sorted(nodes, key=lambda w: (-r[w], w))[:3], r
+
+    def np_rank(toks):
+        nodes = sorted(set(toks))
+        index = {w: i for i, w in enumerate(nodes)}
+        n = len(nodes)
+        seq = np.fromiter((index[w] for w in toks), np.int64, len(toks))
+        pairs = np.unique(
+            np.sort(np.stack([seq[:-1], seq[1:]], axis=1), axis=1), axis=0
+        )
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        src = np.concatenate([pairs[:, 0], pairs[:, 1]])
+        dst = np.concatenate([pairs[:, 1], pairs[:, 0]])
+        deg = np.bincount(src, minlength=n).astype(np.int64)
+        mass, tele = 10**12, (15 * 10**12) // (100 * n)
+        r = np.full(n, mass // n, dtype=np.int64)
+        for _ in range(10):
+            contrib = (85 * r[src]) // (100 * deg[src])
+            nr = np.full(n, tele, dtype=np.int64)
+            np.add.at(nr, dst, contrib)
+            r = nr
+        order = np.lexsort((np.array(nodes), -r))[:3]
+        return [nodes[i] for i in order], {
+            nodes[i]: int(r[i]) for i in range(n)
+        }
+
+    for trial in range(25):
+        toks = [
+            rng.choice("abcdefgh") for _ in range(rng.randint(2, 60))
+        ]
+        dt, dr = dict_rank(toks)
+        nt, nr = np_rank(toks)
+        assert dt == nt, (trial, toks)
+        assert dr == nr
+
+
+def test_textrank_hub_term_wins_on_star_graph():
+    toks = []
+    for leaf in "bcdefg":
+        toks.extend(["a", leaf])
+    # star centered on 'a': it must rank first
+    nodes = sorted(set(toks))
+    n = len(nodes)
+    # quick dict replay
+    nbr = {w: set() for w in nodes}
+    for x, y in zip(toks, toks[1:]):
+        if x != y:
+            nbr[x].add(y)
+            nbr[y].add(x)
+    mass, tele = 10**12, (15 * 10**12) // (100 * n)
+    r = {w: mass // n for w in nodes}
+    for _ in range(10):
+        r = {
+            w: tele
+            + sum((85 * r[j]) // (100 * len(nbr[j])) for j in nbr[w])
+            for w in nodes
+        }
+    assert max(r, key=lambda w: (r[w], w)) == "a"

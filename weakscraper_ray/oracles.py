@@ -55,6 +55,67 @@ def _cached(name: str, version: str, build) -> str:
     return path
 
 
+# ------------------------------------------------------------ textrank
+
+def textrank_twin(sf_dir: str, version: str = "v1") -> str:
+    """Independent single-threaded TextRank (Mihalcea & Tarau 2004)
+    per document: dict-based adjacency and plain Python loops (the Ray
+    path vectorizes each doc's iteration with numpy index arrays).
+    Integer-exact spec shared by both sides: lowercase whitespace
+    tokens; UNDIRECTED deduped adjacent-pair edges (self-pairs
+    dropped); MASS = 1e12, r0 = MASS // n, TELE = 15·MASS // (100·n);
+    10 iterations of r'_i = TELE + Σ_{j∈N(i)} (85·r_j) // (100·deg_j)
+    with PER-TERM floor division; top-3 by (score DESC, term ASC)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build() -> pa.Table:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        out_doc, out_rank, out_term, out_score = [], [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = [w for w in (text or "").lower().split() if w]
+            if not toks:
+                continue
+            nodes = sorted(set(toks))
+            nbr: dict[str, set] = {w: set() for w in nodes}
+            for a, b in zip(toks, toks[1:]):
+                if a != b:
+                    nbr[a].add(b)
+                    nbr[b].add(a)
+            n = len(nodes)
+            mass = 10**12
+            tele = (15 * mass) // (100 * n)
+            r = {w: mass // n for w in nodes}
+            for _ in range(10):
+                nr = {}
+                for w in nodes:
+                    acc = tele
+                    for j in nbr[w]:
+                        acc += (85 * r[j]) // (100 * len(nbr[j]))
+                    nr[w] = acc
+                r = nr
+            top = sorted(nodes, key=lambda w: (-r[w], w))[:3]
+            for rk, w in enumerate(top, 1):
+                out_doc.append(doc_id)
+                out_rank.append(rk)
+                out_term.append(w)
+                out_score.append(r[w])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "score_e12": pa.array(out_score, pa.int64()),
+            }
+        )
+
+    return _cached(f"textrank-{tag}", version, build)
+
+
 # ------------------------------------------------------------ transcripts
 
 def transcripts_twin(size: str) -> str:

@@ -1281,6 +1281,72 @@ def q_context_windows(sf_dir: str):
     )
 
 
+def q_textrank_terms(sf_dir: str):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): per
+    document, damped PageRank over the UNDIRECTED deduped
+    adjacent-token co-occurrence graph, top-3 terms by
+    (score DESC, term ASC).  Integer-exact iteration (the q_pagerank
+    discipline): scores carry MASS = 10¹², teleport 15·MASS//(100·n),
+    each neighbour contribution (85·r_j)//(100·deg_j) floor-divided
+    PER TERM, 10 fixed iterations — so the ranking is deterministic
+    under any partitioning and the expected twin
+    (oracles.textrank_twin: plain dict loops, no numpy) must agree
+    bit-for-bit.  Output: (doc_id, rank, term, score_e12).
+
+    Shape: map-only — every document is independent, so this is one
+    streaming ``map_batches`` with a per-doc loop (inherent, like
+    chunk_documents); inside a doc the iteration is numpy index-array
+    adds over the edge list.  Zero exchange at any corpus size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _per_doc(doc_id: int, toks: list):
+        nodes = sorted(set(toks))
+        index = {w: i for i, w in enumerate(nodes)}
+        n = len(nodes)
+        seq = np.fromiter((index[w] for w in toks), np.int64, len(toks))
+        pairs = np.unique(
+            np.sort(
+                np.stack([seq[:-1], seq[1:]], axis=1), axis=1
+            ),
+            axis=0,
+        )
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        src = np.concatenate([pairs[:, 0], pairs[:, 1]])
+        dst = np.concatenate([pairs[:, 1], pairs[:, 0]])
+        deg = np.bincount(src, minlength=n).astype(np.int64)
+        mass = 10**12
+        tele = (15 * mass) // (100 * n)
+        r = np.full(n, mass // n, dtype=np.int64)
+        for _ in range(10):
+            contrib = (85 * r[src]) // (100 * deg[src])
+            nr = np.full(n, tele, dtype=np.int64)
+            np.add.at(nr, dst, contrib)
+            r = nr
+        order = np.lexsort((np.array(nodes), -r))[:3]
+        return [(doc_id, rk + 1, nodes[i], int(r[i]))
+                for rk, i in enumerate(order)]
+
+    def _batch(t: pa.Table) -> pa.Table:
+        rows, flat = _explode_tokens(t)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out = []
+        for ri in range(len(ids)):
+            toks = flat[rows == ri]
+            if len(toks) == 0:
+                continue
+            out.extend(_per_doc(int(ids[ri]), list(toks)))
+        return pa.table(
+            {
+                "doc_id": pa.array([o[0] for o in out], pa.int64()),
+                "rank": pa.array([o[1] for o in out], pa.int64()),
+                "term": pa.array([o[2] for o in out], pa.string()),
+                "score_e12": pa.array([o[3] for o in out], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
 def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Twins whose SQL embeds a generated-data path (same pattern as
     analytics.dynamic_oracle_sql; called from build_oracle_sql)."""
@@ -1288,7 +1354,13 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
     from .relational import _size_for
 
     shards_glob = f"{ensure_generated(_size_for(sf_dir))}/part-*.parquet"
+    from .. import oracles
+
     return {
+        "textrank_terms": (
+            "SELECT doc_id, rank, term, score_e12 "
+            f"FROM read_parquet('{oracles.textrank_twin(sf_dir)}')"
+        ),
         "lang_confusion": _sql_lang_confusion(),
         "dedup_conv_structure": _sql_dedup_conv_structure(shards_glob),
         "qa_pairs": _sql_qa_pairs(shards_glob),
@@ -1866,6 +1938,7 @@ FROM s
 
 
 QUERIES = {
+    "textrank_terms": q_textrank_terms,
     "mlm_mask": q_mlm_mask,
     "dedup_conv_structure": q_dedup_conv_structure,
     "fertility_by_lang": q_fertility_by_lang,
