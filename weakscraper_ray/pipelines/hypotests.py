@@ -1,42 +1,54 @@
-"""Round-3 continuation #18: classical hypothesis tests + a spectral
-read-out, each exact-integer until one mirrored double expression.
+"""Round-3 continuations #18–19: classical hypothesis tests, series
+diagnostics and distribution alignment — each exact-integer until (at
+most) one mirrored double expression.
 
-- ``anova_f``        one-way ANOVA F (Fisher 1925) of l_quantity
-                     across the three l_returnflag groups — the
-                     group-difference screen of an experiment
-                     pipeline.  Nine exact int64 group moments
-                     (n, Σx, Σx² per group), one mirrored double
-                     chain for F.
-- ``kruskal_wallis`` the rank-based counterpart (Kruskal & Wallis
-                     1952) with the tie correction — doubled
-                     mid-ranks from the bounded quantity census keep
-                     every rank sum an exact bigint (the
-                     ``spearman_rho`` discipline); one mirrored
-                     double chain for H.
-- ``dft_power``      the weekly periodogram of the daily order-count
-                     series: the DFT at frequencies k/7 (k = 0..3)
-                     depends on day-of-week totals only, so the input
-                     reduces to a 7-cell census and the transform is
-                     a PURE-INTEGER dot product against e9-quantized
-                     trig literals (the ``ndcg_bm25`` literal
-                     discipline: constants inlined into the SQL twin
-                     and asserted against libm in tests).  Power is
-                     an exact bigint (a² + b²) // 10¹².
+Group-comparison tests over the bounded 3 × 50 returnflag × quantity
+census (zero keyed exchange; driver census fold):
 
-Exactness strategy: every reduction is a bounded census — the 3 × 50
-(returnflag × quantity) grid for the two tests, ≤ #days daily totals
-re-binned to 7 day-of-week cells for the periodogram — folded exactly
-in integers per batch and combined on the driver (zero keyed
-exchange; the aggregate domains are FIXED, never data-sized — the
-``kendall_tau`` / ``emd_drift`` discipline).  The single F / H
-read-out is a fixed-order double expression over integers that are
-either < 2⁵³ (exactly representable) or cast once per engine
-(correctly-rounded on both), so the chain is bit-identical across
-engines — the ``spearman_rho`` precedent.
+- ``anova_f``          one-way ANOVA F (Fisher 1925): nine exact
+                       int64 group moments, one mirrored double chain.
+- ``kruskal_wallis``   the rank-based counterpart (1952) with the tie
+                       correction — doubled mid-ranks keep rank sums
+                       exact bigints (the ``spearman_rho`` discipline).
+- ``levene_test``      Brown–Forsythe variance homogeneity: doubled
+                       deviations |2x − 2·med_g| (exact mid-pair-sum
+                       medians) feed the anova chain; doubling cancels.
+- ``quantile_map``     quantile normalization A → R: pure integer
+                       cross-multiplication min{w: cumR·n_A ≥ cumA·n_R}.
 
-Scale shapes: all three are map-only passes whose partials are
-constant-size tables; at 100 TB the driver fold stays a few KB per
-block and the O(cells) finish is constant work.
+Series diagnostics over the daily / weekly order-count census:
+
+- ``dft_power``        weekly periodogram: the DFT at k/7 reduces to a
+                       7-cell day-of-week census; a_k, b_k are exact
+                       int64 dots against e9 trig literals (the
+                       ``ndcg_bm25`` literal discipline), power an
+                       exact bigint (a² + b²) // 10¹².
+- ``runs_test``        Wald–Wolfowitz runs over the WEEKLY series
+                       (daily counts degenerate at sf0.001); exact
+                       2-median classification, one mirrored z chain.
+- ``perm_entropy``     Bandt–Pompe order-3 ordinal-pattern entropy:
+                       exact lexicographic (value, position) ranks, a
+                       6-cell census pivoted into fixed columns, H·N
+                       integer via the quantized-ln discipline.
+- ``durbin_watson``    serial correlation of OLS residuals with NO
+                       mirrored double at all: D-scaled residuals are
+                       exact bigints and D cancels in Σ(Δe)²/Σe².
+- ``cochran_armitage`` binary trend across the 5 ordered priorities:
+                       T·N and the N³-scaled variance exact bigints,
+                       z = A·√(N/B) the one mirrored chain.
+
+Exactness strategy: every reduction is a bounded census folded exactly
+in integers per batch and combined on the driver (the ``kendall_tau``
+/ ``emd_drift`` discipline — aggregate domains are FIXED or
+day-bounded, never data-sized).  Each statistic's read-out is either a
+pure integer (durbin_watson, quantile_map, dft_power) or ONE
+fixed-order double expression over integers that are < 2⁵³ or cast
+once per engine (correctly rounded on both) — the ``spearman_rho``
+precedent, so the chain is bit-identical across engines.
+
+Scale shapes: all are map-only passes whose partials are constant-size
+tables; at 100 TB the driver fold stays a few KB per block and the
+O(cells) / O(days) finish is constant work.
 """
 
 from __future__ import annotations
