@@ -1031,3 +1031,65 @@ def test_textrank_hub_term_wins_on_star_graph():
             for w in nodes
         }
     assert max(r, key=lambda w: (r[w], w)) == "a"
+
+
+def test_friedman_doubled_rank_chain_matches_brute_force():
+    rng = random.Random(137)
+    b, k = 40, 5
+    data = [[rng.randint(0, 9) for _ in range(k)] for _ in range(b)]
+    # textbook tie-corrected Friedman over mid-ranks
+    ranks = []
+    for row in data:
+        order = sorted(range(k), key=lambda j: row[j])
+        rr = [0.0] * k
+        i = 0
+        while i < k:
+            j = i
+            while j < k and row[order[j]] == row[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for t in range(i, j):
+                rr[order[t]] = mid
+            i = j
+        ranks.append(rr)
+    rj = [sum(ranks[i][j] for i in range(b)) for j in range(k)]
+    bb = sum((r - b * (k + 1) / 2.0) ** 2 for r in rj)
+    cc = sum(r**2 for row in ranks for r in row) - b * k * (k + 1) ** 2 / 4.0
+    chi_brute = (k - 1) * bb / cc
+    # doubled-rank integer chain
+    from weakscraper_ray.pipelines.measures import _rank2
+
+    r_sum = {j: 0 for j in range(k)}
+    sq = 0
+    for row in data:
+        marg = {}
+        for v in row:
+            marg[v] = marg.get(v, 0) + 1
+        r2 = _rank2(marg)
+        for j in range(k):
+            r_sum[j] += r2[row[j]]
+            sq += r2[row[j]] ** 2
+    b4 = sum((r_sum[j] - b * (k + 1)) ** 2 for j in range(k))
+    c4 = sq - b * k * (k + 1) ** 2
+    assert math.isclose((k - 1) * b4 / c4, chi_brute, rel_tol=1e-12)
+
+
+def test_page_l_statistic_maximal_for_perfectly_ordered_blocks():
+    k, b = 5, 10
+    # strictly increasing within every block -> L is maximal
+    from weakscraper_ray.pipelines.measures import _rank2
+
+    r_sum = {j: 0 for j in range(1, k + 1)}
+    for _ in range(b):
+        row = {j: j * 10 for j in range(1, k + 1)}
+        marg = {}
+        for v in row.values():
+            marg[v] = marg.get(v, 0) + 1
+        r2 = _rank2(marg)
+        for j in range(1, k + 1):
+            r_sum[j] += r2[row[j]]
+    l2 = sum(j * r_sum[j] for j in range(1, k + 1))
+    # max of 2L = 2·b·Σ j·j (rank j goes to treatment j)
+    assert l2 == 2 * b * sum(j * j for j in range(1, k + 1))
+    e2 = b * k * (k + 1) ** 2 // 2
+    assert l2 > e2  # strictly above the null mean

@@ -952,6 +952,187 @@ FROM z
 """
 
 
+# =====================================================================
+# friedman_test + page_trend — blocked ranks over days × priorities
+# =====================================================================
+
+
+def _day_prio_ranks(sf_dir: str):
+    """(b, k, per-treatment doubled rank sums R'_j, Σ r'², per-cell
+    doubled ranks) over the days × 5-priorities count grid — the
+    blocked-design census both tests consume.  Missing (day, prio)
+    cells COUNT AS ZERO (every block ranks all k treatments, the
+    textbook design); day-bounded domain → driver fold, zero keyed
+    exchange."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = (us // _US_PER_DAY).astype(np.int64)
+        pr = pc.utf8_slice_codeunits(
+            t.column("o_orderpriority"), 0, 1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pd.DataFrame({"d": day, "p": pr})
+            .groupby(["d", "p"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "d": pa.array(g["d"].to_numpy(np.int64)),
+                "p": pa.array(g["p"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    cells: dict[tuple[int, int], int] = {}
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for d, p, n in zip(
+            t.column("d").to_pylist(),
+            t.column("p").to_pylist(),
+            t.column("n").to_pylist(),
+        ):
+            cells[(int(d), int(p))] = cells.get((int(d), int(p)), 0) + int(n)
+    days = sorted({d for d, _ in cells})
+    k = 5
+    r_sum = {j: 0 for j in range(1, k + 1)}
+    sq_sum = 0
+    for d in days:
+        vals = {j: cells.get((d, j), 0) for j in range(1, k + 1)}
+        marg: dict[int, int] = {}
+        for v in vals.values():
+            marg[v] = marg.get(v, 0) + 1
+        from .measures import _rank2
+
+        r2 = _rank2(marg)
+        for j in range(1, k + 1):
+            rr = r2[vals[j]]
+            r_sum[j] += rr
+            sq_sum += rr * rr
+    return len(days), k, r_sum, sq_sum
+
+
+def q_friedman_test(sf_dir: str):
+    """Friedman test (Friedman 1937, tie-corrected form) of whether
+    the five order priorities receive systematically different daily
+    volumes, blocking by day: within each day the 5 counts get
+    doubled mid-ranks (the ``_rank2`` rule — doubling keeps every
+    sum integral), and with R'_j = Σ_days r'_j,
+    χ² = (k−1)·B/C where 4B = Σ_j (R'_j − b(k+1))² and
+    4C = Σ r'² − b·k(k+1)² — a PURE INTEGER rational (no mirrored
+    double anywhere; the 4s cancel), released with the shared
+    half-away e6 division.  Output: one row
+    ``(b, k, r2_1..r2_5, chi2_e6)``."""
+    from .patterns import _ols_e6
+
+    b, k, r_sum, sq_sum = _day_prio_ranks(sf_dir)
+    b4 = sum((r_sum[j] - b * (k + 1)) ** 2 for j in range(1, k + 1))
+    c4 = sq_sum - b * k * (k + 1) ** 2
+    cols = {
+        "b": pa.array([b], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+    }
+    for j in range(1, k + 1):
+        cols[f"r2_{j}"] = pa.array([r_sum[j]], pa.int64())
+    cols["chi2_e6"] = pa.array([_ols_e6((k - 1) * b4, c4)], pa.int64())
+    return pa.table(cols)
+
+
+def q_page_trend(sf_dir: str):
+    """Page's L trend test (Page 1963) for the ORDERED alternative
+    over the same blocked design (priorities 1..5 are ordinal):
+    2L = Σ_j j·R'_j is an exact integer from the doubled rank sums,
+    with E[2L] = b·k(k+1)²/2 and (under no ties)
+    144·Var(2L) = 4·b·k²(k+1)²(k−1)·... — the classical normal
+    approximation z = (2L − E[2L]) / √(b·k²(k+1)²(k−1)/36) is the one
+    mirrored double chain (computed from identical integers on both
+    engines; the doubled scale folds into the constants).  Output:
+    one row ``(b, k, l2_stat, z_e6)``."""
+    b, k, r_sum, _ = _day_prio_ranks(sf_dir)
+    l2 = sum(j * r_sum[j] for j in range(1, k + 1))
+    e2 = b * k * (k + 1) ** 2 // 2  # E[2L] = 2·b·k(k+1)²/4, exact
+    var2 = (
+        float(b) * float(k * k) * float((k + 1) * (k + 1)) * float(k - 1)
+    ) / 36.0  # Var(2L) = 4·Var(L), Var(L) = b k²(k+1)²(k−1)/144
+    z = (float(l2) - float(e2)) / math.sqrt(var2)
+    return pa.table(
+        {
+            "b": pa.array([b], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "l2_stat": pa.array([l2], pa.int64()),
+            "z_e6": pa.array([_e6_signed(z)], pa.int64()),
+        }
+    )
+
+
+_SQL_DAY_PRIO_RANKS = """
+c0 AS (
+  SELECT cast(datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+              AS BIGINT) AS d,
+         cast(substr(o_orderpriority, 1, 1) AS BIGINT) AS p,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+grid AS (
+  SELECT dd.d, pp.p, coalesce(c0.n, 0) AS n
+  FROM (SELECT DISTINCT d FROM c0) dd
+  CROSS JOIN range(1, 6) pp(p)
+  LEFT JOIN c0 ON c0.d = dd.d AND c0.p = pp.p),
+rk AS (
+  SELECT d, p, n,
+         2 * (rank() OVER (PARTITION BY d ORDER BY n) - 1)
+         + count(*) OVER (PARTITION BY d, n) + 1 AS r2
+  FROM grid),
+rs AS (SELECT p, cast(sum(r2) AS BIGINT) AS rsum FROM rk GROUP BY p),
+tot AS (SELECT (SELECT cast(count(DISTINCT d) AS BIGINT) FROM c0) AS b,
+               5::BIGINT AS k,
+               (SELECT cast(sum(r2 * r2) AS BIGINT) FROM rk) AS sq)
+"""
+
+
+SQL_FRIEDMAN = f"""
+WITH {_SQL_DAY_PRIO_RANKS},
+bsum AS (SELECT cast(sum((rs.rsum - tot.b * (tot.k + 1))
+                         * (rs.rsum - tot.b * (tot.k + 1))) AS BIGINT)
+                AS b4
+         FROM rs, tot),
+csum AS (SELECT cast(tot.sq - tot.b * tot.k * (tot.k + 1) * (tot.k + 1)
+                     AS BIGINT) AS c4
+         FROM tot)
+SELECT tot.b, tot.k,
+       (SELECT rsum FROM rs WHERE p = 1) AS r2_1,
+       (SELECT rsum FROM rs WHERE p = 2) AS r2_2,
+       (SELECT rsum FROM rs WHERE p = 3) AS r2_3,
+       (SELECT rsum FROM rs WHERE p = 4) AS r2_4,
+       (SELECT rsum FROM rs WHERE p = 5) AS r2_5,
+       cast((2000000 * ((tot.k - 1) * cast(bsum.b4 AS HUGEINT))
+             + csum.c4) // (2 * cast(csum.c4 AS HUGEINT)) AS BIGINT)
+         AS chi2_e6
+FROM tot, bsum, csum
+"""
+
+
+SQL_PAGE_TREND = f"""
+WITH {_SQL_DAY_PRIO_RANKS},
+l AS (SELECT cast(sum(p * rsum) AS BIGINT) AS l2 FROM rs),
+z AS (SELECT tot.b, tot.k, l.l2,
+             ((l.l2::DOUBLE
+               - (tot.b * tot.k * (tot.k + 1) * (tot.k + 1) // 2)::DOUBLE)
+              / sqrt((tot.b::DOUBLE * (tot.k * tot.k)::DOUBLE
+                      * ((tot.k + 1) * (tot.k + 1))::DOUBLE
+                      * (tot.k - 1)::DOUBLE) / 36.0)) AS zz
+      FROM tot, l)
+SELECT b, k, l2 AS l2_stat,
+       cast(CASE WHEN zz >= 0 THEN floor(abs(zz) * 1e6 + 0.5)
+                 ELSE -floor(abs(zz) * 1e6 + 0.5) END AS BIGINT) AS z_e6
+FROM z
+"""
+
+
 QUERIES = {
     "anova_f": q_anova_f,
     "kruskal_wallis": q_kruskal_wallis,
@@ -962,6 +1143,8 @@ QUERIES = {
     "quantile_map": q_quantile_map,
     "durbin_watson": q_durbin_watson,
     "cochran_armitage": q_cochran_armitage,
+    "friedman_test": q_friedman_test,
+    "page_trend": q_page_trend,
 }
 
 ORACLE_SQL = {
@@ -974,6 +1157,8 @@ ORACLE_SQL = {
     "quantile_map": SQL_QUANTILE_MAP,
     "durbin_watson": SQL_DURBIN_WATSON,
     "cochran_armitage": SQL_COCHRAN_ARMITAGE,
+    "friedman_test": SQL_FRIEDMAN,
+    "page_trend": SQL_PAGE_TREND,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
