@@ -44,10 +44,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import relational as _rel
-from .patterns import _ols_e6
 from .relational import _i64_away_np, _read
 
+# NOTE: _ols_e6 must be imported LAZILY (inside functions): this
+# module is imported by relational's tail, so when a Ray worker
+# unpickles a class defined in patterns.py, patterns is the in-flight
+# outermost import and a top-level `from .patterns import` here sees a
+# partially initialized module (observed: every lexicon_scan actor
+# died in a restart loop under the 4-CPU test session — the mlprep
+# _WS lesson).
 _US_PER_DAY = 86_400_000_000
+
+def _ols_e6(p: int, d: int) -> int:
+    """Lazy proxy for patterns._ols_e6 — see import note above."""
+    from .patterns import _ols_e6 as _f
+
+    return _f(p, d)
+
 
 
 # =====================================================================

@@ -726,11 +726,15 @@ def q_lexicon_scan(sf_dir: str):
     feature primitive — one automaton pass regardless of lexicon
     size, vs. one string scan per phrase).  Output: (doc_id, phrase,
     n) for n ≥ 1.  Map-only, zero exchange; the automaton is actor
-    state (``concurrency=4``), the scan is vectorized across the
-    batch per character position."""
+    state (autoscaling ``concurrency=(1, 4)`` — a FIXED concurrency=4
+    deadlocks a 4-CPU session: the pool insists on 4 actors × 1 CPU
+    and the streaming executor then has nothing left to schedule
+    around, observed as pending=4/running=0 in the tests' shared
+    fixture), the scan is vectorized across the batch per character
+    position."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        _LexiconScanner, batch_format="pyarrow", concurrency=4
+        _LexiconScanner, batch_format="pyarrow", concurrency=(1, 4)
     )
 
 
