@@ -130,7 +130,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "durbin_watson", "cochran_armitage",
         "full_outer_join", "assoc_rules", "matrix_profile", "mutual_knn",
         "haar_energy", "burst_detect", "cluster_medoids", "silhouette_score",
-        "textrank_terms", "friedman_test", "page_trend",
+        "textrank_terms", "friedman_test", "page_trend", "tukey_q",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -1093,3 +1093,27 @@ def test_page_l_statistic_maximal_for_perfectly_ordered_blocks():
     assert l2 == 2 * b * sum(j * j for j in range(1, k + 1))
     e2 = b * k * (k + 1) ** 2 // 2
     assert l2 > e2  # strictly above the null mean
+
+
+def test_tukey_kramer_reduces_to_t_statistic_times_sqrt2():
+    """For any pair, q = |mean diff| / sqrt(MSW/2·(1/n1+1/n2)) equals
+    √2 × the pooled-MSW two-sample t statistic — the classical
+    relation q = t·√2."""
+    rng = random.Random(139)
+    fs = [rng.choice("ANR") for _ in range(300)]
+    xs = [rng.randint(1, 9) + (2 if f == "N" else 0) for f in fs]
+    groups = {f: [x for g, x in zip(fs, xs) if g == f] for f in "ANR"}
+    n = {f: len(v) for f, v in groups.items()}
+    mean = {f: sum(v) / len(v) for f, v in groups.items()}
+    ssw = sum(
+        sum((x - mean[f]) ** 2 for x in v) for f, v in groups.items()
+    )
+    msw = ssw / (len(xs) - 3)
+    for a, b in (("A", "N"), ("A", "R"), ("N", "R")):
+        q = abs(mean[a] - mean[b]) / math.sqrt(
+            msw / 2 * (1 / n[a] + 1 / n[b])
+        )
+        t = abs(mean[a] - mean[b]) / math.sqrt(
+            msw * (1 / n[a] + 1 / n[b])
+        )
+        assert math.isclose(q, t * math.sqrt(2), rel_tol=1e-12)

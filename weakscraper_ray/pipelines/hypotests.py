@@ -953,6 +953,99 @@ FROM z
 
 
 # =====================================================================
+# tukey_q — Tukey–Kramer post-hoc pairwise studentized-range stats
+# =====================================================================
+
+
+def q_tukey_q(sf_dir: str):
+    """Tukey–Kramer post-hoc statistics (Tukey 1949; Kramer 1956 for
+    unequal n) for the three returnflag pairs after ``anova_f``:
+    q_ij = |mean_i − mean_j| / √(MSW/2 · (1/n_i + 1/n_j)) from the
+    same nine exact census moments — the read-out an analyst runs the
+    moment the omnibus F rejects.  One mirrored fixed-order double
+    chain per pair (means and MSW from < 2⁵³ integers; pair order
+    pinned (A,N), (A,R), (N,R)).  Output: 3 rows
+    ``(g_a, g_b, q_e6)``.  Zero keyed exchange (census fold shared
+    with anova_f)."""
+    cells = _flag_qty_census(sf_dir)
+    n = {f: 0 for f in _FLAGS}
+    s = {f: 0 for f in _FLAGS}
+    q = {f: 0 for f in _FLAGS}
+    for (f, x), m in cells.items():
+        n[f] += m
+        s[f] += m * x
+        q[f] += m * x * x
+    nt = sum(n.values())
+    qt = sum(q.values())
+    t1 = (
+        float(s["A"]) * float(s["A"]) / float(n["A"])
+        + float(s["N"]) * float(s["N"]) / float(n["N"])
+        + float(s["R"]) * float(s["R"]) / float(n["R"])
+    )
+    msw = (float(qt) - t1) / (float(nt) - 3.0)
+    rows = []
+    for a, b in (("A", "N"), ("A", "R"), ("N", "R")):
+        diff = abs(
+            float(s[a]) / float(n[a]) - float(s[b]) / float(n[b])
+        )
+        se = math.sqrt(
+            msw / 2.0 * (1.0 / float(n[a]) + 1.0 / float(n[b]))
+        )
+        rows.append((a, b, _e6_signed(diff / se)))
+    return pa.table(
+        {
+            "g_a": pa.array([r[0] for r in rows], pa.string()),
+            "g_b": pa.array([r[1] for r in rows], pa.string()),
+            "q_e6": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_TUKEY_Q = """
+WITH c AS (
+  SELECT l_returnflag AS f, cast(round(l_quantity) AS BIGINT) AS x,
+         cast(count(*) AS BIGINT) AS m
+  FROM lineitem GROUP BY 1, 2),
+g AS (SELECT
+  sum(CASE WHEN f = 'A' THEN m ELSE 0 END) AS na,
+  sum(CASE WHEN f = 'N' THEN m ELSE 0 END) AS nn,
+  sum(CASE WHEN f = 'R' THEN m ELSE 0 END) AS nr,
+  sum(CASE WHEN f = 'A' THEN m * x ELSE 0 END) AS sa,
+  sum(CASE WHEN f = 'N' THEN m * x ELSE 0 END) AS sn,
+  sum(CASE WHEN f = 'R' THEN m * x ELSE 0 END) AS sr,
+  sum(CASE WHEN f = 'A' THEN m * x * x ELSE 0 END) AS qa,
+  sum(CASE WHEN f = 'N' THEN m * x * x ELSE 0 END) AS qn,
+  sum(CASE WHEN f = 'R' THEN m * x * x ELSE 0 END) AS qr
+  FROM c),
+d AS (SELECT na, nn, nr, sa, sn, sr,
+             ((qa + qn + qr)::DOUBLE
+              - (sa::DOUBLE * sa::DOUBLE / na::DOUBLE
+                 + sn::DOUBLE * sn::DOUBLE / nn::DOUBLE
+                 + sr::DOUBLE * sr::DOUBLE / nr::DOUBLE))
+             / ((na + nn + nr)::DOUBLE - 3.0) AS msw
+      FROM g),
+p AS (
+  SELECT 'A' AS g_a, 'N' AS g_b,
+         abs(sa::DOUBLE / na::DOUBLE - sn::DOUBLE / nn::DOUBLE)
+         / sqrt(msw / 2.0 * (1.0 / na::DOUBLE + 1.0 / nn::DOUBLE)) AS qq
+  FROM d
+  UNION ALL
+  SELECT 'A', 'R',
+         abs(sa::DOUBLE / na::DOUBLE - sr::DOUBLE / nr::DOUBLE)
+         / sqrt(msw / 2.0 * (1.0 / na::DOUBLE + 1.0 / nr::DOUBLE))
+  FROM d
+  UNION ALL
+  SELECT 'N', 'R',
+         abs(sn::DOUBLE / nn::DOUBLE - sr::DOUBLE / nr::DOUBLE)
+         / sqrt(msw / 2.0 * (1.0 / nn::DOUBLE + 1.0 / nr::DOUBLE))
+  FROM d)
+SELECT g_a, g_b,
+       cast(floor(abs(qq) * 1e6 + 0.5) AS BIGINT) AS q_e6
+FROM p
+"""
+
+
+# =====================================================================
 # friedman_test + page_trend — blocked ranks over days × priorities
 # =====================================================================
 
@@ -1145,6 +1238,7 @@ QUERIES = {
     "cochran_armitage": q_cochran_armitage,
     "friedman_test": q_friedman_test,
     "page_trend": q_page_trend,
+    "tukey_q": q_tukey_q,
 }
 
 ORACLE_SQL = {
@@ -1159,6 +1253,7 @@ ORACLE_SQL = {
     "cochran_armitage": SQL_COCHRAN_ARMITAGE,
     "friedman_test": SQL_FRIEDMAN,
     "page_trend": SQL_PAGE_TREND,
+    "tukey_q": SQL_TUKEY_Q,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
