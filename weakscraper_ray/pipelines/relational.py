@@ -3277,3 +3277,8 @@ from . import graphstats as _graphstats  # noqa: E402,F401
 # ANOVA F, tie-corrected Kruskal–Wallis H, weekly periodogram).
 from . import hypotests as _hypotests  # noqa: E402,F401
 
+# round-3 classical hypothesis tests II (Mood median, McNemar,
+# Cox–Stuart, Jonckheere–Terpstra, Wilcoxon signed-rank, Bartlett,
+# Pettitt changepoint, Ljung–Box portmanteau).
+from . import hypotests2 as _hypotests2  # noqa: E402,F401
+
