@@ -131,6 +131,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "full_outer_join", "assoc_rules", "matrix_profile", "mutual_knn",
         "haar_energy", "burst_detect", "cluster_medoids", "silhouette_score",
         "textrank_terms", "friedman_test", "page_trend", "tukey_q",
+        "mood_median", "mcnemar_test", "cox_stuart", "jonckheere_trend",
+        "bartlett_test", "wilcoxon_signed", "pettitt_test", "ljung_box",
     ]
     out: dict[str, float] = {}
     for name in names:
