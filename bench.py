@@ -133,6 +133,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "textrank_terms", "friedman_test", "page_trend", "tukey_q",
         "mood_median", "mcnemar_test", "cox_stuart", "jonckheere_trend",
         "bartlett_test", "wilcoxon_signed", "pettitt_test", "ljung_box",
+        "cramer_vonmises", "hoeffding_d", "cochran_q", "hodges_lehmann",
     ]
     out: dict[str, float] = {}
     for name in names:

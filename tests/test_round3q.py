@@ -187,3 +187,159 @@ def test_ljung_box_n_scaled_ratio_is_exact_autocorrelation():
         )
         den_f = sum((Fraction(x) - mean) ** 2 for x in xs)
         assert Fraction(num, den) == num_f / den_f
+
+
+# ================= continuation-21 (nonparam.py) contracts =================
+
+
+def test_cvm_cell_closed_form_equals_direct_sum():
+    from weakscraper_ray.pipelines.nonparam import _sq_dev_sum
+
+    for c, lo, hi in ((7, 1, 5), (100, 3, 3), (11, 2, 9), (0, 1, 4)):
+        direct = sum((c - 2 * i) ** 2 for i in range(lo, hi + 1))
+        assert _sq_dev_sum(c, lo, hi) == direct
+
+
+def test_cvm_census_path_equals_midrank_brute_force():
+    from weakscraper_ray.pipelines.nonparam import _sq_dev_sum
+
+    rng = random.Random(53)
+    a = [rng.randint(1, 9) for _ in range(40)]
+    b = [rng.randint(2, 10) for _ in range(55)]
+    n, m = len(a), len(b)
+    nt = n + m
+    # brute force: pooled average mid-ranks, U = n*sum(r_i - i)^2 + ...
+    pooled = sorted(a + b)
+    mid = {}
+    i = 0
+    while i < nt:
+        j = i
+        while j < nt and pooled[j] == pooled[i]:
+            j += 1
+        mid[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    u_brute = n * sum(
+        (mid[v] - (i + 1)) ** 2 for i, v in enumerate(sorted(a))
+    ) + m * sum((mid[v] - (j + 1)) ** 2 for j, v in enumerate(sorted(b)))
+    t_brute = u_brute / (nt * m * n) - (4.0 * m * n - 1) / (6.0 * nt)
+    # census path (the q_cramer_vonmises arithmetic)
+    ga, gr, poolc = {}, {}, {}
+    for v in a:
+        ga[v] = ga.get(v, 0) + 1
+    for v in b:
+        gr[v] = gr.get(v, 0) + 1
+    for d in (ga, gr):
+        for v, c in d.items():
+            poolc[v] = poolc.get(v, 0) + c
+    r2 = _rank2(poolc)
+    u4 = 0
+    for grp, w in ((ga, n), (gr, m)):
+        cum = 0
+        for v in sorted(grp):
+            u4 += w * _sq_dev_sum(r2[v], cum + 1, cum + grp[v])
+            cum += grp[v]
+    t_census = float(u4) / (4.0 * nt * m * n) - (4.0 * m * n - 1.0) / (
+        6.0 * nt
+    )
+    assert u4 == int(round(4 * u_brute))
+    assert math.isclose(t_census, t_brute, rel_tol=1e-12)
+
+
+def test_hoeffding_census_sums_equal_observation_brute_force():
+    rng = random.Random(59)
+    xs = [rng.randint(1, 6) for _ in range(35)]
+    ys = [x % 3 + rng.randint(0, 2) for x in xs]
+    n = len(xs)
+    # observation-level brute force with phi weights (x2 scale)
+    def phi2(a, b):
+        return 2 if a < b else (1 if a == b else 0)
+
+    d1b = d2b = d3b = 0
+    for i in range(n):
+        q4 = 4 + sum(
+            phi2(xs[j], xs[i]) * phi2(ys[j], ys[i])
+            for j in range(n) if j != i
+        )
+        r2v = 1 + sum(phi2(xs[j], xs[i]) for j in range(n) if j != i) + 1
+        s2v = 1 + sum(phi2(ys[j], ys[i]) for j in range(n) if j != i) + 1
+        d1b += (q4 - 4) * (q4 - 8)
+        d2b += (r2v - 2) * (r2v - 4) * (s2v - 2) * (s2v - 4)
+        d3b += (r2v - 4) * (s2v - 4) * (q4 - 4)
+    # census sweep (the q_hoeffding_d arithmetic)
+    cells = {}
+    for x, y in zip(xs, ys):
+        cells[(x, y)] = cells.get((x, y), 0) + 1
+    mx, my = {}, {}
+    for (x, y), m in cells.items():
+        mx[x] = mx.get(x, 0) + m
+        my[y] = my.get(y, 0) + m
+    rx, ry = _rank2(mx), _rank2(my)
+    d1c = d2c = d3c = 0
+    items = sorted(cells.items())
+    for (x, y), m in items:
+        q4 = 3
+        for (x2, y2), m2 in items:
+            wx = 2 if x2 < x else (1 if x2 == x else 0)
+            if wx == 0:
+                continue
+            wy = 2 if y2 < y else (1 if y2 == y else 0)
+            q4 += m2 * wx * wy
+        d1c += m * (q4 - 4) * (q4 - 8)
+        d2c += m * (rx[x] - 2) * (rx[x] - 4) * (ry[y] - 2) * (ry[y] - 4)
+        d3c += m * (rx[x] - 4) * (ry[y] - 4) * (q4 - 4)
+    assert (d1c, d2c, d3c) == (d1b, d2b, d3b)
+
+
+def test_cochran_q_integer_identity_equals_textbook():
+    rng = random.Random(61)
+    rows = [(rng.randint(0, 1), rng.randint(0, 1), rng.randint(0, 1))
+            for _ in range(200)]
+    k = 3
+    cj = [sum(r[j] for r in rows) for j in range(k)]
+    t = sum(cj)
+    r2 = sum(sum(r) ** 2 for r in rows)
+    q_text = (k * (k - 1) * sum((c - t / k) ** 2 for c in cj)) / (
+        k * t - r2
+    )
+    num = 2 * sum((3 * c - t) ** 2 for c in cj)
+    den = 3 * (3 * t - r2)
+    assert math.isclose(num / den, q_text, rel_tol=1e-12)
+
+
+def test_hodges_lehmann_walsh_census_equals_brute_force():
+    rng = random.Random(67)
+    xs = [rng.randint(3, 20) for _ in range(45)]
+    walsh_brute = sorted(
+        xs[i] + xs[j] for i in range(len(xs)) for j in range(i, len(xs))
+    )
+    nw = len(walsh_brute)
+    med2 = (
+        walsh_brute[(nw + 1) // 2 - 1] + walsh_brute[nw // 2 + 1 - 1]
+    )
+    # census path
+    vals = {}
+    for x in xs:
+        vals[x] = vals.get(x, 0) + 1
+    walsh = {}
+    items = sorted(vals.items())
+    for i, (u, cu) in enumerate(items):
+        walsh[2 * u] = walsh.get(2 * u, 0) + cu * (cu + 1) // 2
+        for v, cv in items[i + 1:]:
+            walsh[u + v] = walsh.get(u + v, 0) + cu * cv
+    assert sum(walsh.values()) == nw
+
+    def med2_census(marg):
+        n = sum(marg.values())
+        lo_pos, hi_pos = (n + 1) // 2, n // 2 + 1
+        lo = hi = None
+        cum = 0
+        for v in sorted(marg):
+            cum += marg[v]
+            if lo is None and cum >= lo_pos:
+                lo = v
+            if hi is None and cum >= hi_pos:
+                hi = v
+                break
+        return lo + hi
+
+    assert med2_census(walsh) == med2

@@ -3282,3 +3282,8 @@ from . import hypotests as _hypotests  # noqa: E402,F401
 # Pettitt changepoint, Ljung–Box portmanteau).
 from . import hypotests2 as _hypotests2  # noqa: E402,F401
 
+# round-3 nonparametric statistics III (two-sample Cramér–von Mises,
+# Hoeffding's D independence, Cochran's Q blocked binary,
+# Hodges–Lehmann pseudo-median).
+from . import nonparam as _nonparam  # noqa: E402,F401
+
