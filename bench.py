@@ -134,6 +134,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "mood_median", "mcnemar_test", "cox_stuart", "jonckheere_trend",
         "bartlett_test", "wilcoxon_signed", "pettitt_test", "ljung_box",
         "cramer_vonmises", "hoeffding_d", "cochran_q", "hodges_lehmann",
+        "mood_scale", "hurst_rs", "sample_entropy", "cronbach_alpha",
     ]
     out: dict[str, float] = {}
     for name in names:

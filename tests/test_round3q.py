@@ -343,3 +343,151 @@ def test_hodges_lehmann_walsh_census_equals_brute_force():
         return lo + hi
 
     assert med2_census(walsh) == med2
+
+
+# ============ continuation-21b (mood_scale/hurst/sampen/alpha) ============
+
+
+def test_mood_scale_moments_equal_subset_enumeration():
+    from itertools import combinations
+
+    # tiny pooled sample with ties; enumerate ALL m-subsets to verify
+    # the finite-population mean/variance of W
+    xs = [3, 5, 5, 7, 9, 9]
+    n_all = len(xs)
+    m = 3
+    marg = {}
+    for x in xs:
+        marg[x] = marg.get(x, 0) + 1
+    r2 = _rank2(marg)
+    a4 = {v: (r2[v] - n_all - 1) ** 2 for v in marg}
+    scores = [a4[x] for x in xs]
+    t4 = sum(scores)
+    t8 = sum(s * s for s in scores)
+    e_formula = m * t4 / n_all
+    var_formula = (
+        m * (n_all - m) * (n_all * t8 - t4 * t4)
+        / (n_all ** 2 * (n_all - 1))
+    )
+    ws = [sum(c) for c in combinations(scores, m)]
+    e_brute = sum(ws) / len(ws)
+    var_brute = sum((w - e_brute) ** 2 for w in ws) / len(ws)
+    assert math.isclose(e_formula, e_brute, rel_tol=1e-12)
+    assert math.isclose(var_formula, var_brute, rel_tol=1e-12)
+
+
+def test_mood_scale_doubled_scores_are_4x_classic():
+    xs = [2, 4, 4, 6, 8]
+    n_all = len(xs)
+    marg = {}
+    for x in xs:
+        marg[x] = marg.get(x, 0) + 1
+    r2 = _rank2(marg)
+    # classic scores with average mid-ranks
+    srt = sorted(xs)
+    mid = {}
+    i = 0
+    while i < n_all:
+        j = i
+        while j < n_all and srt[j] == srt[i]:
+            j += 1
+        mid[srt[i]] = (i + 1 + j) / 2.0
+        i = j
+    for v in marg:
+        classic = (mid[v] - (n_all + 1) / 2.0) ** 2
+        assert (r2[v] - n_all - 1) ** 2 == int(round(4 * classic))
+
+
+def test_hurst_block_integer_ratio_equals_float_rs():
+    rng = random.Random(71)
+    s = 16
+    blk = [rng.randint(10, 40) for _ in range(s)]
+    mean = sum(blk) / s
+    dev = [x - mean for x in blk]
+    cums = []
+    c = 0.0
+    for d in dev:
+        c += d
+        cums.append(c)
+    r_float = max(cums) - min(cums)
+    s_float = math.sqrt(sum(d * d for d in dev) / s)
+    # integer path
+    sb = sum(blk)
+    ev = [s * x - sb for x in blk]
+    e2 = sum(e * e for e in ev)
+    cum = 0
+    mx, mn = -10**30, 10**30
+    for e in ev:
+        cum += e
+        mx, mn = max(mx, cum), min(mn, cum)
+    ratio_int = float(mx - mn) / math.sqrt(float(e2) / float(s))
+    assert math.isclose(ratio_int, r_float / s_float, rel_tol=1e-12)
+
+
+def test_hurst_slope_division_is_half_away_of_float_slope():
+    ys = [1_234_567, 2_345_678, 3_456_788, 4_567_900]
+    num = sum((2 * t - 9) * y for t, y in zip((3, 4, 5, 6), ys))
+    h_e6 = (2 * num + 10) // 20 if num >= 0 else -((2 * (-num) + 10) // 20)
+    tbar = 4.5
+    slope = sum((t - tbar) * y for t, y in zip((3, 4, 5, 6), ys)) / sum(
+        (t - tbar) ** 2 for t in (3, 4, 5, 6)
+    )
+    assert abs(h_e6 - slope) <= 0.5 + 1e-9
+
+
+def test_sample_entropy_counts_equal_loop_reference():
+    rng = random.Random(73)
+    xs = [rng.randint(5, 15) for _ in range(40)]
+    n = len(xs)
+    r_tol = 2
+    nt = n - 2
+    b_ref = a_ref = 0
+    for i in range(nt):
+        for j in range(i + 1, nt):
+            d01 = max(abs(xs[i] - xs[j]), abs(xs[i + 1] - xs[j + 1]))
+            if d01 <= r_tol:
+                b_ref += 1
+                if max(d01, abs(xs[i + 2] - xs[j + 2])) <= r_tol:
+                    a_ref += 1
+    import numpy as np
+
+    a = np.array(xs, dtype=np.int64)
+    d0 = np.abs(a[:nt, None] - a[None, :nt])
+    d1 = np.abs(a[1:nt + 1, None] - a[None, 1:nt + 1])
+    d2 = np.abs(a[2:nt + 2, None] - a[None, 2:nt + 2])
+    iu = np.triu_indices(nt, k=1)
+    chem = np.maximum(d0[iu], d1[iu])
+    assert int(np.sum(chem <= r_tol)) == b_ref
+    assert int(np.sum(np.maximum(chem, d2[iu]) <= r_tol)) == a_ref
+
+
+def test_cronbach_rational_equals_textbook_float_alpha():
+    rng = random.Random(79)
+    rows = [
+        [rng.randint(1, 9) for _ in range(4)] for _ in range(150)
+    ]
+    n = len(rows)
+    k = 4
+    cols = list(zip(*rows))
+    s = [sum(c) for c in cols]
+    xy = {}
+    for i in range(4):
+        for j in range(i, 4):
+            xy[(i, j)] = sum(a * b for a, b in zip(cols[i], cols[j]))
+    v_items = sum(n * xy[(i, i)] - s[i] * s[i] for i in range(4))
+    tot2 = sum(
+        (1 if i == j else 2) * xy[(min(i, j), max(i, j))]
+        for i in range(4)
+        for j in range(i, 4)
+    )
+    s_tot = sum(s)
+    v_tot = n * tot2 - s_tot * s_tot
+    alpha_int = 4 * (v_tot - v_items) / (3 * v_tot)
+    # textbook: k/(k-1) * (1 - sum(var_i)/var_total), sample variances
+    def var(vals):
+        mu = sum(vals) / len(vals)
+        return sum((v - mu) ** 2 for v in vals) / (len(vals) - 1)
+
+    tots = [sum(r) for r in rows]
+    alpha_text = (k / (k - 1)) * (1 - sum(var(c) for c in cols) / var(tots))
+    assert math.isclose(alpha_int, alpha_text, rel_tol=1e-12)

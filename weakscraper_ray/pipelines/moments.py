@@ -380,25 +380,12 @@ _CORR_VARS = (
 )
 
 
-def q_corr_matrix(sf_dir: str):
-    """Pearson correlation matrix of the four lineitem numerics
-    (quantity, discount_pct, tax_pct, price_cents) from EXACT integer
-    moments: per-batch partials are 15 scalars (n, four Σx, ten
-    Σx·y incl. squares) accumulated in Python bigints (price-cents
-    cross products overflow int64 at ~1e5 rows — the yule_k
-    object-dtype discipline), folded on the driver with zero keyed
-    exchange.  Each pair's ``corr_e6`` is the spearman_rho mirrored
-    double chain: num = n·Sxy − Sx·Sy, den = √((n·Sxx−Sx²)(n·Syy−Sy²))
-    from identical bigints on both engines.  Output: 6 rows
-    ``(var_a, var_b, n, corr_e6)``.
-
-    Contrast ``corr_stats`` (analytics.py), the per-GROUP two-column
-    correlation (one r per returnflag via a keyed exchange): this is
-    the ungrouped all-pairs moment MATRIX — the gram_matrix shape
-    applied to raw columns — with zero exchange."""
-    ds = _read(
-        sf_dir, "lineitem", [c for _, c, _ in _CORR_VARS]
-    )
+def _lineitem_moments(sf_dir: str):
+    """(n, four Σx, ten Σx·y) exact bigint moment scalars over the
+    four lineitem numerics — per-batch object-dtype partials (price
+    cross products overflow int64), driver fold, zero keyed exchange.
+    Shared by ``corr_matrix`` and ``cronbach_alpha``."""
+    ds = _read(sf_dir, "lineitem", [c for _, c, _ in _CORR_VARS])
 
     def _partial(t: pa.Table) -> pa.Table:
         cols = [
@@ -434,6 +421,26 @@ def q_corr_matrix(sf_dir: str):
         for j in range(i, 4):
             xy[(i, j)] = acc[k]
             k += 1
+    return n, s, xy
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pearson correlation matrix of the four lineitem numerics
+    (quantity, discount_pct, tax_pct, price_cents) from EXACT integer
+    moments: per-batch partials are 15 scalars (n, four Σx, ten
+    Σx·y incl. squares) accumulated in Python bigints (price-cents
+    cross products overflow int64 at ~1e5 rows — the yule_k
+    object-dtype discipline), folded on the driver with zero keyed
+    exchange.  Each pair's ``corr_e6`` is the spearman_rho mirrored
+    double chain: num = n·Sxy − Sx·Sy, den = √((n·Sxx−Sx²)(n·Syy−Sy²))
+    from identical bigints on both engines.  Output: 6 rows
+    ``(var_a, var_b, n, corr_e6)``.
+
+    Contrast ``corr_stats`` (analytics.py), the per-GROUP two-column
+    correlation (one r per returnflag via a keyed exchange): this is
+    the ungrouped all-pairs moment MATRIX — the gram_matrix shape
+    applied to raw columns — with zero exchange."""
+    n, s, xy = _lineitem_moments(sf_dir)
     rows = []
     for i in range(4):
         for j in range(i + 1, 4):
@@ -497,12 +504,102 @@ WITH m AS (
 SQL_CORR_MATRIX = _sql_corr()
 
 
+# =====================================================================
+# cronbach_alpha — internal-consistency reliability (pure integer)
+# =====================================================================
+
+
+def q_cronbach_alpha(sf_dir: str):
+    """Cronbach's α (Cronbach 1951) treating the four lineitem
+    numerics as a k = 4 item battery: α = k/(k−1)·(1 − ΣV_i/V_tot)
+    where V_i = n·Σx_i² − S_i² (the n²-scaled item variance — the
+    scale cancels in the ratio) and V_tot = n·Σ(Σ_i x_i)² − (Σ_i S_i)²
+    expands over the SAME 15 moment scalars as ``corr_matrix``
+    (Σtot² = Σ_ij Sxy with off-diagonals twice), so
+
+        α = (4·(V_tot − ΣV_i)) / (3·V_tot)
+
+    is a PURE integer rational (no double anywhere), read out with
+    the shared half-away e6 division.  Contrast ``corr_matrix``: the
+    pairwise correlation read-out of the same moments; α is the
+    one-number reliability summary.  Output: one row ``(n_rows,
+    alpha_e6)``.  Zero keyed exchange (moment fold shared with
+    corr_matrix)."""
+    from .patterns import _ols_e6
+
+    n, s, xy = _lineitem_moments(sf_dir)
+    v_items = sum(n * xy[(i, i)] - s[i] * s[i] for i in range(4))
+    tot2 = sum(
+        (1 if i == j else 2) * xy[(min(i, j), max(i, j))]
+        for i in range(4)
+        for j in range(i, 4)
+    )
+    s_tot = sum(s)
+    v_tot = n * tot2 - s_tot * s_tot
+    alpha_e6 = _ols_e6(4 * (v_tot - v_items), 3 * v_tot)
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "alpha_e6": pa.array([alpha_e6], pa.int64()),
+        }
+    )
+
+
+def _sql_cronbach() -> str:
+    exprs = {
+        "qty": "cast(round(l_quantity) AS HUGEINT)",
+        "disc": "cast(round(l_discount * 100) AS HUGEINT)",
+        "tax": "cast(round(l_tax * 100) AS HUGEINT)",
+        "price": "cast(round(cast(l_extendedprice AS DOUBLE) * 100) AS HUGEINT)",
+    }
+    names = [k for k, _, _ in _CORR_VARS]
+    sums = ",\n       ".join(
+        [f"sum({exprs[k]}) AS s_{k}" for k in names]
+        + [
+            f"sum({exprs[names[i]]} * {exprs[names[j]]})"
+            f" AS s_{names[i]}{names[j]}"
+            for i in range(4)
+            for j in range(i, 4)
+        ]
+    )
+    v_items = " + ".join(
+        f"(n * s_{k}{k} - s_{k} * s_{k})" for k in names
+    )
+    tot2 = " + ".join(
+        f"{1 if i == j else 2} * s_{names[i]}{names[j]}"
+        for i in range(4)
+        for j in range(i, 4)
+    )
+    s_tot = " + ".join(f"s_{k}" for k in names)
+    return f"""
+WITH m AS (
+  SELECT cast(count(*) AS HUGEINT) AS n,
+       {sums}
+  FROM lineitem),
+v AS (SELECT n,
+             {v_items} AS vi,
+             n * ({tot2}) - ({s_tot}) * ({s_tot}) AS vt
+      FROM m)
+SELECT cast(n AS BIGINT) AS n_rows,
+       cast(CASE WHEN 4 * (vt - vi) >= 0
+                 THEN (2000000 * (4 * (vt - vi)) + 3 * vt) // (2 * 3 * vt)
+                 ELSE -((2000000 * (-(4 * (vt - vi))) + 3 * vt)
+                        // (2 * 3 * vt))
+            END AS BIGINT) AS alpha_e6
+FROM v
+"""
+
+
+SQL_CRONBACH = _sql_cronbach()
+
+
 QUERIES = {
     "ams_f2": q_ams_f2,
     "gram_matrix": q_gram_matrix,
     "hill_tail": q_hill_tail,
     "markov_entropy": q_markov_entropy,
     "corr_matrix": q_corr_matrix,
+    "cronbach_alpha": q_cronbach_alpha,
 }
 
 ORACLE_SQL = {
@@ -511,6 +608,7 @@ ORACLE_SQL = {
     "hill_tail": SQL_HILL,
     "markov_entropy": SQL_MARKOV_ENTROPY,
     "corr_matrix": SQL_CORR_MATRIX,
+    "cronbach_alpha": SQL_CRONBACH,
 }
 
 # self-register (same pattern as monitor.py)

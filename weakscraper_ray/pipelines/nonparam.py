@@ -46,6 +46,8 @@ cells).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -461,11 +463,351 @@ FROM med
 """
 
 
+# =====================================================================
+# mood_scale — rank-based two-sample dispersion test
+# =====================================================================
+
+
+def q_mood_scale(sf_dir: str):
+    """Mood's scale test (Mood 1954) of whether A-flag and R-flag
+    l_quantity differ in DISPERSION: with pooled doubled mid-ranks
+    r′, the 4-scaled scores a′ = (r′ − N − 1)² make W4 = Σ_A a′ an
+    exact bigint, and the exact finite-population moments under H0
+    (sampling m of N scores without replacement) are
+
+        E[W4] = m·T4/N,   T4 = Σ_all a′,   T8 = Σ_all a′²
+        Var[W4] = m·n·(N·T8 − T4²) / (N²(N−1))
+
+    so z = (N·W4 − m·T4) / √(m·n·(N·T8 − T4²)/(N−1)) is the ONE
+    mirrored chain over exact bigints (T8 needs HUGEINT; the N scale
+    of the numerator cancels the N² in the variance).  This is the
+    tie-exact form — no tie-correction lookup table, the mid-rank
+    scores themselves carry the ties.  Contrast ``levene_test`` /
+    ``bartlett_test`` (moment-based dispersion) and ``mood_median``
+    (the same author's LOCATION test).  Output: one row ``(n_a, n_r,
+    w4_stat, z_e6)``.  Zero keyed exchange (census fold shared with
+    anova_f)."""
+    from .measures import _rank2
+
+    cells = _flag_qty_census(sf_dir)
+    ga: dict[int, int] = {}
+    gr: dict[int, int] = {}
+    for (f, x), m in cells.items():
+        if f == "A":
+            ga[x] = ga.get(x, 0) + m
+        elif f == "R":
+            gr[x] = gr.get(x, 0) + m
+    pooled: dict[int, int] = {}
+    for d in (ga, gr):
+        for v, m in d.items():
+            pooled[v] = pooled.get(v, 0) + m
+    r2 = _rank2(pooled)
+    m_a = sum(ga.values())
+    n_r = sum(gr.values())
+    nt = m_a + n_r
+    w4 = sum(c * (r2[v] - nt - 1) ** 2 for v, c in ga.items())
+    t4 = sum(c * (r2[v] - nt - 1) ** 2 for v, c in pooled.items())
+    t8 = sum(c * (r2[v] - nt - 1) ** 4 for v, c in pooled.items())
+    num = nt * w4 - m_a * t4
+    # fixed-order chain mirrored op-for-op in SQL_MOOD_SCALE
+    z = float(num) / math.sqrt(
+        float(m_a) * float(n_r) * float(nt * t8 - t4 * t4) / float(nt - 1)
+    )
+    return pa.table(
+        {
+            "n_a": pa.array([m_a], pa.int64()),
+            "n_r": pa.array([n_r], pa.int64()),
+            "w4_stat": pa.array([w4], pa.int64()),
+            "z_e6": pa.array([_e6_signed(z)], pa.int64()),
+        }
+    )
+
+
+SQL_MOOD_SCALE = """
+WITH c AS (
+  SELECT l_returnflag AS f, cast(round(l_quantity) AS BIGINT) AS x,
+         cast(count(*) AS BIGINT) AS m
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+marg AS (SELECT x, cast(sum(m) AS BIGINT) AS mm FROM c GROUP BY x),
+nn AS (SELECT cast(sum(mm) AS BIGINT) AS nt FROM marg),
+rk AS (SELECT x,
+              2 * (cast(sum(mm) OVER (ORDER BY x) AS BIGINT) - mm) + mm + 1
+                AS r2,
+              mm
+       FROM marg),
+sc AS (SELECT rk.x, rk.mm,
+              cast(rk.r2 - nn.nt - 1 AS HUGEINT)
+                * (rk.r2 - nn.nt - 1) AS a4
+       FROM rk, nn),
+tots AS (SELECT cast(sum(mm * a4) AS HUGEINT) AS t4,
+                cast(sum(mm * a4 * a4) AS HUGEINT) AS t8
+         FROM sc),
+w AS (SELECT cast(sum(c.m * sc.a4) AS HUGEINT) AS w4,
+             cast(sum(c.m) AS BIGINT) AS ma
+      FROM c JOIN sc ON sc.x = c.x WHERE c.f = 'A'),
+z AS (SELECT w.ma, nn.nt - w.ma AS nr, w.w4,
+             (nn.nt * w.w4 - w.ma * tots.t4)::DOUBLE
+               / sqrt(w.ma::DOUBLE * (nn.nt - w.ma)::DOUBLE
+                      * (nn.nt * tots.t8 - tots.t4 * tots.t4)::DOUBLE
+                      / (nn.nt - 1)::DOUBLE) AS zz
+      FROM w, nn, tots)
+SELECT ma AS n_a, cast(nr AS BIGINT) AS n_r, cast(w4 AS BIGINT) AS w4_stat,
+       cast(CASE WHEN zz >= 0 THEN floor(abs(zz) * 1e6 + 0.5)
+                 ELSE -floor(abs(zz) * 1e6 + 0.5) END AS BIGINT) AS z_e6
+FROM z
+"""
+
+
+# =====================================================================
+# hurst_rs — rescaled-range Hurst exponent of the daily series
+# =====================================================================
+
+_HURST_SIZES = (8, 16, 32, 64)  #: dyadic block sizes, log2 = 3..6
+
+
+def q_hurst_rs(sf_dir: str):
+    """Rescaled-range Hurst exponent (Hurst 1951; Mandelbrot & Wallis
+    1969) of the daily order-count series.  For each dyadic block
+    size s ∈ {8, 16, 32, 64}: partition the day-ordered series into
+    ⌊n/s⌋ blocks; per block the s-scaled deviations E_i = s·x_i − S_b
+    make the cumulative-deviate range R_int = max(D) − min(D) and
+    ΣE² exact ints, and R/S = R_int/√(ΣE²/s); each block's ratio is
+    e6-quantized BEFORE the per-size sum (the ``avg_precision``
+    order-independence rule; zero-variance blocks are skipped on both
+    engines).  y_s = log2(Σq/(kept·10⁶)) is one mirrored chain per
+    size, e6-quantized, and the Hurst slope over t = log2 s ∈
+    {3,4,5,6} is the PURE integer H_e6 = Σ(2t−9)·y_e6 / 10
+    (Σ(t−t̄)² = 5, half-away).  Output: one row ``(n_days, y8_e6,
+    y16_e6, y32_e6, y64_e6, h_e6)``.  Zero keyed exchange
+    (day-census fold; O(n) driver ladder — the haar_energy shape)."""
+    from .measures import _day_census
+
+    census = _day_census(sf_dir)
+    days = sorted(census)
+    xs = [census[d] for d in days]
+    n = len(xs)
+    ys = []
+    for s in _HURST_SIZES:
+        nb = n // s
+        total_e6 = 0
+        kept = 0
+        for b in range(nb):
+            blk = xs[b * s:(b + 1) * s]
+            sb = sum(blk)
+            ev = [s * x - sb for x in blk]
+            e2 = sum(e * e for e in ev)
+            if e2 == 0:
+                continue
+            cum = 0
+            mx = -(10**30)
+            mn = 10**30
+            for e in ev:
+                cum += e
+                if cum > mx:
+                    mx = cum
+                if cum < mn:
+                    mn = cum
+            ratio = float(mx - mn) / math.sqrt(float(e2) / float(s))
+            total_e6 += _e6_signed(ratio)
+            kept += 1
+        if kept == 0:
+            ys.append(0)
+        else:
+            y = math.log2(float(total_e6) / float(kept * 1_000_000))
+            ys.append(_e6_signed(y))
+    num = sum((2 * t - 9) * y for t, y in zip((3, 4, 5, 6), ys))
+    h_e6 = (
+        (2 * num + 10) // 20 if num >= 0 else -((2 * (-num) + 10) // 20)
+    )
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "y8_e6": pa.array([ys[0]], pa.int64()),
+            "y16_e6": pa.array([ys[1]], pa.int64()),
+            "y32_e6": pa.array([ys[2]], pa.int64()),
+            "y64_e6": pa.array([ys[3]], pa.int64()),
+            "h_e6": pa.array([h_e6], pa.int64()),
+        }
+    )
+
+
+SQL_HURST = """
+WITH c AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY d) - 1 AS rn,
+             count(*) OVER () AS nt
+      FROM c),
+blk AS (SELECT s.s, r.rn // s.s AS b, r.rn % s.s AS i, r.n
+        FROM r, (SELECT unnest([8, 16, 32, 64]) AS s) s
+        WHERE r.rn < (r.nt // s.s) * s.s),
+bs AS (SELECT s, b, cast(sum(n) AS BIGINT) AS sb FROM blk GROUP BY s, b),
+e AS (SELECT blk.s, blk.b, blk.i,
+             cast(blk.s * blk.n - bs.sb AS BIGINT) AS ev
+      FROM blk JOIN bs USING (s, b)),
+cd AS (SELECT s, b, ev,
+              cast(sum(ev) OVER (PARTITION BY s, b ORDER BY i)
+                   AS BIGINT) AS cum
+       FROM e),
+agg AS (SELECT s, b,
+               max(cum) - min(cum) AS r_int,
+               cast(sum(cast(ev AS HUGEINT) * ev) AS BIGINT) AS e2
+        FROM cd GROUP BY s, b),
+q AS (SELECT s,
+             CASE WHEN e2 = 0 THEN NULL
+                  ELSE cast(floor(abs(r_int::DOUBLE
+                                      / sqrt(e2::DOUBLE / s::DOUBLE))
+                                  * 1e6 + 0.5) AS BIGINT)
+             END AS rs_e6
+      FROM agg),
+ys AS (SELECT s, cast(coalesce(sum(rs_e6), 0) AS BIGINT) AS tot,
+              cast(count(rs_e6) AS BIGINT) AS kept
+       FROM q GROUP BY s),
+yv AS (SELECT s,
+              CASE WHEN kept = 0 THEN 0
+                   ELSE cast(CASE
+                     WHEN log2(tot::DOUBLE / (kept * 1000000)::DOUBLE) >= 0
+                     THEN floor(abs(log2(tot::DOUBLE
+                                         / (kept * 1000000)::DOUBLE))
+                                * 1e6 + 0.5)
+                     ELSE -floor(abs(log2(tot::DOUBLE
+                                          / (kept * 1000000)::DOUBLE))
+                                 * 1e6 + 0.5)
+                   END AS BIGINT)
+              END AS y_e6
+       FROM ys),
+sl AS (SELECT cast(sum((2 * (CASE s WHEN 8 THEN 3 WHEN 16 THEN 4
+                                    WHEN 32 THEN 5 ELSE 6 END) - 9)
+                       * y_e6) AS BIGINT) AS num
+       FROM yv)
+SELECT (SELECT cast(max(nt) AS BIGINT) FROM r) AS n_days,
+       (SELECT y_e6 FROM yv WHERE s = 8) AS y8_e6,
+       (SELECT y_e6 FROM yv WHERE s = 16) AS y16_e6,
+       (SELECT y_e6 FROM yv WHERE s = 32) AS y32_e6,
+       (SELECT y_e6 FROM yv WHERE s = 64) AS y64_e6,
+       cast(CASE WHEN num >= 0 THEN (2 * num + 10) // 20
+                 ELSE -((2 * (-num) + 10) // 20) END AS BIGINT) AS h_e6
+FROM sl
+"""
+
+
+# =====================================================================
+# sample_entropy — series regularity (Richman & Moorman 2000)
+# =====================================================================
+
+_SE_M = 2  #: template length m (A uses m+1), pinned in the SQL twin
+
+
+def q_sample_entropy(sf_dir: str):
+    """Sample entropy (Richman & Moorman 2000) of the daily
+    order-count series at m = 2: with the integer tolerance r =
+    max(1, (q3 − q1)/4) from EXACT census quartiles (positions
+    ⌈n/4⌉ and ⌈3n/4⌉ in the cumulative value census), B counts pairs
+    i < j ≤ n−2 of length-2 templates with integer Chebyshev distance
+    ≤ r, A the same for length-3 — both PURE integer counts (one
+    vectorized O(n²) driver sweep over the folded series; the
+    restriction to the first n−2 templates is the Richman–Moorman
+    convention that keeps A and B comparable).  SampEn = ln(B/A) is
+    the one mirrored chain (−ln(A/B); pinned −1 when A = 0).
+    Output: one row ``(n_days, r_tol, b_cnt, a_cnt, sampen_e6)``.
+    Zero keyed exchange (day-census fold)."""
+    from .measures import _day_census
+
+    census = _day_census(sf_dir)
+    days = sorted(census)
+    xs = np.array([census[d] for d in days], dtype=np.int64)
+    n = len(xs)
+    marg: dict[int, int] = {}
+    for x in xs.tolist():
+        marg[x] = marg.get(x, 0) + 1
+    q1 = q3 = None
+    p1, p3 = (n + 3) // 4, (3 * n + 3) // 4
+    cum = 0
+    for v in sorted(marg):
+        cum += marg[v]
+        if q1 is None and cum >= p1:
+            q1 = v
+        if q3 is None and cum >= p3:
+            q3 = v
+            break
+    r_tol = max(1, (q3 - q1) // 4)
+    nt = n - _SE_M  # templates 0..nt-1 for both m and m+1
+    d0 = np.abs(xs[:nt, None] - xs[None, :nt])
+    d1 = np.abs(xs[1:nt + 1, None] - xs[None, 1:nt + 1])
+    d2 = np.abs(xs[2:nt + 2, None] - xs[None, 2:nt + 2])
+    iu = np.triu_indices(nt, k=1)
+    chem = np.maximum(d0[iu], d1[iu])
+    b_cnt = int(np.sum(chem <= r_tol))
+    a_cnt = int(np.sum(np.maximum(chem, d2[iu]) <= r_tol))
+    if a_cnt == 0:
+        se = -1
+    else:
+        # one mirrored chain: -ln(A/B) = ln(B::D / A::D)
+        se = _e6_signed(math.log(float(b_cnt) / float(a_cnt)))
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "r_tol": pa.array([r_tol], pa.int64()),
+            "b_cnt": pa.array([b_cnt], pa.int64()),
+            "a_cnt": pa.array([a_cnt], pa.int64()),
+            "sampen_e6": pa.array([se], pa.int64()),
+        }
+    )
+
+
+SQL_SAMPLE_ENTROPY = """
+WITH c AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY d) AS rn,
+             count(*) OVER () AS nt
+      FROM c),
+marg AS (SELECT n AS v, cast(count(*) AS BIGINT) AS mm FROM c GROUP BY n),
+cum AS (SELECT v, sum(mm) OVER (ORDER BY v) AS cm,
+               sum(mm) OVER () AS n_all
+        FROM marg),
+tol AS (SELECT greatest(1,
+                 (min(CASE WHEN cm >= (3 * n_all + 3) // 4 THEN v END)
+                  - min(CASE WHEN cm >= (n_all + 3) // 4 THEN v END)) // 4)
+               AS r_tol
+        FROM cum),
+t AS (SELECT a.rn, a.n AS x0, b1.n AS x1, b2.n AS x2, a.nt
+      FROM r a JOIN r b1 ON b1.rn = a.rn + 1
+               JOIN r b2 ON b2.rn = a.rn + 2
+      WHERE a.rn <= a.nt - 2),
+p AS (SELECT cast(sum(CASE WHEN greatest(abs(a.x0 - b.x0),
+                                          abs(a.x1 - b.x1)) <= tol.r_tol
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+             cast(sum(CASE WHEN greatest(abs(a.x0 - b.x0),
+                                          abs(a.x1 - b.x1),
+                                          abs(a.x2 - b.x2)) <= tol.r_tol
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt
+      FROM t a JOIN t b ON b.rn > a.rn, tol)
+SELECT (SELECT cast(max(nt) AS BIGINT) FROM r) AS n_days,
+       cast(tol.r_tol AS BIGINT) AS r_tol, p.b_cnt, p.a_cnt,
+       CASE WHEN p.a_cnt = 0 THEN -1
+            ELSE cast(CASE
+              WHEN ln(p.b_cnt::DOUBLE / p.a_cnt::DOUBLE) >= 0
+              THEN floor(abs(ln(p.b_cnt::DOUBLE / p.a_cnt::DOUBLE))
+                         * 1e6 + 0.5)
+              ELSE -floor(abs(ln(p.b_cnt::DOUBLE / p.a_cnt::DOUBLE))
+                          * 1e6 + 0.5)
+            END AS BIGINT)
+       END AS sampen_e6
+FROM p, tol
+"""
+
+
 QUERIES = {
     "cramer_vonmises": q_cramer_vonmises,
     "hoeffding_d": q_hoeffding_d,
     "cochran_q": q_cochran_q,
     "hodges_lehmann": q_hodges_lehmann,
+    "mood_scale": q_mood_scale,
+    "hurst_rs": q_hurst_rs,
+    "sample_entropy": q_sample_entropy,
 }
 
 ORACLE_SQL = {
@@ -473,6 +815,9 @@ ORACLE_SQL = {
     "hoeffding_d": SQL_HOEFFDING,
     "cochran_q": SQL_COCHRAN_Q,
     "hodges_lehmann": SQL_HODGES_LEHMANN,
+    "mood_scale": SQL_MOOD_SCALE,
+    "hurst_rs": SQL_HURST,
+    "sample_entropy": SQL_SAMPLE_ENTROPY,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
