@@ -67,11 +67,20 @@ _US_PER_DAY = 86_400_000_000
 _FLAGS = ("A", "N", "R")  #: fixed l_returnflag domain, pinned in SQL
 
 
+#: sf_dir → folded census; the whole hypotests/hypotests2/nonparam
+#: group-comparison family consumes this one bounded grid, so one
+#: fold per process serves ~9 queries (the _NB_CENSUS_MEMO pattern)
+_FLAG_CENSUS_MEMO: dict[str, dict[tuple[str, int], int]] = {}
+
+
 def _flag_qty_census(sf_dir: str) -> dict[tuple[str, int], int]:
     """(returnflag, quantity) → count, folded on the driver — the
     3 × 50 bounded grid both tests consume (same fold discipline as
     measures._census_cells, keyed by the group label instead of the
-    second value column)."""
+    second value column).  Memoized per sf_dir (testdata is
+    immutable; callers must not mutate the returned dict)."""
+    if sf_dir in _FLAG_CENSUS_MEMO:
+        return _FLAG_CENSUS_MEMO[sf_dir]
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -103,6 +112,7 @@ def _flag_qty_census(sf_dir: str) -> dict[tuple[str, int], int]:
             t.column("n").to_pylist(),
         ):
             cells[(f, int(x))] = cells.get((f, int(x)), 0) + int(n)
+    _FLAG_CENSUS_MEMO[sf_dir] = cells
     return cells
 
 

@@ -146,10 +146,17 @@ FROM s
 # =====================================================================
 
 
+#: sf_dir → folded value-pair census (spearman_rho + hoeffding_d)
+_CELLS_MEMO: dict[str, dict[tuple[int, int], int]] = {}
+
+
 def _census_cells(sf_dir: str) -> dict[tuple[int, int], int]:
     """(quantity, discount_pct) → count census, folded on the driver —
     the bounded-grid partial shared with ``kendall_tau`` (patterns.py),
-    re-derived here so neither module imports the other's privates."""
+    re-derived here so neither module imports the other's privates.
+    Memoized per sf_dir (immutable testdata; callers must not mutate)."""
+    if sf_dir in _CELLS_MEMO:
+        return _CELLS_MEMO[sf_dir]
     ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -183,6 +190,7 @@ def _census_cells(sf_dir: str) -> dict[tuple[int, int], int]:
             t.column("n").to_pylist(),
         ):
             cells[(int(x), int(y))] = cells.get((int(x), int(y)), 0) + int(n)
+    _CELLS_MEMO[sf_dir] = cells
     return cells
 
 
@@ -276,11 +284,20 @@ FROM f
 # =====================================================================
 
 
+#: sf_dir → folded day census; ~14 series statistics consume this one
+#: bounded fold, so one pass per process (the _NB_CENSUS_MEMO pattern)
+_DAY_CENSUS_MEMO: dict[str, dict[int, int]] = {}
+
+
 def _day_census(sf_dir: str) -> dict[int, int]:
     """epoch-day → order count, folded on the driver (the
     ``autocorr_daily`` discipline: per-batch partials are ≤ #days
     rows, the domain is day-bounded, zero keyed exchange).  Shared by
-    ``mann_kendall`` and ``theil_sen``."""
+    the whole daily-series statistics family.  Memoized per sf_dir
+    (testdata is immutable; callers must not mutate the returned
+    dict)."""
+    if sf_dir in _DAY_CENSUS_MEMO:
+        return _DAY_CENSUS_MEMO[sf_dir]
     ds = _read(sf_dir, "orders", ["o_orderdate"])
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -301,6 +318,7 @@ def _day_census(sf_dir: str) -> dict[int, int]:
     ):
         for d, n in zip(t.column("day").to_pylist(), t.column("n").to_pylist()):
             census[int(d)] = census.get(int(d), 0) + int(n)
+    _DAY_CENSUS_MEMO[sf_dir] = census
     return census
 
 
