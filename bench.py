@@ -135,6 +135,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "bartlett_test", "wilcoxon_signed", "pettitt_test", "ljung_box",
         "cramer_vonmises", "hoeffding_d", "cochran_q", "hodges_lehmann",
         "mood_scale", "hurst_rs", "sample_entropy", "cronbach_alpha",
+        "ldiv_audit", "chao1_richness", "seasonal_decompose",
+        "gumbel_moments",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -491,3 +491,78 @@ def test_cronbach_rational_equals_textbook_float_alpha():
     tots = [sum(r) for r in rows]
     alpha_text = (k / (k - 1)) * (1 - sum(var(c) for c in cols) / var(tots))
     assert math.isclose(alpha_int, alpha_text, rel_tol=1e-12)
+
+
+# ===== continuation-21c (ldiv/seasonal/gumbel/chao1) contracts =====
+
+
+def test_ldiv_distinct_dedupe_equals_direct_distinct_count():
+    import pandas as pd
+
+    rng = random.Random(83)
+    rows = pd.DataFrame(
+        {
+            "day": [rng.randint(0, 5) for _ in range(300)],
+            "band": [rng.randint(0, 3) for _ in range(300)],
+            "event_type": [rng.choice("abcde") for _ in range(300)],
+        }
+    )
+    direct = rows.groupby(["day", "band"])["event_type"].nunique()
+    # the pipeline identity: per-batch drop_duplicates -> global
+    # triple dedupe -> per-class count
+    batches = [rows.iloc[:100], rows.iloc[100:180], rows.iloc[180:]]
+    trip = pd.concat(
+        [b.drop_duplicates() for b in batches]
+    ).drop_duplicates()
+    via = trip.groupby(["day", "band"]).size()
+    assert via.sort_index().equals(direct.sort_index())
+
+
+def test_seasonal_indices_weighted_sum_is_zero():
+    from fractions import Fraction
+
+    rng = random.Random(89)
+    census = {d: rng.randint(1, 30) for d in range(200) if rng.random() < 0.9}
+    nd = {d: 0 for d in range(7)}
+    sd = {d: 0 for d in range(7)}
+    for day, c in census.items():
+        nd[day % 7] += 1
+        sd[day % 7] += c
+    n_all, s_all = sum(nd.values()), sum(sd.values())
+    total = sum(
+        nd[d] * Fraction(sd[d] * n_all - s_all * nd[d], nd[d] * n_all)
+        for d in range(7)
+        if nd[d]
+    )
+    assert total == 0
+
+
+def test_gumbel_moments_invert_to_sample_moments():
+    rng = random.Random(97)
+    vals = [rng.randint(20, 60) for _ in range(40)]
+    nb = len(vals)
+    sm = sum(vals)
+    sq = sum(v * v for v in vals)
+    var = float(nb * sq - sm * sm) / float(nb * (nb - 1))
+    beta = math.sqrt(6.0 * var) / 3.141592653589793
+    mu = float(sm) / float(nb) - 0.5772156649015329 * beta
+    # MoM identities: mean = mu + gamma*beta, var = pi^2 beta^2 / 6
+    assert math.isclose(
+        mu + 0.5772156649015329 * beta, sm / nb, rel_tol=1e-12
+    )
+    assert math.isclose(
+        3.141592653589793 ** 2 * beta * beta / 6.0, var, rel_tol=1e-12
+    )
+
+
+def test_chao1_bias_corrected_formula_is_exact_rational():
+    from fractions import Fraction
+
+    for types, f1, f2 in ((100, 30, 10), (50, 7, 0), (10, 0, 3)):
+        chao = Fraction(types) + Fraction(f1 * (f1 - 1), 2 * (f2 + 1))
+        e6 = 1_000_000 * types + (
+            (2_000_000 * (f1 * (f1 - 1)) + 2 * (f2 + 1))
+            // (2 * (2 * (f2 + 1)))
+        )
+        assert abs(Fraction(e6, 10**6) - chao) <= Fraction(1, 2 * 10**6)
+        assert chao >= types

@@ -653,8 +653,123 @@ SELECT day, x, level, trend FROM e
 """
 
 
+# =====================================================================
+# ldiv_audit — l-diversity release audit (Machanavajjhala 2006)
+# =====================================================================
+
+_LDIV_L = 3  #: required distinct sensitive values per class, pinned
+
+
+def q_ldiv_audit(sf_dir: str):
+    """Distinct l-diversity audit of the events table under the
+    quasi-identifier (day, $10 value band) with ``event_type`` as the
+    SENSITIVE attribute (Machanavajjhala et al. 2006) — the release
+    gate that catches what ``kanon_audit`` misses: a class can hold
+    ≥ k records yet reveal everyone's event type when all records
+    share one value.  l(class) = #distinct sensitive values.
+
+    Shape: per-batch DISTINCT (day, band, type) partials → one
+    triple-keyed dedupe exchange → one (day, band) Count exchange
+    (each class lands in exactly one aggregated row) → streaming
+    summary partials fold the bounded l-histogram driver-side.
+    Output: one row ``(l_req, n_classes, n_low_classes, min_l,
+    l_1, l_2, l_3, l_4, l_5, l_6p)``."""
+    from ray.data.aggregate import Count
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = _i64_away_np(
+            batch.column("value").to_numpy(zero_copy_only=False), 100.0
+        )
+        df = pd.DataFrame(
+            {
+                "day": _trunc_div(us, _US_PER_DAY),
+                "band": _trunc_div(cents, _KANON_BAND_CENTS),
+                "event_type": et,
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "day": pa.array(df["day"].to_numpy(np.int64)),
+                "band": pa.array(df["band"].to_numpy(np.int64)),
+                "event_type": pa.array(df["event_type"].astype(str)),
+            }
+        )
+
+    l_per_class = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["day", "band", "event_type"])
+        .aggregate(Count(alias_name="dup"))
+        .groupby(["day", "band"])
+        .aggregate(Count(alias_name="l"))
+    )
+
+    def _summ(batch: pa.Table) -> pa.Table:
+        lv = batch.column("l").to_numpy(zero_copy_only=False).astype(np.int64)
+        hist = np.bincount(np.minimum(lv, 6), minlength=7)
+        return pa.table(
+            {
+                "n_classes": pa.array([len(lv)], pa.int64()),
+                "n_low": pa.array([int((lv < _LDIV_L).sum())], pa.int64()),
+                "min_l": pa.array(
+                    [int(lv.min()) if len(lv) else _I64_MAX], pa.int64()
+                ),
+                **{
+                    f"l_{i}": pa.array([int(hist[i])], pa.int64())
+                    for i in range(1, 6)
+                },
+                "l_6p": pa.array([int(hist[6])], pa.int64()),
+            }
+        )
+
+    parts = l_per_class.map_batches(_summ, batch_format="pyarrow").to_pandas()
+    out = {
+        "l_req": pd.array([_LDIV_L], dtype="int64"),
+        "n_classes": pd.array([parts["n_classes"].sum()], dtype="int64"),
+        "n_low_classes": pd.array([parts["n_low"].sum()], dtype="int64"),
+        "min_l": pd.array([parts["min_l"].min()], dtype="int64"),
+    }
+    for i in range(1, 6):
+        out[f"l_{i}"] = pd.array([parts[f"l_{i}"].sum()], dtype="int64")
+    out["l_6p"] = pd.array([parts["l_6p"].sum()], dtype="int64")
+    return pd.DataFrame(out)
+
+
+SQL_LDIV = f"""
+WITH cls AS (
+  SELECT epoch_us(cast(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         cast(round(value * 100, 0) AS BIGINT) // {_KANON_BAND_CENTS}
+           AS band,
+         cast(count(DISTINCT event_type) AS BIGINT) AS l
+  FROM events GROUP BY 1, 2)
+SELECT cast({_LDIV_L} AS BIGINT) AS l_req,
+       cast(count(*) AS BIGINT) AS n_classes,
+       cast(coalesce(sum(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_low_classes,
+       cast(min(l) AS BIGINT) AS min_l,
+       cast(coalesce(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS l_1,
+       cast(coalesce(sum(CASE WHEN l = 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS l_2,
+       cast(coalesce(sum(CASE WHEN l = 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS l_3,
+       cast(coalesce(sum(CASE WHEN l = 4 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS l_4,
+       cast(coalesce(sum(CASE WHEN l = 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS l_5,
+       cast(coalesce(sum(CASE WHEN l >= 6 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS l_6p
+FROM cls
+"""
+
+
 QUERIES = {
     "kanon_audit": q_kanon_audit,
+    "ldiv_audit": q_ldiv_audit,
     "scd2_intervals": q_scd2_intervals,
     "transition_probs": q_transition_probs,
     "ewma_daily": q_ewma_daily,
@@ -664,6 +779,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "kanon_audit": SQL_KANON,
+    "ldiv_audit": SQL_LDIV,
     "scd2_intervals": SQL_SCD2,
     "transition_probs": SQL_TRANSITION,
     "ewma_daily": SQL_EWMA,

@@ -142,6 +142,92 @@ FROM s
 
 
 # =====================================================================
+# chao1_richness — nonparametric vocabulary-size estimation
+# =====================================================================
+
+
+def q_chao1_richness(sf_dir: str):
+    """Chao1 species-richness estimate (Chao 1984) of the corpus
+    VOCABULARY — how many word types the corpus would reveal with
+    unbounded sampling, from the observed spectrum alone: with f1 =
+    hapax count and f2 = dis-legomena count, the bias-corrected form
+
+        Chao1 = types + f1·(f1 − 1) / (2·(f2 + 1))
+
+    is a PURE integer rational (defined even at f2 = 0), read out as
+    ``chao1_e6 = 10⁶·types + e6(f1(f1−1)/(2(f2+1)))`` with the shared
+    half-away division.  The coverage read-out an LLM-corpus curator
+    wants beside ``yule_k`` (repetitiveness) and ``zipf_slope``
+    (decay): types/Chao1 ≈ sample completeness.  Shape: the same ONE
+    vocabulary-bounded exchange as ``yule_k`` (payload = per-batch
+    distinct terms), then a 3-scalar spectrum fold.  Output: one row
+    ``(n_types, f1, f2, chao1_e6)``."""
+    from ray.data.aggregate import Sum
+
+    from .curation import _explode_tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _vocab_partial(batch: pa.Table) -> pa.Table:
+        _, toks = _explode_tokens(batch)
+        t = pa.table({"w": pa.array(toks, pa.string())})
+        return t.group_by("w").aggregate([("w", "count")])
+
+    counts = (
+        ds.map_batches(_vocab_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("w_count", alias_name="m"))
+    )
+
+    def _spec(batch: pa.Table) -> pa.Table:
+        m = batch.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "types": pa.array([len(m)], pa.int64()),
+                "f1": pa.array([int((m == 1).sum())], pa.int64()),
+                "f2": pa.array([int((m == 2).sum())], pa.int64()),
+            }
+        )
+
+    types = f1 = f2 = 0
+    for t in counts.map_batches(_spec, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        types += sum(t.column("types").to_pylist())
+        f1 += sum(t.column("f1").to_pylist())
+        f2 += sum(t.column("f2").to_pylist())
+    chao1_e6 = 1_000_000 * types + _ols_e6(f1 * (f1 - 1), 2 * (f2 + 1))
+    return pa.table(
+        {
+            "n_types": pa.array([types], pa.int64()),
+            "f1": pa.array([f1], pa.int64()),
+            "f2": pa.array([f2], pa.int64()),
+            "chao1_e6": pa.array([chao1_e6], pa.int64()),
+        }
+    )
+
+
+SQL_CHAO1 = r"""
+WITH tk AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents),
+c AS (SELECT w, cast(count(*) AS BIGINT) AS m FROM tk WHERE w <> ''
+      GROUP BY w),
+s AS (SELECT cast(count(*) AS BIGINT) AS types,
+             cast(coalesce(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS f1,
+             cast(coalesce(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS f2
+      FROM c)
+SELECT types AS n_types, f1, f2,
+       1000000 * types
+         + (2000000 * (f1 * (f1 - 1)) + 2 * (f2 + 1))
+           // (2 * (2 * (f2 + 1))) AS chao1_e6
+FROM s
+"""
+
+
+# =====================================================================
 # spearman_rho — tie-corrected rank correlation from the value census
 # =====================================================================
 
@@ -532,6 +618,7 @@ GROUP BY lv.k
 
 QUERIES = {
     "yule_k": q_yule_k,
+    "chao1_richness": q_chao1_richness,
     "spearman_rho": q_spearman_rho,
     "mann_kendall": q_mann_kendall,
     "matrix_profile": q_matrix_profile,
@@ -540,6 +627,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "yule_k": SQL_YULE_K,
+    "chao1_richness": SQL_CHAO1,
     "spearman_rho": SQL_SPEARMAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "matrix_profile": SQL_MATRIX_PROFILE,

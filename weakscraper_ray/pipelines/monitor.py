@@ -1633,8 +1633,168 @@ FROM ix, fin
 """
 
 
+# =====================================================================
+# seasonal_decompose — additive day-of-week decomposition (pure int)
+# =====================================================================
+
+
+def q_seasonal_decompose(sf_dir: str):
+    """Classical additive seasonal decomposition of the daily
+    order-count series at the weekly period: per day-of-week d the
+    seasonal index is s_d = mean(counts on d) − grand mean, a PURE
+    integer rational from the day census —
+
+        sidx_e6 = e6( (Σ_d·N − S·n_d) / (n_d·N) )
+
+    via the shared half-away division (no double anywhere).
+    Contrast ``dft_power``: the frequency-domain power at k/7 from
+    the same 7-cell reduction; these are the time-domain indices an
+    analyst subtracts to deseasonalize.  Output: 7 rows ``(dow,
+    n_days, sum_cnt, sidx_e6)``, dow 0..6 = epoch-day mod 7.  Zero
+    keyed exchange (memoized day-census fold)."""
+    from .measures import _day_census
+    from .patterns import _ols_e6
+
+    census = _day_census(sf_dir)
+    nd = {d: 0 for d in range(7)}
+    sd = {d: 0 for d in range(7)}
+    for day, c in census.items():
+        w = day % 7
+        nd[w] += 1
+        sd[w] += c
+    n_all = sum(nd.values())
+    s_all = sum(sd.values())
+    return pa.table(
+        {
+            "dow": pa.array(list(range(7)), pa.int64()),
+            "n_days": pa.array([nd[d] for d in range(7)], pa.int64()),
+            "sum_cnt": pa.array([sd[d] for d in range(7)], pa.int64()),
+            "sidx_e6": pa.array(
+                [
+                    _ols_e6(sd[d] * n_all - s_all * nd[d], nd[d] * n_all)
+                    for d in range(7)
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_SEASONAL = """
+WITH c AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+w AS (SELECT d % 7 AS dow, cast(count(*) AS BIGINT) AS nd,
+             cast(sum(n) AS BIGINT) AS sd
+      FROM c GROUP BY 1),
+tot AS (SELECT cast(sum(nd) AS BIGINT) AS n_all,
+               cast(sum(sd) AS BIGINT) AS s_all
+        FROM w)
+SELECT cast(w.dow AS BIGINT) AS dow, w.nd AS n_days, w.sd AS sum_cnt,
+       CASE WHEN (w.sd * tot.n_all - tot.s_all * w.nd) >= 0
+            THEN (2000000 * (w.sd * tot.n_all - tot.s_all * w.nd)
+                  + w.nd * tot.n_all) // (2 * w.nd * tot.n_all)
+            ELSE -((2000000 * (tot.s_all * w.nd - w.sd * tot.n_all)
+                    + w.nd * tot.n_all) // (2 * w.nd * tot.n_all))
+       END AS sidx_e6
+FROM w, tot
+"""
+
+
+# =====================================================================
+# gumbel_moments — extreme-value EV-I fit of block maxima
+# =====================================================================
+
+_GUM_BLOCK = 28  #: block length in days (deterministic, calendar-free)
+
+
+def q_gumbel_moments(sf_dir: str):
+    """Method-of-moments Gumbel (EV-I) fit of 28-day block MAXIMA of
+    the daily order-count series (Gumbel 1958) — the peak-load model
+    capacity planning fits: block = (day − day_min)//28 over days
+    PRESENT in the census, m_b = max daily count per full block
+    (trailing partial block dropped on both engines); the moments
+    (n_b, Σm, Σm²) are exact ints, and
+
+        β = √(6·s²)/π,   μ = m̄ − γ·β
+
+    are the two mirrored chains (s² the sample variance as one
+    bigint ratio; π and Euler–Mascheroni γ inlined as e16 literals —
+    the ndcg_bm25 literal discipline).  Output: one row ``(n_blocks,
+    max_sum, max_sq_sum, beta_e6, mu_e6)``.  Zero keyed exchange
+    (memoized day-census fold)."""
+    from .measures import _day_census
+    from .hypotests import _e6_signed
+
+    census = _day_census(sf_dir)
+    days = sorted(census)
+    d0 = days[0]
+    n_full = (days[-1] - d0 + 1) // _GUM_BLOCK
+    mx: dict[int, int] = {}
+    for day, c in census.items():
+        b = (day - d0) // _GUM_BLOCK
+        if b < n_full and c > mx.get(b, -1):
+            mx[b] = c
+    vals = [mx[b] for b in sorted(mx)]
+    nb = len(vals)
+    sm = sum(vals)
+    sq = sum(v * v for v in vals)
+    # mirrored chains (SQL_GUMBEL): var as one bigint ratio, then β, μ
+    var = float(nb * sq - sm * sm) / float(nb * (nb - 1))
+    beta = math.sqrt(6.0 * var) / 3.141592653589793
+    mu = float(sm) / float(nb) - 0.5772156649015329 * beta
+    return pa.table(
+        {
+            "n_blocks": pa.array([nb], pa.int64()),
+            "max_sum": pa.array([sm], pa.int64()),
+            "max_sq_sum": pa.array([sq], pa.int64()),
+            "beta_e6": pa.array([_e6_signed(beta)], pa.int64()),
+            "mu_e6": pa.array([_e6_signed(mu)], pa.int64()),
+        }
+    )
+
+
+SQL_GUMBEL = f"""
+WITH c AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+lim AS (SELECT min(d) AS d0,
+               (max(d) - min(d) + 1) // {_GUM_BLOCK} AS n_full
+        FROM c),
+b AS (SELECT (c.d - lim.d0) // {_GUM_BLOCK} AS blk,
+             cast(max(c.n) AS BIGINT) AS m
+      FROM c, lim WHERE (c.d - lim.d0) // {_GUM_BLOCK} < lim.n_full
+      GROUP BY 1),
+s AS (SELECT cast(count(*) AS BIGINT) AS nb,
+             cast(sum(m) AS BIGINT) AS sm,
+             cast(sum(m * m) AS BIGINT) AS sq
+      FROM b),
+z AS (SELECT nb, sm, sq,
+             sqrt(6.0 * ((nb * sq - sm * sm)::DOUBLE
+                         / (nb * (nb - 1))::DOUBLE))
+               / 3.141592653589793 AS beta
+      FROM s)
+SELECT nb AS n_blocks, sm AS max_sum, sq AS max_sq_sum,
+       cast(CASE WHEN beta >= 0 THEN floor(abs(beta) * 1e6 + 0.5)
+                 ELSE -floor(abs(beta) * 1e6 + 0.5) END AS BIGINT)
+         AS beta_e6,
+       cast(CASE WHEN (sm::DOUBLE / nb::DOUBLE
+                       - 0.5772156649015329 * beta) >= 0
+                 THEN floor(abs(sm::DOUBLE / nb::DOUBLE
+                                - 0.5772156649015329 * beta) * 1e6 + 0.5)
+                 ELSE -floor(abs(sm::DOUBLE / nb::DOUBLE
+                                 - 0.5772156649015329 * beta) * 1e6 + 0.5)
+            END AS BIGINT) AS mu_e6
+FROM z
+"""
+
+
 QUERIES = {
     "burst_detect": q_burst_detect,
+    "seasonal_decompose": q_seasonal_decompose,
+    "gumbel_moments": q_gumbel_moments,
     "best_split": q_best_split,
     "mad_outliers": q_mad_outliers,
     "weighted_median": q_weighted_median,
@@ -1654,6 +1814,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "seasonal_decompose": SQL_SEASONAL,
+    "gumbel_moments": SQL_GUMBEL,
     "burst_detect": SQL_BURST_DETECT,
     "best_split": SQL_BEST_SPLIT,
     "mad_outliers": SQL_MAD,
