@@ -136,7 +136,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "cramer_vonmises", "hoeffding_d", "cochran_q", "hodges_lehmann",
         "mood_scale", "hurst_rs", "sample_entropy", "cronbach_alpha",
         "ldiv_audit", "chao1_richness", "seasonal_decompose",
-        "gumbel_moments",
+        "gumbel_moments", "moran_i", "logrank_test", "forecast_eval",
+        "xcorr_daily",
     ]
     out: dict[str, float] = {}
     for name in names:

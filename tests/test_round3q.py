@@ -566,3 +566,127 @@ def test_chao1_bias_corrected_formula_is_exact_rational():
         )
         assert abs(Fraction(e6, 10**6) - chao) <= Fraction(1, 2 * 10**6)
         assert chao >= types
+
+
+# ===== continuation-21d (moran/logrank/forecast/xcorr) contracts =====
+
+
+def test_moran_shifted_products_equal_double_loop():
+    import numpy as np
+
+    rng = random.Random(101)
+    dim = 6
+    grid = np.array(
+        [[rng.randint(0, 9) for _ in range(dim)] for _ in range(dim)],
+        dtype=np.int64,
+    )
+    n_cells = dim * dim
+    s = int(grid.sum())
+    z = n_cells * grid - s
+    u_fast = int((z[:-1, :] * z[1:, :]).sum()) + int(
+        (z[:, :-1] * z[:, 1:]).sum()
+    )
+    u_loop = 0
+    for i in range(dim):
+        for j in range(dim):
+            if i + 1 < dim:
+                u_loop += int(z[i, j]) * int(z[i + 1, j])
+            if j + 1 < dim:
+                u_loop += int(z[i, j]) * int(z[i, j + 1])
+    assert u_fast == u_loop
+    # checkerboard -> strongly negative I; flat gradient -> positive
+    cb = np.fromfunction(lambda i, j: (i + j) % 2, (dim, dim)).astype(
+        np.int64
+    ) * 10
+    zc = n_cells * cb - int(cb.sum()) * np.ones_like(cb)
+    uc = int((zc[:-1, :] * zc[1:, :]).sum()) + int(
+        (zc[:, :-1] * zc[:, 1:]).sum()
+    )
+    assert uc < 0
+    gr = np.fromfunction(lambda i, j: i, (dim, dim)).astype(np.int64)
+    zg = n_cells * gr - int(gr.sum()) * np.ones_like(gr)
+    ug = int((zg[:-1, :] * zg[1:, :]).sum()) + int(
+        (zg[:, :-1] * zg[:, 1:]).sum()
+    )
+    assert ug > 0
+
+
+def test_logrank_quantized_sums_match_fraction_reference():
+    from fractions import Fraction
+
+    rng = random.Random(103)
+    # synthetic streams: (death_day, group); censor at cutoff
+    streams = [(rng.randint(0, 19), rng.randint(0, 1)) for _ in range(400)]
+    cutoff = 17
+    days = sorted({d for d, _ in streams})
+    risk0 = sum(1 for _, g in streams if g == 0)
+    risk1 = len(streams) - risk0
+
+    def away(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    o1 = e_sum = v_sum = 0
+    e_frac = Fraction(0)
+    v_frac = Fraction(0)
+    for d in days:
+        d0 = sum(1 for dd, g in streams if dd == d and g == 0)
+        d1 = sum(1 for dd, g in streams if dd == d and g == 1)
+        if d < cutoff:
+            n0, n1 = risk0, risk1
+            n, dd_ = n0 + n1, d0 + d1
+            o1 += d1
+            e_sum += away(1e9 * (float(dd_ * n1) / float(n)))
+            v_sum += away(
+                1e9
+                * (
+                    float(dd_ * n1)
+                    * float(n0)
+                    * float(n - dd_)
+                    / (float(n) * float(n) * float(n - 1))
+                )
+            )
+            e_frac += Fraction(dd_ * n1, n)
+            v_frac += Fraction(dd_ * n1 * n0 * (n - dd_), n * n * (n - 1))
+        risk0 -= d0
+        risk1 -= d1
+    # each quantized term is within 0.5 of the exact e9-scaled value
+    n_terms = sum(1 for d in days if d < cutoff)
+    assert abs(e_sum - float(e_frac * 10**9)) <= 0.5 * n_terms + 1
+    assert abs(v_sum - float(v_frac * 10**9)) <= 0.5 * n_terms + 1
+    assert o1 == sum(1 for d, g in streams if g == 1 and d < cutoff)
+
+
+def test_mase_rational_equals_float_reference():
+    rng = random.Random(107)
+    xs = [rng.randint(10, 50) for _ in range(60)]
+    n = len(xs)
+    mae7 = sum(abs(xs[t] - xs[t - 7]) for t in range(7, n))
+    mae1 = sum(abs(xs[t] - xs[t - 1]) for t in range(1, n))
+    mase_float = (mae7 / (n - 7)) / (mae1 / (n - 1))
+    assert math.isclose(
+        mae7 * (n - 1) / (mae1 * (n - 7)), mase_float, rel_tol=1e-12
+    )
+
+
+def test_xcorr_lag0_is_exact_pearson():
+    from fractions import Fraction
+
+    rng = random.Random(109)
+    xs = [rng.randint(0, 20) for _ in range(50)]
+    ys = [x + rng.randint(-3, 3) for x in xs]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    ev = [n * x - sx for x in xs]
+    fv = [n * y - sy for y in ys]
+    num = sum(e * f for e, f in zip(ev, fv))
+    dx = sum(e * e for e in ev)
+    dy = sum(f * f for f in fv)
+    r_int = float(num) / math.sqrt(float(dx) * float(dy))
+    # Fraction-exact Pearson over raw values (n^2 scale cancels)
+    mx, my = Fraction(sx, n), Fraction(sy, n)
+    cov = sum((Fraction(x) - mx) * (Fraction(y) - my) for x, y in zip(xs, ys))
+    vx = sum((Fraction(x) - mx) ** 2 for x in xs)
+    vy = sum((Fraction(y) - my) ** 2 for y in ys)
+    assert Fraction(num * num, dx * dy) == cov * cov / (vx * vy)
+    r_float = float(cov) / math.sqrt(float(vx) * float(vy))
+    assert math.isclose(r_int, r_float, rel_tol=1e-9)

@@ -1547,9 +1547,127 @@ FROM a WHERE rk = 1 GROUP BY node
 """
 
 
+# =====================================================================
+# moran_i — spatial autocorrelation of the layout grid (pure integer)
+# =====================================================================
+
+_MORAN_DIM = 256  #: the zorder/hilbert (custkey%256, day%256) lattice
+
+
+def q_moran_i(sf_dir: str):
+    """Moran's I spatial autocorrelation (Moran 1950) of per-cell
+    order counts over the SAME 256×256 (custkey%256, day%256) lattice
+    the z-order/Hilbert layout audits use — the read-out that says
+    whether load clusters spatially (I > 0 → neighboring cells load
+    together, so range partitions skew; I ≈ −1/(N−1) → independent).
+    Rook adjacency, empty cells count 0.  With N-scaled deviations
+    z_i = N·x_i − S every product is an exact int, and
+
+        I = N·(Σ_{adj pairs} 2·z_i·z_j) / (W·Σz_i²),   W = 2·#pairs
+
+    is a PURE integer rational (HUGEINT numerators), read out at e9
+    (I is tiny under independence) with the shared half-away rule —
+    no double anywhere.  Output: one row ``(n_cells, w_sum, z2_sum,
+    i_e9)``.  Shape: per-batch (x, y, n) partials fold into the
+    bounded 65,536-cell grid on the driver; the neighbor sweep is two
+    numpy shifted products."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = (
+            batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            % _MORAN_DIM
+        ).astype(np.int64)
+        us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = ((us // _US_PER_DAY) % _MORAN_DIM).astype(np.int64)
+        g = (
+            pd.DataFrame({"x": x, "y": y})
+            .groupby(["x", "y"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "x": pa.array(g["x"].to_numpy(np.int64)),
+                "y": pa.array(g["y"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    grid = np.zeros((_MORAN_DIM, _MORAN_DIM), dtype=np.int64)
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        grid[
+            t.column("x").to_numpy(zero_copy_only=False),
+            t.column("y").to_numpy(zero_copy_only=False),
+        ] += t.column("n").to_numpy(zero_copy_only=False)
+    n_cells = _MORAN_DIM * _MORAN_DIM
+    s = int(grid.sum())
+    z = n_cells * grid - s  # int64: |z| ≤ N·max_cell + S
+    u = int((z[:-1, :] * z[1:, :]).sum()) + int((z[:, :-1] * z[:, 1:]).sum())
+    den = int((z.astype(object) * z).sum())
+    w_sum = 2 * (2 * _MORAN_DIM * (_MORAN_DIM - 1))
+    p = n_cells * 2 * u
+    d = w_sum * den
+    i_e9 = (
+        (2_000_000_000 * p + d) // (2 * d)
+        if p >= 0
+        else -((2_000_000_000 * (-p) + d) // (2 * d))
+    )
+    return pa.table(
+        {
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "w_sum": pa.array([w_sum], pa.int64()),
+            "z2_sum": pa.array([den], pa.int64()),
+            "i_e9": pa.array([i_e9], pa.int64()),
+        }
+    )
+
+
+SQL_MORAN = f"""
+WITH o AS (
+  SELECT o_custkey % {_MORAN_DIM} AS x,
+         datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+           % {_MORAN_DIM} AS y,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+grid AS (
+  SELECT gx.x, gy.y, cast(coalesce(o.n, 0) AS BIGINT) AS n
+  FROM range({_MORAN_DIM}) gx(x)
+  CROSS JOIN range({_MORAN_DIM}) gy(y)
+  LEFT JOIN o ON o.x = gx.x AND o.y = gy.y),
+tot AS (SELECT cast(sum(n) AS BIGINT) AS s FROM grid),
+z AS (SELECT x, y, cast({_MORAN_DIM * _MORAN_DIM} * n - tot.s AS BIGINT)
+               AS z
+      FROM grid, tot),
+u AS (SELECT
+  (SELECT cast(sum(cast(a.z AS HUGEINT) * b.z) AS HUGEINT)
+   FROM z a JOIN z b ON b.x = a.x + 1 AND b.y = a.y)
+  + (SELECT cast(sum(cast(a.z AS HUGEINT) * b.z) AS HUGEINT)
+     FROM z a JOIN z b ON b.x = a.x AND b.y = a.y + 1) AS uu),
+d AS (SELECT cast(sum(cast(z AS HUGEINT) * z) AS HUGEINT) AS dd FROM z),
+f AS (SELECT uu, dd,
+             cast({_MORAN_DIM * _MORAN_DIM} AS HUGEINT) * 2 * uu AS p,
+             cast({2 * (2 * _MORAN_DIM * (_MORAN_DIM - 1))} AS HUGEINT)
+               * dd AS dn
+      FROM u, d)
+SELECT cast({_MORAN_DIM * _MORAN_DIM} AS BIGINT) AS n_cells,
+       cast({2 * (2 * _MORAN_DIM * (_MORAN_DIM - 1))} AS BIGINT) AS w_sum,
+       cast(dd AS BIGINT) AS z2_sum,
+       cast(CASE WHEN p >= 0 THEN (2000000000 * p + dn) // (2 * dn)
+                 ELSE -((2000000000 * (-p) + dn) // (2 * dn))
+            END AS BIGINT) AS i_e9
+FROM f
+"""
+
+
 QUERIES = {
     "upsert_snapshot": q_upsert_snapshot,
     "rendezvous_assign": q_rendezvous_assign,
+    "moran_i": q_moran_i,
     "salt_plan": q_salt_plan,
     "ivm_join_delta": q_ivm_join_delta,
     "binary_source": q_binary_source,
@@ -1567,6 +1685,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "moran_i": SQL_MORAN,
     "upsert_snapshot": SQL_UPSERT,
     "rendezvous_assign": SQL_RENDEZVOUS,
     "salt_plan": SQL_SALT_PLAN,

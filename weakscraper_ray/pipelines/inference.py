@@ -574,10 +574,185 @@ FROM t, s
 """
 
 
+# =====================================================================
+# logrank_test — two-group survival-curve comparison (Mantel 1966)
+# =====================================================================
+
+
+def q_logrank_test(sf_dir: str):
+    """Log-rank test (Mantel 1966; Peto & Peto 1972) of whether
+    even-user and odd-user (user_id % 2) engagement streams share a
+    survival curve, under ``survival_km``'s framing — subject =
+    (user, event_type) stream, death day = last event day, censored
+    in the final three observed days.  At each death day t the
+    hypergeometric contribution E[d₁] = d·n₁/n and Var = d·n₁·n₂·
+    (n−d)/(n²(n−1)) are e9-quantized PER DAY before the integer sums
+    (the ``avg_precision`` order-independence rule; every emitted day
+    has d ≥ 1 and a nonempty censored tail keeps n > d), and
+    z = (10⁹·O₁ − ΣE_e9)/√(ΣV_e9·10⁹) is the one mirrored chain.
+    Output: one row ``(n_streams_0, n_streams_1, o1_deaths, e1_e9,
+    v_e9, z_e6)``.  Shape: the same single O(streams) max-day
+    exchange as survival_km, then a day × 2 bounded census fold."""
+    from ray.data.aggregate import Max
+
+    def _uday(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame(
+                {"user_id": u, "event_type": et, "day": us // _US_PER_DAY}
+            )
+            .groupby(["user_id", "event_type"], sort=False)
+            .max()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                "event_type": pa.array(g["event_type"]),
+                "day": pa.array(g["day"].to_numpy(np.int64)),
+            }
+        )
+
+    def _dg_count(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame({"day": d, "g": u % 2})
+            .groupby(["day", "g"], sort=False)
+            .size()
+            .reset_index(name="m")
+        )
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(np.int64)),
+                "g": pa.array(g["g"].to_numpy(np.int64)),
+                "m": pa.array(g["m"].to_numpy(np.int64)),
+            }
+        )
+
+    cells: dict[tuple[int, int], int] = {}
+    streams = (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(_uday, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Max("day", alias_name="day"))
+        .map_batches(_dg_count, batch_format="pyarrow")
+    )
+    for t in streams.iter_batches(batch_format="pyarrow", batch_size=None):
+        for d, g, m in zip(
+            t.column("day").to_pylist(),
+            t.column("g").to_pylist(),
+            t.column("m").to_pylist(),
+        ):
+            cells[(int(d), int(g))] = cells.get((int(d), int(g)), 0) + int(m)
+    days = sorted({d for d, _ in cells})
+    dmax = days[-1]
+    cutoff = dmax - _KM_CENSOR_DAYS + 1
+    tot0 = sum(m for (_, g), m in cells.items() if g == 0)
+    tot1 = sum(m for (_, g), m in cells.items() if g == 1)
+    # reverse-cumulative risk per group, iterating day ascending
+    risk0, risk1 = tot0, tot1
+    o1 = e_sum = v_sum = 0
+    for d in days:
+        d0 = cells.get((d, 0), 0)
+        d1 = cells.get((d, 1), 0)
+        if d < cutoff:
+            n0, n1 = risk0, risk1
+            n = n0 + n1
+            dd = d0 + d1
+            o1 += d1
+            # per-day quantized terms, mirrored in SQL_LOGRANK
+            e_sum += _away(
+                1_000_000_000.0 * (float(dd * n1) / float(n))
+            )
+            v_sum += _away(
+                1_000_000_000.0
+                * (
+                    float(dd * n1)
+                    * float(n0)
+                    * float(n - dd)
+                    / (float(n) * float(n) * float(n - 1))
+                )
+            )
+        risk0 -= d0
+        risk1 -= d1
+    z = float(10**9 * o1 - e_sum) / math.sqrt(float(v_sum) * 1e9)
+    return pa.table(
+        {
+            "n_streams_0": pa.array([tot0], pa.int64()),
+            "n_streams_1": pa.array([tot1], pa.int64()),
+            "o1_deaths": pa.array([o1], pa.int64()),
+            "e1_e9": pa.array([e_sum], pa.int64()),
+            "v_e9": pa.array([v_sum], pa.int64()),
+            "z_e6": pa.array([_away(1_000_000.0 * z)], pa.int64()),
+        }
+    )
+
+
+SQL_LOGRANK = f"""
+WITH ud AS (
+  SELECT user_id % 2 AS g, user_id, event_type,
+         max(epoch_us(cast(ts AS TIMESTAMP)) // {_US_PER_DAY}) AS d
+  FROM events GROUP BY 1, 2, 3),
+mx AS (SELECT max(d) AS dmax FROM ud),
+dd AS (SELECT d AS day, g, cast(count(*) AS BIGINT) AS m
+       FROM ud GROUP BY 1, 2),
+grid AS (
+  SELECT days.day, gg.g, cast(coalesce(dd.m, 0) AS BIGINT) AS m
+  FROM (SELECT DISTINCT day FROM dd) days
+  CROSS JOIN (VALUES (0), (1)) gg(g)
+  LEFT JOIN dd ON dd.day = days.day AND dd.g = gg.g),
+rk AS (SELECT day, g, m,
+              cast(sum(m) OVER (PARTITION BY g ORDER BY day DESC)
+                   AS BIGINT) AS n_risk
+       FROM grid),
+w AS (SELECT a.day, a.m AS d0, b.m AS d1, a.n_risk AS n0, b.n_risk AS n1
+      FROM rk a JOIN rk b ON a.day = b.day AND a.g = 0 AND b.g = 1, mx
+      WHERE a.day < mx.dmax - {_KM_CENSOR_DAYS - 1}),
+terms AS (
+  SELECT d1,
+         cast(round(1000000000.0
+                    * (((d0 + d1) * n1)::DOUBLE / (n0 + n1)::DOUBLE), 0)
+              AS BIGINT) AS e9,
+         cast(round(1000000000.0
+                    * (((d0 + d1) * n1)::DOUBLE * n0::DOUBLE
+                       * (n0 + n1 - d0 - d1)::DOUBLE
+                       / ((n0 + n1)::DOUBLE * (n0 + n1)::DOUBLE
+                          * (n0 + n1 - 1)::DOUBLE)), 0)
+              AS BIGINT) AS v9
+  FROM w),
+s AS (SELECT cast(sum(d1) AS BIGINT) AS o1,
+             cast(sum(e9) AS BIGINT) AS e_sum,
+             cast(sum(v9) AS BIGINT) AS v_sum
+      FROM terms),
+z AS (SELECT o1, e_sum, v_sum,
+             (1000000000 * o1 - e_sum)::DOUBLE
+               / sqrt(v_sum::DOUBLE * 1e9) AS zz
+      FROM s)
+SELECT (SELECT cast(count(*) AS BIGINT) FROM ud WHERE g = 0)
+         AS n_streams_0,
+       (SELECT cast(count(*) AS BIGINT) FROM ud WHERE g = 1)
+         AS n_streams_1,
+       o1 AS o1_deaths, e_sum AS e1_e9, v_sum AS v_e9,
+       cast(CASE WHEN zz >= 0 THEN floor(abs(zz) * 1e6 + 0.5)
+                 ELSE -floor(abs(zz) * 1e6 + 0.5) END AS BIGINT) AS z_e6
+FROM z
+"""
+
+
 QUERIES = {
     "bootstrap_ci": q_bootstrap_ci,
     "mutual_info": q_mutual_info,
     "survival_km": q_survival_km,
+    "logrank_test": q_logrank_test,
     "emd_drift": q_emd_drift,
 }
 
@@ -585,6 +760,7 @@ ORACLE_SQL = {
     "bootstrap_ci": SQL_BOOTSTRAP,
     "mutual_info": SQL_MUTUAL_INFO,
     "survival_km": SQL_SURVIVAL,
+    "logrank_test": SQL_LOGRANK,
     "emd_drift": SQL_EMD,
 }
 

@@ -1791,10 +1791,175 @@ FROM z
 """
 
 
+# =====================================================================
+# forecast_eval — MASE backtest of the seasonal-naive forecaster
+# =====================================================================
+
+_FC_SEASON = 7  #: seasonal-naive lag (weekly), pinned in the twin
+
+
+def q_forecast_eval(sf_dir: str):
+    """Mean Absolute Scaled Error (Hyndman & Koehler 2006) backtest
+    of the seasonal-naive forecaster x̂_t = x_{t−7} over the
+    day-ordered series, scaled by the in-sample naive-1 MAE:
+
+        MASE = (Σ_{t>7}|x_t − x_{t−7}| / (n−7))
+             / (Σ_{t>1}|x_t − x_{t−1}| / (n−1))
+
+    — a PURE integer rational (cross-multiplied), read out with the
+    shared half-away e6 division.  MASE < 1 ⇒ the weekly pattern
+    beats last-value carry-forward.  Lags are POSITION lags over days
+    present in the census (the ljung_box/matrix_profile convention).
+    Output: one row ``(n_days, mae7_sum, mae1_sum, mase_e6)``.  Zero
+    keyed exchange (memoized day-census fold)."""
+    from .measures import _day_census
+    from .patterns import _ols_e6
+
+    census = _day_census(sf_dir)
+    days = sorted(census)
+    xs = [census[d] for d in days]
+    n = len(xs)
+    mae7 = sum(
+        abs(xs[t] - xs[t - _FC_SEASON]) for t in range(_FC_SEASON, n)
+    )
+    mae1 = sum(abs(xs[t] - xs[t - 1]) for t in range(1, n))
+    mase_e6 = _ols_e6(mae7 * (n - 1), mae1 * (n - _FC_SEASON))
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "mae7_sum": pa.array([mae7], pa.int64()),
+            "mae1_sum": pa.array([mae1], pa.int64()),
+            "mase_e6": pa.array([mase_e6], pa.int64()),
+        }
+    )
+
+
+SQL_FORECAST_EVAL = f"""
+WITH c AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY d) AS rn,
+             count(*) OVER () AS nt
+      FROM c),
+m7 AS (SELECT cast(sum(abs(a.n - b.n)) AS BIGINT) AS s
+       FROM r a JOIN r b ON b.rn = a.rn - {_FC_SEASON}),
+m1 AS (SELECT cast(sum(abs(a.n - b.n)) AS BIGINT) AS s
+       FROM r a JOIN r b ON b.rn = a.rn - 1),
+f AS (SELECT (SELECT cast(max(nt) AS BIGINT) FROM r) AS n,
+             m7.s AS mae7, m1.s AS mae1
+      FROM m7, m1)
+SELECT n AS n_days, mae7 AS mae7_sum, mae1 AS mae1_sum,
+       cast((2000000 * (mae7 * (n - 1)) + mae1 * (n - {_FC_SEASON}))
+            // (2 * (mae1 * (n - {_FC_SEASON}))) AS BIGINT) AS mase_e6
+FROM f
+"""
+
+
+# =====================================================================
+# xcorr_daily — lagged cross-correlation of two daily series
+# =====================================================================
+
+_XC_MAXLAG = 3  #: lags −3..3, pinned in the twin
+
+
+def q_xcorr_daily(sf_dir: str):
+    """Lagged cross-correlation between the daily URGENT (priority 1)
+    and HIGH (priority 2) order-count series (lags −3..+3; positive
+    lag = HIGH leads URGENT by k positions) — the lead/lag diagnostic
+    behind "do the two priority streams move together".  (The events
+    table spans a disjoint 30-day 2024 window, so the two priority
+    streams are the natural same-calendar pair.)  Over days with any
+    1/2-priority order (missing treatment counts 0 — the
+    ``wilcoxon_signed`` pairing), n-scaled deviations E_i = n·x_i −
+    Sx and F_i = n·y_i − Sy make every lag's cross-product
+    Σ E_i·F_{i+k} and both energies exact ints; r_k =
+    num_k/√(ΣE²·ΣF²) is one mirrored chain per lag.  Lags are
+    POSITION lags over the day-ordered series (the ljung_box
+    convention).  Output: 7 rows ``(lag, xnum, r_e6)``.  Zero keyed
+    exchange (day-bounded census fold shared with wilcoxon_signed)."""
+    from .hypotests import _e6_signed
+    from .hypotests2 import _day_two_prio
+
+    cells = _day_two_prio(sf_dir)
+    days = sorted({d for d, _ in cells})
+    n = len(days)
+    xs = [cells.get((d, 1), 0) for d in days]
+    ys = [cells.get((d, 2), 0) for d in days]
+    sx, sy = sum(xs), sum(ys)
+    ev = [n * x - sx for x in xs]
+    fv = [n * y - sy for y in ys]
+    dx = sum(e * e for e in ev)
+    dy = sum(f * f for f in fv)
+    lags, nums, rs = [], [], []
+    for k in range(-_XC_MAXLAG, _XC_MAXLAG + 1):
+        num = sum(
+            ev[i] * fv[i + k]
+            for i in range(max(0, -k), n - max(0, k))
+        )
+        # one mirrored chain per lag (SQL_XCORR)
+        r = float(num) / math.sqrt(float(dx) * float(dy))
+        lags.append(k)
+        nums.append(num)
+        rs.append(_e6_signed(r))
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "xnum": pa.array(nums, pa.int64()),
+            "r_e6": pa.array(rs, pa.int64()),
+        }
+    )
+
+
+SQL_XCORR = f"""
+WITH c0 AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d,
+         cast(substr(o_orderpriority, 1, 1) AS BIGINT) AS p,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders
+  WHERE substr(o_orderpriority, 1, 1) IN ('1', '2')
+  GROUP BY 1, 2),
+j AS (
+  SELECT d,
+         cast(sum(CASE WHEN p = 1 THEN n ELSE 0 END) AS BIGINT) AS x,
+         cast(sum(CASE WHEN p = 2 THEN n ELSE 0 END) AS BIGINT) AS y
+  FROM c0 GROUP BY d),
+r AS (SELECT x, y, row_number() OVER (ORDER BY d) AS rn,
+             count(*) OVER () AS nt,
+             cast(sum(x) OVER () AS BIGINT) AS sx,
+             cast(sum(y) OVER () AS BIGINT) AS sy
+      FROM j),
+e AS (SELECT rn, cast(nt * x - sx AS BIGINT) AS ev,
+             cast(nt * y - sy AS BIGINT) AS fv
+      FROM r),
+dd AS (SELECT cast(sum(cast(ev AS HUGEINT) * ev) AS BIGINT) AS dx,
+              cast(sum(cast(fv AS HUGEINT) * fv) AS BIGINT) AS dy
+       FROM e),
+nums AS (SELECT b.rn - a.rn AS lag,
+                cast(sum(cast(a.ev AS HUGEINT) * b.fv) AS BIGINT) AS xnum
+         FROM e a JOIN e b
+           ON b.rn - a.rn BETWEEN -{_XC_MAXLAG} AND {_XC_MAXLAG}
+         GROUP BY 1)
+SELECT nums.lag, nums.xnum,
+       cast(CASE WHEN (nums.xnum::DOUBLE
+                       / sqrt(dd.dx::DOUBLE * dd.dy::DOUBLE)) >= 0
+                 THEN floor(abs(nums.xnum::DOUBLE
+                                / sqrt(dd.dx::DOUBLE * dd.dy::DOUBLE))
+                            * 1e6 + 0.5)
+                 ELSE -floor(abs(nums.xnum::DOUBLE
+                                 / sqrt(dd.dx::DOUBLE * dd.dy::DOUBLE))
+                             * 1e6 + 0.5)
+            END AS BIGINT) AS r_e6
+FROM nums, dd
+"""
+
+
 QUERIES = {
     "burst_detect": q_burst_detect,
     "seasonal_decompose": q_seasonal_decompose,
     "gumbel_moments": q_gumbel_moments,
+    "forecast_eval": q_forecast_eval,
+    "xcorr_daily": q_xcorr_daily,
     "best_split": q_best_split,
     "mad_outliers": q_mad_outliers,
     "weighted_median": q_weighted_median,
@@ -1816,6 +1981,8 @@ QUERIES = {
 ORACLE_SQL = {
     "seasonal_decompose": SQL_SEASONAL,
     "gumbel_moments": SQL_GUMBEL,
+    "forecast_eval": SQL_FORECAST_EVAL,
+    "xcorr_daily": SQL_XCORR,
     "burst_detect": SQL_BURST_DETECT,
     "best_split": SQL_BEST_SPLIT,
     "mad_outliers": SQL_MAD,
