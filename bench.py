@@ -137,7 +137,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "mood_scale", "hurst_rs", "sample_entropy", "cronbach_alpha",
         "ldiv_audit", "chao1_richness", "seasonal_decompose",
         "gumbel_moments", "moran_i", "logrank_test", "forecast_eval",
-        "xcorr_daily",
+        "xcorr_daily", "effective_dim", "mmd_embeddings",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -690,3 +690,54 @@ def test_xcorr_lag0_is_exact_pearson():
     assert Fraction(num * num, dx * dy) == cov * cov / (vx * vy)
     r_float = float(cov) / math.sqrt(float(vx) * float(vy))
     assert math.isclose(r_int, r_float, rel_tol=1e-9)
+
+
+# ===== continuation-21e (effective_dim / mmd_embeddings) contracts =====
+
+
+def test_participation_ratio_equals_eigen_definition():
+    import numpy as np
+
+    rng = np.random.RandomState(113)
+    x = rng.randn(80, 6) * np.array([5, 3, 2, 1, 0.5, 0.1])
+    q = np.floor(np.abs(x * 1000) + 0.5).astype(np.int64) * np.sign(
+        x
+    ).astype(np.int64)
+    n = len(q)
+    p = q.T @ q
+    s = q.sum(axis=0)
+    m = n * p - np.outer(s, s)
+    tr = int(np.trace(m))
+    frob = int((m.astype(object) * m.astype(object)).sum())
+    pr_int = tr * tr / frob
+    # eigen definition over the float centered covariance of q
+    c = np.cov(q.T, bias=True)
+    lam = np.linalg.eigvalsh(c)
+    pr_eig = lam.sum() ** 2 / (lam**2).sum()
+    assert math.isclose(pr_int, pr_eig, rel_tol=1e-9)
+    # PR of an isotropic identity covariance is exactly dim
+    mi = np.eye(4, dtype=object)
+    tr_i = 4
+    frob_i = 4
+    assert tr_i * tr_i / frob_i == 4
+
+
+def test_mmd_frobenius_identity_equals_pairwise_kernel_sums():
+    import numpy as np
+
+    rng = np.random.RandomState(127)
+    a = rng.randint(-9, 10, size=(12, 5)).astype(np.int64)
+    b = rng.randint(-9, 10, size=(15, 5)).astype(np.int64)
+    pa_ = a.T @ a
+    pb = b.T @ b
+    faa = int((pa_.astype(object) * pa_.astype(object)).sum())
+    fbb = int((pb.astype(object) * pb.astype(object)).sum())
+    fab = int((pa_.astype(object) * pb.astype(object)).sum())
+    # brute-force pairwise (x.y)^2 sums
+    saa = sum(int(np.dot(a[i], a[j])) ** 2 for i in range(12) for j in range(12))
+    sbb = sum(int(np.dot(b[i], b[j])) ** 2 for i in range(15) for j in range(15))
+    sab = sum(int(np.dot(a[i], b[j])) ** 2 for i in range(12) for j in range(15))
+    assert (faa, fbb, fab) == (saa, sbb, sab)
+    # identical clouds -> MMD^2 == 0 exactly
+    num = 12 * 12 * faa + 12 * 12 * faa - 2 * 12 * 12 * faa
+    assert num == 0

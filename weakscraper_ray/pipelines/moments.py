@@ -593,6 +593,204 @@ FROM v
 SQL_CRONBACH = _sql_cronbach()
 
 
+# =====================================================================
+# effective_dim + mmd_embeddings — embedding-geometry audits over
+# exact e3-quantized second-moment matrices
+# =====================================================================
+
+_EMB_E3 = 1e3  #: audit grain (values ≤ ~0.6, so q ≤ ~600; e6 would
+#: push n·G − s·sᵀ squared past HUGEINT — the silhouette mixed-grain
+#: precedent, documented)
+_EMB_DIM = 64
+
+
+def _embed_moments(sf_dir: str):
+    """Per-parity-group (n, column sums s, second-moment matrix
+    P = Σ q qᵀ) over the e3-quantized embeddings — exact integer
+    partials per batch (64 + 64² int64 cells), folded on the driver
+    as Python bigints.  Shared by ``effective_dim`` (combined) and
+    ``mmd_embeddings`` (per group).  Zero keyed exchange."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        from ..functions.embed import fixed_list_to_numpy
+
+        x = fixed_list_to_numpy(t.column("embedding"), dtype=np.float64)
+        q = _i64_away_np(x, _EMB_E3).astype(np.int64)
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rows = []
+        for g in (0, 1):
+            qq = q[vid % 2 == g]
+            p = (qq.T @ qq).reshape(-1)
+            s = qq.sum(axis=0)
+            rows.append((g, len(qq), s, p))
+        return pa.table(
+            {
+                "g": pa.array([r[0] for r in rows], pa.int64()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "s": pa.array([r[2].tolist() for r in rows]),
+                "p": pa.array([r[3].tolist() for r in rows]),
+            }
+        )
+
+    acc = {
+        g: [0, np.zeros(_EMB_DIM, object),
+            np.zeros(_EMB_DIM * _EMB_DIM, object)]
+        for g in (0, 1)
+    }
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for g, n, s, p in zip(
+            t.column("g").to_pylist(),
+            t.column("n").to_pylist(),
+            t.column("s").to_pylist(),
+            t.column("p").to_pylist(),
+        ):
+            acc[g][0] += int(n)
+            acc[g][1] += np.array(s, dtype=object)
+            acc[g][2] += np.array(p, dtype=object)
+    return acc
+
+
+def q_effective_dim(sf_dir: str):
+    """Effective dimensionality (participation ratio) of the
+    embedding cloud: PR = (Σλ)²/Σλ² = tr(C)²/‖C‖F² of the covariance
+    — computable EXACTLY from integer moments with NO
+    eigendecomposition, because with M = n·P − s·sᵀ (the n²-scaled
+    centered scatter) both tr(M) and Σ M_ij² are exact bigints and
+    the n-scales cancel in the ratio:
+
+        pr_e6 = e6( tr(M)² / Σ_ij M_ij² )
+
+    — a PURE integer rational (HUGEINT in the twin).  PR ∈ [1, 64]:
+    ~64 ⇒ isotropic embeddings, small ⇒ collapsed/anisotropic — the
+    representation-quality audit run before ANN/clustering stages
+    (the oracle-exact complement of the rows-only
+    ``embedding_pca``).  Output: one row ``(n_vecs, pr_e6)``.  Zero
+    keyed exchange (shared ``_embed_moments`` fold)."""
+    from .patterns import _ols_e6
+
+    acc = _embed_moments(sf_dir)
+    n = acc[0][0] + acc[1][0]
+    s = acc[0][1] + acc[1][1]
+    p = acc[0][2] + acc[1][2]
+    m = n * p - np.outer(s, s).reshape(-1)
+    tr = int(sum(m[i * _EMB_DIM + i] for i in range(_EMB_DIM)))
+    frob = int(sum(int(v) * int(v) for v in m))
+    pr_e6 = _ols_e6(tr * tr, frob)
+    return pa.table(
+        {
+            "n_vecs": pa.array([n], pa.int64()),
+            "pr_e6": pa.array([pr_e6], pa.int64()),
+        }
+    )
+
+
+def q_mmd_embeddings(sf_dir: str):
+    """Quadratic-kernel Maximum Mean Discrepancy (Gretton et al.
+    2012) between even- and odd-``vec_id`` embedding halves — the
+    distribution-shift audit for embedding streams.  With kernel
+    k(x,y) = (x·y)², every pair-sum collapses to Frobenius products
+    of the per-group second-moment matrices (Σ_{i,j∈A}(x_i·x_j)² =
+    ‖P_A‖F², Σ_{A×B} = ⟨P_A, P_B⟩F — no pairwise pass at all), so
+
+        MMD² = ‖P_A‖²/n_A² + ‖P_B‖²/n_B² − 2⟨P_A,P_B⟩/(n_A·n_B)
+
+    is an exact bigint rational (cleared to n_A²n_B²·10¹² for the e3
+    grain), read out at e9 (random halves ⇒ tiny MMD).  Output: one
+    row ``(n_a, n_b, mmd_e9)``.  Zero keyed exchange (shared
+    ``_embed_moments`` fold)."""
+    acc = _embed_moments(sf_dir)
+    na, sa, pa_ = acc[0]
+    nb, sb, pb = acc[1]
+    faa = int(sum(int(v) * int(v) for v in pa_))
+    fbb = int(sum(int(v) * int(v) for v in pb))
+    fab = int(sum(int(a) * int(b) for a, b in zip(pa_, pb)))
+    num = nb * nb * faa + na * na * fbb - 2 * na * nb * fab
+    den = na * na * nb * nb * 10**12
+    mmd_e9 = (
+        (2 * 10**9 * num + den) // (2 * den)
+        if num >= 0
+        else -((2 * 10**9 * (-num) + den) // (2 * den))
+    )
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "mmd_e9": pa.array([mmd_e9], pa.int64()),
+        }
+    )
+
+
+# shared twin CTE: full 64×64 e3 gram + column sums, per parity group
+_SQL_EMB_MOMENTS = f"""
+q AS (
+  SELECT vec_id % 2 AS g, i.i,
+         cast(round(cast(embedding[i.i] AS DOUBLE) * 1000, 0) AS BIGINT)
+           AS qv,
+         vec_id
+  FROM embeddings, range(1, {_EMB_DIM + 1}) i(i)),
+gram AS (
+  SELECT a.g, a.i AS i, b.i AS j,
+         cast(sum(cast(a.qv AS HUGEINT) * b.qv) AS HUGEINT) AS p
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.g = b.g
+  GROUP BY a.g, a.i, b.i),
+cs AS (SELECT g, i, cast(sum(qv) AS BIGINT) AS s
+       FROM q GROUP BY g, i),
+nn AS (SELECT g, cast(count(DISTINCT vec_id) AS BIGINT) AS n
+       FROM q GROUP BY g)
+"""
+
+SQL_EFFECTIVE_DIM = f"""
+WITH {_SQL_EMB_MOMENTS},
+tot AS (SELECT cast(sum(n) AS BIGINT) AS n FROM nn),
+m AS (
+  SELECT gr.i, gr.j,
+         tot.n * cast(gr.p AS HUGEINT)
+           - cast(sa.st AS HUGEINT) * sb.st AS mv
+  FROM (SELECT i, j, sum(p) AS p FROM gram GROUP BY i, j) gr,
+       (SELECT i, cast(sum(s) AS BIGINT) AS st FROM cs GROUP BY i) sa,
+       (SELECT i AS j, cast(sum(s) AS BIGINT) AS st FROM cs GROUP BY i) sb,
+       tot
+  WHERE sa.i = gr.i AND sb.j = gr.j),
+f AS (SELECT
+        (SELECT cast(sum(mv) AS HUGEINT) FROM m WHERE i = j) AS tr,
+        (SELECT cast(sum(mv * mv) AS HUGEINT) FROM m) AS frob)
+SELECT (SELECT n FROM tot) AS n_vecs,
+       cast((2000000 * (tr * tr) + frob) // (2 * frob) AS BIGINT) AS pr_e6
+FROM f
+"""
+
+SQL_MMD = f"""
+WITH {_SQL_EMB_MOMENTS},
+fr AS (
+  SELECT
+    (SELECT cast(sum(p * p) AS HUGEINT) FROM gram WHERE g = 0) AS faa,
+    (SELECT cast(sum(p * p) AS HUGEINT) FROM gram WHERE g = 1) AS fbb,
+    (SELECT cast(sum(a.p * b.p) AS HUGEINT)
+     FROM gram a JOIN gram b ON a.i = b.i AND a.j = b.j
+     WHERE a.g = 0 AND b.g = 1) AS fab,
+    (SELECT n FROM nn WHERE g = 0) AS na,
+    (SELECT n FROM nn WHERE g = 1) AS nb),
+z AS (SELECT na, nb,
+             cast(nb AS HUGEINT) * nb * faa
+               + cast(na AS HUGEINT) * na * fbb
+               - 2 * cast(na AS HUGEINT) * nb * fab AS num,
+             cast(na AS HUGEINT) * na * nb * nb
+               * 1000000000000 AS den
+      FROM fr)
+SELECT na AS n_a, nb AS n_b,
+       cast(CASE WHEN num >= 0
+                 THEN (2000000000 * num + den) // (2 * den)
+                 ELSE -((2000000000 * (-num) + den) // (2 * den))
+            END AS BIGINT) AS mmd_e9
+FROM z
+"""
+
+
 QUERIES = {
     "ams_f2": q_ams_f2,
     "gram_matrix": q_gram_matrix,
@@ -600,6 +798,8 @@ QUERIES = {
     "markov_entropy": q_markov_entropy,
     "corr_matrix": q_corr_matrix,
     "cronbach_alpha": q_cronbach_alpha,
+    "effective_dim": q_effective_dim,
+    "mmd_embeddings": q_mmd_embeddings,
 }
 
 ORACLE_SQL = {
@@ -609,6 +809,8 @@ ORACLE_SQL = {
     "markov_entropy": SQL_MARKOV_ENTROPY,
     "corr_matrix": SQL_CORR_MATRIX,
     "cronbach_alpha": SQL_CRONBACH,
+    "effective_dim": SQL_EFFECTIVE_DIM,
+    "mmd_embeddings": SQL_MMD,
 }
 
 # self-register (same pattern as monitor.py)
