@@ -138,6 +138,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "ldiv_audit", "chao1_richness", "seasonal_decompose",
         "gumbel_moments", "moran_i", "logrank_test", "forecast_eval",
         "xcorr_daily", "effective_dim", "mmd_embeddings",
+        "cuped_adjust", "mantel_haenszel", "fleiss_kappa",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -741,3 +741,66 @@ def test_mmd_frobenius_identity_equals_pairwise_kernel_sums():
     # identical clouds -> MMD^2 == 0 exactly
     num = 12 * 12 * faa + 12 * 12 * faa - 2 * 12 * 12 * faa
     assert num == 0
+
+
+# ===== continuation-22 (cuped/mantel-haenszel/fleiss) contracts =====
+
+
+def test_cuped_moment_rationals_equal_float_theta_and_r2():
+    rng = random.Random(131)
+    xs = [rng.randint(0, 500) for _ in range(200)]
+    ys = [x // 2 + rng.randint(-40, 40) for x in xs]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    # float reference: population cov / var and squared Pearson r
+    mx, my = sx / n, sy / n
+    cov_f = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / n
+    vx_f = sum((x - mx) ** 2 for x in xs) / n
+    vy_f = sum((y - my) ** 2 for y in ys) / n
+    assert math.isclose(cov / vx, cov_f / vx_f, rel_tol=1e-12)
+    assert math.isclose(
+        (cov * cov) / (vx * vy),
+        (cov_f / math.sqrt(vx_f * vy_f)) ** 2,
+        rel_tol=1e-12,
+    )
+
+
+def test_mantel_haenszel_cleared_product_equals_fraction_sum():
+    rng = random.Random(137)
+    strata = []
+    for _ in range(6):
+        a, b = rng.randint(1, 40), rng.randint(1, 40)
+        c, d = rng.randint(1, 40), rng.randint(1, 40)
+        strata.append((a, b, c, d, a + b + c + d))
+    p_all = 1
+    for t in strata:
+        p_all *= t[4]
+    num = sum(t[0] * t[3] * (p_all // t[4]) for t in strata)
+    den = sum(t[1] * t[2] * (p_all // t[4]) for t in strata)
+    ref_num = sum(Fraction(t[0] * t[3], t[4]) for t in strata)
+    ref_den = sum(Fraction(t[1] * t[2], t[4]) for t in strata)
+    assert Fraction(num, den) == ref_num / ref_den
+
+
+def test_fleiss_kappa_integer_identity_equals_textbook():
+    rng = random.Random(139)
+    rs = [rng.randint(0, 3) for _ in range(300)]
+    n = len(rs)
+    a = sum(r * r + (3 - r) * (3 - r) - 3 for r in rs)
+    s = sum(rs)
+    b = s * s + (3 * n - s) ** 2
+    kappa_int = (3 * n * a - 2 * b) / (2 * (9 * n * n - b))
+    # textbook Fleiss 1971, k=3 raters, 2 categories
+    p_bar = sum(
+        (r * r + (3 - r) ** 2 - 3) / (3 * 2) for r in rs
+    ) / n
+    p1 = s / (3 * n)
+    pe = p1 * p1 + (1 - p1) ** 2
+    kappa_text = (p_bar - pe) / (1 - pe)
+    assert math.isclose(kappa_int, kappa_text, rel_tol=1e-12)

@@ -695,7 +695,348 @@ FROM t
 """
 
 
+# =====================================================================
+# cuped_adjust — CUPED pre-period variance reduction (pure integer)
+# =====================================================================
+
+_CUPED_SPLIT_DAYS = 15  #: pre-period = first 15 observed days
+
+
+def q_cuped_adjust(sf_dir: str):
+    """CUPED covariate adjustment (Deng, Xu, Kohavi & Walker 2013) of
+    per-user event value: pre-period X = cents in the first 15
+    observed days, post-period Y = cents after; θ = cov(X,Y)/var(X)
+    and the variance-reduction factor ρ² = cov²/(var·var) are PURE
+    integer rationals from six exact bigint moment scalars —
+
+        θ_e6  = e6( (nΣxy − SxSy) / (nΣxx − Sx²) )
+        rho2_e6 = e6( (nΣxy − SxSy)² / ((nΣxx − Sx²)(nΣyy − Sy²)) )
+
+    — no double anywhere.  The experimentation read-out that says how
+    much pre-period data shrinks an A/B test's CI (the adjusted-metric
+    companion of ``ab_test``).  Shape: one keyed per-user two-window
+    aggregate (user domain grows with data), then a 6-scalar moment
+    fold.  Output: one row ``(n_users, theta_e6, rho2_e6)``."""
+    from ray.data.aggregate import Sum
+    from .patterns import _ols_e6
+    from .relational import _i64_away_np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    # pass 1 is unnecessary: the observed day range is a scalar the
+    # census fold below derives per batch and the driver min-reduces
+    def _partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = us // 86_400_000_000
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        c = _i64_away_np(
+            t.column("value").to_numpy(zero_copy_only=False), 100.0
+        )
+        g = (
+            pd.DataFrame({"u": u, "d": day, "c": c})
+            .groupby(["u", "d"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy(np.int64)),
+                "d": pa.array(g["d"].to_numpy(np.int64)),
+                "c": pa.array(g["c"].to_numpy(np.int64)),
+            }
+        )
+
+    per_day = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["u", "d"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    rows = per_day.to_pandas()  # bounded: users × ≤30 event days
+    d0 = int(rows["d"].min())
+    split = d0 + _CUPED_SPLIT_DAYS
+    pre = rows[rows["d"] < split].groupby("u")["c"].sum()
+    post = rows[rows["d"] >= split].groupby("u")["c"].sum()
+    users = sorted(set(rows["u"]))
+    n = len(users)
+    sx = sy = sxx = syy = sxy = 0
+    for u in users:
+        x = int(pre.get(u, 0))
+        y = int(post.get(u, 0))
+        sx += x
+        sy += y
+        sxx += x * x
+        syy += y * y
+        sxy += x * y
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    theta_e6 = _ols_e6(cov, vx)
+    rho2_e6 = _ols_e6(cov * cov, vx * vy)
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "theta_e6": pa.array([theta_e6], pa.int64()),
+            "rho2_e6": pa.array([rho2_e6], pa.int64()),
+        }
+    )
+
+
+SQL_CUPED = f"""
+WITH e AS (
+  SELECT user_id AS u,
+         epoch_us(cast(ts AS TIMESTAMP)) // 86400000000 AS d,
+         cast(round(value * 100, 0) AS BIGINT) AS c
+  FROM events),
+lim AS (SELECT min(d) + {_CUPED_SPLIT_DAYS} AS split FROM e),
+uw AS (SELECT u,
+              cast(sum(CASE WHEN d < lim.split THEN c ELSE 0 END)
+                   AS BIGINT) AS x,
+              cast(sum(CASE WHEN d >= lim.split THEN c ELSE 0 END)
+                   AS BIGINT) AS y
+       FROM e, lim GROUP BY u),
+m AS (SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum(x) AS HUGEINT) AS sx,
+             cast(sum(y) AS HUGEINT) AS sy,
+             cast(sum(cast(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             cast(sum(cast(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             cast(sum(cast(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM uw),
+f AS (SELECT n, n * sxy - sx * sy AS cov,
+             n * sxx - sx * sx AS vx,
+             n * syy - sy * sy AS vy
+      FROM m)
+SELECT n AS n_users,
+       cast(CASE WHEN cov >= 0 THEN (2000000 * cov + vx) // (2 * vx)
+                 ELSE -((2000000 * (-cov) + vx) // (2 * vx))
+            END AS BIGINT) AS theta_e6,
+       cast((2000000 * (cov * cov) + vx * vy) // (2 * (vx * vy))
+            AS BIGINT) AS rho2_e6
+FROM f
+"""
+
+
+# =====================================================================
+# mantel_haenszel — stratified pooled odds ratio (pure integer)
+# =====================================================================
+
+
+def q_mantel_haenszel(sf_dir: str):
+    """Mantel–Haenszel pooled odds ratio (Mantel & Haenszel 1959) of
+    the two ``mcnemar_test`` document predictors (A: length ≥ 300,
+    B: spaces ≥ 55) STRATIFIED BY LANGUAGE — the confounder-adjusted
+    association read-out (language drives both predictors, so the
+    crude OR is biased; MH reweights per stratum).  With per-stratum
+    2×2 cells (a,b,c,d) and n_i = their sum,
+
+        OR_MH = Σᵢ aᵢdᵢ/nᵢ  /  Σᵢ bᵢcᵢ/nᵢ
+
+    becomes PURE integer after clearing by Πn (bounded strata —
+    ≤ |langs| terms, HUGEINT): num = Σ aᵢdᵢ·Π_{j≠i}nⱼ, den =
+    Σ bᵢcᵢ·Π_{j≠i}nⱼ, or_e6 the shared half-away division (pinned 0
+    when den = 0).  Output: one row ``(n_strata, n_docs, or_e6)``.
+    Zero keyed exchange (|langs|×4-cell census fold)."""
+    from .patterns import _ols_e6
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        ln = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        sp = pc.count_substring(txt, " ").to_numpy(zero_copy_only=False)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        cell = (ln >= 300).astype(np.int64) * 2 + (sp >= 55).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame({"lang": lang, "cell": cell})
+            .groupby(["lang", "cell"], sort=False)
+            .size()
+            .reset_index(name="m")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].astype(str)),
+                "cell": pa.array(g["cell"].to_numpy(np.int64)),
+                "m": pa.array(g["m"].to_numpy(np.int64)),
+            }
+        )
+
+    cells: dict[tuple[str, int], int] = {}
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for lg, cl, m in zip(
+            t.column("lang").to_pylist(),
+            t.column("cell").to_pylist(),
+            t.column("m").to_pylist(),
+        ):
+            cells[(lg, int(cl))] = cells.get((lg, int(cl)), 0) + int(m)
+    langs = sorted({lg for lg, _ in cells})
+    # cell code: 2·A + B → a = both, b = A only, c = B only, d = neither
+    tabs = {}
+    for lg in langs:
+        a = cells.get((lg, 3), 0)
+        b = cells.get((lg, 2), 0)
+        c = cells.get((lg, 1), 0)
+        d = cells.get((lg, 0), 0)
+        tabs[lg] = (a, b, c, d, a + b + c + d)
+    p_all = 1
+    for lg in langs:
+        p_all *= tabs[lg][4]
+    num = sum(
+        tabs[lg][0] * tabs[lg][3] * (p_all // tabs[lg][4]) for lg in langs
+    )
+    den = sum(
+        tabs[lg][1] * tabs[lg][2] * (p_all // tabs[lg][4]) for lg in langs
+    )
+    n_docs = sum(t[4] for t in tabs.values())
+    or_e6 = _ols_e6(num, den) if den > 0 else 0
+    return pa.table(
+        {
+            "n_strata": pa.array([len(langs)], pa.int64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "or_e6": pa.array([or_e6], pa.int64()),
+        }
+    )
+
+
+def _sql_mh() -> str:
+    return """
+WITH f AS (
+  SELECT lang,
+         CASE WHEN length(coalesce(text, '')) >= 300 THEN 1 ELSE 0 END
+           AS a,
+         CASE WHEN (length(coalesce(text, ''))
+                    - length(replace(coalesce(text, ''), ' ', ''))) >= 55
+              THEN 1 ELSE 0 END AS b
+  FROM documents),
+t AS (SELECT lang,
+             cast(sum(a * b) AS HUGEINT) AS aa,
+             cast(sum(a * (1 - b)) AS HUGEINT) AS bb,
+             cast(sum((1 - a) * b) AS HUGEINT) AS cc,
+             cast(sum((1 - a) * (1 - b)) AS HUGEINT) AS dd,
+             cast(count(*) AS HUGEINT) AS n
+      FROM f GROUP BY lang),
+pr AS (SELECT cast(product(n) AS HUGEINT) AS p_all,
+              cast(sum(n) AS BIGINT) AS n_docs,
+              cast(count(*) AS BIGINT) AS n_strata
+       FROM t),
+s AS (SELECT pr.n_strata, pr.n_docs,
+             cast(sum(t.aa * t.dd * (pr.p_all // t.n)) AS HUGEINT) AS num,
+             cast(sum(t.bb * t.cc * (pr.p_all // t.n)) AS HUGEINT) AS den
+      FROM t, pr GROUP BY pr.n_strata, pr.n_docs)
+SELECT n_strata, n_docs,
+       CASE WHEN den = 0 THEN 0
+            ELSE cast((2000000 * num + den) // (2 * den) AS BIGINT)
+       END AS or_e6
+FROM s
+"""
+
+
+SQL_MANTEL_HAENSZEL = _sql_mh()
+
+
+# =====================================================================
+# fleiss_kappa — multi-rater agreement over the predictor battery
+# =====================================================================
+
+
+def q_fleiss_kappa(sf_dir: str):
+    """Fleiss' κ (Fleiss 1971) treating the three ``cochran_q``
+    document predictors (length ≥ 300, spaces ≥ 55, 'a'-count ≥ 25)
+    as k = 3 raters assigning each document to {positive, negative}:
+    with per-document positive count r and the 8-cell pattern census,
+
+        P̄ = A/(6N),  A = Σ m·(r² + (3−r)² − 3)
+        P̄ₑ = (S² + (3N−S)²)/(9N²),  S = Σ m·r
+        κ = (3N·A − 2·(S² + (3N−S)²)) / (2·(9N² − S² − (3N−S)²))
+
+    — a PURE integer rational (algebra in the docstring test), read
+    out with the shared half-away e6 division.  Contrast
+    ``cohen_kappa`` (two raters over a label grid) and ``cochran_q``
+    (same census, marginal-homogeneity question; κ asks AGREEMENT).
+    Output: one row ``(n_docs, pos_total, kappa_e6)``.  Zero keyed
+    exchange (8-cell census fold)."""
+    from .patterns import _ols_e6
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        ln = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        sp = pc.count_substring(txt, " ").to_numpy(zero_copy_only=False)
+        ac = pc.count_substring(txt, "a").to_numpy(zero_copy_only=False)
+        r = (
+            (ln >= 300).astype(np.int64)
+            + (sp >= 55).astype(np.int64)
+            + (ac >= 25).astype(np.int64)
+        )
+        g = pd.Series(r).value_counts()
+        return pa.table(
+            {
+                "r": pa.array(g.index.to_numpy(np.int64)),
+                "m": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    census: dict[int, int] = {}
+    for t in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for r, m in zip(t.column("r").to_pylist(), t.column("m").to_pylist()):
+            census[int(r)] = census.get(int(r), 0) + int(m)
+    n = sum(census.values())
+    a = sum(m * (r * r + (3 - r) * (3 - r) - 3) for r, m in census.items())
+    s = sum(m * r for r, m in census.items())
+    b = s * s + (3 * n - s) ** 2
+    kappa_e6 = _ols_e6(3 * n * a - 2 * b, 2 * (9 * n * n - b))
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "pos_total": pa.array([s], pa.int64()),
+            "kappa_e6": pa.array([kappa_e6], pa.int64()),
+        }
+    )
+
+
+SQL_FLEISS = """
+WITH f AS (
+  SELECT (CASE WHEN length(coalesce(text, '')) >= 300 THEN 1 ELSE 0 END
+          + CASE WHEN (length(coalesce(text, ''))
+                       - length(replace(coalesce(text, ''), ' ', '')))
+                      >= 55 THEN 1 ELSE 0 END
+          + CASE WHEN (length(coalesce(text, ''))
+                       - length(replace(coalesce(text, ''), 'a', '')))
+                      >= 25 THEN 1 ELSE 0 END) AS r
+  FROM documents),
+p AS (SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum(r * r + (3 - r) * (3 - r) - 3) AS HUGEINT) AS a,
+             cast(sum(r) AS HUGEINT) AS s
+      FROM f),
+z AS (SELECT n, s,
+             s * s + (3 * n - s) * (3 * n - s) AS b, a
+      FROM p)
+SELECT n AS n_docs, cast(s AS BIGINT) AS pos_total,
+       cast(CASE WHEN (3 * n * a - 2 * b) >= 0
+                 THEN (2000000 * (3 * n * a - 2 * b)
+                       + 2 * (9 * cast(n AS HUGEINT) * n - b))
+                      // (2 * (2 * (9 * cast(n AS HUGEINT) * n - b)))
+                 ELSE -((2000000 * (2 * b - 3 * n * a)
+                         + 2 * (9 * cast(n AS HUGEINT) * n - b))
+                        // (2 * (2 * (9 * cast(n AS HUGEINT) * n - b))))
+            END AS BIGINT) AS kappa_e6
+FROM z
+"""
+
+
 QUERIES = {
+    "cuped_adjust": q_cuped_adjust,
+    "mantel_haenszel": q_mantel_haenszel,
+    "fleiss_kappa": q_fleiss_kappa,
     "chisq_independence": q_chisq_independence,
     "fill_days": q_fill_days,
     "mannwhitney_u": q_mannwhitney_u,
@@ -707,6 +1048,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cuped_adjust": SQL_CUPED,
+    "mantel_haenszel": SQL_MANTEL_HAENSZEL,
+    "fleiss_kappa": SQL_FLEISS,
     "chisq_independence": SQL_CHISQ,
     "fill_days": SQL_FILL_DAYS,
     "mannwhitney_u": SQL_MANNWHITNEY,
