@@ -714,22 +714,33 @@ def q_cuped_adjust(sf_dir: str):
 
     — no double anywhere.  The experimentation read-out that says how
     much pre-period data shrinks an A/B test's CI (the adjusted-metric
-    companion of ``ab_test``).  Shape: one keyed per-user two-window
-    aggregate (user domain grows with data), then a 6-scalar moment
-    fold.  Output: one row ``(n_users, theta_e6, rho2_e6)``."""
+    companion of ``ab_test``).
+
+    Shape (nothing grows-with-data ever lands on the driver): pass 1
+    is the ``_global_day_min`` scalar fold over a ts-only pruned read;
+    pass 2 buckets each batch's cents into (x=pre, y=post) per user
+    and exchanges ONLY ``(u, x, y)`` keyed on the grows-with-data user
+    domain; a third ``map_batches`` over the per-user aggregate emits
+    one 6-scalar moment row per batch (decimal128 cells — per-user
+    cent sums square past int64 at scale, matching the HUGEINT twin),
+    folded driver-side as Python bigints, bounded by #batches.
+    Output: one row ``(n_users, theta_e6, rho2_e6)``."""
     from ray.data.aggregate import Sum
+    from .engagement import _global_day_min
     from .patterns import _ols_e6
     from .relational import _i64_away_np
 
+    split = (
+        _global_day_min(_read(sf_dir, "events", ["ts"]))
+        + _CUPED_SPLIT_DAYS
+    )
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    # pass 1 is unnecessary: the observed day range is a scalar the
-    # census fold below derives per batch and the driver min-reduces
     def _partial(t: pa.Table) -> pa.Table:
         us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        day = us // 86_400_000_000
+        pre = (us // 86_400_000_000) < split
         u = t.column("user_id").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
@@ -737,40 +748,63 @@ def q_cuped_adjust(sf_dir: str):
             t.column("value").to_numpy(zero_copy_only=False), 100.0
         )
         g = (
-            pd.DataFrame({"u": u, "d": day, "c": c})
-            .groupby(["u", "d"], sort=False)["c"]
+            pd.DataFrame(
+                {
+                    "u": u,
+                    "x": np.where(pre, c, 0),
+                    "y": np.where(pre, 0, c),
+                }
+            )
+            .groupby("u", sort=False)
             .sum()
             .reset_index()
         )
         return pa.table(
             {
                 "u": pa.array(g["u"].to_numpy(np.int64)),
-                "d": pa.array(g["d"].to_numpy(np.int64)),
-                "c": pa.array(g["c"].to_numpy(np.int64)),
+                "x": pa.array(g["x"].to_numpy(np.int64)),
+                "y": pa.array(g["y"].to_numpy(np.int64)),
             }
         )
 
-    per_day = (
+    per_user = (
         ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["u", "d"])
-        .aggregate(Sum("c", alias_name="c"))
+        .groupby("u")
+        .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
     )
-    rows = per_day.to_pandas()  # bounded: users × ≤30 event days
-    d0 = int(rows["d"].min())
-    split = d0 + _CUPED_SPLIT_DAYS
-    pre = rows[rows["d"] < split].groupby("u")["c"].sum()
-    post = rows[rows["d"] >= split].groupby("u")["c"].sum()
-    users = sorted(set(rows["u"]))
-    n = len(users)
-    sx = sy = sxx = syy = sxy = 0
-    for u in users:
-        x = int(pre.get(u, 0))
-        y = int(post.get(u, 0))
-        sx += x
-        sy += y
-        sxx += x * x
-        syy += y * y
-        sxy += x * y
+
+    _DEC = pa.decimal128(38, 0)
+
+    def _moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(object)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(object)
+        vals = [
+            int((x * x).sum()) if len(x) else 0,
+            int((y * y).sum()) if len(y) else 0,
+            int((x * y).sum()) if len(x) else 0,
+            int(x.sum()) if len(x) else 0,
+            int(y.sum()) if len(y) else 0,
+        ]
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "m": pa.array([vals], pa.list_(_DEC)),
+            }
+        )
+
+    n, sxx, syy, sxy, sx, sy = 0, 0, 0, 0, 0, 0
+    for t in per_user.map_batches(
+        _moments, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for bn, m in zip(
+            t.column("n").to_pylist(), t.column("m").to_pylist()
+        ):
+            n += int(bn)
+            sxx += int(m[0])
+            syy += int(m[1])
+            sxy += int(m[2])
+            sx += int(m[3])
+            sy += int(m[4])
     cov = n * sxy - sx * sy
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
