@@ -804,3 +804,67 @@ def test_fleiss_kappa_integer_identity_equals_textbook():
     pe = p1 * p1 + (1 - p1) ** 2
     kappa_text = (p_bar - pe) / (1 - pe)
     assert math.isclose(kappa_int, kappa_text, rel_tol=1e-12)
+
+
+# --------------------------------------------- good_turing / heaps_law
+
+
+def test_good_turing_e6_rational_matches_fraction():
+    from weakscraper_ray.pipelines.patterns import _ols_e6
+
+    rng = random.Random(149)
+    # random frequency-of-frequencies spectrum, some zero cells
+    nr = {r: rng.choice([0, rng.randint(1, 500)]) for r in range(1, 12)}
+    for r in range(1, 11):
+        if nr[r] == 0:
+            continue
+        got = _ols_e6((r + 1) * nr[r + 1], nr[r])
+        ref = Fraction((r + 1) * nr[r + 1] * 1_000_000, nr[r])
+        # half-away e6 of a non-negative rational
+        assert got == int(ref) + (1 if ref - int(ref) >= Fraction(1, 2) else 0)
+
+
+def test_good_turing_smoothed_mass_conservation():
+    # textbook GT identity: sum over r>=1 of N_r * r* equals
+    # sum over r>=2 of r * N_r  (mass shifted down one count level),
+    # exact in Fractions — the identity the r* table encodes
+    rng = random.Random(151)
+    nr = {r: rng.randint(1, 200) for r in range(1, 30)}
+    nr[30] = 0  # spectrum ends
+    lhs = sum(
+        Fraction((r + 1) * nr.get(r + 1, 0), nr[r]) * nr[r]
+        for r in range(1, 30)
+        if nr[r] > 0
+    )
+    rhs = sum(r * nr.get(r, 0) for r in range(2, 31))
+    assert lhs == rhs
+
+
+def test_heaps_quantized_log_ols_recovers_beta():
+    # V = K * N^beta exactly in floats -> the e6-quantized-log OLS
+    # chain (the zipf_slope/heaps_law convention) recovers beta to
+    # within the quantization grain
+    def q_e6(v):
+        return int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+
+    beta, K = 0.5, 3.0
+    pts = [(n, K * n**beta) for n in (10 ** (k / 2) for k in range(2, 18))]
+    lx = [q_e6(math.log(n)) for n, _ in pts]
+    ly = [q_e6(math.log(v)) for _, v in pts]
+    k = len(pts)
+    sx, sy = sum(lx), sum(ly)
+    sxx = sum(v * v for v in lx)
+    sxy = sum(a * b for a, b in zip(lx, ly))
+    slope = float(k * sxy - sx * sy) / float(k * sxx - sx * sx)
+    assert abs(slope - beta) < 1e-5
+
+
+def test_heaps_bucket_assignment_matches_sql_least():
+    # numpy bucket expression == SQL least(Q-1, doc_id * Q // span)
+    import numpy as np
+
+    q, span = 16, 501
+    ids = np.arange(span)
+    ray_b = np.minimum(q - 1, ids * q // span)
+    sql_b = np.array([min(q - 1, int(i) * q // span) for i in ids])
+    assert (ray_b == sql_b).all() and ray_b.max() == q - 1 and ray_b[0] == 0

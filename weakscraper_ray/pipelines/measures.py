@@ -18,6 +18,15 @@ measures, each exact-integer until one mirrored read-out.
                     1975) over the daily order-count series: exact S
                     statistic, tie-corrected 18·Var(S) as a bigint,
                     and the continuity-corrected z read-out.
+- ``good_turing``   the Good–Turing frequency-of-frequencies table
+                    (Good 1953): r* = (r+1)·N_{r+1}/N_r for r ≤ 10 as
+                    pure integer rationals — the unseen-mass /
+                    low-count re-estimation primitive under every
+                    count-based LM smoother.
+- ``heaps_law``     Heaps'-law vocabulary-growth exponent V(N)≈K·N^β
+                    over 16 doc-id-order checkpoints via the shared
+                    quantized-log OLS — the "has the vocabulary
+                    saturated?" corpus-scaling audit.
 
 Exactness strategy (the repo's census convention): every input is a
 bounded census — vocabulary counts (Heaps-law bound), a ≤ 50×11 value
@@ -616,6 +625,271 @@ GROUP BY lv.k
 """
 
 
+# =====================================================================
+# good_turing — frequency-of-frequencies smoothing table (Good 1953)
+# =====================================================================
+
+_GT_RMAX = 10
+
+
+def q_good_turing(sf_dir: str):
+    """Good–Turing smoothed-count table over the corpus BIGRAM
+    spectrum (Good 1953) — the unseen-mass / low-count re-estimation
+    primitive every count-based LM smoother builds on, and the
+    spectrum the Katz back-off cutoff is read from (GT runs on n-gram
+    counts, where hapaxes actually occur — the unigram vocabulary
+    here is too small to carry low counts): for each raw count r the
+    smoothed count is
+
+        r* = (r + 1) · N_{r+1} / N_r
+
+    with N_r = number of bigram types seen exactly r times.  Distinct
+    from ``chao1_richness`` (which consumes only f1/f2 to estimate
+    VOCABULARY size): this emits the full low-r re-estimation table a
+    smoother consumes, whose r=1 row also yields the leave-one-out
+    unseen-probability mass N_1/N.
+
+    Exactness: N_r are exact bigint counts; r* is a PURE integer
+    rational read out with the shared half-away e6 rule (0 when
+    N_r = 0, mirrored by CASE in SQL), so the 10-row output is
+    partitioning-independent and hash-exact.
+
+    Shape: ONE bigram-vocabulary-bounded ``groupby(bigram)`` exchange
+    (the ``bigram_topk`` partial: payload = per-batch distinct
+    bigrams), then per-block bincount partials over the FIXED domain
+    r ≤ 11 fold on the driver — zero additional keyed exchange (the
+    emd_drift discipline).  Output: rows r = 1.._GT_RMAX of
+    ``(r, n_r, r_star_e6)``."""
+    from ray.data.aggregate import Sum
+
+    from .analytics import _bigram_partial
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    counts = (
+        ds.map_batches(_bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="m"))
+    )
+
+    def _ff_partial(batch: pa.Table) -> pa.Table:
+        m = batch.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        small = m[m <= _GT_RMAX + 1]
+        bc = np.bincount(small, minlength=_GT_RMAX + 2)
+        return pa.table({"nr": pa.array(bc[: _GT_RMAX + 2], pa.int64())})
+
+    nr = np.zeros(_GT_RMAX + 2, dtype=object)
+    for t in counts.map_batches(_ff_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        col = t.column("nr").to_numpy(zero_copy_only=False)
+        for i in range(0, len(col), _GT_RMAX + 2):
+            nr += col[i : i + _GT_RMAX + 2].astype(object)
+    rows_r = list(range(1, _GT_RMAX + 1))
+    n_r = [int(nr[r]) for r in rows_r]
+    r_star = [
+        _ols_e6((r + 1) * int(nr[r + 1]), int(nr[r])) if nr[r] > 0 else 0
+        for r in rows_r
+    ]
+    return pa.table(
+        {
+            "r": pa.array(rows_r, pa.int64()),
+            "n_r": pa.array(n_r, pa.int64()),
+            "r_star_e6": pa.array(r_star, pa.int64()),
+        }
+    )
+
+
+SQL_GOOD_TURING = rf"""
+WITH l AS (
+  SELECT regexp_extract_all(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                            '\S+') AS toks
+  FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+b AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS g
+  FROM l, unnest(generate_series(1, len(toks) - 1)) AS t(i)),
+c AS (SELECT g, cast(count(*) AS BIGINT) AS m FROM b GROUP BY g),
+ff AS (SELECT m AS r, cast(count(*) AS BIGINT) AS n_r FROM c
+       WHERE m <= {_GT_RMAX + 1} GROUP BY m),
+grid AS (SELECT k AS r FROM range(1, {_GT_RMAX + 1}) t(k))
+SELECT grid.r,
+       cast(coalesce(f1.n_r, 0) AS BIGINT) AS n_r,
+       CASE WHEN coalesce(f1.n_r, 0) = 0 THEN 0
+            ELSE (2000000 * ((grid.r + 1) * coalesce(f2.n_r, 0))
+                  + f1.n_r) // (2 * f1.n_r) END AS r_star_e6
+FROM grid
+LEFT JOIN ff f1 ON f1.r = grid.r
+LEFT JOIN ff f2 ON f2.r = grid.r + 1
+"""
+
+
+# =====================================================================
+# heaps_law — vocabulary-growth exponent over doc-id checkpoints
+# =====================================================================
+
+_HEAPS_Q = 16
+
+
+def q_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary-growth fit V(N) ≈ K·N^β (Heaps 1978)
+    over {_HEAPS_Q} doc-id-order checkpoints — the corpus-scaling
+    audit that tells a curator whether vocabulary keeps growing
+    (natural text, β ≈ 0.5) or has saturated (templated/synthetic
+    text, β → 0), and the companion read-out to ``zipf_slope`` /
+    ``chao1_richness``.  "Corpus order" is doc_id order — the one
+    deterministic, partitioning-independent order the table carries.
+
+    Two folds, no data-sized driver state:
+    1. per-word FIRST checkpoint bucket: per-batch (word, min bucket)
+       group partials → one vocabulary-bounded ``groupby(word).min``
+       exchange (the ``oov_rate`` pass-1 discipline) → per-block
+       bincount over the FIXED {_HEAPS_Q}-bin domain, driver fold;
+       cumulative sum = V_k.
+    2. tokens per bucket: per-batch {_HEAPS_Q}-bin bincount partials,
+       driver fold, cumulative sum = N_k — zero keyed exchange.
+
+    β comes from the quantized-log OLS convention shared with
+    ``zipf_slope`` (e6 ln values — math.log and DuckDB ln are the
+    same libm call — summed exactly; the final slope is ONE mirrored
+    double expression).  Output: one row
+    ``(n_docs, n_tokens, n_types, beta_e6)``."""
+    from ray.data.aggregate import Max, Min
+
+    from .curation import _explode_tokens
+
+    meta = _read(sf_dir, "documents", ["doc_id"])
+    n_docs = meta.count()
+    span = int(meta.aggregate(Max("doc_id"))["max(doc_id)"]) + 1
+    q = _HEAPS_Q
+
+    def _bucket(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(per-token checkpoint bucket, token) for a (doc_id, text)
+        batch."""
+        rows, toks = _explode_tokens(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = np.minimum(q - 1, ids[rows] * q // span).astype(np.int64)
+        return b, toks
+
+    # pass A — tokens per bucket: FIXED q-bin bincount partials,
+    # driver fold, zero keyed exchange
+    def _tok_partial(batch: pa.Table) -> pa.Table:
+        b, _ = _bucket(batch)
+        return pa.table(
+            {"tb": pa.array([np.bincount(b, minlength=q)[:q].tolist()],
+                            pa.list_(pa.int64()))}
+        )
+
+    tok_cum = np.zeros(q, dtype=object)
+    for t in (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_tok_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for vec in t.column("tb").to_pylist():
+            tok_cum += np.asarray(vec, dtype=object)
+
+    # pass B — per-word first bucket: in-batch (w, min b) group
+    # partials → ONE vocabulary-bounded exchange → q-bin fold
+    def _wmin_partial(batch: pa.Table) -> pa.Table:
+        b, toks = _bucket(batch)
+        g = (
+            pd.DataFrame({"w": toks, "b": b})
+            .groupby("w", sort=False)["b"]
+            .min()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "w": pa.array(g["w"], pa.string()),
+                "b": pa.array(g["b"].to_numpy(np.int64)),
+            }
+        )
+
+    wmin = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_wmin_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Min("b", alias_name="mb"))
+    )
+
+    def _vb_partial(batch: pa.Table) -> pa.Table:
+        mb = batch.column("mb").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"vb": pa.array([np.bincount(mb, minlength=q)[:q].tolist()],
+                            pa.list_(pa.int64()))}
+        )
+
+    first_bins = np.zeros(q, dtype=object)
+    for t in wmin.map_batches(_vb_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for vec in t.column("vb").to_pylist():
+            first_bins += np.asarray(vec, dtype=object)
+
+    N = np.cumsum(tok_cum)
+    V = np.cumsum(first_bins)
+    pts = [(int(nn), int(vv)) for nn, vv in zip(N, V) if nn > 0 and vv > 0]
+    lx = [_sq_e6(math.log(nn)) for nn, _ in pts]
+    ly = [_sq_e6(math.log(vv)) for _, vv in pts]
+    k = len(pts)
+    sx, sy = sum(lx), sum(ly)
+    sxx = sum(v * v for v in lx)
+    sxy = sum(a * b for a, b in zip(lx, ly))
+    beta = float(k * sxy - sx * sy) / float(k * sxx - sx * sx)
+    beta_e6 = int(math.floor(abs(beta) * 1e6 + 0.5)) * (1 if beta >= 0 else -1)
+    return pa.table(
+        {
+            "n_docs": pa.array([int(n_docs)], pa.int64()),
+            "n_tokens": pa.array([int(N[-1])], pa.int64()),
+            "n_types": pa.array([int(V[-1])], pa.int64()),
+            "beta_e6": pa.array([beta_e6], pa.int64()),
+        }
+    )
+
+
+def _sq_e6(v: float) -> int:
+    """round(v·1e6) half away from zero — the zipf_slope quantized-log
+    rule (stats._q_e6), re-stated here to avoid a cross-module private
+    import (same libm-ln mirror argument applies)."""
+    return int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+
+
+SQL_HEAPS_LAW = rf"""
+WITH d AS (SELECT cast(count(*) AS BIGINT) AS ndocs,
+                  cast(max(doc_id) AS BIGINT) + 1 AS span
+           FROM documents),
+tk AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents),
+t2 AS (SELECT w, least({_HEAPS_Q} - 1, doc_id * {_HEAPS_Q} // d.span) AS b
+       FROM tk, d WHERE w <> ''),
+tok AS (SELECT b, cast(count(*) AS BIGINT) AS nt FROM t2 GROUP BY b),
+wmin AS (SELECT w, min(b) AS mb FROM t2 GROUP BY w),
+vb AS (SELECT mb AS b, cast(count(*) AS BIGINT) AS nv FROM wmin GROUP BY mb),
+grid AS (SELECT k AS b FROM range(0, {_HEAPS_Q}) t(k)),
+cum AS (SELECT g.b,
+               sum(coalesce(tok.nt, 0)) OVER (ORDER BY g.b) AS nn,
+               sum(coalesce(vb.nv, 0)) OVER (ORDER BY g.b) AS vv
+        FROM grid g
+        LEFT JOIN tok ON tok.b = g.b
+        LEFT JOIN vb ON vb.b = g.b),
+pt AS (SELECT cast(round(ln(cast(nn AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lx,
+              cast(round(ln(cast(vv AS DOUBLE)) * 1000000, 0) AS BIGINT) AS ly
+       FROM cum WHERE nn > 0 AND vv > 0),
+s AS (SELECT cast(count(*) AS BIGINT) AS k, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+      FROM pt),
+tot AS (SELECT max(nn) AS n_tokens, max(vv) AS n_types FROM cum)
+SELECT d.ndocs AS n_docs,
+       cast(tot.n_tokens AS BIGINT) AS n_tokens,
+       cast(tot.n_types AS BIGINT) AS n_types,
+       cast(round(cast(s.k * s.sxy - s.sx * s.sy AS DOUBLE)
+                  / cast(s.k * s.sxx - s.sx * s.sx AS DOUBLE)
+                  * 1000000, 0) AS BIGINT) AS beta_e6
+FROM d, s, tot
+"""
+
+
 QUERIES = {
     "yule_k": q_yule_k,
     "chao1_richness": q_chao1_richness,
@@ -623,6 +897,8 @@ QUERIES = {
     "mann_kendall": q_mann_kendall,
     "matrix_profile": q_matrix_profile,
     "haar_energy": q_haar_energy,
+    "good_turing": q_good_turing,
+    "heaps_law": q_heaps_law,
 }
 
 ORACLE_SQL = {
@@ -632,6 +908,8 @@ ORACLE_SQL = {
     "mann_kendall": SQL_MANN_KENDALL,
     "matrix_profile": SQL_MATRIX_PROFILE,
     "haar_energy": SQL_HAAR_ENERGY,
+    "good_turing": SQL_GOOD_TURING,
+    "heaps_law": SQL_HEAPS_LAW,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
