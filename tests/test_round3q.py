@@ -868,3 +868,56 @@ def test_heaps_bucket_assignment_matches_sql_least():
     ray_b = np.minimum(q - 1, ids * q // span)
     sql_b = np.array([min(q - 1, int(i) * q // span) for i in ids])
     assert (ray_b == sql_b).all() and ray_b.max() == q - 1 and ray_b[0] == 0
+
+
+def test_kendall_w_doubled_rank_identity_equals_textbook():
+    # W = 3*S4 / (m^2(n^3-n) - m*sum T')  with doubled ranks equals
+    # the textbook tie-corrected W over average ranks
+    rng = random.Random(157)
+    n, m = 120, 3
+    cols = [[rng.randint(0, 15) for _ in range(n)] for _ in range(m)]
+
+    def avg_ranks(vs):
+        order = sorted(range(n), key=lambda i: vs[i])
+        ranks = [0.0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vs[order[j]] == vs[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2  # average of ranks i+1..j
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    # textbook: S over average-rank sums, tie term sum(t^3 - t)
+    ar = [avg_ranks(c) for c in cols]
+    R = [sum(ar[j][i] for j in range(m)) for i in range(n)]
+    Rbar = m * (n + 1) / 2
+    S = sum((r - Rbar) ** 2 for r in R)
+    t_sum = 0
+    for c in cols:
+        from collections import Counter
+
+        for t in Counter(c).values():
+            t_sum += t**3 - t
+    W_text = 12 * S / (m * m * (n**3 - n) - m * t_sum)
+
+    # doubled-rank integer chain (the q_kendall_w computation)
+    def dranks(vs):
+        from collections import Counter
+
+        cnt = Counter(vs)
+        out, cum = {}, 0
+        for v in sorted(cnt):
+            out[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        return out
+
+    dms = [dranks(c) for c in cols]
+    R2 = [sum(dms[j][cols[j][i]] for j in range(m)) for i in range(n)]
+    S4 = sum((r2 - m * (n + 1)) ** 2 for r2 in R2)
+    W_int = Fraction(3 * S4, m * m * (n**3 - n) - m * t_sum)
+    assert math.isclose(float(W_int), W_text, rel_tol=1e-12)
+    assert 0 <= W_int <= 1

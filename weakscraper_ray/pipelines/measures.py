@@ -27,6 +27,12 @@ measures, each exact-integer until one mirrored read-out.
                     over 16 doc-id-order checkpoints via the shared
                     quantized-log OLS — the "has the vocabulary
                     saturated?" corpus-scaling audit.
+- ``kendall_w``     Kendall & Babington Smith (1939) coefficient of
+                    concordance treating three per-document metrics
+                    as m = 3 raters — tie-corrected W as a pure
+                    integer rational via doubled average ranks; the
+                    "do my quality signals agree on an ordering?" /
+                    judge-ensemble consistency audit.
 
 Exactness strategy (the repo's census convention): every input is a
 bounded census — vocabulary counts (Heaps-law bound), a ≤ 50×11 value
@@ -854,6 +860,168 @@ def _sq_e6(v: float) -> int:
     return int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
 
 
+# =====================================================================
+# kendall_w — coefficient of concordance across 3 document metrics
+# =====================================================================
+
+
+def q_kendall_w(sf_dir: str):
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939) treating three per-document size/diversity metrics —
+    token count, n_chars, distinct-word count — as m = 3 raters
+    ranking all n documents: the "do my quality signals even agree on
+    an ordering?" audit run before any rank-fused curation filter
+    (and the multi-judge consistency read-out of an LLM-judge
+    ensemble).  Tie-corrected:
+
+        W = 12·S / (m²(n³−n) − m·ΣTⱼ),   Tⱼ = Σ(t³−t) over rater
+                                          j's tie groups
+
+    Doubled average ranks (the ``spearman_rho`` device) keep every
+    quantity an exact bigint: with R2ᵢ = Σⱼ 2·avgrankⱼ(i) and
+    S4 = Σᵢ (R2ᵢ − m(n+1))² = 4S, W = 3·S4 / (m²(n³−n) − m·ΣTⱼ) is a
+    PURE integer rational, read out with the shared half-away e6 rule.
+
+    Shape: pass 1 folds three per-metric value censuses on the driver
+    (domains bounded by max document LENGTH — the ``kendall_tau``
+    bounded-grid argument, never corpus-sized) and turns them into
+    doubled-rank maps + tie sums; pass 2 broadcasts the three maps
+    (``ray.put`` once) and streams one ``map_batches`` emitting a
+    single decimal128 S4 partial per batch (per-doc squares overflow
+    int64 at web scale — the ``cuped_adjust`` precedent), folded
+    driver-side as Python bigints bounded by #batches.  Zero keyed
+    exchange.  Output: one row ``(n, s4, t_sum, w_e6)``."""
+    import ray
+
+    from .curation import _explode_tokens
+
+    m_raters = 3
+
+    def _doc_metrics(batch: pa.Table) -> tuple[np.ndarray, ...]:
+        rows, toks = _explode_tokens(batch)
+        nb = batch.num_rows
+        m1 = np.bincount(rows, minlength=nb)
+        dd = pd.DataFrame({"r": rows, "w": toks}).drop_duplicates()
+        m3 = np.bincount(dd["r"].to_numpy(), minlength=nb)
+        m2 = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return m1.astype(np.int64), m2.astype(np.int64), m3.astype(np.int64)
+
+    def _census_partial(batch: pa.Table) -> pa.Table:
+        ms = _doc_metrics(batch)
+        out = {"j": [], "v": [], "c": []}
+        for j, m in enumerate(ms):
+            vals, cnt = np.unique(m, return_counts=True)
+            out["j"].extend([j] * len(vals))
+            out["v"].extend(vals.tolist())
+            out["c"].extend(cnt.tolist())
+        return pa.table(
+            {
+                "j": pa.array(out["j"], pa.int64()),
+                "v": pa.array(out["v"], pa.int64()),
+                "c": pa.array(out["c"], pa.int64()),
+            }
+        )
+
+    cens: list[dict[int, int]] = [{} for _ in range(m_raters)]
+    for t in (
+        _read(sf_dir, "documents", ["text", "n_chars"])
+        .map_batches(_census_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for j, v, c in zip(
+            t.column("j").to_pylist(),
+            t.column("v").to_pylist(),
+            t.column("c").to_pylist(),
+        ):
+            cens[j][v] = cens[j].get(v, 0) + c
+
+    n = sum(cens[0].values())
+    # doubled-rank maps (2·avgrank = 2·#below + #equal + 1) + tie sums
+    rank_maps, t_sum = [], 0
+    for j in range(m_raters):
+        vals = np.array(sorted(cens[j]), dtype=np.int64)
+        cnts = np.array([cens[j][int(v)] for v in vals], dtype=object)
+        below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        dr = 2 * below + cnts + 1
+        rank_maps.append((vals, dr.astype(np.int64)))
+        t_sum += int(sum(int(c) ** 3 - int(c) for c in cnts))
+    maps_ref = ray.put(rank_maps)
+    center = m_raters * (n + 1)
+
+    def _s4_partial(batch: pa.Table) -> pa.Table:
+        maps = ray.get(maps_ref)
+        ms = _doc_metrics(batch)
+        r2 = np.zeros(batch.num_rows, dtype=np.int64)
+        for (vals, dr), m in zip(maps, ms):
+            r2 += dr[np.searchsorted(vals, m)]
+        dev = r2.astype(object) - center
+        s4 = int((dev * dev).sum())
+        import decimal
+
+        return pa.table(
+            {"s4": pa.array([decimal.Decimal(s4)], pa.decimal128(38, 0))}
+        )
+
+    s4 = 0
+    for t in (
+        _read(sf_dir, "documents", ["text", "n_chars"])
+        .map_batches(_s4_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        s4 += sum(int(v) for v in t.column("s4").to_pylist())
+
+    den = m_raters * m_raters * (n**3 - n) - m_raters * t_sum
+    w_e6 = _ols_e6(3 * s4, den)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "s4": pa.array([s4], pa.int64()),
+            "t_sum": pa.array([t_sum], pa.int64()),
+            "w_e6": pa.array([w_e6], pa.int64()),
+        }
+    )
+
+
+SQL_KENDALL_W = r"""
+WITH m AS (
+  SELECT doc_id,
+         coalesce(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> w <> '')), 0) AS m1,
+         n_chars AS m2,
+         coalesce(len(list_distinct(
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> ''))), 0) AS m3
+  FROM documents),
+c1 AS (SELECT m1 AS v, cast(count(*) AS BIGINT) AS c FROM m GROUP BY 1),
+c2 AS (SELECT m2 AS v, cast(count(*) AS BIGINT) AS c FROM m GROUP BY 1),
+c3 AS (SELECT m3 AS v, cast(count(*) AS BIGINT) AS c FROM m GROUP BY 1),
+k1 AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS dr FROM c1),
+k2 AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS dr FROM c2),
+k3 AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS dr FROM c3),
+nn AS (SELECT cast(count(*) AS BIGINT) AS n FROM m),
+r AS (SELECT m.doc_id,
+             k1.dr + k2.dr + k3.dr AS r2
+      FROM m JOIN k1 ON k1.v = m.m1 JOIN k2 ON k2.v = m.m2
+             JOIN k3 ON k3.v = m.m3),
+s AS (SELECT cast(sum(cast((r.r2 - 3 * (nn.n + 1)) AS HUGEINT)
+                     * cast((r.r2 - 3 * (nn.n + 1)) AS HUGEINT))
+              AS HUGEINT) AS s4
+      FROM r, nn),
+tt AS (SELECT (SELECT sum(c*c*c - c) FROM c1)
+            + (SELECT sum(c*c*c - c) FROM c2)
+            + (SELECT sum(c*c*c - c) FROM c3) AS t_sum)
+SELECT nn.n,
+       cast(s.s4 AS BIGINT) AS s4,
+       cast(tt.t_sum AS BIGINT) AS t_sum,
+       cast((2000000 * (3 * s.s4)
+             + (9 * (cast(nn.n AS HUGEINT) * nn.n * nn.n - nn.n)
+                - 3 * tt.t_sum))
+            // (2 * (9 * (cast(nn.n AS HUGEINT) * nn.n * nn.n - nn.n)
+                     - 3 * tt.t_sum)) AS BIGINT) AS w_e6
+FROM nn, s, tt
+"""
+
+
 SQL_HEAPS_LAW = rf"""
 WITH d AS (SELECT cast(count(*) AS BIGINT) AS ndocs,
                   cast(max(doc_id) AS BIGINT) + 1 AS span
@@ -899,6 +1067,7 @@ QUERIES = {
     "haar_energy": q_haar_energy,
     "good_turing": q_good_turing,
     "heaps_law": q_heaps_law,
+    "kendall_w": q_kendall_w,
 }
 
 ORACLE_SQL = {
@@ -910,6 +1079,7 @@ ORACLE_SQL = {
     "haar_energy": SQL_HAAR_ENERGY,
     "good_turing": SQL_GOOD_TURING,
     "heaps_law": SQL_HEAPS_LAW,
+    "kendall_w": SQL_KENDALL_W,
 }
 
 # self-register (same pattern and import-cycle note as analytics.py)
