@@ -139,7 +139,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "gumbel_moments", "moran_i", "logrank_test", "forecast_eval",
         "xcorr_daily", "effective_dim", "mmd_embeddings",
         "cuped_adjust", "mantel_haenszel", "fleiss_kappa",
-        "good_turing", "heaps_law", "kendall_w",
+        "good_turing", "heaps_law", "kendall_w", "ansari_bradley",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -921,3 +921,44 @@ def test_kendall_w_doubled_rank_identity_equals_textbook():
     W_int = Fraction(3 * S4, m * m * (n**3 - n) - m * t_sum)
     assert math.isclose(float(W_int), W_text, rel_tol=1e-12)
     assert 0 <= W_int <= 1
+
+
+def test_ansari_bradley_doubled_scores_and_z_match_textbook():
+    # doubled folded scores s' = min(r', 2(N+1)-r') are exactly twice
+    # the textbook AB scores min(avgrank, N+1-avgrank), and the
+    # doubled-score z chain equals the single-rank z (doubling cancels)
+    rng = random.Random(163)
+    pooled_vals = [rng.randint(0, 12) for _ in range(150)]
+    labels = [rng.random() < 0.4 for _ in range(150)]  # True = group A
+    from collections import Counter
+
+    cnt = Counter(pooled_vals)
+    n = len(pooled_vals)
+    # doubled mid-ranks
+    dr, cum = {}, 0
+    for v in sorted(cnt):
+        dr[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    # textbook average ranks + scores
+    ar = {v: dr[v] / 2 for v in dr}
+    for v in cnt:
+        assert min(dr[v], 2 * (n + 1) - dr[v]) == 2 * min(ar[v], n + 1 - ar[v])
+    s2 = {v: min(dr[v], 2 * (n + 1) - dr[v]) for v in cnt}
+    sA = {v: sum(1 for x, a in zip(pooled_vals, labels) if a and x == v)
+          for v in cnt}
+    m = sum(sA.values())
+    w2 = sum(sA[v] * s2[v] for v in cnt)
+    t1 = sum(cnt[v] * s2[v] for v in cnt)
+    t2 = sum(cnt[v] * s2[v] ** 2 for v in cnt)
+    z2 = (n * w2 - m * t1) / math.sqrt(
+        m * (n - m) * (n * t2 - t1 * t1) / (n - 1)
+    )
+    # single-rank textbook chain
+    s1 = {v: min(ar[v], n + 1 - ar[v]) for v in cnt}
+    w1 = sum(sA[v] * s1[v] for v in cnt)
+    u1 = sum(cnt[v] * s1[v] for v in cnt)
+    u2 = sum(cnt[v] * s1[v] ** 2 for v in cnt)
+    z1 = (n * w1 - m * u1) / math.sqrt(
+        m * (n - m) * (n * u2 - u1 * u1) / (n - 1)
+    )
+    assert math.isclose(z1, z2, rel_tol=1e-12)

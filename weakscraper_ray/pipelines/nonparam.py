@@ -523,6 +523,96 @@ def q_mood_scale(sf_dir: str):
     )
 
 
+def q_ansari_bradley(sf_dir: str):
+    """Ansari–Bradley scale test (Ansari & Bradley 1960) on the same
+    A-flag vs R-flag l_quantity framing as ``mood_scale`` — the OTHER
+    classical rank dispersion test (linear folded scores
+    min(rank, N+1−rank) vs Mood's squared deviations), with a
+    different sensitivity profile near the center of the pooled
+    sample; shipping both mirrors the standard stats-package pairing
+    (scipy has ``ansari`` and ``mood`` side by side).
+
+    Tie-exact via doubled mid-ranks r′ (the ``mood_scale`` device):
+    doubled scores s′ = min(r′, 2(N+1) − r′) are exact ints, and
+    with W2 = Σ_A s′, T1 = Σ_all s′, T2 = Σ_all s′² the exact
+    finite-population H0 moments give the ONE mirrored chain
+
+        z = (N·W2 − m·T1) / √(m·n·(N·T2 − T1²)/(N−1))
+
+    (the doubling cancels identically between numerator and √Var, so
+    z equals the single-rank form).  Output: one row
+    ``(n_a, n_r, w2_stat, z_e6)``.  Zero keyed exchange — the same
+    shared census fold as mood_scale/anova_f."""
+    from .measures import _rank2
+
+    cells = _flag_qty_census(sf_dir)
+    ga: dict[int, int] = {}
+    pooled: dict[int, int] = {}
+    for (f, x), m in cells.items():
+        if f == "A":
+            ga[x] = ga.get(x, 0) + m
+        if f in ("A", "R"):
+            pooled[x] = pooled.get(x, 0) + m
+    r2 = _rank2(pooled)
+    nt = sum(pooled.values())
+    m_a = sum(ga.values())
+    n_r = nt - m_a
+
+    def s2(v: int) -> int:
+        return min(r2[v], 2 * (nt + 1) - r2[v])
+
+    w2 = sum(c * s2(v) for v, c in ga.items())
+    t1 = sum(c * s2(v) for v, c in pooled.items())
+    t2 = sum(c * s2(v) ** 2 for v, c in pooled.items())
+    num = nt * w2 - m_a * t1
+    # fixed-order chain mirrored op-for-op in SQL_ANSARI_BRADLEY
+    z = float(num) / math.sqrt(
+        float(m_a) * float(n_r) * float(nt * t2 - t1 * t1) / float(nt - 1)
+    )
+    return pa.table(
+        {
+            "n_a": pa.array([m_a], pa.int64()),
+            "n_r": pa.array([n_r], pa.int64()),
+            "w2_stat": pa.array([w2], pa.int64()),
+            "z_e6": pa.array([_e6_signed(z)], pa.int64()),
+        }
+    )
+
+
+SQL_ANSARI_BRADLEY = """
+WITH c AS (
+  SELECT l_returnflag AS f, cast(round(l_quantity) AS BIGINT) AS x,
+         cast(count(*) AS BIGINT) AS m
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+marg AS (SELECT x, cast(sum(m) AS BIGINT) AS mm FROM c GROUP BY x),
+nn AS (SELECT cast(sum(mm) AS BIGINT) AS nt FROM marg),
+rk AS (SELECT x,
+              2 * (cast(sum(mm) OVER (ORDER BY x) AS BIGINT) - mm) + mm + 1
+                AS r2,
+              mm
+       FROM marg),
+sc AS (SELECT rk.x, rk.mm,
+              cast(least(rk.r2, 2 * (nn.nt + 1) - rk.r2) AS HUGEINT) AS s2
+       FROM rk, nn),
+tots AS (SELECT cast(sum(mm * s2) AS HUGEINT) AS t1,
+                cast(sum(mm * s2 * s2) AS HUGEINT) AS t2
+         FROM sc),
+w AS (SELECT cast(sum(c.m * sc.s2) AS HUGEINT) AS w2,
+             cast(sum(c.m) AS BIGINT) AS ma
+      FROM c JOIN sc ON sc.x = c.x WHERE c.f = 'A'),
+z AS (SELECT w.ma, nn.nt - w.ma AS nr, w.w2,
+             (nn.nt * w.w2 - w.ma * tots.t1)::DOUBLE
+               / sqrt(w.ma::DOUBLE * (nn.nt - w.ma)::DOUBLE
+                      * (nn.nt * tots.t2 - tots.t1 * tots.t1)::DOUBLE
+                      / (nn.nt - 1)::DOUBLE) AS zz
+      FROM w, nn, tots)
+SELECT ma AS n_a, cast(nr AS BIGINT) AS n_r, cast(w2 AS BIGINT) AS w2_stat,
+       cast(CASE WHEN zz >= 0 THEN floor(abs(zz) * 1e6 + 0.5)
+                 ELSE -floor(abs(zz) * 1e6 + 0.5) END AS BIGINT) AS z_e6
+FROM z
+"""
+
+
 SQL_MOOD_SCALE = """
 WITH c AS (
   SELECT l_returnflag AS f, cast(round(l_quantity) AS BIGINT) AS x,
@@ -806,6 +896,7 @@ QUERIES = {
     "cochran_q": q_cochran_q,
     "hodges_lehmann": q_hodges_lehmann,
     "mood_scale": q_mood_scale,
+    "ansari_bradley": q_ansari_bradley,
     "hurst_rs": q_hurst_rs,
     "sample_entropy": q_sample_entropy,
 }
@@ -816,6 +907,7 @@ ORACLE_SQL = {
     "cochran_q": SQL_COCHRAN_Q,
     "hodges_lehmann": SQL_HODGES_LEHMANN,
     "mood_scale": SQL_MOOD_SCALE,
+    "ansari_bradley": SQL_ANSARI_BRADLEY,
     "hurst_rs": SQL_HURST,
     "sample_entropy": SQL_SAMPLE_ENTROPY,
 }
