@@ -3345,3 +3345,8 @@ from . import nonparam as _nonparam  # noqa: E402,F401
 # round-4 transcript conversation-hygiene family (response latency,
 # assistant/user char ratio, context-budget truncation statistics).
 from . import transcript_ops as _transcript_ops  # noqa: E402,F401
+
+# round-4 classic warehouse shapes (Q14 promo share via broadcast dim
+# classifier, Q10 returned-revenue top-k join, month-over-month churn
+# via per-user month bitmask folds).
+from . import tpch_ops as _tpch_ops  # noqa: E402,F401
