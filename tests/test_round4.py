@@ -243,3 +243,36 @@ def test_mulmod61_matches_python_ints():
     assert np.array_equal(
         _red61(x), np.array([int(v) % _STRUCT_M for v in x], np.uint64)
     )
+
+
+# ------------------------------------------------- ORC source parity
+
+def test_orc_source_equals_parquet_source(tmp_path, ray_session):
+    """The ORC transcripts source feeds the identical pipeline and
+    yields byte-identical extraction results to the parquet source
+    (fifth input format; ns→µs ts normalization inside the decode)."""
+    from weakscraper_ray.pipelines.extraction import (
+        extraction_pipeline,
+        parquet_dir_to_orc,
+        read_transcripts,
+        read_transcripts_orc,
+    )
+    from weakscraper_ray.transcripts import ensure_generated
+
+    src = ensure_generated("tiny")
+    odir = str(tmp_path / "orc")
+    n = parquet_dir_to_orc(src, odir)
+    assert n > 0
+
+    key = ["conv_id", "turn_idx"]
+    a = (
+        extraction_pipeline(read_transcripts(src), restore_ordering=False)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        extraction_pipeline(read_transcripts_orc(odir), restore_ordering=False)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    for col in ["conv_id", "turn_idx", "template_id", "status", "error_kind",
+                "extracted_text", "fields"]:
+        assert (a[col] == b[col]).all(), col

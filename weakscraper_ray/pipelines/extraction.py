@@ -238,6 +238,67 @@ def read_transcripts_feather(path: str, with_route: bool = True):
     return ds.map_batches(_decode, batch_format="pyarrow", batch_size=1)
 
 
+def read_transcripts_orc(path: str, with_route: bool = True):
+    """ORC transcripts source — fifth input format for the same
+    logical table (warehouse exports commonly land as ORC).  Ray Data
+    2.49 has no ORC reader, so this reuses the Feather custom-source
+    pattern: ``read_binary_files`` streams one shard per block and
+    ``pyarrow.orc`` decodes it inside ``map_batches`` with column
+    PRUNING pushed into the ORC reader (only the needed columns are
+    materialized from the stripes).  ORC stores timestamps at ns
+    grain, so ``ts`` is cast back to the canonical ``timestamp[us]``
+    — after that the table is bit-identical to the parquet source
+    (source-equivalence test)."""
+    configure_context()
+    import glob
+    import os
+
+    import pyarrow as pa
+    from pyarrow import orc as _orc
+
+    if os.path.isdir(path):
+        shards = sorted(glob.glob(os.path.join(path, "*.orc")))
+        paths: list[str] | str = shards if shards else path
+    else:
+        paths = path
+    cols = list(TRANSCRIPT_COLUMNS) + (["template_id"] if with_route else [])
+    ds = ray.data.read_binary_files(paths)
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        tables = []
+        for buf in batch.column("bytes").to_pylist():
+            f = _orc.ORCFile(pa.BufferReader(buf))
+            t = f.read(columns=[c for c in cols if c in f.schema.names])
+            if "ts" in t.column_names:
+                i = t.schema.get_field_index("ts")
+                t = t.set_column(
+                    i, "ts", t.column("ts").cast(pa.timestamp("us"))
+                )
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(_decode, batch_format="pyarrow", batch_size=1)
+
+
+def parquet_dir_to_orc(src_dir: str, out_dir: str) -> int:
+    """Utility: convert a generated transcripts dir to ORC shards
+    (test/demo helper for the ORC source; driver-side)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+    from pyarrow import orc as _orc
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for shard in sorted(glob.glob(os.path.join(src_dir, "part-*.parquet"))):
+        t = _pq.read_table(shard)
+        name = os.path.basename(shard).replace(".parquet", ".orc")
+        _orc.write_table(t, os.path.join(out_dir, name))
+        n += t.num_rows
+    return n
+
+
 def parquet_dir_to_feather(src_dir: str, out_dir: str) -> int:
     """Utility: convert a generated transcripts dir to Arrow-IPC
     shards (test/demo helper for the feather source; driver-side)."""
