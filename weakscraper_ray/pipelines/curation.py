@@ -2015,7 +2015,125 @@ FROM s
 """
 
 
+# =====================================================================
+# Temperature-scaled mixing plan (T5/PaLM α-sampling)
+# =====================================================================
+
+
+def q_temperature_mix(sf_dir: str):
+    """The data-MIXING PLAN multilingual/multi-source pretraining runs
+    before sampling (Raffel et al. 2020 §3.4.3 / PaLM α-sampling):
+    per-source sampling weight ∝ n_tokens^α with α = 1/2 (up-weights
+    small sources, tempers head sources), then an exact
+    largest-remainder integer allocation of a doc budget B = total
+    docs across sources, and the per-source epoch factor the trainer
+    consumes (base_epochs + remainder_docs docs seen once more).
+
+    Exactness: w = round(√n_tokens·1e6) — sqrt is correctly-rounded
+    IEEE on both engines, so the quantized weight is bit-identical;
+    from there everything is integer (B·w products in Python
+    bigints / HUGEINT; largest-remainder ties break on source name).
+
+    Shape: per-batch (source, docs, tokens) partials → one
+    source-bounded Sum exchange → a ≤|sources| driver fold (the
+    exchange discipline: the output IS dimension-sized).  Output
+    (source, n_docs, n_tokens, weight_e6, alloc_docs, base_epochs,
+    remainder_docs)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(t.column("text"), ""), r"\S+"
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(t.column("source").to_pandas(), sort=False)
+        nd = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        nt = np.zeros(len(uniq), np.int64)
+        np.add.at(nt, codes, toks)
+        return pa.table(
+            {
+                "source": pa.array(np.asarray(uniq), pa.string()),
+                "n_docs": pa.array(nd),
+                "n_tokens": pa.array(nt),
+            }
+        )
+
+    sums = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .to_pandas()  # bounded by the source dimension
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    nd = sums["n_docs"].to_numpy(np.int64)
+    nt = sums["n_tokens"].to_numpy(np.int64)
+    w = np.copysign(
+        np.floor(np.abs(np.sqrt(nt.astype(np.float64)) * 1e6) + 0.5), 1.0
+    ).astype(np.int64)
+    B = int(nd.sum())
+    W = int(w.sum())
+    fl = np.array([(B * int(wi)) // W for wi in w], np.int64)
+    rem = np.array([(B * int(wi)) % W for wi in w], np.int64)
+    D = B - int(fl.sum())
+    # largest remainder, ties by source name ascending (sums is
+    # already source-sorted, so a stable argsort on -rem suffices)
+    order = np.argsort(-rem, kind="stable")
+    bump = np.zeros(len(w), np.int64)
+    bump[order[:D]] = 1
+    alloc = fl + bump
+    return pa.table(
+        {
+            "source": pa.array(sums["source"].to_numpy(), pa.string()),
+            "n_docs": pa.array(nd),
+            "n_tokens": pa.array(nt),
+            "weight_e6": pa.array(w),
+            "alloc_docs": pa.array(alloc),
+            "base_epochs": pa.array(alloc // nd),
+            "remainder_docs": pa.array(alloc % nd),
+        }
+    )
+
+
+SQL_TEMPERATURE_MIX = r"""
+WITH s AS (
+  SELECT source,
+         cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (SELECT s.*, cast(round(sqrt(n_tokens) * 1000000, 0) AS BIGINT)
+                AS weight_e6 FROM s),
+t AS (SELECT cast(sum(weight_e6) AS HUGEINT) AS W,
+             cast(sum(n_docs) AS HUGEINT) AS B FROM w),
+f AS (SELECT w.*,
+             cast((t.B * w.weight_e6) // t.W AS BIGINT) AS fl,
+             cast((t.B * w.weight_e6) % t.W AS BIGINT) AS rem
+      FROM w, t),
+d AS (SELECT cast((SELECT B FROM t) - sum(fl) AS BIGINT) AS D FROM f),
+r AS (SELECT f.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM f)
+SELECT source, n_docs, n_tokens, weight_e6,
+       cast(fl + CASE WHEN rk <= (SELECT D FROM d) THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_docs,
+       cast((fl + CASE WHEN rk <= (SELECT D FROM d) THEN 1 ELSE 0 END)
+            // n_docs AS BIGINT) AS base_epochs,
+       cast((fl + CASE WHEN rk <= (SELECT D FROM d) THEN 1 ELSE 0 END)
+            % n_docs AS BIGINT) AS remainder_docs
+FROM r
+"""
+
+
 QUERIES = {
+    "temperature_mix": q_temperature_mix,
     "textrank_terms": q_textrank_terms,
     "mlm_mask": q_mlm_mask,
     "dedup_conv_structure": q_dedup_conv_structure,
@@ -2045,6 +2163,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "mlm_mask": SQL_MLM_MASK,
     "fertility_by_lang": SQL_FERTILITY,
     "pii_scrub": SQL_PII_SCRUB,
