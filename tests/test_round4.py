@@ -276,3 +276,38 @@ def test_orc_source_equals_parquet_source(tmp_path, ray_session):
     for col in ["conv_id", "turn_idx", "template_id", "status", "error_kind",
                 "extracted_text", "fields"]:
         assert (a[col] == b[col]).all(), col
+
+
+def test_orc_sink_roundtrip_and_manifests(ray_session, tmp_path):
+    """fmt='orc' sink: atomic parts + manifests identical in shape to
+    the parquet sink; content round-trips through pyarrow.orc
+    (per-turn extracted_text equality vs the dataset itself)."""
+    import glob
+    import os
+
+    import pandas as pd
+    from pyarrow import orc as _orc
+
+    from weakscraper_ray.pipelines import run_flagship
+    from weakscraper_ray.sources.checkpoint import write_partitioned
+    from weakscraper_ray.transcripts import ensure_generated
+
+    ds = run_flagship(
+        ensure_generated("tiny"), concurrency=2, batch_size=64,
+        restore_ordering=False,
+    )
+    out = str(tmp_path / "orc_sink")
+    mf = write_partitioned(ds, out, n_shards=4, fmt="orc")
+    assert len(mf) == 4
+    parts = sorted(glob.glob(os.path.join(out, "part=*", "data.orc")))
+    assert len(parts) == 4
+    back = pd.concat([_orc.read_table(p).to_pandas() for p in parts])
+    src = ds.to_pandas()
+    assert len(back) == len(src) == mf.rows.sum()
+    key = ["conv_id", "turn_idx"]
+    a = back.sort_values(key).reset_index(drop=True)
+    b = src.sort_values(key).reset_index(drop=True)
+    assert a.extracted_text.fillna("").tolist() == b.extracted_text.fillna("").tolist()
+    # resume: a second write over the same dir is a no-op (all committed)
+    mf2 = write_partitioned(ds, out, n_shards=4, fmt="orc")
+    assert len(mf2) == 0

@@ -2,7 +2,7 @@
 Parquet directory.
 
     python -m weakscraper_ray extract --input DIR --out DIR \
-        [--format parquet|jsonl|csv] [--out-format parquet|jsonl|csv] \
+        [--format parquet|jsonl|csv|orc] [--out-format parquet|jsonl|csv|orc] \
         [--templates-dir DIR] [--learn] \
         [--heuristic] [--no-resume] [--num-cpus N] [--shards N]
 
@@ -24,11 +24,11 @@ def main(argv: list[str] | None = None) -> int:
 
     ex = sub.add_parser("extract", help="template extraction over transcripts parquet")
     ex.add_argument("--input", required=True, help="transcripts parquet dir/file")
-    ex.add_argument("--format", choices=["parquet", "jsonl", "csv"],
+    ex.add_argument("--format", choices=["parquet", "jsonl", "csv", "orc"],
                     default="parquet",
                     help="input format (all normalize to one schema)")
     ex.add_argument("--out", required=True, help="checkpointed output dir")
-    ex.add_argument("--out-format", choices=["parquet", "jsonl", "csv"],
+    ex.add_argument("--out-format", choices=["parquet", "jsonl", "csv", "orc"],
                     default="parquet",
                     help="partition file format (manifests/resume identical)")
     ex.add_argument("--templates-dir", help="dir of <name>.html wp-* templates")
@@ -129,6 +129,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.format == "csv":
             def _read_input(path):
                 return read_transcripts_csv(path)
+        elif args.format == "orc":
+            def _read_input(path):
+                from .pipelines.extraction import read_transcripts_orc
+
+                return read_transcripts_orc(path)
         else:
             def _read_input(path):
                 return read_transcripts(path, include_paths=not args.no_lineage)

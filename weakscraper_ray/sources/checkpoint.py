@@ -122,12 +122,14 @@ def _write_one_partition(group: pa.Table, out_dir: str,
     nested columns like ``spans`` survive intact) — writes one
     partition atomically and returns its manifest row.
 
-    ``fmt="jsonl"`` emits newline-delimited JSON parts and
+    ``fmt="jsonl"`` emits newline-delimited JSON parts,
     ``fmt="csv"`` RFC-4180 CSV parts (quoted fields survive embedded
     newlines/quotes in extracted HTML text — round-trip tested against
-    the CSV source) instead of parquet, completing the source/sink
-    format matrix. Manifests, atomicity and resume are format-agnostic
-    — the committed set is keyed on manifest files."""
+    the CSV source) and ``fmt="orc"`` ORC parts (columnar warehouse
+    export; nested columns survive like parquet) instead of parquet,
+    completing the source/sink format matrix. Manifests, atomicity and
+    resume are format-agnostic — the committed set is keyed on
+    manifest files."""
     shard = int(group.column("shard")[0].as_py())
     pdir = os.path.join(out_dir, f"part={shard}")
     os.makedirs(pdir, exist_ok=True)
@@ -144,11 +146,15 @@ def _write_one_partition(group: pa.Table, out_dir: str,
         [("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
 
-    ext = fmt if fmt in ("parquet", "csv") else "jsonl"
+    ext = fmt if fmt in ("parquet", "csv", "orc") else "jsonl"
     tmp = os.path.join(pdir, f".data.{ext}.tmp")
     final = os.path.join(pdir, f"data.{ext}")
     if fmt == "parquet":
         pq.write_table(data, tmp)
+    elif fmt == "orc":
+        from pyarrow import orc as _orc
+
+        _orc.write_table(data, tmp)
     elif fmt == "csv":
         import pyarrow.csv as pacsv
 
