@@ -264,6 +264,62 @@ def heuristic_twin(size: str = "small", version: str = "v1") -> str:
     return _cached(f"heuristic-{size}", version, build)
 
 
+AGREEMENT_SCHEMA = pa.schema(
+    [
+        ("template_id", pa.int64()),
+        ("n_turns", pa.int64()),
+        ("n_equal", pa.int64()),
+        ("n_contained", pa.int64()),
+        ("template_chars", pa.int64()),
+        ("heuristic_chars", pa.int64()),
+    ]
+)
+
+
+def extract_agreement_twin(size: str = "small", version: str = "v1") -> str:
+    """Per-template agreement between the TEMPLATE extraction and the
+    text-density HEURISTIC on the turns where the routed template
+    matches: the audit that says how much the fallback would lose
+    before you trust it on unroutable pages.  Single-threaded plain
+    loop (no Ray, no batching) — the Ray path must reproduce it
+    through the actor pool + partial-aggregate exchange."""
+
+    def build() -> pa.Table:
+        from .exceptions import TemplateMismatch
+        from .heuristic import extract_main_content
+        from .template import Template
+        from .transcripts import TEMPLATES
+
+        compiled = [Template(t) for t in TEMPLATES]
+        agg: dict[int, list[int]] = {}
+        for r in _read_transcript_rows(size).to_pylist():
+            tid = int(r["template_id"])
+            text = r["text"]
+            if tid < 0 or not _is_html(text):
+                continue
+            try:
+                m = compiled[tid].match(text)
+            except TemplateMismatch:
+                continue  # only matched turns are comparable
+            t_text = m.extracted_text
+            h_text, _ = extract_main_content(text)
+            a = agg.setdefault(tid, [0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += int(t_text == h_text)
+            a[2] += int(t_text in h_text)
+            a[3] += len(t_text)
+            a[4] += len(h_text)
+        rows = [
+            dict(template_id=tid, n_turns=v[0], n_equal=v[1],
+                 n_contained=v[2], template_chars=v[3],
+                 heuristic_chars=v[4])
+            for tid, v in sorted(agg.items())
+        ]
+        return pa.Table.from_pylist(rows, schema=AGREEMENT_SCHEMA)
+
+    return _cached(f"agreement-{size}", version, build)
+
+
 # ------------------------------------------------- rolling fingerprint twin
 
 def _rolling_ref(data: bytes, window: int, base: int) -> int:

@@ -2718,6 +2718,9 @@ GROUP BY conv_id
     out["heuristic_extract"] = (
         f"SELECT * FROM read_parquet('{oracles.heuristic_twin(size)}')"
     )
+    out["extract_agreement"] = (
+        f"SELECT * FROM read_parquet('{oracles.extract_agreement_twin(size)}')"
+    )
     out["rolling_fingerprint"] = (
         f"SELECT * FROM read_parquet('{oracles.rolling_twin(sf_dir)}')"
     )
@@ -3087,6 +3090,85 @@ def q_heuristic_extract(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_extract_agreement(sf_dir: str):
+    """Template-vs-heuristic extraction AGREEMENT per template: on the
+    turns where the routed template matches, run the text-density
+    heuristic on the same raw HTML and roll up, per template,
+    (n_turns, n_equal, n_contained, template_chars, heuristic_chars) —
+    the audit a curation team runs before trusting the heuristic
+    fallback on unroutable pages (if containment is low the fallback
+    is LOSING template-extracted content, not just adding noise).
+
+    Shape: the flagship actor-pool extract keeps the raw text column
+    (keep_text), a second map-only stage computes the heuristic twin
+    per matched turn and reduces each batch to ≤|templates| partial
+    rows, one template-bounded Sum exchange closes it — the raw HTML
+    never shuffles."""
+    from ray.data.aggregate import Sum
+
+    from ..transcripts import ensure_generated
+    from .extraction import extraction_pipeline, read_transcripts
+
+    input_dir = ensure_generated(_size_for(sf_dir))
+    out = extraction_pipeline(
+        read_transcripts(input_dir),
+        restore_ordering=False,
+        keep_text=True,
+    )
+
+    def _agree(t: pa.Table) -> pa.Table:
+        from ..heuristic import extract_main_content
+
+        t = t.filter(
+            pc.and_(
+                pc.equal(t.column("status"), "ok"),
+                pc.greater_equal(t.column("template_id"), 0),
+            )
+        )
+        tids = t.column("template_id").to_pylist()
+        t_texts = t.column("extracted_text").to_pylist()
+        raws = t.column("text").to_pylist()
+        agg: dict[int, list[int]] = {}
+        for tid, tt, raw in zip(tids, t_texts, raws):
+            ht, _ = extract_main_content(raw)
+            a = agg.setdefault(int(tid), [0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += int(tt == ht)
+            a[2] += int(tt in ht)
+            a[3] += len(tt)
+            a[4] += len(ht)
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "template_id": pa.array(ks, pa.int64()),
+                "n_turns": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "n_equal": pa.array([agg[k][1] for k in ks], pa.int64()),
+                "n_contained": pa.array([agg[k][2] for k in ks], pa.int64()),
+                "template_chars": pa.array(
+                    [agg[k][3] for k in ks], pa.int64()
+                ),
+                "heuristic_chars": pa.array(
+                    [agg[k][4] for k in ks], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        out.map_batches(_agree, batch_format="pyarrow")
+        .groupby("template_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_equal", alias_name="n_equal"),
+            Sum("n_contained", alias_name="n_contained"),
+            Sum("template_chars", alias_name="template_chars"),
+            Sum("heuristic_chars", alias_name="heuristic_chars"),
+        )
+    )
+
+
+QUERIES["extract_agreement"] = q_extract_agreement
 
 
 def q_pdf_layout(sf_dir: str):
