@@ -237,8 +237,15 @@ def q_returned_revenue(sf_dir: str):
         .take_all()  # bounded: exactly top-k rows
     )
 
-    cust = pq.read_table(_p(sf_dir, "customer"),
-                         columns=["c_custkey", "c_name", "c_nationkey"])
+    # dim attach for exactly the top-k ids: the predicate pushes into
+    # the parquet scan (row-group pruning — "prune at the read"), so
+    # the driver never holds the customer dimension, only ≤k rows
+    topkeys = [int(r["c_custkey"]) for r in top]
+    cust = pq.read_table(
+        _p(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", topkeys)],
+    )
     nat = pq.read_table(_p(sf_dir, "nation"),
                         columns=["n_nationkey", "n_name"])
     cname = dict(zip(cust.column("c_custkey").to_pylist(),
