@@ -1368,6 +1368,77 @@ FROM r
 """
 
 
+def q_readability(sf_dir: str):
+    """Classic readability scores per document — the quality-filter
+    signal beside ``quality_score``: Flesch–Kincaid grade (0.39·w/s +
+    11.8·syl/w − 15.59) and LIX (w/s + 100·long/w), both released as
+    EXACT integer rationals over pure regex counts (sentences =
+    ``[.!?]+`` runs, syllables = vowel-group approximation
+    ``[aeiouy]+``, long words = ``\\S{7,}``; both engines run RE2, so
+    the counts are identical).  Negative grades truncate toward zero
+    on both sides (the inequality.py ``sign·(abs//)`` rule).  Map-only
+    and fully vectorized — zero exchange."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _batch(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        low = pc.utf8_lower(txt)
+
+        def cnt(col, pat):
+            return pc.cast(
+                pc.count_substring_regex(col, pat), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+
+        w = cnt(txt, r"\S+")
+        s = np.maximum(cnt(txt, r"[.!?]+"), 1)
+        y = cnt(low, r"[aeiouy]+")
+        lw = cnt(txt, r"\S{7,}")
+        w1 = np.maximum(w, 1)
+        fk_num = 10**6 * (39 * w * w1 + 1180 * y * s - 1559 * s * w1)
+        fk_den = 100 * s * w1
+        fk = np.sign(fk_num) * (np.abs(fk_num) // fk_den)
+        lix = (10**6 * (w * w1 + 100 * lw * s)) // (s * w1)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_words": pa.array(w),
+                "n_sentences": pa.array(s),
+                "n_syllables": pa.array(y),
+                "n_longwords": pa.array(lw),
+                "fk_e6": pa.array(fk.astype(np.int64)),
+                "lix_e6": pa.array(lix.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+SQL_READABILITY = r"""
+WITH c AS (
+  SELECT doc_id,
+         cast(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+              AS BIGINT) AS w,
+         cast(greatest(len(regexp_extract_all(coalesce(text, ''),
+                                              '[.!?]+')), 1)
+              AS BIGINT) AS s,
+         cast(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[aeiouy]+')) AS BIGINT) AS y,
+         cast(len(regexp_extract_all(coalesce(text, ''), '\S{7,}'))
+              AS BIGINT) AS lw
+  FROM documents
+), r AS (SELECT *, greatest(w, 1) AS w1 FROM c),
+n AS (SELECT *,
+             1000000 * (39*w*w1 + 1180*y*s - 1559*s*w1) AS fk_num,
+             100 * s * w1 AS fk_den
+      FROM r)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       lw AS n_longwords,
+       cast(CASE WHEN fk_num < 0 THEN -((-fk_num) // fk_den)
+                 ELSE fk_num // fk_den END AS BIGINT) AS fk_e6,
+       cast((1000000 * (w*w1 + 100*lw*s)) // (s*w1) AS BIGINT) AS lix_e6
+FROM n
+"""
+
 def q_rolling_fingerprint(sf_dir: str):
     from ..functions.text import rolling_fingerprint_batch
 
@@ -2612,6 +2683,7 @@ QUERIES = {
     "embedding_neardup_clusters": q_embedding_neardup_clusters,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
+    "readability": q_readability,
     "rolling_fingerprint": q_rolling_fingerprint,
     "extract_transcripts": q_extract_transcripts,
     "training_prep": q_training_prep,
@@ -2641,6 +2713,7 @@ ORACLE_SQL = {
     "distinct_users_by_type": SQL_DISTINCT_USERS,
     "left_join": SQL_LEFT_JOIN,
     "token_count": SQL_TOKEN_COUNT,
+    "readability": SQL_READABILITY,
     "fingerprint": SQL_FINGERPRINT,
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
