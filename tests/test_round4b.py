@@ -96,3 +96,52 @@ def test_mulmod61_property(pairs):
         [(int(a) * int(b)) % _STRUCT_M for a, b in pairs], np.uint64
     )
     assert np.array_equal(got, want)
+
+
+def test_extract_pipeline_survives_worker_kill(ray_session, tmp_path):
+    """Chaos probe: one extract-stage worker process dies mid-run
+    (os._exit — the OOM-kill / node-loss shape). With the flagship's
+    max_restarts/max_task_retries settings the pipeline must complete
+    with the full row count and correct per-turn results; with Ray
+    defaults this HANGS (measured), which is why the settings are
+    load-bearing at 10^12-turn scale."""
+    import os
+
+    import pyarrow as pa
+
+    from weakscraper_ray.pipelines.extraction import (
+        extraction_pipeline,
+        read_transcripts,
+    )
+    from weakscraper_ray.transcripts import ensure_generated
+
+    flag = str(tmp_path / "killed_once")
+
+    class _Killer:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if not os.path.exists(flag):
+                open(flag, "w").close()
+                os._exit(1)  # simulate worker loss, exactly once
+            return batch
+
+    src = ensure_generated("tiny")
+    # pool sizes chosen to fit the 4-CPU test session: two actor pools
+    # plus read tasks must not over-subscribe it (small-session pool
+    # deadlock is a separate known Ray 2.49 failure mode)
+    ds = read_transcripts(src).map_batches(
+        _Killer, batch_size=32, concurrency=1, batch_format="pyarrow",
+        max_restarts=-1, max_task_retries=-1,
+    )
+    out = extraction_pipeline(ds, restore_ordering=False, concurrency=2)
+    df = out.to_pandas()
+    ref = extraction_pipeline(
+        read_transcripts(src), restore_ordering=False, concurrency=2
+    ).to_pandas()
+    assert len(df) == len(ref)
+    key = ["conv_id", "turn_idx"]
+    a = df.sort_values(key).reset_index(drop=True)
+    b = ref.sort_values(key).reset_index(drop=True)
+    assert a["extracted_text"].fillna("").tolist() == b[
+        "extracted_text"
+    ].fillna("").tolist()
+    assert os.path.exists(flag)  # the kill actually happened

@@ -372,6 +372,15 @@ def extraction_pipeline(
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        # fault tolerance for long runs: with the defaults, an extract
+        # actor dying (OOM kill, node loss) HANGS the pipeline —
+        # measured on this Ray build with an os._exit chaos probe;
+        # unlimited actor restarts + task retries make the same probe
+        # complete with full row counts (tests/test_round4b.py chaos
+        # test). A 10^12-turn run WILL lose workers; this is the
+        # difference between resuming from checkpoint and hanging.
+        max_restarts=-1,
+        max_task_retries=-1,
     )
     if restore_ordering:
         if ordering_mode == "partitioned":
