@@ -353,13 +353,17 @@ def q_daily_churn(sf_dir: str):
     rows = ds.map_batches(_partial, batch_format="pyarrow")
 
     def _or_fold(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("user_id", sort=False)["mask"].agg(
-            lambda s: np.bitwise_or.reduce(s.to_numpy(np.int64))
-        )
+        # vectorized per-user OR: sort by user, one np.bitwise_or
+        # .reduceat over the run boundaries — no per-user Python call
+        u = g["user_id"].to_numpy(np.int64)
+        m = g["mask"].to_numpy(np.int64)
+        order = np.argsort(u, kind="mergesort")
+        u, m = u[order], m[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         return pd.DataFrame(
             {
-                "user_id": agg.index.to_numpy(np.int64),
-                "mask": agg.to_numpy(np.int64),
+                "user_id": u[starts],
+                "mask": np.bitwise_or.reduceat(m, starts),
             }
         )
 
