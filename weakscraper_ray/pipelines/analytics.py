@@ -193,17 +193,37 @@ def q_tfidf_topk(sf_dir: str):
 
     scored = pairs_mat.map_batches(_score, batch_format="pyarrow")
 
-    def _top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "term"], ascending=[False, True], kind="mergesort").head(3)
+    # per-doc top-3 via a bounded crc-shard exchange + ONE vectorized
+    # sort + grouped head per shard — one UDF call per SHARD, never per
+    # document (the qa_pairs high-cardinality-groupby avoidance)
+    def _shard(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        sh = (
+            (d * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        ) % np.uint64(256)
+        return t.append_column("tshard", pa.array(sh.astype(np.int64)))
+
+    def _top3_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        top = d.groupby("doc_id", sort=False).head(3)
         return pd.DataFrame(
             {
-                "doc_id": g["doc_id"].to_numpy(),
-                "term": g["term"].to_numpy(),
-                "score_e6": _i64_away_np(g["score"].to_numpy(), scale=1e6),
+                "doc_id": top["doc_id"].to_numpy(),
+                "term": top["term"].to_numpy(),
+                "score_e6": _i64_away_np(top["score"].to_numpy(), scale=1e6),
             }
         )
 
-    return scored.groupby("doc_id").map_groups(_top3, batch_format="pandas")
+    return (
+        scored.map_batches(_shard, batch_format="pyarrow")
+        .groupby("tshard")
+        .map_groups(_top3_shard, batch_format="pandas")
+    )
 
 
 SQL_TFIDF = r"""
