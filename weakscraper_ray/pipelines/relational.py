@@ -379,6 +379,17 @@ FROM documents GROUP BY md5(text)
 _RUN_SHARDS = 256
 
 
+def _user_shard(t: pa.Table) -> pa.Table:
+    """Append a bounded multiply-shift hash shard of user_id — the
+    re-keying front half shared by every per-user ordered fold
+    (running_sum / moving_avg / asof_join / sessionize)."""
+    u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    sh = (
+        (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+    ) % np.uint64(_RUN_SHARDS)
+    return t.append_column("shard", pa.array(sh.astype(np.int64)))
+
+
 def _running_shard(g: pd.DataFrame) -> pd.DataFrame:
     # one vectorized sort + segmented (per-user) cumsum per SHARD —
     # pandas groupby-cumsum adds sequentially within each group in row
@@ -399,17 +410,8 @@ def _running_shard(g: pd.DataFrame) -> pd.DataFrame:
 def q_running_sum(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def _shard(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(
-            np.uint64
-        )
-        sh = (
-            (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
-        ) % np.uint64(_RUN_SHARDS)
-        return t.append_column("shard", pa.array(sh.astype(np.int64)))
-
     return _schema_guard(
-        ds.map_batches(_shard, batch_format="pyarrow")
+        ds.map_batches(_user_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(_running_shard, batch_format="pandas"),
         pa.schema(
@@ -2305,16 +2307,41 @@ def q_moving_avg(sf_dir: str):
     sides are bit-identical before the half-away rounding."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def _roll(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = _i64_away_np(g["value"].to_numpy()).astype(np.float64)
-        s = pd.Series(cents)
-        csum = s.rolling(window=5, min_periods=1).sum().to_numpy()
-        cnt = s.rolling(window=5, min_periods=1).count().to_numpy()
-        g["ma5_e2"] = _i64_away_np(csum * 100.0 / cnt, scale=1.0)
-        return g[["event_id", "user_id", "ma5_e2"]]
+    def _roll_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per SHARD (never per user): sort by
+        # (user, ts, event_id), then the 5-row window sum is a prefix
+        # difference clamped at each user's first row — exact because
+        # integer cents are exact in float64 at any summation order
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = d["user_id"].to_numpy(np.int64)
+        cents = _i64_away_np(d["value"].to_numpy()).astype(np.float64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        start_of = np.repeat(starts, np.diff(np.r_[starts, len(u)]))
+        i = np.arange(len(u))
+        lo = np.maximum(i - 4, start_of)
+        pref = np.concatenate(([0.0], np.cumsum(cents)))
+        csum = pref[i + 1] - pref[lo]
+        cnt = (i - lo + 1).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": d["event_id"].to_numpy(np.int64),
+                "user_id": u,
+                "ma5_e2": _i64_away_np(csum * 100.0 / cnt, scale=1.0),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(_roll, batch_format="pandas")
+    return _schema_guard(
+        ds.map_batches(_user_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_roll_shard, batch_format="pandas"),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ma5_e2", pa.int64()),
+            ]
+        ),
+    )
 
 
 SQL_MOVING_AVG = """
@@ -2981,25 +3008,46 @@ GROUP BY 1, 2
 def q_asof_join(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
 
-    def _asof(group: pd.DataFrame) -> pd.DataFrame:
-        clicks = group[group["event_type"] == "click"].sort_values(["ts", "event_id"])
+    def _asof_shard(group: pd.DataFrame) -> pd.DataFrame:
+        # one grouped merge_asof per SHARD: pandas runs the by=
+        # variant as a single vectorized pass, so UDF calls scale with
+        # shard count, never user cardinality
+        empty = pd.DataFrame(
+            columns=["event_id", "user_id", "view_value_cents"]
+        ).astype(
+            {"event_id": "int64", "user_id": "int64",
+             "view_value_cents": "int64"}
+        )
+        clicks = group[group["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
         views = (
             group[group["event_type"] == "view"]
-            .groupby("ts", as_index=False)["value"].max()  # unique ts per side
-            .sort_values("ts")
+            .groupby(["user_id", "ts"], as_index=False)["value"].max()
+            .sort_values("ts", kind="mergesort")
         )
         if clicks.empty or views.empty:
-            return pd.DataFrame(
-                columns=["event_id", "user_id", "view_value_cents"]
-            ).astype({"event_id": "int64", "user_id": "int64", "view_value_cents": "int64"})
+            return empty
         m = pd.merge_asof(
-            clicks, views, on="ts", direction="backward", suffixes=("", "_view")
+            clicks, views, on="ts", by="user_id",
+            direction="backward", suffixes=("", "_view"),
         )
         m = m.dropna(subset=["value_view"])
         m["view_value_cents"] = _i64_away_np(m["value_view"].to_numpy())
         return m[["event_id", "user_id", "view_value_cents"]]
 
-    return ds.groupby("user_id").map_groups(_asof, batch_format="pandas")
+    return _schema_guard(
+        ds.map_batches(_user_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_asof_shard, batch_format="pandas"),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("view_value_cents", pa.int64()),
+            ]
+        ),
+    )
 
 
 SQL_ASOF = """
@@ -3020,15 +3068,36 @@ ASOF JOIN (
 def q_sessionize(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        n = int(1 + (gaps > 1800).sum())
+    def _sessions_shard(group: pd.DataFrame) -> pd.DataFrame:
+        # vectorized gap rule per SHARD: session breaks are user
+        # boundaries OR >30-min gaps (µs-integer compare — exact),
+        # per-user counts via one C groupby sum
+        d = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        u = d["user_id"].to_numpy(np.int64)
+        us = d["ts"].astype("int64").to_numpy()
+        brk = np.ones(len(d), dtype=np.int64)
+        if len(d) > 1:
+            same = u[1:] == u[:-1]
+            brk[1:] = np.where(
+                same & (us[1:] - us[:-1] <= 1_800_000_000), 0, 1
+            )
+        agg = pd.DataFrame({"user_id": u, "b": brk}).groupby(
+            "user_id", sort=False
+        )["b"].sum()
         return pd.DataFrame(
-            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [n]}
+            {
+                "user_id": agg.index.to_numpy(np.int64),
+                "n_sessions": agg.to_numpy(np.int64),
+            }
         )
 
-    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    return _schema_guard(
+        ds.map_batches(_user_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_sessions_shard, batch_format="pandas"),
+        pa.schema([("user_id", pa.int64()), ("n_sessions", pa.int64())]),
+    )
 
 
 SQL_SESSIONIZE = """
