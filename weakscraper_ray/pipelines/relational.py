@@ -3316,14 +3316,45 @@ QUERIES["extract_agreement"] = q_extract_agreement
 def q_pdf_layout(sf_dir: str):
     """Stubbed-decode PDF layout parse: binary docs → text blocks with
     page/bbox → per-(doc,page) reading-order restore."""
-    from ..functions.layout import PdfLayoutParser, make_pdf_table, reading_order
+    from ..functions.layout import PdfLayoutParser, make_pdf_table
 
     ds = ray.data.from_arrow(make_pdf_table(500))
     blocks = ds.map_batches(
         PdfLayoutParser, batch_format="pyarrow", batch_size=32, concurrency=(1, 2)
     )
-    return blocks.groupby(["doc_id", "page"]).map_groups(
-        reading_order, batch_format="pandas"
+
+    # reading-order restore re-keyed onto a bounded doc shard: one
+    # vectorized sort + grouped cumcount per SHARD instead of one
+    # pandas UDF per (doc, page) — page groups are ~3 rows each, the
+    # worst per-group-overhead regime (the qa_pairs re-keying shape)
+    def _doc_shard(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        sh = (
+            (d * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        ) % np.uint64(64)
+        return t.append_column("pshard", pa.array(sh.astype(np.int64)))
+
+    def _order_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(
+            ["doc_id", "page", "y1", "x0"],
+            ascending=[True, True, False, True], kind="mergesort",
+        )
+        d["reading_idx"] = d.groupby(
+            ["doc_id", "page"], sort=False
+        ).cumcount()
+        return d.drop(columns=["pshard"])
+
+    from ..functions.layout import BLOCK_FIELDS
+
+    return _schema_guard(
+        blocks.map_batches(_doc_shard, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(_order_shard, batch_format="pandas"),
+        pa.schema(
+            [(n, t) for n, t in BLOCK_FIELDS] + [("reading_idx", pa.int64())]
+        ),
     )
 
 

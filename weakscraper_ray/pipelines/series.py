@@ -284,18 +284,6 @@ def _gram_shard_merge(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _gram_doc_final(g: pd.DataFrame) -> pd.DataFrame:
-    total = int(g["pos"].sum())
-    dup = int(g["dup"].sum())
-    return pd.DataFrame(
-        {
-            "doc_id": np.array([g["doc_id"].iloc[0]], dtype=np.int64),
-            "n_windows": np.array([total], dtype=np.int64),
-            "dup_windows": np.array([dup], dtype=np.int64),
-            # non-negative operands: trunc (DuckDB //) == floor (Python)
-            "dup_frac_e6": np.array([1_000_000 * dup // total], dtype=np.int64),
-        }
-    )
 
 
 def q_substring_dedup(sf_dir: str):
@@ -314,9 +302,33 @@ def q_substring_dedup(sf_dir: str):
         pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
                    ("dup", pa.int64())]),
     )
-    return per_doc.groupby("doc_id").map_groups(
-        _gram_doc_final, batch_format="pandas"
+    # per-doc roll-up as a VECTORIZED hash aggregate (two Sums), not
+    # one pandas UDF per document; the frac closes in one map
+    from ray.data.aggregate import Sum
+
+    agg = per_doc.groupby("doc_id").aggregate(
+        Sum("pos", alias_name="n_windows"),
+        Sum("dup", alias_name="dup_windows"),
     )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        n = t.column("n_windows").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        d = t.column("dup_windows").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_windows": pa.array(n),
+                "dup_windows": pa.array(d),
+                # non-negative operands: trunc (DuckDB //) == floor
+                "dup_frac_e6": pa.array((1_000_000 * d) // n),
+            }
+        )
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
 
 
 SQL_SUBSTRING_DEDUP = r"""
