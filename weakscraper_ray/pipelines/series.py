@@ -75,39 +75,57 @@ def _iv_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def _iv_sweep(g: pd.DataFrame) -> pd.DataFrame:
-    s = g["s"].to_numpy()
-    e = g["e"].to_numpy()
-    o = np.lexsort((e, s))
-    s, e = s[o], e[o]
-    run = np.maximum.accumulate(e)  # farthest end seen so far
-    new = np.ones(len(s), dtype=bool)
-    # merge rule mirrors the SQL twin: a row starts a new span iff its
-    # start lies strictly past every earlier end (s == prev end merges:
-    # touching intervals coalesce)
-    new[1:] = s[1:] > run[:-1]
-    starts = s[new]
-    last = np.flatnonzero(np.append(new[1:], True))  # last row of each span
-    ends = run[last]
+def _iv_sweep_shard(g: pd.DataFrame) -> pd.DataFrame:
+    # ONE vectorized sweep per SHARD: sort by (user, s, e), per-user
+    # running max via C-level grouped cummax, span starts where the
+    # user changes or the start lies strictly past every earlier end
+    # (s == prev end merges: touching intervals coalesce — mirrors the
+    # SQL twin), then per-user sums via one C groupby
+    d = g.sort_values(["user_id", "s", "e"], kind="mergesort")
+    u = d["user_id"].to_numpy(np.int64)
+    s = d["s"].to_numpy(np.int64)
+    run = d.groupby("user_id", sort=False)["e"].cummax().to_numpy(np.int64)
+    new = np.ones(len(d), dtype=bool)
+    if len(d) > 1:
+        new[1:] = (u[1:] != u[:-1]) | (s[1:] > run[:-1])
+    # span id → (start, end): end = running max at the span's last row
+    last = np.flatnonzero(np.append(new[1:], True))
+    span_user = u[new]
+    span_len = run[last] - s[new]
+    agg = pd.DataFrame(
+        {"user_id": span_user, "len": span_len,
+         "one": np.ones(len(span_user), np.int64)}
+    ).groupby("user_id", sort=False).sum()
     return pd.DataFrame(
         {
-            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
-            "covered_s": np.array([(ends - starts).sum()], dtype=np.int64),
-            "n_spans": np.array([int(new.sum())], dtype=np.int64),
+            "user_id": agg.index.to_numpy(np.int64),
+            "covered_s": agg["len"].to_numpy(np.int64),
+            "n_spans": agg["one"].to_numpy(np.int64),
         }
     )
 
 
 def q_interval_coverage(sf_dir: str):
     """Per-user total covered seconds + merged-span count over the
-    union of (possibly overlapping) event intervals. One exchange on
-    user_id carrying three int64s per event; the sweep itself is a
-    vectorized running-max scan per group."""
+    union of (possibly overlapping) event intervals. One bounded-shard
+    exchange carrying three int64s per event; the sweep is one
+    vectorized running-max scan per SHARD (UDF calls scale with shard
+    count, not user cardinality)."""
+    from .relational import _schema_guard, _user_shard
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
-    return (
+    return _schema_guard(
         ds.map_batches(_iv_partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_iv_sweep, batch_format="pandas")
+        .map_batches(_user_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_iv_sweep_shard, batch_format="pandas"),
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("covered_s", pa.int64()),
+                ("n_spans", pa.int64()),
+            ]
+        ),
     )
 
 
@@ -606,30 +624,44 @@ FROM s
 # Time-weighted average: value weighted by dwell to the next event
 # =====================================================================
 
-def _twa_group(g: pd.DataFrame) -> pd.DataFrame:
-    us = g["us"].to_numpy()
-    cents = g["cents"].to_numpy()
-    eid = g["event_id"].to_numpy()
-    o = np.lexsort((eid, us))
-    us, cents = us[o], cents[o]
-    if len(us) < 2:
+def _twa_shard(g: pd.DataFrame) -> pd.DataFrame:
+    # ONE vectorized pass per SHARD: sort by (user, us, event_id),
+    # adjacent same-user pairs carry (cents·dwell, dwell, 1) partials,
+    # per-user sums close with one C groupby; users with no pairs or
+    # zero total dwell are excluded (mirrors the twin's WHERE den > 0)
+    d = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+    u = d["user_id"].to_numpy(np.int64)
+    us = d["us"].to_numpy(np.int64)
+    cents = d["cents"].to_numpy(np.int64)
+    if len(d) < 2:
         return pd.DataFrame(
-            {"user_id": [], "n_gaps": [], "dwell_s": [], "twa_value_e6": []}
+            {
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "dwell_s": pd.Series([], dtype=np.int64),
+                "twa_value_e6": pd.Series([], dtype=np.int64),
+            }
         )
-    dwell = (us[1:] - us[:-1]) // _US_PER_S  # non-negative after sort
-    num = int((cents[:-1] * dwell).sum())
-    den = int(dwell.sum())
-    if den == 0:  # mirrored WHERE den > 0
-        return pd.DataFrame(
-            {"user_id": [], "n_gaps": [], "dwell_s": [], "twa_value_e6": []}
-        )
-    twa = float(num) / float(den)  # avg cents; ×1e4 → value_e6
+    same = u[1:] == u[:-1]
+    dwell = (us[1:] - us[:-1]) // _US_PER_S
+    agg = pd.DataFrame(
+        {
+            "user_id": u[1:][same],
+            "num": cents[:-1][same] * dwell[same],
+            "den": dwell[same],
+            "one": np.ones(int(same.sum()), np.int64),
+        }
+    ).groupby("user_id", sort=False).sum()
+    den = agg["den"].to_numpy(np.int64)
+    keep = den > 0
+    num = agg["num"].to_numpy(np.int64)[keep]
+    twa = num.astype(np.float64) / den[keep].astype(np.float64)
     return pd.DataFrame(
         {
-            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
-            "n_gaps": np.array([len(dwell)], dtype=np.int64),
-            "dwell_s": np.array([den], dtype=np.int64),
-            "twa_value_e6": _i64_away_np([twa], scale=1e4),
+            "user_id": agg.index.to_numpy(np.int64)[keep],
+            "n_gaps": agg["one"].to_numpy(np.int64)[keep],
+            "dwell_s": den[keep],
+            "twa_value_e6": _i64_away_np(twa, scale=1e4),
         }
     )
 
@@ -652,10 +684,21 @@ def q_time_weighted_avg(sf_dir: str):
             }
         )
 
-    return (
+    from .relational import _schema_guard, _user_shard
+
+    return _schema_guard(
         ds.map_batches(_proj, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_twa_group, batch_format="pandas")
+        .map_batches(_user_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_twa_shard, batch_format="pandas"),
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_gaps", pa.int64()),
+                ("dwell_s", pa.int64()),
+                ("twa_value_e6", pa.int64()),
+            ]
+        ),
     )
 
 
