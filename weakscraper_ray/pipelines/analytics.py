@@ -719,24 +719,53 @@ def q_gap_islands(sf_dir: str):
             }
         )
 
-    def _islands(g: pd.DataFrame) -> pd.DataFrame:
-        days = np.unique(g["day"].to_numpy())
-        cut = np.flatnonzero(np.diff(days) > 1) + 1
-        starts = days[np.concatenate([[0], cut])]
-        ends = days[np.concatenate([cut - 1, [len(days) - 1]])]
+    def _islands_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized pass per SHARD: dedupe (user, day), sort, cut
+        # where the user changes or a >1-day gap appears; islands are
+        # the runs between cuts
+        d = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        u = d["user_id"].to_numpy(np.int64)
+        days = d["day"].to_numpy(np.int64)
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "start_day": pd.Series([], dtype=np.int64),
+                    "end_day": pd.Series([], dtype=np.int64),
+                    "n_days": pd.Series([], dtype=np.int64),
+                }
+            )
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (days[1:] - days[:-1] > 1)
+        last = np.flatnonzero(np.append(new[1:], True))
+        starts = days[new]
+        ends = days[last]
         return pd.DataFrame(
             {
-                "user_id": np.full(len(starts), g["user_id"].iloc[0], np.int64),
+                "user_id": u[new],
                 "start_day": starts,
                 "end_day": ends,
                 "n_days": ends - starts + 1,
             }
         )
 
-    return (
+    from .relational import _schema_guard, _user_shard
+
+    return _schema_guard(
         ds.map_batches(_days, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_islands, batch_format="pandas")
+        .map_batches(_user_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_islands_shard, batch_format="pandas"),
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("start_day", pa.int64()),
+                ("end_day", pa.int64()),
+                ("n_days", pa.int64()),
+            ]
+        ),
     )
 
 

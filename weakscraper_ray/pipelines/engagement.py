@@ -85,21 +85,36 @@ def q_cohort_retention(sf_dir: str):
             }
         )
 
-    def _offsets(g: pd.DataFrame) -> pd.DataFrame:
-        weeks = np.unique(g["week"].to_numpy(np.int64))
-        cw = int(weeks.min())
+    def _offsets_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized pass per SHARD: dedupe (user, week), cohort =
+        # per-user min week via a C groupby transform, offsets follow
+        d = g.drop_duplicates(["user_id", "week"])
+        cw = d.groupby("user_id", sort=False)["week"].transform("min")
         return pd.DataFrame(
             {
-                "cohort_week": np.full(len(weeks), cw, dtype=np.int64),
-                "week_offset": weeks - cw,
-                "n": np.ones(len(weeks), dtype=np.int64),
+                "cohort_week": cw.to_numpy(np.int64),
+                "week_offset": d["week"].to_numpy(np.int64)
+                - cw.to_numpy(np.int64),
+                "n": np.ones(len(d), dtype=np.int64),
             }
         )
 
+    from .relational import _schema_guard, _user_shard
+
     grid = (
-        ds.map_batches(_user_weeks, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_offsets, batch_format="pandas")
+        _schema_guard(
+            ds.map_batches(_user_weeks, batch_format="pyarrow")
+            .map_batches(_user_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(_offsets_shard, batch_format="pandas"),
+            pa.schema(
+                [
+                    ("cohort_week", pa.int64()),
+                    ("week_offset", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            ),
+        )
         .materialize()  # bounded: users x weeks; guards the 2nd exchange
     )
     out = grid.groupby(["cohort_week", "week_offset"]).aggregate(

@@ -1374,14 +1374,25 @@ def _wau_days(batch: pa.Table) -> pa.Table:
     )
 
 
-def _user_windows(g: pd.DataFrame) -> pd.DataFrame:
-    days = np.unique(g["day"].to_numpy())
+def _user_windows_shard(g: pd.DataFrame) -> pd.DataFrame:
     # a user active on day d is window-active for report days d..d+6;
     # union across the user's active days BEFORE counting (a user with
-    # two active days in one window must count once)
-    w = np.unique((days[:, None] + np.arange(7)).ravel())
+    # two active days in one window must count once). ONE vectorized
+    # expansion + two C dedupe/count passes per SHARD — never a pandas
+    # UDF per user (each user lives wholly in one shard, so per-shard
+    # distinct-user window counts Sum exactly)
+    d = g.drop_duplicates(["user_id", "day"])
+    u = np.repeat(d["user_id"].to_numpy(np.int64), 7)
+    w = (
+        d["day"].to_numpy(np.int64)[:, None] + np.arange(7, dtype=np.int64)
+    ).ravel()
+    uw = pd.DataFrame({"u": u, "w": w}).drop_duplicates()
+    c = uw.groupby("w", sort=False).size()
     return pd.DataFrame(
-        {"w": w.astype(np.int64), "n": np.ones(len(w), dtype=np.int64)}
+        {
+            "w": c.index.to_numpy(np.int64),
+            "n": c.to_numpy(np.int64),
+        }
     )
 
 
@@ -1394,11 +1405,14 @@ def q_wau_rolling(sf_dir: str):
     count. Two exchanges, both carrying int64 pairs only."""
     from ray.data.aggregate import Sum
 
+    from .relational import _user_shard
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     per_user = _schema_guard(
         ds.map_batches(_wau_days, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_user_windows, batch_format="pandas"),
+        .map_batches(_user_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_user_windows_shard, batch_format="pandas"),
         pa.schema([("w", pa.int64()), ("n", pa.int64())]),
     )
     out = per_user.groupby("w").aggregate(Sum("n", alias_name="wau"))
@@ -1814,14 +1828,20 @@ FROM negs WHERE neg_rank <= 4
 # Ordered string_agg: per-user event-type journey strings
 # =====================================================================
 
-def _path_group(g: pd.DataFrame) -> pd.DataFrame:
-    o = np.lexsort((g["event_id"].to_numpy(), g["us"].to_numpy()))
-    path = "|".join(g["event_type"].to_numpy()[o])
+def _path_shard(g: pd.DataFrame) -> pd.DataFrame:
+    # ONE sorted pass per SHARD; the per-user string joins run as a
+    # single C-dispatched groupby agg over the pre-sorted frame (the
+    # join itself is inherent — the OUTPUT is one string per user —
+    # but no per-user DataFrame construction / UDF dispatch remains)
+    d = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+    gb = d.groupby("user_id", sort=False)["event_type"]
+    path = gb.agg("|".join)
+    n = gb.size()
     return pd.DataFrame(
         {
-            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
-            "n_events": np.array([len(o)], dtype=np.int64),
-            "path": [path],
+            "user_id": path.index.to_numpy(np.int64),
+            "n_events": n.to_numpy(np.int64),
+            "path": path.to_numpy(),
         }
     )
 
@@ -1845,10 +1865,20 @@ def q_event_path(sf_dir: str):
             }
         )
 
-    return (
+    from .relational import _schema_guard, _user_shard
+
+    return _schema_guard(
         ds.map_batches(_proj, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_path_group, batch_format="pandas")
+        .map_batches(_user_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_path_shard, batch_format="pandas"),
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_events", pa.int64()),
+                ("path", pa.string()),
+            ]
+        ),
     )
 
 
@@ -1866,12 +1896,15 @@ FROM events GROUP BY user_id
 # Inter-arrival histogram: log2-bucketed gap distribution
 # =====================================================================
 
-def _gap_partial_hist(g: pd.DataFrame) -> pd.DataFrame:
-    o = np.lexsort((g["event_id"].to_numpy(), g["us"].to_numpy()))
-    us = g["us"].to_numpy()[o]
-    if len(us) < 2:
+def _gap_hist_shard(g: pd.DataFrame) -> pd.DataFrame:
+    # ONE sorted pass per SHARD: same-user adjacent gaps only
+    d = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+    u = d["user_id"].to_numpy(np.int64)
+    us = d["us"].to_numpy(np.int64)
+    if len(d) < 2:
         return pd.DataFrame({"bucket": [], "n": []})
-    gap = (us[1:] - us[:-1]) // _US_PER_S  # whole seconds
+    same = u[1:] == u[:-1]
+    gap = (us[1:] - us[:-1])[same] // _US_PER_S  # whole seconds
     bucket = np.full(len(gap), -1, dtype=np.int64)
     pos = gap > 0
     # floor(log2) is IEEE-exact at powers of two on both engines
@@ -1901,10 +1934,13 @@ def q_interarrival_hist(sf_dir: str):
             }
         )
 
+    from .relational import _user_shard
+
     partials = _schema_guard(
         ds.map_batches(_proj, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_gap_partial_hist, batch_format="pandas"),
+        .map_batches(_user_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_gap_hist_shard, batch_format="pandas"),
         pa.schema([("bucket", pa.int64()), ("n", pa.int64())]),
     )
     out = partials.groupby("bucket").aggregate(Sum("n", alias_name="n"))
@@ -2587,17 +2623,32 @@ WHERE len(a.s) + len(b.s) > 0
 # Max burst: sliding 60-second RANGE-frame count per user
 # =====================================================================
 
-def _burst_group(g: pd.DataFrame) -> pd.DataFrame:
-    us = np.sort(g["us"].to_numpy())
+def _burst_shard(g: pd.DataFrame) -> pd.DataFrame:
     # RANGE-frame semantics: for each row, count rows with value in
     # [us, us + 60 s) — includes value-peers on both sides, exactly
-    # DuckDB's RANGE BETWEEN CURRENT ROW AND 59999999 FOLLOWING
-    lo = np.searchsorted(us, us, side="left")
-    hi = np.searchsorted(us, us + 59_999_999, side="right")
+    # DuckDB's RANGE BETWEEN CURRENT ROW AND 59999999 FOLLOWING.
+    # ONE searchsorted pass per SHARD over a composite (user-code,
+    # rebased-us) key: a 60 s window cannot cross users because each
+    # user's code block is separated by more than the shard's whole
+    # time range. Overflow bound: codes·(range+60s) < 2^63 ⇒ ~3.5M
+    # users per shard at a 30-day range — raise the shard count before
+    # that (the _RUN_SHARDS knob), as the docstring notes.
+    d = g.sort_values(["user_id", "us"], kind="mergesort")
+    u = d["user_id"].to_numpy(np.int64)
+    us = d["us"].to_numpy(np.int64)
+    codes = np.cumsum(np.r_[0, (u[1:] != u[:-1]).astype(np.int64)])
+    base = us.min() if len(us) else 0
+    span = (us.max() - base + 61_000_000) if len(us) else 1
+    key = codes * span + (us - base)
+    lo = np.searchsorted(key, key, side="left")
+    hi = np.searchsorted(key, key + 59_999_999, side="right")
+    agg = pd.DataFrame({"user_id": u, "b": hi - lo}).groupby(
+        "user_id", sort=False
+    )["b"].max()
     return pd.DataFrame(
         {
-            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
-            "max_burst": np.array([int((hi - lo).max())], dtype=np.int64),
+            "user_id": agg.index.to_numpy(np.int64),
+            "max_burst": agg.to_numpy(np.int64),
         }
     )
 
@@ -2618,10 +2669,14 @@ def q_max_burst(sf_dir: str):
             }
         )
 
-    return (
+    from .relational import _schema_guard, _user_shard
+
+    return _schema_guard(
         ds.map_batches(_proj, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_burst_group, batch_format="pandas")
+        .map_batches(_user_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_burst_shard, batch_format="pandas"),
+        pa.schema([("user_id", pa.int64()), ("max_burst", pa.int64())]),
     )
 
 
