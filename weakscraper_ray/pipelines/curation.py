@@ -1418,20 +1418,56 @@ def q_dedup_merge(sf_dir: str):
             ["content_hash", "doc_id", "source"]
         )
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+    def _hash_shard(t: pa.Table) -> pa.Table:
+        import zlib
+
+        h = t.column("content_hash").to_pylist()
+        sh = np.array(
+            [zlib.crc32(x.encode()) & 63 for x in h], dtype=np.int64
+        )
+        return t.append_column("shard", pa.array(sh))
+
+    def _merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # per-SHARD vectorized grouping: keeper/size via C aggregates;
+        # the sources string is one C-dispatched join per hash over the
+        # (hash, source)-deduped sorted frame — the join is inherent
+        # (the OUTPUT is one string per hash), the per-hash pandas-UDF
+        # dispatch is not
+        gb = g.groupby("content_hash", sort=False)
+        base = gb.agg(
+            keeper_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+        src = (
+            g[["content_hash", "source"]]
+            .drop_duplicates()
+            .sort_values(["content_hash", "source"], kind="mergesort")
+            .groupby("content_hash", sort=False)["source"]
+            .agg(",".join)
+        )
         return pd.DataFrame(
             {
-                "content_md5": [g["content_hash"].iloc[0]],
-                "keeper_doc_id": np.array([g["doc_id"].min()], np.int64),
-                "n_dups": np.array([len(g)], np.int64),
-                "sources": [",".join(sorted(set(g["source"])))],
+                "content_md5": base.index.to_numpy(),
+                "keeper_doc_id": base["keeper_doc_id"].to_numpy(np.int64),
+                "n_dups": base["n_dups"].to_numpy(np.int64),
+                "sources": src.reindex(base.index).to_numpy(),
             }
         )
 
-    return (
+    from .relational import _schema_guard
+
+    return _schema_guard(
         ds.map_batches(_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(_merge, batch_format="pandas")
+        .map_batches(_hash_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_merge_shard, batch_format="pandas"),
+        pa.schema(
+            [
+                ("content_md5", pa.string()),
+                ("keeper_doc_id", pa.int64()),
+                ("n_dups", pa.int64()),
+                ("sources", pa.string()),
+            ]
+        ),
     )
 
 

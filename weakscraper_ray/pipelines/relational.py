@@ -2619,21 +2619,41 @@ def q_phash_neardup(sf_dir: str):
             }
         )
 
-    def _group(g: pd.DataFrame) -> pd.DataFrame:
-        keeper = int(g["media_id"].min())
+    def _hash_shard(t: pa.Table) -> pa.Table:
+        h = t.column("phash").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        sh = (
+            (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        ) % np.uint64(64)
+        return t.append_column("shard", pa.array(sh.astype(np.int64)))
+
+    def _group_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-SHARD grouping (C transforms), not one pandas
+        # UDF per distinct hash
+        gb = g.groupby("phash", sort=False)["media_id"]
         return pd.DataFrame(
             {
                 "media_id": g["media_id"].to_numpy(np.int64),
                 "phash": g["phash"].to_numpy(np.int64),
-                "keeper_media": np.full(len(g), keeper, dtype=np.int64),
-                "group_size": np.full(len(g), len(g), dtype=np.int64),
+                "keeper_media": gb.transform("min").to_numpy(np.int64),
+                "group_size": gb.transform("size").to_numpy(np.int64),
             }
         )
 
-    return (
+    return _schema_guard(
         ds.map_batches(_hash, batch_format="pyarrow", batch_size=64)
-        .groupby("phash")
-        .map_groups(_group, batch_format="pandas")
+        .map_batches(_hash_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_group_shard, batch_format="pandas"),
+        pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("phash", pa.int64()),
+                ("keeper_media", pa.int64()),
+                ("group_size", pa.int64()),
+            ]
+        ),
     )
 
 
