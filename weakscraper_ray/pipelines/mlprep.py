@@ -445,14 +445,31 @@ def q_edit1_join(sf_dir: str):
                 ns.append(name)
         return pa.table({"key": pa.array(ks), "name": pa.array(ns)})
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        names = sorted(set(g["name"]))
+    def _key_shard(t: pa.Table) -> pa.Table:
+        import zlib
+
+        sh = np.array(
+            [zlib.crc32(k.encode()) & 255 for k in
+             t.column("key").to_pylist()],
+            dtype=np.int64,
+        )
+        return t.append_column("shard", pa.array(sh))
+
+    def _bucket_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # one UDF call per SHARD: the per-bucket pairwise verify loop
+        # is inherent (FastSS buckets are alphabet×length-bounded, a
+        # few names each), but the thousands of per-bucket pandas/Ray
+        # dispatches are not — iterate buckets in-process over the
+        # sorted frame
         a_out, b_out = [], []
-        for i in range(len(names)):
-            for j in range(i + 1, len(names)):
-                if _edit1(names[i], names[j]):
-                    a_out.append(names[i])
-                    b_out.append(names[j])
+        d = g.sort_values(["key", "name"], kind="mergesort")
+        for _, names_s in d.groupby("key", sort=False)["name"]:
+            names = sorted(set(names_s))
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    if _edit1(names[i], names[j]):
+                        a_out.append(names[i])
+                        b_out.append(names[j])
         # "string" dtype keeps the Arrow schema stable on empty buckets
         return pd.DataFrame(
             {
@@ -463,8 +480,9 @@ def q_edit1_join(sf_dir: str):
 
     pairs = (
         distinct.map_batches(_keys, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        .map_batches(_key_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_bucket_pairs_shard, batch_format="pandas")
     )
     # dedupe identical pairs found via multiple shared keys
     return (
