@@ -180,6 +180,39 @@ def explode_bands(n_bands: int = 8):
     return _explode
 
 
+def bucket_pairs_shard(g: pa.Table, max_bucket: int = 200) -> pa.Table:
+    """Candidate pairs for ALL (band, band_hash) buckets of one
+    band-hash SHARD, iterated in-process — (band, band_hash) is
+    data-cardinality (one hash per distinct signature band), so a
+    per-bucket ``map_groups`` pays one Ray/pandas dispatch per bucket;
+    this pays one per shard.  Bucket semantics identical to
+    :func:`bucket_pairs` (sorted ids, ``max_bucket`` cap — a
+    documented bound, not silent truncation)."""
+    import pandas as pd
+
+    df = pa.table(
+        {
+            "band": g.column("band"),
+            "band_hash": g.column("band_hash"),
+            "doc_id": g.column("doc_id"),
+        }
+    ).to_pandas()
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for _, ids_s in df.groupby(["band", "band_hash"], sort=False)["doc_id"]:
+        ids = sorted(ids_s.tolist())[:max_bucket]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+        }
+    )
+
+
 def bucket_pairs(group: pa.Table, max_bucket: int = 200) -> pa.Table:
     """Candidate pairs within one LSH bucket (doc_a < doc_b).
 

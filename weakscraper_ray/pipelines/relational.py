@@ -950,10 +950,25 @@ def q_dedup_minhash(sf_dir: str, broadcast_max_pairs: int = _MINHASH_BROADCAST_M
         batch_format="pyarrow",
     )
     bands = sigs.map_batches(explode_bands(n_bands=16), batch_format="pyarrow")
+
+    # (band, band_hash) is data-cardinality (one hash per distinct
+    # signature band): re-key onto a bounded band-hash shard and
+    # iterate the buckets in-process (functions.dedup.bucket_pairs_shard)
+    def _band_shard(t: pa.Table) -> pa.Table:
+        h = t.column("band_hash").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        sh = (
+            (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        ) % np.uint64(256)
+        return t.append_column("bshard", pa.array(sh.astype(np.int64)))
+
+    from ..functions.dedup import bucket_pairs_shard
+
     pairs = _schema_guard(
-        bands.groupby(["band", "band_hash"]).map_groups(
-            bucket_pairs, batch_format="pyarrow"
-        ),
+        bands.map_batches(_band_shard, batch_format="pyarrow")
+        .groupby("bshard")
+        .map_groups(bucket_pairs_shard, batch_format="pyarrow"),
         _PAIR_SCHEMA,
     )
     # dedup candidate pairs surfaced by multiple bands
