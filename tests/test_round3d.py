@@ -13,14 +13,14 @@ import pyarrow as pa
 from weakscraper_ray.pipelines.series import (
     _CHECKSUM_MOD,
     _gram_partial,
-    _iv_sweep,
+    _iv_sweep_shard,
     _ntile_group,
 )
 
 
 def _sweep(rows):
     g = pd.DataFrame(rows, columns=["user_id", "s", "e"])
-    out = _iv_sweep(g)
+    out = _iv_sweep_shard(g)
     return int(out["covered_s"][0]), int(out["n_spans"][0])
 
 
@@ -105,7 +105,7 @@ def test_gram_partial_counts_positions():
 # ------------------------------------------------- continuation-8 batch B
 
 def test_twa_group_edges():
-    from weakscraper_ray.pipelines.series import _twa_group
+    from weakscraper_ray.pipelines.series import _twa_shard as _twa_group
 
     # single event → no gap → empty
     g1 = pd.DataFrame({"user_id": [1], "event_id": [1],
@@ -278,11 +278,11 @@ def test_pmi_mirror_hand_case():
 # ------------------------------------------------- continuation-8 batch E/F
 
 def test_user_windows_unions_overlaps():
-    from weakscraper_ray.pipelines.series import _user_windows
+    from weakscraper_ray.pipelines.series import _user_windows_shard
 
     # active on days 10 and 12: windows overlap → days 10..18 once each
     g = pd.DataFrame({"user_id": [1, 1], "day": [10, 12]})
-    out = _user_windows(g)
+    out = _user_windows_shard(g)
     assert list(out["w"]) == list(range(10, 19))
     assert set(out["n"]) == {1}
 
@@ -311,7 +311,7 @@ def test_sentence_batch_counts():
 
 
 def test_gap_partial_hist_buckets():
-    from weakscraper_ray.pipelines.series import _gap_partial_hist
+    from weakscraper_ray.pipelines.series import _gap_hist_shard as _gap_partial_hist
 
     # gaps: 0 s (bucket -1), 1 s (bucket 0), 4 s (bucket 2), 7 s (bucket 2)
     g = pd.DataFrame(
@@ -326,7 +326,7 @@ def test_gap_partial_hist_buckets():
 
 
 def test_path_group_order():
-    from weakscraper_ray.pipelines.series import _path_group
+    from weakscraper_ray.pipelines.series import _path_shard as _path_group
 
     g = pd.DataFrame(
         {
@@ -358,7 +358,7 @@ def test_checksum_dataset_order_independent(ray_session):
 
 
 def test_burst_group_range_frame_peers():
-    from weakscraper_ray.pipelines.series import _burst_group
+    from weakscraper_ray.pipelines.series import _burst_shard as _burst_group
 
     # three events in one 60s span (two at the same microsecond), one far
     g = pd.DataFrame({"user_id": [1] * 4,
