@@ -445,6 +445,9 @@ def anti_member_filter(ds, cols, drop_ds, drop_col="doc_id",
     log = logging.getLogger("weakscraper_ray.dedup")
     slim = drop_ds.select_columns([drop_col]).materialize()
     n = slim.count()
+    if n == 0:
+        return ds  # nothing to drop — and an empty union side would
+        # otherwise risk the zero-column-block shuffle hazard below
     if n <= broadcast_max:
         log.info("anti_member_filter: %d drop ids — broadcast path", n)
         ids = pa.array(
@@ -517,6 +520,15 @@ def _anti_exchange(ds, col, drop_ds, drop_col, schema: pa.Schema):
     both = ds.map_batches(_lhs, batch_format="pyarrow").union(
         drop_ds.map_batches(_rhs, batch_format="pyarrow")
     )
+    # empty-block guard before the keyed exchange: Ray may skip
+    # map_batches on a lone empty block, letting a block WITHOUT the
+    # __shard column reach the hash-shuffle aggregator, whose sort then
+    # fails ("No match for FieldRef.Name(__shard)") — surfaced by the
+    # hypothesis sweep, same diagnosis as cluster_pairs. Equal-split
+    # repartition bounded by the measured row count leaves no empty
+    # blocks; the union payload is already slim (ids + 3 tag columns).
+    both = both.materialize()
+    both = both.repartition(max(1, min(both.count(), 200))).materialize()
 
     def _per_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -553,14 +565,14 @@ def tag_disjoint_stages(base_ds, id_col, drops,
     total = 0
     for dds, col, stage in drops:
         s = dds.select_columns([col]).materialize()
-        slims.append((s, col, stage))
-        total += s.count()
+        slims.append((s, col, stage, s.count()))
+        total += slims[-1][3]
     if total <= broadcast_max:
         log.info("tag_disjoint_stages: %d drop ids — broadcast path", total)
         refs = []
-        for s, col, stage in slims:
+        for s, col, stage, cnt in slims:
             vals = np.fromiter(
-                (r[col] for r in s.take_all()), np.int64, s.count()
+                (r[col] for r in s.take_all()), np.int64, cnt
             )
             vals.sort()
             refs.append((ray.put(vals), stage))
@@ -591,7 +603,10 @@ def tag_disjoint_stages(base_ds, id_col, drops,
         )
 
     rows = base_ds.map_batches(_base, batch_format="pyarrow")
-    for s, col, stage in slims:
+    for s, col, stage, cnt in slims:
+        if cnt == 0:
+            continue  # an empty union side risks the zero-column-block
+            # shuffle hazard (see _anti_exchange)
 
         def _mark(t: pa.Table, _c=col, _st=stage) -> pa.Table:
             ids = t.column(_c).combine_chunks().cast(pa.int64())
@@ -601,6 +616,9 @@ def tag_disjoint_stages(base_ds, id_col, drops,
             )
 
         rows = rows.union(s.map_batches(_mark, batch_format="pyarrow"))
+    # same empty-block guard as _anti_exchange before the keyed exchange
+    rows = rows.materialize()
+    rows = rows.repartition(max(1, min(rows.count(), 200))).materialize()
     agg = rows.groupby(id_col).aggregate(Max("stage"))
     return agg.map_batches(
         lambda t: pa.table(
