@@ -145,3 +145,56 @@ def test_extract_pipeline_survives_worker_kill(ray_session, tmp_path):
         "extracted_text"
     ].fillna("").tolist()
     assert os.path.exists(flag)  # the kill actually happened
+
+
+def test_full_pipeline_with_shuffle_survives_worker_kill(
+    ray_session, tmp_path
+):
+    """Chaos probe #2: the kill lands between extract and the salted
+    ordering SHUFFLE — the exchange (hash-shuffle aggregator actors +
+    upstream task retry) must also complete with correct, fully
+    ordered results."""
+    import os
+
+    import pyarrow as pa
+
+    from weakscraper_ray.pipelines.extraction import (
+        extraction_pipeline,
+        read_transcripts,
+    )
+    from weakscraper_ray.stages.ordering import restore_order
+    from weakscraper_ray.transcripts import ensure_generated
+
+    flag = str(tmp_path / "killed_once")
+
+    class _Killer:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if not os.path.exists(flag):
+                open(flag, "w").close()
+                os._exit(1)
+            return batch
+
+    src = ensure_generated("tiny")
+    # autoscale pools (min 1) so extract + killer + shuffle aggregators
+    # coexist in the 4-CPU test session (fixed-size pools reserve CPUs)
+    base = extraction_pipeline(
+        read_transcripts(src), restore_ordering=False, concurrency=(1, 2)
+    )
+    wounded = base.map_batches(
+        _Killer, batch_size=32, concurrency=1, batch_format="pyarrow",
+        max_restarts=-1, max_task_retries=-1,
+    )
+    df = restore_order(wounded).to_pandas()
+    ref = (
+        restore_order(
+            extraction_pipeline(
+                read_transcripts(src), restore_ordering=False,
+                concurrency=(1, 2),
+            )
+        ).to_pandas()
+    )
+    assert len(df) == len(ref)
+    assert df["extracted_text"].fillna("").tolist() == ref[
+        "extracted_text"
+    ].fillna("").tolist()  # identical CONTENT in identical ORDER
+    assert os.path.exists(flag)
