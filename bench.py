@@ -142,7 +142,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "good_turing", "heaps_law", "kendall_w", "ansari_bradley",
         "turn_latency", "response_ratio", "conv_truncate",
         "promo_revenue", "returned_revenue", "daily_churn", "temperature_mix",
-        "extract_agreement", "readability",
+        "extract_agreement", "readability", "turn_dedup",
     ]
     # untimed warm-up (VERDICT r3 #6): the first timed query otherwise
     # absorbs worker-pool spawn + per-worker module import for the

@@ -315,6 +315,102 @@ FROM t GROUP BY conv_id
 
 
 # =====================================================================
+# turn_dedup
+# =====================================================================
+
+def q_turn_dedup(sf_dir: str):
+    """TURN-level exact dedup across conversations: non-empty turn
+    texts that appear verbatim in ≥2 turns anywhere in the corpus —
+    the copy-paste / canned-response detector that complements
+    ``dedup_conv_structure`` (which fingerprints conversation SHAPE,
+    not content).  Emits (text_md5, n_turns, n_convs, keeper_conv,
+    keeper_turn) with keeper = lexicographically smallest
+    (conv_id, turn_idx).
+
+    Shape: per-batch md5 + crc shard (text dropped immediately —
+    only 32-byte digests + keys exchange), one bounded-shard exchange,
+    vectorized per-shard groupby (size / nunique / sorted-first)."""
+    import hashlib
+
+    ds = _read_tr(sf_dir)
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keep, hs, sh = [], [], []
+        for i, t in enumerate(texts):
+            if t is None or t == "":
+                continue
+            d = hashlib.md5(t.encode("utf-8")).digest()
+            keep.append(i)
+            hs.append(d.hex())
+            sh.append(int.from_bytes(d[:4], "little") & (_T_SHARDS - 1))
+        taken = batch.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "shard": pa.array(sh, pa.int64()),
+                "text_md5": pa.array(hs, pa.string()),
+                "conv_id": taken.column("conv_id"),
+                "turn_idx": pc.cast(taken.column("turn_idx"), pa.int64()),
+            }
+        )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(
+            ["text_md5", "conv_id", "turn_idx"], kind="mergesort"
+        )
+        gb = d.groupby("text_md5", sort=False)
+        n = gb.size()
+        nc = gb["conv_id"].nunique()
+        first = gb.head(1).set_index("text_md5")
+        out = pd.DataFrame(
+            {
+                "text_md5": n.index.to_numpy(),
+                "n_turns": n.to_numpy(np.int64),
+                "n_convs": nc.to_numpy(np.int64),
+                "keeper_conv": first["conv_id"].reindex(n.index).to_numpy(),
+                "keeper_turn": first["turn_idx"].reindex(n.index).to_numpy(
+                    np.int64
+                ),
+            }
+        )
+        return out[out["n_turns"] >= 2]
+
+    return _schema_guard(
+        ds.map_batches(_hash, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_fold, batch_format="pandas"),
+        pa.schema(
+            [
+                ("text_md5", pa.string()),
+                ("n_turns", pa.int64()),
+                ("n_convs", pa.int64()),
+                ("keeper_conv", pa.string()),
+                ("keeper_turn", pa.int64()),
+            ]
+        ),
+    )
+
+
+def _sql_turn_dedup(shards_glob: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, md5(text) AS text_md5
+  FROM read_parquet('{shards_glob}')
+  WHERE text IS NOT NULL AND text <> ''),
+g AS (
+  SELECT text_md5,
+         cast(count(*) AS BIGINT) AS n_turns,
+         cast(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         min(conv_id) AS keeper_conv
+  FROM t GROUP BY text_md5 HAVING count(*) >= 2)
+SELECT g.text_md5, g.n_turns, g.n_convs, g.keeper_conv,
+       cast(min(t.turn_idx) AS BIGINT) AS keeper_turn
+FROM g JOIN t ON t.text_md5 = g.text_md5 AND t.conv_id = g.keeper_conv
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# =====================================================================
 # registration
 # =====================================================================
 
@@ -322,6 +418,7 @@ QUERIES = {
     "turn_latency": q_turn_latency,
     "response_ratio": q_response_ratio,
     "conv_truncate": q_conv_truncate,
+    "turn_dedup": q_turn_dedup,
 }
 
 
@@ -333,6 +430,7 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
         "turn_latency": _sql_turn_latency(shards_glob),
         "response_ratio": _sql_response_ratio(shards_glob),
         "conv_truncate": _sql_conv_truncate(shards_glob),
+        "turn_dedup": _sql_turn_dedup(shards_glob),
     }
 
 
