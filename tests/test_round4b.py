@@ -194,7 +194,19 @@ def test_full_pipeline_with_shuffle_survives_worker_kill(
         ).to_pandas()
     )
     assert len(df) == len(ref)
-    assert df["extracted_text"].fillna("").tolist() == ref[
+    # contract under retries: identical per-turn CONTENT (global block
+    # order across runs is not promised — compare under the stable key)
+    key = ["conv_id", "turn_idx"]
+    a = df.sort_values(key).reset_index(drop=True)
+    b = ref.sort_values(key).reset_index(drop=True)
+    assert a["extracted_text"].fillna("").tolist() == b[
         "extracted_text"
-    ].fillna("").tolist()  # identical CONTENT in identical ORDER
+    ].fillna("").tolist()
+    # and the ordering stage's own invariant still holds on the
+    # wounded run: within each conversation, turns appear in
+    # ascending turn_idx order in the emitted row stream
+    pos = df.groupby("conv_id")["turn_idx"].apply(
+        lambda s: bool((s.to_numpy()[1:] >= s.to_numpy()[:-1]).all())
+    )
+    assert pos.all()
     assert os.path.exists(flag)
