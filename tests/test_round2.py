@@ -67,8 +67,9 @@ def test_knn_ivf_recall(ray_session, exact_knn):
         hits += len(exact & approx)
         total += len(exact)
     recall = hits / total
-    # nprobe=4 config measured 0.85 at sf0.01 (VERDICT r3 #7)
-    assert recall >= 0.7, f"knn_ivf recall@10 regressed: {recall:.2f}"
+    # nprobe=6 config measured 0.95 at sf0.01 (VERDICT r4 #3: floor
+    # raised to the same 0.8 bar as knn_lsh / embedding_neardup)
+    assert recall >= 0.8, f"knn_ivf recall@10 regressed: {recall:.2f}"
 
 
 # ------------------------------------------------- stub contract invariants

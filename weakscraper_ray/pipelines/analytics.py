@@ -550,11 +550,20 @@ def q_mom_growth(sf_dir: str):
     )
     cur = months["revenue_cents"].to_numpy(dtype=np.int64)
     prev = np.concatenate([[0], cur[:-1]])
-    num = (cur - prev) * 1_000_000
-    with np.errstate(divide="ignore"):
-        growth = np.where(
-            prev > 0, np.sign(num) * (np.abs(num) // np.maximum(prev, 1)), 0
-        )
+    # Python-int arithmetic: 1e6 * monthly cents wraps numpy int64 at
+    # ~9.2e12 cents/month (promo_e6 ADVICE r4); one row per month, so
+    # exact bigints cost nothing. Truncation toward zero matches the
+    # DuckDB // twin for signed diffs.
+    growth = np.array(
+        [
+            (abs(1_000_000 * (int(c) - int(p))) // int(p))
+            * (1 if c >= p else -1)
+            if p > 0
+            else 0
+            for c, p in zip(cur, prev)
+        ],
+        np.int64,
+    )
     months["prev_cents"] = prev
     months["growth_e6"] = growth.astype(np.int64)
     return months[["y", "m", "revenue_cents", "prev_cents", "growth_e6"]].astype(
@@ -670,9 +679,11 @@ def q_percent_of_total(sf_dir: str):
         .rename(columns={"sum(cents_sum)": "revenue_cents"})
     )
     total = int(g["revenue_cents"].sum())
-    g["share_e6"] = (
-        g["revenue_cents"].to_numpy(dtype=np.int64) * 1_000_000 // total
-    )
+    # Python-int multiply: per-priority cents * 1e6 wraps numpy int64
+    # at ~9.2e12 cents (promo_e6 ADVICE r4); one row per priority.
+    g["share_e6"] = [
+        (1_000_000 * int(c)) // total for c in g["revenue_cents"]
+    ]
     return g[["o_orderpriority", "revenue_cents", "share_e6"]].astype(
         {"revenue_cents": np.int64, "share_e6": np.int64}
     )

@@ -1038,15 +1038,19 @@ def q_dedup_minhash(sf_dir: str, broadcast_max_pairs: int = _MINHASH_BROADCAST_M
     uniq = uniq.select_columns(["doc_a", "doc_b"]).materialize()
     n_cand = uniq.count()
     log = logging.getLogger("weakscraper_ray.dedup")
+    from ..functions.gates import record as _record_gate
+
     if n_cand > broadcast_max_pairs:
         log.warning(
             "dedup_minhash: %d candidate pairs > %d — shuffle verify path",
             n_cand, broadcast_max_pairs,
         )
+        _record_gate("minhash_verify", "exchange", n_candidate_pairs=n_cand)
         return _minhash_verify_shuffle(
             uniq, _read(sf_dir, "documents", ["doc_id", "text"])
         )
     log.info("dedup_minhash: %d candidate pairs — broadcast verify path", n_cand)
+    _record_gate("minhash_verify", "broadcast", n_candidate_pairs=n_cand)
 
     cand_ids = set()
     for row in uniq.take_all():
@@ -2384,17 +2388,24 @@ def q_moving_avg(sf_dir: str):
     def _roll_shard(g: pd.DataFrame) -> pd.DataFrame:
         # one vectorized pass per SHARD (never per user): sort by
         # (user, ts, event_id), then the 5-row window sum is a prefix
-        # difference clamped at each user's first row — exact because
-        # integer cents are exact in float64 at any summation order
+        # difference clamped at each user's first row. The prefix sum
+        # stays in INT64 (ADVICE r4): a float64 prefix loses exactness
+        # once a shard's cumulative cents pass 2^53 (~4e15 at the
+        # claimed 10^12-event scale), whereas the int64 prefix
+        # DIFFERENCE is exact even if the running total wraps — numpy
+        # int64 is two's-complement mod 2^64, so pref[b]-pref[a]
+        # recovers any window sum that itself fits in int64. Only the
+        # bounded 5-term window sum is converted to float for the one
+        # exactly-rounded IEEE division below.
         d = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         u = d["user_id"].to_numpy(np.int64)
-        cents = _i64_away_np(d["value"].to_numpy()).astype(np.float64)
+        cents = _i64_away_np(d["value"].to_numpy())
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         start_of = np.repeat(starts, np.diff(np.r_[starts, len(u)]))
         i = np.arange(len(u))
         lo = np.maximum(i - 4, start_of)
-        pref = np.concatenate(([0.0], np.cumsum(cents)))
-        csum = pref[i + 1] - pref[lo]
+        pref = np.concatenate(([0], np.cumsum(cents)))
+        csum = (pref[i + 1] - pref[lo]).astype(np.float64)
         cnt = (i - lo + 1).astype(np.float64)
         return pd.DataFrame(
             {
@@ -3466,12 +3477,14 @@ QUERIES["pdf_layout"] = q_pdf_layout
 
 
 #: lists probed per query (of 8 trained on this corpus): measured
-#: recall@10 at sf0.01 is 0.675 / 0.775 / 0.85 for nprobe 2/3/4 —
-#: random embeddings have no cluster structure, so recall buys linear
-#: probe cost (production IVF over real embeddings gets the same
-#: recall at a far smaller probed fraction); floor pinned at 0.7 in
-#: tests/test_round2.py
-_IVF_NPROBE = 4
+#: recall@10 at sf0.01 is 0.675 / 0.775 / 0.85 / 0.875 / 0.95 for
+#: nprobe 2/3/4/5/6 — random embeddings have no cluster structure, so
+#: recall buys linear probe cost (production IVF over real embeddings
+#: gets the same recall at a far smaller probed fraction); nprobe 6
+#: gives >=0.15 headroom over the 0.8 floor pinned in
+#: tests/test_round2.py (VERDICT r4 #3: matched to the knn_lsh /
+#: embedding_neardup bars)
+_IVF_NPROBE = 6
 
 
 def q_knn_ivf(sf_dir: str):

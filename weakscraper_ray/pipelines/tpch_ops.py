@@ -121,12 +121,20 @@ def q_promo_revenue(sf_dir: str):
     def _fin(t: pa.Table) -> pa.Table:
         prc = t.column("pr").to_numpy(zero_copy_only=False).astype(np.int64)
         trc = t.column("tr").to_numpy(zero_copy_only=False).astype(np.int64)
+        # Python-int divide, not numpy: 1e6 * monthly cents wraps int64
+        # silently once monthly revenue exceeds ~9.2e12 cents (~TPC-H
+        # SF100) while the DuckDB twin raises loudly (ADVICE r4). The
+        # array is one row per month — exact bigint cost is nil.
+        e6 = pa.array(
+            [(1_000_000 * int(p)) // int(tt) for p, tt in zip(prc, trc)],
+            pa.int64(),
+        )
         return pa.table(
             {
                 "ship_month": t.column("ship_month"),
                 "promo_revenue_cents": pa.array(prc),
                 "total_revenue_cents": pa.array(trc),
-                "promo_e6": pa.array((1_000_000 * prc) // trc),
+                "promo_e6": e6,
             }
         )
 
@@ -293,12 +301,23 @@ FROM r JOIN customer c ON r.c_custkey = c.c_custkey
 
 def _day_range(path: str) -> tuple[int, int]:
     """(min, max) day index (days since 1970-01-01) of the ts column,
-    from parquet row-group statistics only — no data read."""
+    from parquet row-group statistics only — no data read. Files
+    written with column statistics disabled (or with stats lacking
+    min/max) get a clear error instead of an AttributeError
+    (ADVICE r4); the metadata-only shape is the point of this helper,
+    so it refuses rather than silently falling back to a full scan."""
     f = pq.ParquetFile(path)
     idx = f.schema_arrow.get_field_index("ts")
     los, his = [], []
     for rg in range(f.metadata.num_row_groups):
         st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            raise ValueError(
+                f"{path}: row group {rg} has no min/max statistics for"
+                " 'ts' — daily_churn's metadata-only day-range scan"
+                " needs parquet column stats (rewrite the file with"
+                " statistics enabled, the pyarrow default)"
+            )
         los.append(np.datetime64(st.min, "us"))
         his.append(np.datetime64(st.max, "us"))
     lo = min(los).astype("datetime64[D]").astype(np.int64)
@@ -317,10 +336,14 @@ def q_daily_churn(sf_dir: str):
     (metadata only — no data scan; the "prune at the read" rule);
     per-batch distinct (user, day-bit) partials → ONE user-keyed
     exchange folding each user's days into an int64 BITMASK anchored
-    at the min day (ranges beyond 62 days become ⌈days/62⌉ mask
-    columns, same fold) → per-batch popcount partials over the
-    bounded day domain → one tiny day-keyed roll-up.  No day-cohort
-    self-join anywhere."""
+    at the min day → per-batch popcount partials over the bounded day
+    domain → one tiny day-keyed roll-up.  No day-cohort self-join
+    anywhere.  IMPLEMENTED LIMIT: a single int64 mask, i.e. a day
+    range < 62 days (asserted below); wider ranges would need
+    ⌈days/62⌉ mask columns with the same fold — not built because no
+    testdata or oracle exercises it (ADVICE r4: docstring now states
+    the limit the code enforces rather than promising the multi-mask
+    extension)."""
     from ray.data.aggregate import Sum
 
     lo, hi = _day_range(_p(sf_dir, "events"))
@@ -429,7 +452,12 @@ def q_daily_churn(sf_dir: str):
             "n_active": pa.array(a),
             "n_retained": pa.array(r),
             "n_churned": pa.array(a - r),
-            "retained_e6": pa.array((1_000_000 * r) // a),
+            # Python-int divide for the same overflow-proofing as
+            # promo_e6 (one row per day — cost is nil)
+            "retained_e6": pa.array(
+                [(1_000_000 * int(x)) // int(y) for x, y in zip(r, a)],
+                pa.int64(),
+            ),
         }
     )
 

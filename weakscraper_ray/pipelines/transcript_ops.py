@@ -220,6 +220,11 @@ def q_response_ratio(sf_dir: str):
                 "conv_id": t.column("conv_id").filter(pa.array(keep)),
                 "user_chars": pa.array(u[keep]),
                 "assistant_chars": pa.array(a[keep]),
+                # numpy int64 multiply is safe here: wraps only if one
+                # conversation holds > 9.2e12 assistant chars (~9 TB of
+                # text in a single conv) — physically out of range even
+                # at 10^12-turn corpus scale, unlike the cents sums
+                # guarded in tpch_ops/analytics (ADVICE r4)
                 "ratio_e6": pa.array((1_000_000 * a[keep]) // u[keep]),
             }
         )
