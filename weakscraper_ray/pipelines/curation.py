@@ -239,7 +239,7 @@ WHERE cast(substr(source, 4, 32) AS BIGINT) % 2 = 0
 _INDEX_SHARDS = 4
 
 
-def q_dedup_against_index(sf_dir: str):
+def q_dedup_against_index(sf_dir: str, _chaos_after_build=None):
     """Incremental dedup: filter an incoming document batch against a
     corpus-history index held in SHARDED RAY ACTORS — the one operator
     family where the engine deliberately drops below the Dataset API
@@ -252,56 +252,113 @@ def q_dedup_against_index(sf_dir: str):
     index shard (one RPC per batch per shard, hex digests only — no
     text); the consuming ``count()`` is the build barrier. Phase 2
     streams the incoming half probing the now-read-only index and
-    keeps docs whose hash is unseen. Emits ``doc_id`` only."""
-    from ..functions.dedup import content_hash_batch
-    from ..state.hash_index import HashIndexShard, route
+    keeps docs whose hash is unseen. Emits ``doc_id`` only.
 
-    shards = [HashIndexShard.remote() for _ in range(_INDEX_SHARDS)]
+    Fault tolerance (VERDICT r4 #5): shard actors restart on worker
+    loss (``max_restarts=-1``) but their state does NOT — the epoch
+    protocol (:class:`~weakscraper_ray.state.hash_index.HashIndexShard`)
+    makes any restart surface as a typed ``IndexShardLost`` (or a
+    mid-RPC ``RayActorError``) instead of silently-empty lookups, and
+    the driver rebuilds the whole index and re-probes (bounded
+    retries; chaos-tested in tests/test_round5.py).
+    ``_chaos_after_build`` is the test seam: called with the live
+    shard handles after the build barrier, before the probe."""
+    from ..functions.dedup import content_hash_batch
+    from ..state.hash_index import (
+        HashIndexShard,
+        is_shard_loss,
+        next_epoch,
+        route,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def _even_mask(batch: pa.Table) -> pa.ChunkedArray:
         return pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
 
-    def _build(batch: pa.Table) -> pa.Table:
-        corpus = batch.filter(_even_mask(batch))
-        hashes = content_hash_batch(corpus).column("content_hash").to_pylist()
-        sid = route(hashes, _INDEX_SHARDS)
-        per_shard: list[list[str]] = [[] for _ in range(_INDEX_SHARDS)]
-        for h, s in zip(hashes, sid):
-            per_shard[s].append(h)
-        refs = [
-            shards[s].add.remote(hs)
-            for s, hs in enumerate(per_shard)
-            if hs
+    def _build_index():
+        shards = [
+            HashIndexShard.options(max_restarts=-1).remote()
+            for _ in range(_INDEX_SHARDS)
         ]
-        ray.get(refs)  # ack: this batch is indexed
-        return pa.table({"n_indexed": pa.array([len(hashes)], pa.int64())})
+        epoch = next_epoch()
+        ray.get([s.begin_build.remote(epoch) for s in shards])
 
-    # build barrier: the index must be complete before any probe runs
-    ds.map_batches(_build, batch_format="pyarrow").count()
+        def _build(batch: pa.Table) -> pa.Table:
+            corpus = batch.filter(_even_mask(batch))
+            hashes = content_hash_batch(corpus).column(
+                "content_hash"
+            ).to_pylist()
+            sid = route(hashes, _INDEX_SHARDS)
+            per_shard: list[list[str]] = [[] for _ in range(_INDEX_SHARDS)]
+            for h, s in zip(hashes, sid):
+                per_shard[s].append(h)
+            refs = [
+                shards[s].add.remote(hs, epoch)
+                for s, hs in enumerate(per_shard)
+                if hs
+            ]
+            ray.get(refs)  # ack: this batch is indexed (epoch-checked)
+            return pa.table({"n_indexed": pa.array([len(hashes)], pa.int64())})
 
-    def _probe(batch: pa.Table) -> pa.Table:
-        incoming = batch.filter(pc.invert(_even_mask(batch)))
-        hashes = content_hash_batch(incoming).column("content_hash").to_pylist()
-        sid = route(hashes, _INDEX_SHARDS)
-        per_shard: list[list[int]] = [[] for _ in range(_INDEX_SHARDS)]
-        for i, s in enumerate(sid):
-            per_shard[s].append(i)
-        present = np.zeros(len(hashes), dtype=bool)
-        refs, idxs = [], []
-        for s, rows_in_shard in enumerate(per_shard):
-            if rows_in_shard:
-                refs.append(
-                    shards[s].contains.remote([hashes[i] for i in rows_in_shard])
-                )
-                idxs.append(rows_in_shard)
-        for ref, rows_in_shard in zip(ray.get(refs), idxs):
-            present[rows_in_shard] = ref
-        kept = incoming.filter(pa.array(~present))
-        return kept.select(["doc_id"])
+        # build barrier: the index must be complete before any probe
+        ds.map_batches(_build, batch_format="pyarrow").count()
+        ray.get([s.seal.remote(epoch) for s in shards])
+        return shards, epoch
 
-    return ds.map_batches(_probe, batch_format="pyarrow")
+    def _make_probe(shards, epoch):
+        def _probe(batch: pa.Table) -> pa.Table:
+            incoming = batch.filter(pc.invert(_even_mask(batch)))
+            hashes = content_hash_batch(incoming).column(
+                "content_hash"
+            ).to_pylist()
+            sid = route(hashes, _INDEX_SHARDS)
+            per_shard: list[list[int]] = [[] for _ in range(_INDEX_SHARDS)]
+            for i, s in enumerate(sid):
+                per_shard[s].append(i)
+            present = np.zeros(len(hashes), dtype=bool)
+            refs, idxs = [], []
+            for s, rows_in_shard in enumerate(per_shard):
+                if rows_in_shard:
+                    refs.append(
+                        shards[s].contains.remote(
+                            [hashes[i] for i in rows_in_shard], epoch
+                        )
+                    )
+                    idxs.append(rows_in_shard)
+            for ref, rows_in_shard in zip(ray.get(refs), idxs):
+                present[rows_in_shard] = ref
+            kept = incoming.filter(pa.array(~present))
+            return kept.select(["doc_id"])
+
+        return _probe
+
+    import logging
+
+    last_err: Exception | None = None
+    for attempt in range(3):
+        try:
+            shards, epoch = _build_index()
+            if _chaos_after_build is not None and attempt == 0:
+                _chaos_after_build(shards)
+            # materialize INSIDE the retry scope so probe-time shard
+            # loss surfaces here, not at the caller's consume; output
+            # is doc_id-only (8 B/row), bounded by the incoming half
+            return ds.map_batches(
+                _make_probe(shards, epoch), batch_format="pyarrow"
+            ).materialize()
+        except Exception as e:  # noqa: BLE001 — classified below
+            if not is_shard_loss(e):
+                raise
+            last_err = e
+            logging.getLogger("weakscraper_ray.dedup").warning(
+                "dedup_against_index: shard state lost (attempt %d) — "
+                "rebuilding index: %s", attempt, type(e).__name__,
+            )
+    raise RuntimeError(
+        "dedup_against_index: index shards kept dying across 3 build "
+        "attempts"
+    ) from last_err
 
 
 SQL_DEDUP_AGAINST_INDEX = """

@@ -749,7 +749,7 @@ FROM kept k JOIN keepers USING (doc_id)
 _MAI_SHARDS = 8
 
 
-def q_minhash_against_index(sf_dir: str):
+def q_minhash_against_index(sf_dir: str, _chaos_after_build=None):
     """Incremental NEAR-dup: probe today's crawl against a MinHash-LSH
     band index of yesterday's corpus held in sharded Ray actors — the
     near-dup sibling of ``dedup_against_index`` (which is exact-hash
@@ -773,10 +773,13 @@ def q_minhash_against_index(sf_dir: str):
     from ray.data.aggregate import Count
 
     from ..functions.dedup import explode_bands, minhash_batch
-    from ..state.hash_index import LSHIndexShard
+    from ..state.hash_index import (
+        LSHIndexShard,
+        is_shard_loss,
+        next_epoch,
+    )
     from .relational import _PAIR_SCHEMA, _jaccard_verify_batch
 
-    shards = [LSHIndexShard.remote() for _ in range(_MAI_SHARDS)]
     explode = explode_bands(n_bands=16)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -792,70 +795,117 @@ def q_minhash_against_index(sf_dir: str):
         keys = [(int(b) << 64) | int(h) for b, h in zip(band, bh)]
         return keys, ids
 
-    def _build(batch: pa.Table) -> pa.Table:
-        old = _half(batch, even=True)
-        if old.num_rows:
-            keys, ids = _band_keys(old)
-            per: list[tuple[list[int], list[int]]] = [
-                ([], []) for _ in range(_MAI_SHARDS)
-            ]
-            for k, i in zip(keys, ids):
-                ks, is_ = per[k % _MAI_SHARDS]
-                ks.append(k)
-                is_.append(int(i))
-            ray.get(
-                [
-                    shards[s].add.remote(ks, is_)
-                    for s, (ks, is_) in enumerate(per)
-                    if ks
+    def _build_index():
+        shards = [
+            LSHIndexShard.options(max_restarts=-1).remote()
+            for _ in range(_MAI_SHARDS)
+        ]
+        epoch = next_epoch()
+        ray.get([s.begin_build.remote(epoch) for s in shards])
+
+        def _build(batch: pa.Table) -> pa.Table:
+            old = _half(batch, even=True)
+            if old.num_rows:
+                keys, ids = _band_keys(old)
+                per: list[tuple[list[int], list[int]]] = [
+                    ([], []) for _ in range(_MAI_SHARDS)
                 ]
-            )
-        return pa.table({"n_indexed": pa.array([old.num_rows], pa.int64())})
-
-    # build barrier: the index must be complete before any probe runs
-    ds.map_batches(_build, batch_format="pyarrow").count()
-
-    def _probe(batch: pa.Table) -> pa.Table:
-        new = _half(batch, even=False)
-        if new.num_rows == 0:
-            return _PAIR_SCHEMA.empty_table()
-        keys, ids = _band_keys(new)
-        per_rows: list[list[int]] = [[] for _ in range(_MAI_SHARDS)]
-        for i, k in enumerate(keys):
-            per_rows[k % _MAI_SHARDS].append(i)
-        matches: list[list[int]] = [[] for _ in range(len(keys))]
-        refs, idxs = [], []
-        for s, rows_in_shard in enumerate(per_rows):
-            if rows_in_shard:
-                refs.append(
-                    shards[s].lookup.remote([keys[i] for i in rows_in_shard])
+                for k, i in zip(keys, ids):
+                    ks, is_ = per[k % _MAI_SHARDS]
+                    ks.append(k)
+                    is_.append(int(i))
+                ray.get(
+                    [
+                        shards[s].add.remote(ks, is_, epoch)
+                        for s, (ks, is_) in enumerate(per)
+                        if ks
+                    ]
                 )
-                idxs.append(rows_in_shard)
-        for ref, rows_in_shard in zip(ray.get(refs), idxs):
-            for i, lst in zip(rows_in_shard, ref):
-                matches[i] = lst
-        pairs = {
-            (old_id, int(new_id))
-            for new_id, lst in zip(ids, matches)
-            for old_id in lst
-        }
-        if not pairs:
-            return _PAIR_SCHEMA.empty_table()
-        a, b = zip(*sorted(pairs))
-        return pa.table(
-            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
-        )
+            return pa.table(
+                {"n_indexed": pa.array([old.num_rows], pa.int64())}
+            )
 
-    cand = _schema_guard(
-        ds.map_batches(_probe, batch_format="pyarrow"), _PAIR_SCHEMA
-    )
-    uniq = (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()  # id pairs only, bounded by LSH precision
-    )
+        # build barrier: the index must be complete before any probe
+        ds.map_batches(_build, batch_format="pyarrow").count()
+        ray.get([s.seal.remote(epoch) for s in shards])
+        return shards, epoch
+
+    def _make_probe(shards, epoch):
+        def _probe(batch: pa.Table) -> pa.Table:
+            new = _half(batch, even=False)
+            if new.num_rows == 0:
+                return _PAIR_SCHEMA.empty_table()
+            keys, ids = _band_keys(new)
+            per_rows: list[list[int]] = [[] for _ in range(_MAI_SHARDS)]
+            for i, k in enumerate(keys):
+                per_rows[k % _MAI_SHARDS].append(i)
+            matches: list[list[int]] = [[] for _ in range(len(keys))]
+            refs, idxs = [], []
+            for s, rows_in_shard in enumerate(per_rows):
+                if rows_in_shard:
+                    refs.append(
+                        shards[s].lookup.remote(
+                            [keys[i] for i in rows_in_shard], epoch
+                        )
+                    )
+                    idxs.append(rows_in_shard)
+            for ref, rows_in_shard in zip(ray.get(refs), idxs):
+                for i, lst in zip(rows_in_shard, ref):
+                    matches[i] = lst
+            pairs = {
+                (old_id, int(new_id))
+                for new_id, lst in zip(ids, matches)
+                for old_id in lst
+            }
+            if not pairs:
+                return _PAIR_SCHEMA.empty_table()
+            a, b = zip(*sorted(pairs))
+            return pa.table(
+                {
+                    "doc_a": pa.array(a, pa.int64()),
+                    "doc_b": pa.array(b, pa.int64()),
+                }
+            )
+
+        return _probe
+
     import logging
+
+    # epoch-protocol retry scope (VERDICT r4 #5): shard loss at build
+    # or probe time surfaces as IndexShardLost / RayActorError; the
+    # driver rebuilds the index and re-probes (bounded; chaos-tested)
+    uniq = None
+    last_err = None
+    for attempt in range(3):
+        try:
+            shards, epoch = _build_index()
+            if _chaos_after_build is not None and attempt == 0:
+                _chaos_after_build(shards)
+            cand = _schema_guard(
+                ds.map_batches(_make_probe(shards, epoch),
+                               batch_format="pyarrow"),
+                _PAIR_SCHEMA,
+            )
+            uniq = (
+                cand.groupby(["doc_a", "doc_b"])
+                .aggregate(Count(alias_name="n"))
+                .select_columns(["doc_a", "doc_b"])
+                .materialize()  # id pairs only, bounded by LSH precision
+            )
+            break
+        except Exception as e:  # noqa: BLE001 — classified below
+            if not is_shard_loss(e):
+                raise
+            last_err = e
+            logging.getLogger("weakscraper_ray.dedup").warning(
+                "minhash_against_index: shard state lost (attempt %d) "
+                "— rebuilding index: %s", attempt, type(e).__name__,
+            )
+    if uniq is None:
+        raise RuntimeError(
+            "minhash_against_index: index shards kept dying across 3 "
+            "build attempts"
+        ) from last_err
 
     logging.getLogger("weakscraper_ray.dedup").info(
         "minhash_against_index: %d candidate pairs", uniq.count()

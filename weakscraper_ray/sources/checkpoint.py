@@ -117,7 +117,8 @@ def prune_committed(ds, out_dir: str, n_shards: int, has_shard: bool = False):
 
 
 def _write_one_partition(group: pa.Table, out_dir: str,
-                         fmt: str = "parquet") -> pa.Table:
+                         fmt: str = "parquet",
+                         chaos_hook=None) -> pa.Table:
     """Runs inside groupby(shard).map_groups (Arrow in / Arrow out, so
     nested columns like ``spans`` survive intact) — writes one
     partition atomically and returns its manifest row.
@@ -131,6 +132,8 @@ def _write_one_partition(group: pa.Table, out_dir: str,
     resume are format-agnostic — the committed set is keyed on
     manifest files."""
     shard = int(group.column("shard")[0].as_py())
+    if chaos_hook is not None:  # test seam: fault injection at the
+        chaos_hook(shard, "pre_data")  # commit protocol's two phases
     pdir = os.path.join(out_dir, f"part={shard}")
     os.makedirs(pdir, exist_ok=True)
     drop = ["shard"]
@@ -179,6 +182,8 @@ def _write_one_partition(group: pa.Table, out_dir: str,
     with open(tmp, "rb") as fh:
         os.fsync(fh.fileno())
     os.replace(tmp, final)
+    if chaos_hook is not None:  # between data replace and manifest
+        chaos_hook(shard, "pre_manifest")  # commit — the torn window
 
     convs = data.column("conv_id")
     turns = data.column("turn_idx")
@@ -220,7 +225,8 @@ def _write_one_partition(group: pa.Table, out_dir: str,
 
 
 def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True,
-                      has_shard: bool = False, fmt: str = "parquet"):
+                      has_shard: bool = False, fmt: str = "parquet",
+                      _chaos_write_hook=None):
     """Checkpointed sink: shard by conv-hash → one atomic partition +
     manifest per shard. Returns the manifest rows (small DataFrame).
 
@@ -228,6 +234,10 @@ def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True,
     conv-keyed shuffle; each group writes its own partition in the
     worker, so no driver materialization of data. ``has_shard=True``
     when the caller already ran prune_committed upstream (pre-extract).
+    ``_chaos_write_hook(shard, phase)`` is the fault-injection seam
+    (phases ``pre_data`` / ``pre_manifest``) used by the crash-atomicity
+    chaos tests; it ships with the write closure so it executes in the
+    worker.
     """
     os.makedirs(out_dir, exist_ok=True)
     check_sharding(out_dir, n_shards)
@@ -247,8 +257,13 @@ def write_partitioned(ds, out_dir: str, n_shards: int = 16, resume: bool = True,
         ds.context.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     except ImportError:  # pragma: no cover
         pass
+    # the hook rides the closure (serialized with it), so fault
+    # injection reaches the WORKER executing the write — a driver-side
+    # monkeypatch would not (workers import the module fresh)
     manifests = ds.groupby("shard").map_groups(
-        lambda g: _write_one_partition(g, out_dir, fmt=fmt),
+        lambda g: _write_one_partition(
+            g, out_dir, fmt=fmt, chaos_hook=_chaos_write_hook
+        ),
         batch_format="pyarrow",
     )
     return manifests.to_pandas()

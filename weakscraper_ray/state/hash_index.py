@@ -29,18 +29,65 @@ from __future__ import annotations
 import ray
 
 
+class IndexShardLost(Exception):
+    """An index shard actor restarted (worker/node loss) and its
+    in-memory state is gone. Raised by epoch-checked calls so the
+    pipeline FAILS FAST and rebuilds instead of silently returning
+    "not seen" for every lost key — the silent-wrong-dedup failure a
+    restarted empty shard would otherwise cause. Callers using the
+    epoch protocol catch this (or the RayActorError from a mid-RPC
+    death) driver-side and rebuild the index (bounded retries)."""
+
+
 @ray.remote
 class HashIndexShard:
-    """One shard: an in-memory set of hex-digest membership keys."""
+    """One shard: an in-memory set of hex-digest membership keys.
+
+    Fault model (VERDICT r4 #5): in-memory state dies with the actor.
+    The EPOCH PROTOCOL makes that loss detectable end-to-end — the
+    builder calls ``begin_build(epoch)``, passes the epoch on every
+    ``add``, then ``seal(epoch)``; probes pass it on ``contains``. A
+    restarted actor re-inits with ``_epoch = None``, so the first
+    epoch-checked call after ANY restart raises :class:`IndexShardLost`
+    (build-time loss is caught by ``add``/``seal``, probe-time loss by
+    ``contains``). Epoch-less calls skip the check (ad-hoc/test use).
+    """
 
     def __init__(self) -> None:
         self._seen: set[str] = set()
+        self._epoch: int | None = None
+        self._sealed = False
 
-    def add(self, hashes: list[str]) -> int:
+    def begin_build(self, epoch: int) -> bool:
+        self._seen = set()
+        self._epoch = epoch
+        self._sealed = False
+        return True
+
+    def _check(self, epoch: int | None, need_sealed: bool = False) -> None:
+        if epoch is not None and (
+            epoch != self._epoch or (need_sealed and not self._sealed)
+        ):
+            raise IndexShardLost(
+                f"shard state lost: expected epoch {epoch}, have "
+                f"{self._epoch} (sealed={self._sealed}) — the actor "
+                "restarted after a failure; rebuild the index"
+            )
+
+    def add(self, hashes: list[str], epoch: int | None = None) -> int:
+        self._check(epoch)
         self._seen.update(hashes)
         return len(self._seen)
 
-    def contains(self, hashes: list[str]) -> list[bool]:
+    def seal(self, epoch: int) -> int:
+        self._check(epoch)
+        self._sealed = True
+        return len(self._seen)
+
+    def contains(
+        self, hashes: list[str], epoch: int | None = None
+    ) -> list[bool]:
+        self._check(epoch, need_sealed=True)
         s = self._seen
         return [h in s for h in hashes]
 
@@ -59,7 +106,8 @@ class LSHIndexShard:
     list of indexed doc_ids. Same scale shape as :class:`HashIndexShard`
     (hash-partitioned key space, one RPC per batch per shard, no text),
     but lookups return the MATCHING IDS (candidate retrieval), not just
-    membership. Posting lists are capped — an overflowing bucket keeps
+    membership, and the same EPOCH PROTOCOL detects restart-after-loss
+    (see :class:`HashIndexShard`). Posting lists are capped — an overflowing bucket keeps
     its first ``cap`` ids and counts the overflow, visible via
     ``stats()``, never silent (a degenerate bucket, e.g. the empty-text
     signature, would otherwise blow up candidate generation — the same
@@ -69,8 +117,34 @@ class LSHIndexShard:
         self._buckets: dict[int, list[int]] = {}
         self._cap = cap
         self._overflow = 0
+        self._epoch: int | None = None
+        self._sealed = False
 
-    def add(self, keys: list[int], ids: list[int]) -> int:
+    def begin_build(self, epoch: int) -> bool:
+        self._buckets = {}
+        self._overflow = 0
+        self._epoch = epoch
+        self._sealed = False
+        return True
+
+    def _check(self, epoch: int | None, need_sealed: bool = False) -> None:
+        if epoch is not None and (
+            epoch != self._epoch or (need_sealed and not self._sealed)
+        ):
+            raise IndexShardLost(
+                f"shard state lost: expected epoch {epoch}, have "
+                f"{self._epoch} (sealed={self._sealed}) — the actor "
+                "restarted after a failure; rebuild the index"
+            )
+
+    def seal(self, epoch: int) -> int:
+        self._check(epoch)
+        self._sealed = True
+        return len(self._buckets)
+
+    def add(self, keys: list[int], ids: list[int],
+            epoch: int | None = None) -> int:
+        self._check(epoch)
         bk = self._buckets
         cap = self._cap
         for k, i in zip(keys, ids):
@@ -83,10 +157,40 @@ class LSHIndexShard:
                 self._overflow += 1
         return len(bk)
 
-    def lookup(self, keys: list[int]) -> list[list[int]]:
+    def lookup(self, keys: list[int],
+               epoch: int | None = None) -> list[list[int]]:
+        self._check(epoch, need_sealed=True)
         bk = self._buckets
         empty: list[int] = []
         return [bk.get(k, empty) for k in keys]
 
     def stats(self) -> dict:
         return {"n_buckets": len(self._buckets), "overflow": self._overflow}
+
+
+#: driver-side monotonically increasing build epochs (one driver
+#: orchestrates builds, so a plain counter is race-free)
+_EPOCHS = iter(range(1, 1 << 62))
+
+
+def next_epoch() -> int:
+    """A fresh build epoch for the epoch protocol."""
+    return next(_EPOCHS)
+
+
+def is_shard_loss(err: BaseException) -> bool:
+    """True when ``err`` traces to index-shard state loss: an
+    :class:`IndexShardLost` (epoch check on a restarted actor), or a
+    ``RayActorError`` (the RPC in flight when the actor died). Ray
+    wraps worker exceptions in ``RayTaskError`` whose ``cause`` /
+    rendered message carries the original — walk both."""
+    from ray.exceptions import RayActorError
+
+    e: BaseException | None = err
+    for _ in range(8):
+        if e is None:
+            break
+        if isinstance(e, (IndexShardLost, RayActorError)):
+            return True
+        e = getattr(e, "cause", None) or e.__cause__
+    return "IndexShardLost" in str(err) or "RayActorError" in str(err)
