@@ -178,3 +178,172 @@ def test_real_decoders_registered_without_import_probe():
 
     assert callable(resolve_decoder("ppm"))
     assert callable(resolve_pdf_decoder("minipdf"))
+
+
+# ===================================================== chaos probes
+# (VERDICT r4 #5: extend worker-loss coverage beyond the flagship to
+# the stateful index-shard actors and the checkpointed sink)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_hash_index_shard_death_midprobe_rebuilds(ray_session):
+    """Kill one HashIndexShard between build and probe (restart loses
+    its in-memory set). The epoch protocol must surface the loss as a
+    typed failure, and the driver rebuild loop must re-index and still
+    return the EXACT dedup answer — never the silently-wrong result an
+    empty restarted shard would give."""
+    import ray
+
+    from weakscraper_ray.pipelines.curation import q_dedup_against_index
+
+    clean = sorted(
+        q_dedup_against_index(SF_SMALL).to_pandas()["doc_id"].tolist()
+    )
+    killed = []
+
+    def _kill_one(shards):
+        ray.kill(shards[1], no_restart=False)
+        killed.append(True)
+
+    chaos = sorted(
+        q_dedup_against_index(SF_SMALL, _chaos_after_build=_kill_one)
+        .to_pandas()["doc_id"].tolist()
+    )
+    assert killed  # the kill actually happened
+    assert chaos == clean and len(clean) > 0
+
+
+def test_lsh_index_shard_death_midprobe_rebuilds(ray_session):
+    """Same probe for the LSH band index behind minhash_against_index:
+    one shard dies post-build; the verified near-dup pair set must be
+    identical to the clean run (a lost shard would silently drop every
+    candidate routed to it)."""
+    import ray
+
+    from weakscraper_ray.pipelines.mining import q_minhash_against_index
+
+    key = lambda df: sorted(
+        map(tuple, df[["doc_a", "doc_b"]].values.tolist())
+    )
+    clean = key(q_minhash_against_index(SF_SMALL).to_pandas())
+    killed = []
+
+    def _kill_one(shards):
+        ray.kill(shards[0], no_restart=False)
+        killed.append(True)
+
+    chaos = key(
+        q_minhash_against_index(
+            SF_SMALL, _chaos_after_build=_kill_one
+        ).to_pandas()
+    )
+    assert killed
+    assert chaos == clean and len(clean) > 0
+
+
+def test_index_epoch_detects_buildtime_loss(ray_session):
+    """Unit contract: a restart DURING the build phase is caught by
+    the next epoch-checked add/seal, and probing an unsealed shard is
+    refused — state loss can never masquerade as an empty index."""
+    import ray
+    from ray.exceptions import RayActorError, RayTaskError
+
+    from weakscraper_ray.state.hash_index import (
+        HashIndexShard,
+        IndexShardLost,
+        is_shard_loss,
+    )
+
+    shard = HashIndexShard.options(max_restarts=-1).remote()
+    ray.get(shard.begin_build.remote(7))
+    ray.get(shard.add.remote(["aa"], 7))
+    ray.kill(shard, no_restart=False)
+    with pytest.raises((RayTaskError, RayActorError, IndexShardLost)) as ei:
+        # restarted instance has no epoch -> the add must refuse
+        for _ in range(3):  # first call may race the restart itself
+            ray.get(shard.add.remote(["bb"], 7))
+    assert is_shard_loss(ei.value)
+    # unsealed probe refused even without a kill
+    fresh = HashIndexShard.remote()
+    ray.get(fresh.begin_build.remote(9))
+    with pytest.raises((RayTaskError, IndexShardLost)) as ei2:
+        ray.get(fresh.contains.remote(["aa"], 9))
+    assert is_shard_loss(ei2.value)
+
+
+def test_write_partitioned_survives_kill_in_commit_window(
+    ray_session, tmp_path
+):
+    """Chaos probe on the sink's claimed commit point: a worker dies
+    via os._exit INSIDE the torn window (data file replaced, manifest
+    not yet written). The retried task must converge to a fully
+    consistent checkpoint — every partition present exactly once,
+    manifests matching the data, no stray tmp files — and a subsequent
+    resume must rewrite nothing."""
+    import os
+
+    from weakscraper_ray.pipelines import run_flagship
+    from weakscraper_ray.sources import (
+        committed_partitions,
+        metrics_rollup,
+        write_partitioned,
+    )
+    from weakscraper_ray.transcripts import ensure_generated
+
+    tiny = ensure_generated("tiny")
+    extracted = run_flagship(
+        tiny, concurrency=2, batch_size=64, restore_ordering=False
+    )
+    flag = str(tmp_path / "killed_once")
+
+    def _hook(shard, phase):
+        if phase == "pre_manifest" and not os.path.exists(flag):
+            open(flag, "w").close()
+            os._exit(1)  # die between data commit and manifest commit
+
+    out = str(tmp_path / "out")
+    m = write_partitioned(
+        extracted, out, n_shards=8, _chaos_write_hook=_hook
+    )
+    assert os.path.exists(flag)  # the kill actually happened
+    shards = sorted(committed_partitions(out))
+    assert sorted(m["partition_id"]) == shards and len(shards) >= 3
+
+    # reference: a clean write of the same input
+    ref_out = str(tmp_path / "ref")
+    write_partitioned(extracted, ref_out, n_shards=8)
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    def _merged(d):
+        return (
+            pd.concat(
+                pq.read_table(f"{d}/part={p}/data.parquet").to_pandas()
+                for p in sorted(committed_partitions(d))
+            )
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    a, b = _merged(out), _merged(ref_out)
+    assert len(a) == len(b) > 0
+    assert a.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    assert a["extracted_text"].fillna("").tolist() == b[
+        "extracted_text"
+    ].fillna("").tolist()
+    assert metrics_rollup(out)["rows"] == len(a)
+    # atomic protocol leaves no uncommitted temp files behind
+    for p in shards:
+        leftovers = [
+            f for f in os.listdir(f"{out}/part={p}") if f.endswith(".tmp")
+        ]
+        assert leftovers == []
+    # resume after the chaotic-but-complete run: nothing recomputed
+    mtimes = {
+        p: os.path.getmtime(f"{out}/part={p}/data.parquet") for p in shards
+    }
+    m2 = write_partitioned(extracted, out, n_shards=8)
+    assert len(m2) == 0
+    for p, t in mtimes.items():
+        assert os.path.getmtime(f"{out}/part={p}/data.parquet") == t

@@ -192,5 +192,20 @@ def is_shard_loss(err: BaseException) -> bool:
             break
         if isinstance(e, (IndexShardLost, RayActorError)):
             return True
-        e = getattr(e, "cause", None) or e.__cause__
-    return "IndexShardLost" in str(err) or "RayActorError" in str(err)
+        e = getattr(e, "cause", None) or e.__cause__ or e.__context__
+    # Ray Data re-raises worker failures as dynamically-typed
+    # RayTaskError(UserCodeException) whose cause chain may stop at the
+    # wrapper — the rendered traceback still names the original class
+    # (e.g. ActorUnavailableError "the actor is restarting", the
+    # mid-RPC shape of a shard death)
+    text = str(err)
+    return any(
+        marker in text
+        for marker in (
+            "IndexShardLost",
+            "RayActorError",
+            "ActorUnavailableError",
+            "ActorDiedError",
+            "ActorUnschedulableError",
+        )
+    )
