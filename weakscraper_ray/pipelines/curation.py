@@ -2225,6 +2225,130 @@ FROM r
 """
 
 
+
+# =====================================================================
+# Gopher repetition filters (round 5)
+# =====================================================================
+
+def q_gopher_repetition(sf_dir: str):
+    """Within-document repetition signals in the style of the Gopher
+    quality rules (Rae et al. 2021, "Scaling Language Models", table
+    A1): per document, the char-weighted occurrence mass of (a) the
+    single most frequent word 2-gram and (b) all DUPLICATED word
+    5-grams — the two signals that catch boilerplate loops and
+    templated spam that per-word statistics (TTR, quality_score) miss.
+
+    Definitions (identical expression on both sides, integer-exact):
+    tokens = lower().split() on whitespace; docs with >= 5 tokens;
+    mass of an n-gram = count * len(gram string); ratios released as
+    truncating e6 integers over the doc's total n-gram mass. Tie-break
+    for the top 2-gram: (count desc, gram asc) — deterministic across
+    engines (ASCII corpus, codepoint = binary collation).
+
+    Scale shape: map-only, ZERO exchanges — each batch emits one row
+    per qualifying doc; the per-doc Counter loop is inherent to
+    n-gram counting (same rationale as the other text statistics) and
+    is bounded by doc length. At 100 TB this is a pure streaming scan.
+    """
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        ids_out, grams, top_e6, dup_e6 = [], [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            w = (t or "").lower().split()
+            if len(w) < 5:
+                continue
+            c2 = Counter(zip(w, w[1:]))
+            # mass = count * chars(gram) — chars include the space
+            tot2 = 0
+            best = None  # (-count, gram_str, mass)
+            for (a, b), c in c2.items():
+                g = a + " " + b
+                m = c * len(g)
+                tot2 += m
+                k = (-c, g)
+                if best is None or k < best[0]:
+                    best = (k, g, m)
+            c5 = Counter(
+                zip(w, w[1:], w[2:], w[3:], w[4:])
+            )
+            tot5 = dup5 = 0
+            for g5, c in c5.items():
+                m = c * (sum(len(x) for x in g5) + 4)
+                tot5 += m
+                if c >= 2:
+                    dup5 += m
+            ids_out.append(did)
+            grams.append(best[1])
+            top_e6.append((1_000_000 * best[2]) // tot2)
+            dup_e6.append((1_000_000 * dup5) // tot5)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "top2_gram": pa.array(grams, pa.string()),
+                "top2_char_e6": pa.array(top_e6, pa.int64()),
+                "dup5_char_e6": pa.array(dup_e6, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_rep, batch_format="pyarrow")
+
+
+SQL_GOPHER_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM w WHERE len(w) >= 5
+),
+c2 AS (
+  SELECT doc_id, g, count(*) AS c, cast(length(g) AS BIGINT) AS lg
+  FROM g2 GROUP BY doc_id, g
+),
+t2 AS (
+  SELECT doc_id, g AS top2_gram, c * lg AS topmass,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, g ASC) AS rn,
+         sum(c * lg) OVER (PARTITION BY doc_id) AS totmass
+  FROM c2
+),
+g5 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 3),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+  FROM w WHERE len(w) >= 5
+),
+c5 AS (
+  SELECT doc_id, g, count(*) AS c, cast(length(g) AS BIGINT) AS lg
+  FROM g5 GROUP BY doc_id, g
+),
+d5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c * lg ELSE 0 END) AS dupmass,
+         sum(c * lg) AS totmass
+  FROM c5 GROUP BY doc_id
+)
+SELECT t2.doc_id, t2.top2_gram,
+       cast((1000000 * t2.topmass) // t2.totmass AS BIGINT)
+           AS top2_char_e6,
+       cast((1000000 * d5.dupmass) // d5.totmass AS BIGINT)
+           AS dup5_char_e6
+FROM t2 JOIN d5 ON t2.doc_id = d5.doc_id
+WHERE t2.rn = 1
+"""
+
+
 QUERIES = {
     "temperature_mix": q_temperature_mix,
     "textrank_terms": q_textrank_terms,
@@ -2253,6 +2377,7 @@ QUERIES = {
     "quality_filter_global": q_quality_filter_global,
     "turn_alternation": q_turn_alternation,
     "weighted_sample": q_weighted_sample,
+    "gopher_repetition": q_gopher_repetition,
 }
 
 ORACLE_SQL = {
@@ -2273,6 +2398,7 @@ ORACLE_SQL = {
     "text_normalize": SQL_TEXT_NORMALIZE,
     "quality_filter_global": SQL_QUALITY_FILTER_GLOBAL,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
 }
 
 _rel.QUERIES.update(QUERIES)

@@ -81,6 +81,10 @@ SIZES = {
     "tiny": dict(n_convs=10, mean_turns=10, n_files=2),
     "small": dict(n_convs=1000, mean_turns=20, n_files=8),
     "bench": dict(n_convs=150_000, mean_turns=20, n_files=256),
+    # scale-curve presets (VERDICT r4 #6): same per-file density as
+    # bench so block/batch sizing is comparable across the curve
+    "bench3x": dict(n_convs=450_000, mean_turns=20, n_files=768),
+    "bench10x": dict(n_convs=1_500_000, mean_turns=20, n_files=2560),
 }
 
 
