@@ -13,6 +13,10 @@ conversation/agent transcripts):
                       leading turns (and chars) survive a fixed
                       cumulative character budget — the planning
                       read-out for context-window packing
+- ``turn_dedup``      turn-level exact dedup across conversations
+                      (verbatim canned-response detector)
+- ``turn_echo``       assistant echo rate vs the preceding user turn
+                      (parroting / copy-loop detector)
 
 Scale shape (all three): the text column NEVER shuffles — each batch
 is reduced to (conv_id, turn_idx, role, chars|us) before any exchange;
@@ -415,6 +419,152 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+
+# =====================================================================
+# turn_echo
+# =====================================================================
+
+def q_turn_echo(sf_dir: str):
+    """Assistant echo rate — the parroting/copy-loop detector for
+    agent transcripts: for every assistant turn whose immediate
+    predecessor is a user turn, the fraction of the assistant's word
+    OCCURRENCES already present in the preceding user turn's word set.
+    Per-conversation roll-up (conv_id, n_responses, echoed_words,
+    assistant_words, echo_e6) over conversations with at least one
+    response containing words; echo_e6 is the exact truncating
+    ``1e6 * echoed // total`` integer.
+
+    Scale shape: unlike its siblings this operator's semantics NEED
+    cross-turn token content, so the shard exchange ships per-turn
+    token LISTS (pre-split, empty-filtered — no raw text), keyed on
+    the same bounded crc conv shard; one vectorized-sort + linear
+    adjacent-pair pass per shard, word-set membership per response
+    pair. At 100 TB the production variant hashes tokens to u64 in the
+    map phase (4-8x smaller exchange; collision odds ~pairs*len^2/2^64)
+    — kept as words here because the correctness gate hash-compares
+    bit-for-bit against the SQL twin. Numpy int64 is safe for the e6
+    release: it would wrap only past ~9.2e12 assistant words in ONE
+    conversation."""
+    slim = _read_tr(sf_dir).map_batches(_echo_partial, batch_format="pyarrow")
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = d["conv_id"].to_numpy()
+        role = d["role"].to_numpy()
+        ti = d["turn_idx"].to_numpy(np.int64)
+        words = d["words"].to_numpy(dtype=object)
+        out: dict[str, list[int]] = {}
+        for i in range(1, len(d)):
+            if (
+                conv[i] == conv[i - 1]
+                and ti[i] == ti[i - 1] + 1
+                and role[i] == "assistant"
+                and role[i - 1] == "user"
+            ):
+                uset = set(words[i - 1])
+                aw = words[i]
+                echoed = sum(1 for w in aw if w in uset)
+                acc = out.setdefault(conv[i], [0, 0, 0])
+                acc[0] += 1
+                acc[1] += echoed
+                acc[2] += len(aw)
+        rows = [
+            (c, n, e, t)
+            for c, (n, e, t) in out.items()
+            if t > 0
+        ]
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "n_responses": pd.Series([], dtype="int64"),
+                    "echoed_words": pd.Series([], dtype="int64"),
+                    "assistant_words": pd.Series([], dtype="int64"),
+                    "echo_e6": pd.Series([], dtype="int64"),
+                }
+            )
+        c, n, e, t = zip(*rows)
+        e_arr = np.asarray(e, np.int64)
+        t_arr = np.asarray(t, np.int64)
+        return pd.DataFrame(
+            {
+                "conv_id": list(c),
+                "n_responses": np.asarray(n, np.int64),
+                "echoed_words": e_arr,
+                "assistant_words": t_arr,
+                "echo_e6": (1_000_000 * e_arr) // t_arr,
+            }
+        )
+
+    return _schema_guard(
+        slim.groupby("shard").map_groups(_fold, batch_format="pandas"),
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("n_responses", pa.int64()),
+                ("echoed_words", pa.int64()),
+                ("assistant_words", pa.int64()),
+                ("echo_e6", pa.int64()),
+            ]
+        ),
+    )
+
+
+def _echo_partial(batch: pa.Table) -> pa.Table:
+    """(shard, conv_id, turn_idx, role, words) — token lists, not raw
+    text; same crc conv-shard key as :func:`_shard_partial`."""
+    conv = batch.column("conv_id")
+    codes, uvals = pd.factorize(conv.to_pandas(), sort=False)
+    shard_of = np.array(
+        [zlib.crc32(u.encode()) % _T_SHARDS for u in uvals], dtype=np.int64
+    )
+    words = [
+        (t or "").lower().split()
+        for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {
+            "shard": pa.array(shard_of[codes]),
+            "conv_id": conv,
+            "turn_idx": pc.cast(batch.column("turn_idx"), pa.int64()),
+            "role": batch.column("role"),
+            "words": pa.array(words, pa.list_(pa.string())),
+        }
+    )
+
+
+def _sql_turn_echo(shards_glob: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS w,
+         lag(role) OVER w2 AS prev_role,
+         lag(turn_idx) OVER w2 AS prev_ti,
+         lag(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                   '\\s+')) OVER w2 AS prev_w
+  FROM read_parquet('{shards_glob}')
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+r AS (
+  SELECT conv_id,
+         len(list_filter(w, x -> x <> '' AND list_contains(prev_w, x)))
+             AS echoed,
+         len(list_filter(w, x -> x <> '')) AS total
+  FROM t
+  WHERE role = 'assistant' AND prev_role = 'user'
+    AND turn_idx = prev_ti + 1
+)
+SELECT conv_id,
+       cast(count(*) AS BIGINT) AS n_responses,
+       cast(sum(echoed) AS BIGINT) AS echoed_words,
+       cast(sum(total) AS BIGINT) AS assistant_words,
+       cast((1000000 * sum(echoed)) // sum(total) AS BIGINT) AS echo_e6
+FROM r
+GROUP BY conv_id
+HAVING sum(total) > 0
+"""
+
+
 # =====================================================================
 # registration
 # =====================================================================
@@ -424,6 +574,7 @@ QUERIES = {
     "response_ratio": q_response_ratio,
     "conv_truncate": q_conv_truncate,
     "turn_dedup": q_turn_dedup,
+    "turn_echo": q_turn_echo,
 }
 
 
@@ -436,6 +587,7 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
         "response_ratio": _sql_response_ratio(shards_glob),
         "conv_truncate": _sql_conv_truncate(shards_glob),
         "turn_dedup": _sql_turn_dedup(shards_glob),
+        "turn_echo": _sql_turn_echo(shards_glob),
     }
 
 
