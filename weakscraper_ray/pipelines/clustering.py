@@ -59,8 +59,21 @@ from ..functions.embed import fixed_list_to_numpy
 from . import relational as _rel
 from .relational import _i64_away_np, _p, _read
 
-_K = 8          #: cluster count (IVF-coarse-quantizer scale)
+_K = 8          #: cluster-count floor (IVF-coarse-quantizer scale)
+#: SemDeDup scaling rule (round 5): cluster count grows with corpus so
+#: per-cluster size stays bounded — the per-cluster similarity matmul
+#: in semdedup/dedup_chain is O(size²), so a FIXED k makes that stage
+#: quadratic in corpus size (measured: dedup_chain 32 s at 10× with
+#: k=8). k = max(_K, n_vecs // _TARGET_CLUSTER) keeps cluster size
+#: ≈ _TARGET_CLUSTER at any scale while yielding EXACTLY _K at every
+#: oracle-tested SF (sf0.1 has 2000 vectors → 2000//250 = 8), so the
+#: deterministic SQL twins are unchanged where they exist.
+_TARGET_CLUSTER = 250
 _ITERS = 4      #: fixed Lloyd iterations (deterministic, no tolerance)
+
+
+def _k_for(n_vecs: int) -> int:
+    return max(_K, n_vecs // _TARGET_CLUSTER)
 _SCALE = 10**6  #: e6 quantization grain
 
 
@@ -70,21 +83,21 @@ def quantize_e6(mat: np.ndarray) -> np.ndarray:
     return np.rint(mat.astype(np.float64) * _SCALE).astype(np.int64)
 
 
-def _init_centroids(base) -> np.ndarray:
-    """Deterministic init: the vectors of the K smallest vec_ids,
+def _init_centroids(base, k: int = _K) -> np.ndarray:
+    """Deterministic init: the vectors of the k smallest vec_ids,
     taken from the already-quantized cached working set (no extra
-    base-data pass). Distributed partial top-K per batch (K rows
-    each), tiny driver combine — no sort exchange for an 8-row
+    base-data pass). Distributed partial top-k per batch (k rows
+    each), tiny driver combine — no sort exchange for a k-row
     answer."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        keep = np.argsort(ids, kind="stable")[:_K]
+        keep = np.argsort(ids, kind="stable")[:k]
         return batch.take(keep)
 
     cand = base.map_batches(_partial, batch_format="pyarrow").take_all()
     cand.sort(key=lambda r: r["vec_id"])
-    return np.array([r["q"] for r in cand[:_K]], dtype=np.int64)
+    return np.array([r["q"] for r in cand[:k]], dtype=np.int64)
 
 
 def _assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -114,7 +127,9 @@ def kmeans_fit(sf_dir: str):
     # cache the quantized working set once; _ITERS + 2 scans follow
     base = ds.map_batches(_to_quantized, batch_format="pyarrow").materialize()
 
-    C = _init_centroids(base)
+    # k scales with corpus size (cluster size stays ~_TARGET_CLUSTER);
+    # == _K at every oracle-tested SF, so the SQL twins are unchanged
+    C = _init_centroids(base, _k_for(base.count()))
     for _ in range(_ITERS):
         Cb = C  # rebind for closure capture (broadcast ~4 KB)
 
