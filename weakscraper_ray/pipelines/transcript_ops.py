@@ -17,6 +17,8 @@ conversation/agent transcripts):
                       (verbatim canned-response detector)
 - ``turn_echo``       assistant echo rate vs the preceding user turn
                       (parroting / copy-loop detector)
+- ``tool_bigrams``    consecutive tool-invocation chaining counts
+                      (which tool follows which, corpus-wide)
 
 Scale shape (all three): the text column NEVER shuffles — each batch
 is reduced to (conv_id, turn_idx, role, chars|us) before any exchange;
@@ -565,6 +567,111 @@ HAVING sum(total) > 0
 """
 
 
+
+# =====================================================================
+# tool_bigrams
+# =====================================================================
+
+def q_tool_bigrams(sf_dir: str):
+    """Tool-chaining patterns over agent transcripts: for each
+    conversation, the sequence of tool invocations (rows with a
+    non-empty ``tool``, ordered by turn_idx, intervening non-tool
+    turns skipped) yields consecutive (tool_a, tool_b) bigrams;
+    emit corpus-wide counts — the "which tool follows which" read-out
+    that drives tool-routing and agent-scaffold analyses.
+
+    Scale shape: the slim partial ships only (shard, conv_id,
+    turn_idx, tool) for tool rows; one vectorized sort + adjacency
+    mask per bounded crc conv shard emits PRE-AGGREGATED per-shard
+    bigram counts (the key domain is |tools|² — bounded), and one
+    tiny Sum exchange folds shards. No text, no per-conv dispatch."""
+    from ray.data.aggregate import Sum
+
+    slim = _read_tr(sf_dir).map_batches(
+        _tool_partial, batch_format="pyarrow"
+    )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = d["conv_id"].to_numpy()
+        tool = d["tool"].to_numpy()
+        if len(d) < 2:
+            return pd.DataFrame(
+                {
+                    "tool_a": pd.Series([], dtype=object),
+                    "tool_b": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        m = conv[1:] == conv[:-1]
+        pairs = pd.DataFrame(
+            {"tool_a": tool[:-1][m], "tool_b": tool[1:][m]}
+        )
+        agg = (
+            pairs.groupby(["tool_a", "tool_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    counted = _schema_guard(
+        slim.groupby("shard").map_groups(_fold, batch_format="pandas"),
+        pa.schema(
+            [
+                ("tool_a", pa.string()),
+                ("tool_b", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    return counted.groupby(["tool_a", "tool_b"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+def _tool_partial(batch: pa.Table) -> pa.Table:
+    """(shard, conv_id, turn_idx, tool) for TOOL rows only — same crc
+    conv-shard key as :func:`_shard_partial`; text/ts never ship."""
+    mask = pc.and_(
+        pc.is_valid(batch.column("tool")),
+        pc.not_equal(pc.fill_null(batch.column("tool"), ""), ""),
+    )
+    b = batch.filter(mask)
+    conv = b.column("conv_id")
+    codes, uvals = pd.factorize(conv.to_pandas(), sort=False)
+    shard_of = np.array(
+        [zlib.crc32(u.encode()) % _T_SHARDS for u in uvals], dtype=np.int64
+    ) if len(uvals) else np.zeros(0, dtype=np.int64)
+    return pa.table(
+        {
+            "shard": pa.array(
+                shard_of[codes] if len(codes) else np.zeros(0, np.int64)
+            ),
+            "conv_id": conv,
+            "turn_idx": pc.cast(b.column("turn_idx"), pa.int64()),
+            "tool": b.column("tool"),
+        }
+    )
+
+
+def _sql_tool_bigrams(shards_glob: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_tool
+  FROM read_parquet('{shards_glob}')
+  WHERE tool IS NOT NULL AND tool <> ''
+)
+SELECT prev_tool AS tool_a, tool AS tool_b,
+       cast(count(*) AS BIGINT) AS n
+FROM t
+WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool
+"""
+
+
 # =====================================================================
 # registration
 # =====================================================================
@@ -575,6 +682,7 @@ QUERIES = {
     "conv_truncate": q_conv_truncate,
     "turn_dedup": q_turn_dedup,
     "turn_echo": q_turn_echo,
+    "tool_bigrams": q_tool_bigrams,
 }
 
 
@@ -588,6 +696,7 @@ def dynamic_oracle_sql(sf_dir: str) -> dict[str, str]:
         "conv_truncate": _sql_conv_truncate(shards_glob),
         "turn_dedup": _sql_turn_dedup(shards_glob),
         "turn_echo": _sql_turn_echo(shards_glob),
+        "tool_bigrams": _sql_tool_bigrams(shards_glob),
     }
 
 
