@@ -159,6 +159,7 @@ def _run_queries(sf_dir: str) -> tuple[dict[str, float], dict, dict]:
         "turn_latency", "response_ratio", "conv_truncate",
         "promo_revenue", "returned_revenue", "daily_churn", "temperature_mix",
         "extract_agreement", "readability", "turn_dedup",
+        "gopher_repetition", "turn_echo", "tool_bigrams",
     ]
     # untimed warm-up (VERDICT r3 #6): the first timed query otherwise
     # absorbs worker-pool spawn + per-worker module import for the

@@ -244,32 +244,41 @@ def test_lsh_index_shard_death_midprobe_rebuilds(ray_session):
 
 def test_index_epoch_detects_buildtime_loss(ray_session):
     """Unit contract: a restart DURING the build phase is caught by
-    the next epoch-checked add/seal, and probing an unsealed shard is
-    refused — state loss can never masquerade as an empty index."""
+    the next epoch-checked add/seal — whether the loss surfaces as the
+    restarted instance's epoch check (IndexShardLost) or as a mid-RPC
+    actor error that epoch_rpc converts at the call site — and probing
+    an unsealed shard is refused. State loss can never masquerade as
+    an empty index, and an UNRELATED failure is NOT classified as
+    shard loss (the epoch_rpc narrowing, code-review r5)."""
     import ray
     from ray.exceptions import RayActorError, RayTaskError
 
     from weakscraper_ray.state.hash_index import (
         HashIndexShard,
         IndexShardLost,
+        epoch_rpc,
         is_shard_loss,
     )
 
     shard = HashIndexShard.options(max_restarts=-1).remote()
-    ray.get(shard.begin_build.remote(7))
-    ray.get(shard.add.remote(["aa"], 7))
+    epoch_rpc([shard.begin_build.remote(7)])
+    epoch_rpc([shard.add.remote(["aa"], 7)])
     ray.kill(shard, no_restart=False)
-    with pytest.raises((RayTaskError, RayActorError, IndexShardLost)) as ei:
-        # restarted instance has no epoch -> the add must refuse
+    with pytest.raises(IndexShardLost) as ei:
+        # restarted instance has no epoch -> the add must refuse;
+        # epoch_rpc converts a mid-restart RPC error to the same type
         for _ in range(3):  # first call may race the restart itself
-            ray.get(shard.add.remote(["bb"], 7))
+            epoch_rpc([shard.add.remote(["bb"], 7)])
     assert is_shard_loss(ei.value)
     # unsealed probe refused even without a kill
     fresh = HashIndexShard.remote()
-    ray.get(fresh.begin_build.remote(9))
+    epoch_rpc([fresh.begin_build.remote(9)])
     with pytest.raises((RayTaskError, IndexShardLost)) as ei2:
-        ray.get(fresh.contains.remote(["aa"], 9))
+        epoch_rpc([fresh.contains.remote(["aa"], 9)])
     assert is_shard_loss(ei2.value)
+    # precision: an unrelated actor error is NOT shard loss
+    assert not is_shard_loss(RayActorError())
+    assert not is_shard_loss(RuntimeError("some pipeline bug"))
 
 
 def test_write_partitioned_survives_kill_in_commit_window(

@@ -31,6 +31,8 @@ import pyarrow.compute as pc
 
 import ray
 
+from .gates import record
+
 # ------------------------------------------------------------------ exact
 
 def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
@@ -311,8 +313,6 @@ def cluster_pairs(pairs_ds, max_iters: int = 32,
     n_edges = pairs_ds.count()
     if n_edges <= driver_max_edges:
         log.info("cluster_pairs: %d edges — driver union-find path", n_edges)
-        from .gates import record
-
         record("cluster_pairs", "driver", n_edges=n_edges)
         edges = [
             (r[a_col], r[b_col]) for r in pairs_ds.take_all()
@@ -333,8 +333,6 @@ def cluster_pairs(pairs_ds, max_iters: int = 32,
             )
         )
     log.info("cluster_pairs: %d edges — distributed hash-to-min path", n_edges)
-    from .gates import record
-
     record("cluster_pairs", "distributed", n_edges=n_edges)
 
     # both orientations; self-loops arise naturally from the first round
@@ -456,8 +454,6 @@ def anti_member_filter(ds, cols, drop_ds, drop_col="doc_id",
         # otherwise risk the zero-column-block shuffle hazard below
     if n <= broadcast_max:
         log.info("anti_member_filter: %d drop ids — broadcast path", n)
-        from .gates import record
-
         record("anti_member_filter", "broadcast", n_drop_ids=n)
         ids = pa.array(
             sorted(r[drop_col] for r in slim.take_all()), pa.int64()
@@ -477,8 +473,6 @@ def anti_member_filter(ds, cols, drop_ds, drop_col="doc_id",
         "anti_member_filter: %d drop ids > %d — hash-exchange path",
         n, broadcast_max,
     )
-    from .gates import record
-
     record("anti_member_filter", "exchange", n_drop_ids=n)
     if schema is None:
         raise ValueError(
@@ -581,8 +575,6 @@ def tag_disjoint_stages(base_ds, id_col, drops,
         total += slims[-1][3]
     if total <= broadcast_max:
         log.info("tag_disjoint_stages: %d drop ids — broadcast path", total)
-        from .gates import record
-
         record("tag_disjoint_stages", "broadcast", n_drop_ids=total)
         refs = []
         for s, col, stage, cnt in slims:
@@ -610,8 +602,6 @@ def tag_disjoint_stages(base_ds, id_col, drops,
         "tag_disjoint_stages: %d drop ids > %d — groupby-Max path",
         total, broadcast_max,
     )
-    from .gates import record
-
     record("tag_disjoint_stages", "exchange", n_drop_ids=total)
 
     def _base(t: pa.Table) -> pa.Table:

@@ -17,19 +17,38 @@ from __future__ import annotations
 
 _EVENTS: list[dict] = []
 
+#: registry bound: a long-lived driver that never drains (only
+#: bench.py drains today) must not leak memory one dict per gate
+#: decision forever — beyond the cap, the OLDEST events are dropped
+#: and the drop is counted so a drain can see telemetry was lost
+#: (code-review r5)
+_EVENTS_MAX = 10_000
+_DROPPED = 0
+
 
 def record(gate: str, path: str, **sizes) -> None:
     """Record one gate decision: which helper, which path it chose
     (``broadcast`` / ``exchange`` / ``driver`` / ``distributed``), and
     the measured set sizes that drove the choice."""
+    global _DROPPED
     _EVENTS.append({"gate": gate, "path": path, **sizes})
+    if len(_EVENTS) > _EVENTS_MAX:
+        del _EVENTS[: len(_EVENTS) - _EVENTS_MAX]
+        _DROPPED += 1
 
 
 def drain() -> list[dict]:
     """Return and clear all recorded decisions (bench consumes this
-    after each timed query so events attribute to the right query)."""
+    after each timed query so events attribute to the right query).
+    If the cap dropped events since the last drain, a synthetic
+    ``{"gate": "_dropped", ...}`` marker leads the list."""
+    global _DROPPED
     out = list(_EVENTS)
     _EVENTS.clear()
+    if _DROPPED:
+        out.insert(0, {"gate": "_dropped", "path": "overflow",
+                       "n_dropped": _DROPPED})
+        _DROPPED = 0
     return out
 
 

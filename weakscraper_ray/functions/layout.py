@@ -145,8 +145,11 @@ def _decode_pdf_mini(payload: bytes, n_pages: int):
     )
     if not streams:
         raise ValueError("PDF has no content streams")
-    page_idx = 0
-    for body in streams:
+    # page index = content-stream ordinal: a stream with no text
+    # (image-only page) still consumes its index, so later pages keep
+    # their true positions (code-review r5: skipping text-less streams
+    # shifted every subsequent page's index vs the pypdf adapter)
+    for page_idx, body in enumerate(streams):
         texts: list[str] = []
         for bt in re.findall(rb"BT(.*?)ET", body, flags=re.DOTALL):
             # literal strings followed by Tj / ' / " or inside TJ
@@ -168,7 +171,6 @@ def _decode_pdf_mini(payload: bytes, n_pages: int):
         if not texts:
             continue
         yield page_idx, 0, "paragraph", " ".join(t for t in texts if t), box
-        page_idx += 1
 
 
 #: decoder registry — stub = deterministic test/oracle path; "pypdf"

@@ -266,6 +266,7 @@ def q_dedup_against_index(sf_dir: str, _chaos_after_build=None):
     from ..functions.dedup import content_hash_batch
     from ..state.hash_index import (
         HashIndexShard,
+        epoch_rpc,
         is_shard_loss,
         next_epoch,
         route,
@@ -282,7 +283,7 @@ def q_dedup_against_index(sf_dir: str, _chaos_after_build=None):
             for _ in range(_INDEX_SHARDS)
         ]
         epoch = next_epoch()
-        ray.get([s.begin_build.remote(epoch) for s in shards])
+        epoch_rpc([s.begin_build.remote(epoch) for s in shards])
 
         def _build(batch: pa.Table) -> pa.Table:
             corpus = batch.filter(_even_mask(batch))
@@ -298,12 +299,12 @@ def q_dedup_against_index(sf_dir: str, _chaos_after_build=None):
                 for s, hs in enumerate(per_shard)
                 if hs
             ]
-            ray.get(refs)  # ack: this batch is indexed (epoch-checked)
+            epoch_rpc(refs)  # ack: this batch is indexed (epoch-checked)
             return pa.table({"n_indexed": pa.array([len(hashes)], pa.int64())})
 
         # build barrier: the index must be complete before any probe
         ds.map_batches(_build, batch_format="pyarrow").count()
-        ray.get([s.seal.remote(epoch) for s in shards])
+        epoch_rpc([s.seal.remote(epoch) for s in shards])
         return shards, epoch
 
     def _make_probe(shards, epoch):
@@ -326,7 +327,7 @@ def q_dedup_against_index(sf_dir: str, _chaos_after_build=None):
                         )
                     )
                     idxs.append(rows_in_shard)
-            for ref, rows_in_shard in zip(ray.get(refs), idxs):
+            for ref, rows_in_shard in zip(epoch_rpc(refs), idxs):
                 present[rows_in_shard] = ref
             kept = incoming.filter(pa.array(~present))
             return kept.select(["doc_id"])

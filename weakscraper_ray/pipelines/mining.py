@@ -775,6 +775,7 @@ def q_minhash_against_index(sf_dir: str, _chaos_after_build=None):
     from ..functions.dedup import explode_bands, minhash_batch
     from ..state.hash_index import (
         LSHIndexShard,
+        epoch_rpc,
         is_shard_loss,
         next_epoch,
     )
@@ -801,7 +802,7 @@ def q_minhash_against_index(sf_dir: str, _chaos_after_build=None):
             for _ in range(_MAI_SHARDS)
         ]
         epoch = next_epoch()
-        ray.get([s.begin_build.remote(epoch) for s in shards])
+        epoch_rpc([s.begin_build.remote(epoch) for s in shards])
 
         def _build(batch: pa.Table) -> pa.Table:
             old = _half(batch, even=True)
@@ -814,7 +815,7 @@ def q_minhash_against_index(sf_dir: str, _chaos_after_build=None):
                     ks, is_ = per[k % _MAI_SHARDS]
                     ks.append(k)
                     is_.append(int(i))
-                ray.get(
+                epoch_rpc(
                     [
                         shards[s].add.remote(ks, is_, epoch)
                         for s, (ks, is_) in enumerate(per)
@@ -827,7 +828,7 @@ def q_minhash_against_index(sf_dir: str, _chaos_after_build=None):
 
         # build barrier: the index must be complete before any probe
         ds.map_batches(_build, batch_format="pyarrow").count()
-        ray.get([s.seal.remote(epoch) for s in shards])
+        epoch_rpc([s.seal.remote(epoch) for s in shards])
         return shards, epoch
 
     def _make_probe(shards, epoch):
@@ -849,7 +850,7 @@ def q_minhash_against_index(sf_dir: str, _chaos_after_build=None):
                         )
                     )
                     idxs.append(rows_in_shard)
-            for ref, rows_in_shard in zip(ray.get(refs), idxs):
+            for ref, rows_in_shard in zip(epoch_rpc(refs), idxs):
                 for i, lst in zip(rows_in_shard, ref):
                     matches[i] = lst
             pairs = {

@@ -874,12 +874,17 @@ def _minhash_verify_shuffle(uniq, docs_ds):
     def _tag_docs(batch: pa.Table) -> pa.Table:
         n = len(batch)
         doc_id = batch.column("doc_id").combine_chunks().cast(pa.int64())
+        # doc rows carry -1 sentinels (side=-1 already marks them), NOT
+        # nulls: an int64 column with nulls degrades to float64 in the
+        # per-shard pandas UDF, silently rounding pair ids above 2^53
+        # (code-review r5)
+        neg1 = pa.array(np.full(n, -1, np.int64))
         return pa.table(
             {
                 "shard": _doc_shard(doc_id),
                 "doc_id": doc_id,
-                "doc_a": pa.nulls(n, pa.int64()),
-                "doc_b": pa.nulls(n, pa.int64()),
+                "doc_a": neg1,
+                "doc_b": neg1,
                 "side": pa.array([-1] * n, pa.int8()),
                 "text": batch.column("text").combine_chunks().cast(pa.string()),
             }
@@ -933,14 +938,21 @@ def _minhash_verify_shuffle(uniq, docs_ds):
         i, n = 0, len(d)
         while i < n:
             # each pair contributes exactly two adjacent rows
-            # (side 0 then side 1) after the lexsort
-            assert (
+            # (side 0 then side 1) after the lexsort — enforced with a
+            # real raise, not assert (which vanishes under python -O;
+            # code-review r5)
+            if not (
                 i + 1 < n
                 and da[i] == da[i + 1]
                 and db[i] == db[i + 1]
                 and side[i] == 0
                 and side[i + 1] == 1
-            ), "pair rows not adjacent — phase-1 emitted a partial pair"
+            ):
+                raise RuntimeError(
+                    "minhash shuffle verify: pair rows not adjacent — "
+                    "phase 1 emitted a partial pair (upstream pair set "
+                    "not distinct?)"
+                )
             sa = _sh(int(da[i]), texts[i])
             sb = _sh(int(db[i]), texts[i + 1])
             if bool(sa or sb) and 3 * len(sa & sb) >= len(sa) + len(sb):

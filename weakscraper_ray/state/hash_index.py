@@ -35,31 +35,46 @@ class IndexShardLost(Exception):
     pipeline FAILS FAST and rebuilds instead of silently returning
     "not seen" for every lost key — the silent-wrong-dedup failure a
     restarted empty shard would otherwise cause. Callers using the
-    epoch protocol catch this (or the RayActorError from a mid-RPC
-    death) driver-side and rebuild the index (bounded retries)."""
+    epoch protocol catch this driver-side and rebuild the index
+    (bounded retries). Shard RPC sites go through :func:`epoch_rpc`
+    so a MID-RPC actor death is re-raised as this type too — loss
+    classification then never has to guess whether some other actor
+    (e.g. a hash-shuffle aggregator) died."""
 
 
-@ray.remote
-class HashIndexShard:
-    """One shard: an in-memory set of hex-digest membership keys.
+def epoch_rpc(refs: list):
+    """ray.get over SHARD RPC refs, converting a mid-RPC actor death
+    (RayActorError / ActorUnavailableError) into typed
+    :class:`IndexShardLost`. Every epoch-protocol call site uses this
+    so :func:`is_shard_loss` can match ONLY the typed error — an
+    unrelated actor dying elsewhere in the same pipeline (shuffle
+    aggregators, other pools) is NOT misclassified as index loss."""
+    from ray.exceptions import RayActorError
 
-    Fault model (VERDICT r4 #5): in-memory state dies with the actor.
-    The EPOCH PROTOCOL makes that loss detectable end-to-end — the
-    builder calls ``begin_build(epoch)``, passes the epoch on every
-    ``add``, then ``seal(epoch)``; probes pass it on ``contains``. A
-    restarted actor re-inits with ``_epoch = None``, so the first
-    epoch-checked call after ANY restart raises :class:`IndexShardLost`
-    (build-time loss is caught by ``add``/``seal``, probe-time loss by
-    ``contains``). Epoch-less calls skip the check (ad-hoc/test use).
-    """
+    try:
+        return ray.get(refs)
+    except RayActorError as e:
+        raise IndexShardLost(
+            f"index shard died mid-RPC: {type(e).__name__}"
+        ) from e
+
+
+class _EpochProtocol:
+    """Shared epoch-protocol state machine (plain mixin — the @ray.remote
+    subclasses add their index payloads via ``_reset``). One
+    implementation, two shard types: a future protocol change cannot
+    silently diverge between them."""
 
     def __init__(self) -> None:
-        self._seen: set[str] = set()
         self._epoch: int | None = None
         self._sealed = False
+        self._reset()
+
+    def _reset(self) -> None:  # pragma: no cover — overridden
+        raise NotImplementedError
 
     def begin_build(self, epoch: int) -> bool:
-        self._seen = set()
+        self._reset()
         self._epoch = epoch
         self._sealed = False
         return True
@@ -74,14 +89,35 @@ class HashIndexShard:
                 "restarted after a failure; rebuild the index"
             )
 
+    def _seal(self, epoch: int) -> None:
+        self._check(epoch)
+        self._sealed = True
+
+
+@ray.remote
+class HashIndexShard(_EpochProtocol):
+    """One shard: an in-memory set of hex-digest membership keys.
+
+    Fault model (VERDICT r4 #5): in-memory state dies with the actor.
+    The EPOCH PROTOCOL makes that loss detectable end-to-end — the
+    builder calls ``begin_build(epoch)``, passes the epoch on every
+    ``add``, then ``seal(epoch)``; probes pass it on ``contains``. A
+    restarted actor re-inits with ``_epoch = None``, so the first
+    epoch-checked call after ANY restart raises :class:`IndexShardLost`
+    (build-time loss is caught by ``add``/``seal``, probe-time loss by
+    ``contains``). Epoch-less calls skip the check (ad-hoc/test use).
+    """
+
+    def _reset(self) -> None:
+        self._seen: set[str] = set()
+
     def add(self, hashes: list[str], epoch: int | None = None) -> int:
         self._check(epoch)
         self._seen.update(hashes)
         return len(self._seen)
 
     def seal(self, epoch: int) -> int:
-        self._check(epoch)
-        self._sealed = True
+        self._seal(epoch)
         return len(self._seen)
 
     def contains(
@@ -101,7 +137,7 @@ def route(hashes: list[str], n_shards: int) -> list[int]:
 
 
 @ray.remote
-class LSHIndexShard:
+class LSHIndexShard(_EpochProtocol):
     """One shard of a MinHash-LSH band index: bucket key → posting
     list of indexed doc_ids. Same scale shape as :class:`HashIndexShard`
     (hash-partitioned key space, one RPC per batch per shard, no text),
@@ -114,32 +150,15 @@ class LSHIndexShard:
     policy as ``bucket_pairs``'s ``max_bucket``)."""
 
     def __init__(self, cap: int = 256) -> None:
-        self._buckets: dict[int, list[int]] = {}
         self._cap = cap
-        self._overflow = 0
-        self._epoch: int | None = None
-        self._sealed = False
+        super().__init__()
 
-    def begin_build(self, epoch: int) -> bool:
-        self._buckets = {}
+    def _reset(self) -> None:
+        self._buckets: dict[int, list[int]] = {}
         self._overflow = 0
-        self._epoch = epoch
-        self._sealed = False
-        return True
-
-    def _check(self, epoch: int | None, need_sealed: bool = False) -> None:
-        if epoch is not None and (
-            epoch != self._epoch or (need_sealed and not self._sealed)
-        ):
-            raise IndexShardLost(
-                f"shard state lost: expected epoch {epoch}, have "
-                f"{self._epoch} (sealed={self._sealed}) — the actor "
-                "restarted after a failure; rebuild the index"
-            )
 
     def seal(self, epoch: int) -> int:
-        self._check(epoch)
-        self._sealed = True
+        self._seal(epoch)
         return len(self._buckets)
 
     def add(self, keys: list[int], ids: list[int],
@@ -179,33 +198,24 @@ def next_epoch() -> int:
 
 
 def is_shard_loss(err: BaseException) -> bool:
-    """True when ``err`` traces to index-shard state loss: an
-    :class:`IndexShardLost` (epoch check on a restarted actor), or a
-    ``RayActorError`` (the RPC in flight when the actor died). Ray
-    wraps worker exceptions in ``RayTaskError`` whose ``cause`` /
-    rendered message carries the original — walk both."""
-    from ray.exceptions import RayActorError
-
+    """True when ``err`` traces to index-shard state loss — i.e. to a
+    typed :class:`IndexShardLost`. Because every shard RPC site goes
+    through :func:`epoch_rpc` (which converts a mid-RPC actor death
+    into IndexShardLost *at the site*), matching the typed error alone
+    is sufficient AND precise: an unrelated actor dying elsewhere in
+    the pipeline (e.g. a Ray Data hash-shuffle aggregator) raises a
+    bare RayActorError with no IndexShardLost anywhere and is NOT
+    classified as shard loss (code-review r5: the earlier broad match
+    on RayActorError-family names masked unrelated failures behind
+    index rebuilds). Ray Data re-raises worker exceptions as
+    dynamically-typed ``RayTaskError(UserCodeException)`` whose cause
+    chain can stop at the wrapper, so the rendered message is checked
+    too — it always names the original exception class."""
     e: BaseException | None = err
     for _ in range(8):
         if e is None:
             break
-        if isinstance(e, (IndexShardLost, RayActorError)):
+        if isinstance(e, IndexShardLost):
             return True
         e = getattr(e, "cause", None) or e.__cause__ or e.__context__
-    # Ray Data re-raises worker failures as dynamically-typed
-    # RayTaskError(UserCodeException) whose cause chain may stop at the
-    # wrapper — the rendered traceback still names the original class
-    # (e.g. ActorUnavailableError "the actor is restarting", the
-    # mid-RPC shape of a shard death)
-    text = str(err)
-    return any(
-        marker in text
-        for marker in (
-            "IndexShardLost",
-            "RayActorError",
-            "ActorUnavailableError",
-            "ActorDiedError",
-            "ActorUnschedulableError",
-        )
-    )
+    return "IndexShardLost" in str(err)
