@@ -2350,6 +2350,133 @@ WHERE t2.rn = 1
 """
 
 
+
+# =====================================================================
+# n-gram novelty (round 5)
+# =====================================================================
+
+def q_ngram_novelty(sf_dir: str):
+    """Corpus-novelty curve: for each document, how many of its
+    DISTINCT word 3-grams appear in NO smaller-doc_id document —
+    i.e. the fraction of genuinely new content the doc adds under the
+    corpus' canonical order. The signal data-mixing/selection work
+    uses to downweight documents that only repeat what the corpus
+    already contains. Emits (doc_id, n_grams, novel_grams,
+    novelty_e6) over docs with >= 3 tokens; novelty_e6 is the exact
+    truncating ``1e6 * novel // n`` integer.
+
+    Scale shape: per-batch map emits DISTINCT (gram-shard, gram,
+    doc_id) rows; ONE bounded 256-shard exchange co-locates every
+    occurrence of a gram, and one vectorized pandas pass per shard
+    computes each gram's min doc_id AND attributes novelty to that
+    doc in the same pass (no second gram-keyed join); a final Sum
+    exchange over doc_id folds the per-shard partials. Exchange
+    payload is the distinct-gram list (vocabulary mass, Heaps' law),
+    never repeated text. Numpy int64 is safe for the e6 release
+    (wraps only past ~9.2e12 grams in one doc)."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _schema_guard
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        ids_out: list[int] = []
+        shards: list[int] = []
+        grams: list[str] = []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            w = (t or "").lower().split()
+            if len(w) < 3:
+                continue
+            seen = {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+            for g in seen:
+                ids_out.append(did)
+                shards.append(zlib.crc32(g.encode()) & 0xFF)
+                grams.append(g)
+        return pa.table(
+            {
+                "gshard": pa.array(shards, pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(ids_out, pa.int64()),
+            }
+        )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        # min doc per gram + novelty attribution, one vectorized pass
+        first = g.groupby("gram", sort=False)["doc_id"].transform("min")
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n": 1,
+                "novel": (g["doc_id"] == first).astype("int64"),
+            }
+        )
+        agg = out.groupby("doc_id", sort=False, as_index=False).sum()
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    partials = _schema_guard(
+        ds.map_batches(_grams, batch_format="pyarrow")
+        .groupby("gshard")
+        .map_groups(_fold, batch_format="pandas"),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n", pa.int64()), ("novel", pa.int64())]
+        ),
+    )
+    sums = partials.groupby("doc_id").aggregate(
+        Sum("n", alias_name="n_grams"), Sum("novel", alias_name="novel_grams")
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        n = t.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = t.column("novel_grams").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_grams": pa.array(n),
+                "novel_grams": pa.array(nv),
+                "novelty_e6": pa.array((1_000_000 * nv) // n),
+            }
+        )
+
+    return sums.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+),
+gr AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             AS gram
+  FROM w WHERE len(w) >= 3
+),
+m AS (SELECT gram, min(doc_id) AS first_doc FROM gr GROUP BY gram)
+SELECT gr.doc_id,
+       cast(count(*) AS BIGINT) AS n_grams,
+       cast(sum(CASE WHEN m.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS novel_grams,
+       cast((1000000 * sum(CASE WHEN m.first_doc = gr.doc_id
+                                THEN 1 ELSE 0 END)) // count(*)
+            AS BIGINT) AS novelty_e6
+FROM gr JOIN m USING (gram)
+GROUP BY gr.doc_id
+"""
+
+
 QUERIES = {
     "temperature_mix": q_temperature_mix,
     "textrank_terms": q_textrank_terms,
@@ -2379,6 +2506,7 @@ QUERIES = {
     "turn_alternation": q_turn_alternation,
     "weighted_sample": q_weighted_sample,
     "gopher_repetition": q_gopher_repetition,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 ORACLE_SQL = {
@@ -2400,6 +2528,7 @@ ORACLE_SQL = {
     "quality_filter_global": SQL_QUALITY_FILTER_GLOBAL,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "gopher_repetition": SQL_GOPHER_REPETITION,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
 }
 
 _rel.QUERIES.update(QUERIES)
