@@ -160,7 +160,7 @@ def _run_queries(sf_dir: str) -> tuple[dict[str, float], dict, dict]:
         "promo_revenue", "returned_revenue", "daily_churn", "temperature_mix",
         "extract_agreement", "readability", "turn_dedup",
         "gopher_repetition", "turn_echo", "tool_bigrams",
-        "ngram_novelty",
+        "ngram_novelty", "dedup_keep_best",
     ]
     # untimed warm-up (VERDICT r3 #6): the first timed query otherwise
     # absorbs worker-pool spawn + per-worker module import for the

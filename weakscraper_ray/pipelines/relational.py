@@ -1140,6 +1140,150 @@ FROM reach GROUP BY u
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware keeper selection: one doc kept per verified
+    near-dup cluster, chosen as the LONGEST member (n_chars desc, then
+    doc_id asc) rather than the smallest id — the production variant
+    ("keep the best copy, not the first crawl") every dedup paper's
+    ablations use. Emits (doc_id, cluster_id, is_keeper) for cluster
+    MEMBERS (singletons are trivially keepers and are not cluster
+    members).
+
+    Scale shape: cluster membership is bounded by duplicate volume,
+    never corpus size. TWO bounded crc-shard exchanges: (1) members +
+    the pruned (doc_id, n_chars) stream co-locate on a doc-id shard
+    and attach quality with one vectorized merge per shard; (2) rows
+    re-key on a cluster-id shard and one per-shard pandas pass picks
+    each cluster's argmax — the per-key-UDF discipline (cluster ids
+    are data-cardinality, shards are 256)."""
+    clusters = q_dedup_clusters(sf_dir)
+
+    def _m_shard(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "shard": _doc_shard(
+                    t.column("doc_id").combine_chunks().cast(pa.int64())
+                ),
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "cluster_id": pc.cast(t.column("cluster_id"), pa.int64()),
+                "n_chars": pa.nulls(len(t), pa.int64()),
+            }
+        )
+
+    def _d_shard(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "shard": _doc_shard(
+                    t.column("doc_id").combine_chunks().cast(pa.int64())
+                ),
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "cluster_id": pa.nulls(len(t), pa.int64()),
+                "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["cluster_id"].isna().to_numpy()
+        quality = pd.Series(
+            g.loc[is_doc, "n_chars"].to_numpy(dtype="float64"),
+            index=g.loc[is_doc, "doc_id"].to_numpy(),
+        )
+        out = g.loc[~is_doc, ["doc_id", "cluster_id"]].copy()
+        out["n_chars"] = (
+            out["doc_id"].map(quality).astype("int64")
+        )
+        out["cluster_id"] = out["cluster_id"].astype("int64")
+        return out
+
+    attached = _schema_guard(
+        clusters.map_batches(_m_shard, batch_format="pyarrow")
+        .union(docs.map_batches(_d_shard, batch_format="pyarrow"))
+        .groupby("shard")
+        .map_groups(_attach, batch_format="pandas"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("cluster_id", pa.int64()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+
+    def _c_shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cshard",
+            _doc_shard(t.column("cluster_id").combine_chunks()),
+        )
+
+    def _pick(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(
+            ["cluster_id", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        first = ~d["cluster_id"].duplicated()
+        keeper_of = d.loc[first].set_index("cluster_id")["doc_id"]
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(),
+                "cluster_id": d["cluster_id"].to_numpy(),
+                "is_keeper": (
+                    d["doc_id"].to_numpy()
+                    == d["cluster_id"].map(keeper_of).to_numpy()
+                ).astype("int64"),
+            }
+        )
+
+    return _schema_guard(
+        attached.map_batches(_c_shard, batch_format="pyarrow")
+        .groupby("cshard")
+        .map_groups(_pick, batch_format="pandas"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("cluster_id", pa.int64()),
+                ("is_keeper", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+members AS (
+  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+),
+q AS (
+  SELECT m.doc_id, m.cluster_id, d.n_chars
+  FROM members m JOIN documents d ON m.doc_id = d.doc_id
+),
+best AS (
+  SELECT cluster_id, doc_id AS keeper FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM q) WHERE rn = 1
+)
+SELECT q.doc_id, q.cluster_id,
+       cast(CASE WHEN q.doc_id = b.keeper THEN 1 ELSE 0 END AS BIGINT)
+           AS is_keeper
+FROM q JOIN best b ON q.cluster_id = b.cluster_id
+"""
+
+
+
 def q_dedup_keep(sf_dir: str):
     """The end-product of the near-dup pipeline: the corpus with every
     non-keeper removed (one doc kept per duplicate cluster). Non-keeper
@@ -2822,6 +2966,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep": q_dedup_keep,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_clusters": q_embedding_neardup_clusters,
@@ -2865,6 +3010,7 @@ ORACLE_SQL = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep": SQL_DEDUP_KEEP,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "embedding_neardup_exact": SQL_NEARDUP_EXACT,
     "embedding_neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "sample_hash": SQL_SAMPLE_HASH,
